@@ -1,0 +1,541 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage for SURVEY.md §2, re-expressed over the
+  * driver's TPC-H-ish testdata and verified against a DuckDB oracle.
+  *
+  * Conventions (driver compare is schema+hash exact):
+  *   - every aggregate / computed column is aliased identically in the
+  *     Spark plan and the oracle SQL;
+  *   - double aggregations are rounded (sum order is not associative);
+  *   - results carry an ORDER BY on a unique key set;
+  *   - integer-ish derived columns are cast to BIGINT on both sides.
+  *
+  * Scale notes (100 TB design point) are in each query's comment.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A-class aggregations -------------------------------------------
+    // TPC-H Q1 shape (SURVEY A2/A5): partial+final hash agg, one shuffle on
+    // the 2-key group; scan prunes to 6 columns and pushes the date filter.
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // SURVEY A3: grouped counts (defaultdict(int) analog). Map-side combine
+    // keeps the shuffle tiny regardless of fact size.
+    "a3_group_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("l_suppkey") < 20)
+        .orderBy("l_suppkey")
+    }),
+
+    // SURVEY A4: exact distinct count per group (set-size analog).
+    "a4_distinct_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // SURVEY A5: running totals / rate report analog over events.
+    "a5_event_totals" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // SURVEY A6/W4: per-group batch count, BATCH_SIZE=3 here (1000 in the
+    // reference); integer ceil-div keeps types exact on both engines.
+    "a6_batch_count" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+        .withColumn("n_batches",
+          floor((col("n_lines") + lit(2)) / lit(3)).cast("long"))
+        .groupBy(col("n_lines"), col("n_batches"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("n_lines")
+    }),
+
+    // SURVEY A7: bounds aggregate (shapely .bounds analog) as min/max fold.
+    "a7_bounds" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+        .orderBy("l_linestatus")
+    }),
+
+    // SURVEY A8: count_documents analog.
+    "a8_count" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
+
+    // SURVEY A1: argmax (dominant element) with deterministic tie-break via
+    // total order; the reference's strict-> first-max semantics.
+    "a1_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- S/P-class scans, projections, filters --------------------------
+    // SURVEY S4/P1/P2: projection pruning — ReadSchema carries 3 columns.
+    "s1_scan_prune" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("l_orderkey") < 100)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // SURVEY S3/F5: filename-derived metadata via input_file_name + regex.
+    "s3_filename_meta" -> ((s, dir) => {
+      t(s, dir, "region")
+        .withColumn("stem",
+          regexp_extract(input_file_name(), "([a-z]+)\\.parquet", 1))
+        .groupBy(col("stem")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // SURVEY P3/S6: equality predicates pushed into the scan.
+    "p3_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_custkey") < 100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // SURVEY P4: null/validity filter.
+    "p4_null_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("props").isNotNull && col("value") > 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // SURVEY P5: key-prefix predicate (prob_* analog).
+    "p5_prefix_filter" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_name").startsWith("s"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+    }),
+
+    // SURVEY P6: class-membership filter (SNOMED-mapped classes analog).
+    "p6_set_membership" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // SURVEY P9: split-arity guard (nucleustype >= 3 dot-parts analog).
+    "p9_split_guard" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("n_parts", size(split(col("p_type"), " ")).cast("long"))
+        .groupBy(col("n_parts")).agg(count(lit(1)).as("cnt"))
+        .orderBy("n_parts")
+    }),
+
+    // SURVEY P11/W3: start-from (key-range restart) filter.
+    "p11_start_from" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_name") >= "Customer#000000090")
+        .select("c_custkey", "c_name")
+        .orderBy("c_name")
+    }),
+
+    // SURVEY P13/F13: regex extraction predicate (slideId digits analog).
+    "p13_regex_extract" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("cust_num",
+          regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long"))
+        .filter(col("cust_num") % 10 === 0)
+        .select("c_custkey", "cust_num")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J-class joins ---------------------------------------------------
+    // SURVEY J1: small-dim lookup joins — explicitly broadcast; at 100 TB
+    // the dims stay tiny so this never shuffles the fact table.
+    "j1_broadcast_lookup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_cust"))
+        .orderBy("r_name")
+    }),
+
+    // SURVEY J3: fact-to-fact equi-join on the natural key. At scale both
+    // sides shuffle on l_orderkey/o_orderkey (or co-located via bucketing);
+    // AQE picks broadcast when the filtered side collapses.
+    "j3_fact_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // SURVEY J4: enrichment join with fallback (negative-cache analog):
+    // left join + coalesce to a synthetic value.
+    "j4_enrich_coalesce" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation").filter(col("n_nationkey") < 10)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"), "left")
+        .withColumn("nation_name", coalesce(col("n_name"), lit("UNKNOWN")))
+        .groupBy(col("nation_name")).agg(count(lit(1)).as("n_supp"))
+        .orderBy("nation_name")
+    }),
+
+    // SURVEY J5/P12/E2: checkpoint ledger anti-join (work = universe − done).
+    "j5_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // SURVEY J6/S5: $in-batch fetch as a semi-join.
+    "j6_semi_join" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").select(col("l_partkey").as("p_partkey"))
+      p.join(l, Seq("p_partkey"), "left_semi")
+        .agg(count(lit(1)).as("n_parts_with_lines"))
+    }),
+
+    // SURVEY J7: existence probe → missing flag (hal:missing analog).
+    "j7_missing_flag" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_partkey")).distinct()
+      p.join(l, p("p_partkey") === l("l_partkey"), "left")
+        .withColumn("missing", col("l_partkey").isNull)
+        .groupBy(col("missing")).agg(count(lit(1)).as("cnt"))
+        .orderBy("missing")
+    }),
+
+    // ---- W-class windows -------------------------------------------------
+    // SURVEY W1: batch numbering within (group) — the reference's
+    // batch_%06d assignment, BATCH_SIZE=3 stand-in.
+    "w1_batch_number" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 50)
+        .withColumn("batch",
+          (floor((row_number().over(w) - lit(1)) / lit(3)) + lit(1))
+            .cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("batch"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // SURVEY W2: first-element-per-group selection (features[0] analog).
+    "w2_first_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_date"))
+        .orderBy("o_custkey")
+    }),
+
+    // Running total over a unique total order (deterministic fold).
+    "w3_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .withColumn("running_qty", sum("l_quantity").over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // Top-k per group (rank + filter), deterministic tie-break.
+    "w4_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 20)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // ---- E-class set operations ------------------------------------------
+    // SURVEY E1: union + distinct (set-insert dedup).
+    "e1_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sup).distinct().orderBy("nationkey")
+    }),
+
+    // SURVEY E2: set difference.
+    "e2_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey"))
+      c.distinct().except(o.distinct()).orderBy("custkey")
+    }),
+
+    // ---- F-class scalar functions ------------------------------------
+    // SURVEY F8: sha256 of a string id.
+    "f8_sha2" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 20)
+        .select(col("c_custkey"), sha2(col("c_name"), 256).as("id_hash"))
+        .orderBy("c_custkey")
+    }),
+
+    // SURVEY F10: UTC date formatting.
+    "f10_date_format" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .groupBy(col("month")).agg(count(lit(1)).as("cnt"))
+        .orderBy("month")
+    }),
+
+    // SURVEY F11: fixed-decimal formatting (%.2f analog).
+    "f11_format_decimal" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 30)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          format_string("%.2f", col("l_extendedprice")).as("price_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // SURVEY F12: URI-tail extraction (split + last element).
+    "f12_split_tail" -> ((s, dir) => {
+      t(s, dir, "part")
+        .withColumn("type_tail", element_at(split(col("p_type"), " "), -1))
+        .groupBy(col("type_tail")).agg(count(lit(1)).as("cnt"))
+        .orderBy("type_tail")
+    }),
+
+    // SURVEY F13: regex replace (hash URN substitution analog).
+    "f13_regex_replace" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 20)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"))
+        .orderBy("c_custkey")
+    }),
+
+    // SURVEY F15: JSON nested extraction (field_iip_path analog).
+    "f15_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("k_mod", col("k") % 10)
+        .groupBy(col("k_mod")).agg(count(lit(1)).as("cnt"))
+        .orderBy("k_mod")
+    }),
+
+    // SURVEY F16: type coercions (Mongo ObjectId/Decimal cleanup analog).
+    "f16_coercions" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 30)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("line_no"),
+          floor(col("l_quantity")).cast("int").as("qty_int"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+        .orderBy("l_orderkey", "line_no")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a3_group_count" ->
+      """SELECT l_suppkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 HAVING l_suppkey < 20 ORDER BY 1""".stripMargin,
+    "a4_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a5_event_totals" ->
+      """SELECT event_type, count(*) AS cnt,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a6_batch_count" ->
+      """WITH g AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        | GROUP BY 1)
+        |SELECT n_lines, (n_lines + 2) // 3 AS n_batches,
+        | count(*) AS n_orders
+        |FROM g GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "a7_bounds" ->
+      """SELECT l_linestatus, min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty, min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a8_count" -> "SELECT count(*) AS cnt FROM lineitem",
+    "a1_argmax" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM (
+        | SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+        | FROM lineitem) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "s1_scan_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey < 100 ORDER BY 1, 2""".stripMargin,
+    "s3_filename_meta" ->
+      "SELECT 'region' AS stem, count(*) AS cnt FROM region",
+    "p3_filter_pushdown" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F' AND o_custkey < 100 ORDER BY 1""".stripMargin,
+    "p4_null_filter" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE props IS NOT NULL AND value > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p5_prefix_filter" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |WHERE p_name LIKE 's%' GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p6_set_membership" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p9_split_guard" ->
+      """SELECT CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_parts,
+        | count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p11_start_from" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name >= 'Customer#000000090' ORDER BY c_name""".stripMargin,
+    "p13_regex_extract" ->
+      """SELECT c_custkey,
+        | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num
+        |FROM customer
+        |WHERE CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) % 10 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    "j1_broadcast_lookup" ->
+      """SELECT r_name, count(*) AS n_cust FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j3_fact_join" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS sum_qty,
+        | count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j4_enrich_coalesce" ->
+      """SELECT coalesce(n_name, 'UNKNOWN') AS nation_name,
+        | count(*) AS n_supp
+        |FROM supplier LEFT JOIN
+        | (SELECT * FROM nation WHERE n_nationkey < 10) n
+        | ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        | (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_semi_join" ->
+      """SELECT count(*) AS n_parts_with_lines FROM part
+        |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)""".stripMargin,
+    "j7_missing_flag" ->
+      """SELECT l_partkey IS NULL AS missing, count(*) AS cnt
+        |FROM part LEFT JOIN
+        | (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45) l
+        | ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w1_batch_number" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber) - 1) // 3 + 1 AS batch
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY 1, 2""".stripMargin,
+    "w2_first_per_group" ->
+      """SELECT o_custkey, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS first_date FROM (
+        | SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        | FROM orders) WHERE rn = 1 AND o_custkey < 100
+        |ORDER BY o_custkey""".stripMargin,
+    "w3_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 5 ORDER BY 1, 2, 3""".stripMargin,
+    "w4_topk_per_group" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        | FROM orders WHERE o_custkey < 20)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "e1_union_distinct" ->
+      """SELECT DISTINCT nationkey FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY 1""".stripMargin,
+    "e2_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY 1""".stripMargin,
+    "f8_sha2" ->
+      """SELECT c_custkey, sha256(c_name) AS id_hash FROM customer
+        |WHERE c_custkey < 20 ORDER BY 1""".stripMargin,
+    "f10_date_format" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f11_format_decimal" ->
+      """SELECT l_orderkey, l_linenumber,
+        | printf('%.2f', l_extendedprice) AS price_str
+        |FROM lineitem WHERE l_orderkey < 30 ORDER BY 1, 2""".stripMargin,
+    "f12_split_tail" ->
+      """SELECT string_split(p_type, ' ')[-1] AS type_tail, count(*) AS cnt
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f13_regex_replace" ->
+      """SELECT c_custkey,
+        | regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+        |FROM customer WHERE c_custkey < 20 ORDER BY 1""".stripMargin,
+    "f15_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+        |  AS k_mod, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f16_coercions" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        | CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+        |FROM lineitem WHERE l_orderkey < 30 ORDER BY 1, 2""".stripMargin
+  )
+}
