@@ -16,14 +16,15 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS) which the vectorized parquet
-    * reader rejects; read nanos as long and rebuild a (micro-precision)
-    * timestamp column. Data is generated at micro precision, so the
-    * ns→us division is exact.
+    * reader rejects; read nanos as long and rebuild a micro-precision
+    * timestamp. Data carries sub-µs fractions, so truncate with integer
+    * division — double division would round-trip int64 nanos (~1.7e18,
+    * > 2^53) through an imprecise double.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -330,12 +330,18 @@ object RelationalQueries {
         .orderBy("month")
     }),
 
-    // SURVEY F11: fixed-decimal formatting (%.2f analog).
+    // SURVEY F11: fixed-decimal formatting (%.2f analog). Half-up via exact
+    // IEEE double arithmetic (floor(x*100+0.5)) so Spark's Java HALF_UP
+    // formatter vs DuckDB's binary-value rounding can never diverge at
+    // midpoints; the string is then built from integer cents.
     "f11_format_decimal" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 30)
+        .withColumn("cents",
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          format_string("%.2f", col("l_extendedprice")).as("price_str"))
+          format_string("%d.%02d", expr("cents div 100"), col("cents") % 100)
+            .as("price_str"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -462,10 +468,12 @@ object RelationalQueries {
         | (SELECT * FROM nation WHERE n_nationkey < 10) n
         | ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // NOT EXISTS (not NOT IN): null-safe — matches Spark left_anti even if
+    // the subquery side ever carries NULL keys.
     "j5_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN
-        | (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_totalprice > 300000 AND o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "j6_semi_join" ->
       """SELECT count(*) AS n_parts_with_lines FROM part
@@ -519,8 +527,10 @@ object RelationalQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "f11_format_decimal" ->
       """SELECT l_orderkey, l_linenumber,
-        | printf('%.2f', l_extendedprice) AS price_str
-        |FROM lineitem WHERE l_orderkey < 30 ORDER BY 1, 2""".stripMargin,
+        | printf('%d.%02d', cents // 100, cents % 100) AS price_str
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey < 30) ORDER BY 1, 2""".stripMargin,
     "f12_split_tail" ->
       """SELECT string_split(p_type, ' ')[-1] AS type_tail, count(*) AS cnt
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,

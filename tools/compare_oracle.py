@@ -62,6 +62,26 @@ def main(outdir, sfdir):
             print(f"FAIL  {name}: columns differ spark={s_cols} duck={d_cols}")
             n_fail += 1
             continue
+        # numeric-class dtype check: norm() renders 1.0 and 1 identically,
+        # so without this a double-vs-bigint schema drift would pass locally
+        # while the driver's exact schema compare fails it.
+        def tclass(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t): return "int"
+            if pt.is_floating(t): return "float"
+            if pt.is_decimal(t): return "decimal"
+            if pt.is_boolean(t): return "bool"
+            if pt.is_temporal(t): return "temporal"
+            if pt.is_string(t) or pt.is_large_string(t): return "str"
+            return str(t)
+        s_types = {c: tclass(spark_tbl.schema.field(c).type) for c in s_cols}
+        d_types = {c: tclass(duck_tbl.schema.field(c).type) for c in d_cols}
+        if s_types != d_types:
+            bad = {c: (s_types[c], d_types[c])
+                   for c in s_cols if s_types[c] != d_types[c]}
+            print(f"FAIL  {name}: dtype class differs {bad}")
+            n_fail += 1
+            continue
         if spark_tbl.num_rows != duck_tbl.num_rows:
             print(f"FAIL  {name}: rowcount spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}")
             n_fail += 1
