@@ -16,8 +16,10 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ TextDedupQueries.queries ++
+      SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ TextDedupQueries.oracle ++
+      SimilarityQueries.oracle
 }

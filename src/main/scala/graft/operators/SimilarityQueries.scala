@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity operators over the
+  * `embeddings` table (Array[Float] vectors).
+  *
+  * Float discipline: all vector math is promoted element-wise to DOUBLE
+  * and folded left-to-right, in exactly the order the DuckDB oracle
+  * folds, so cosine values are bit-identical across engines; only the
+  * half-up-scaled integer `cos_e6` reaches the output schema.
+  *
+  * Scale notes (100 TB):
+  *  - v1 brute-force broadcasts the (small) probe set against the full
+  *    corpus — the exact baseline; linear in corpus size, no shuffle of
+  *    the big side.
+  *  - v2 is the scale path: random-hyperplane LSH signatures (computed
+  *    in one narrow pass), candidate generation via band-bucket
+  *    equi-joins (shuffle keyed by band value, never pairs²), exact
+  *    re-rank only on candidates.
+  *  - v3 exact all-pairs is quadratic by construction — kept as the
+  *    verification baseline; production near-dup goes through v2/d4.
+  */
+object SimilarityQueries {
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Per-vector L2 norm, double fold in list order. */
+  private val normSql =
+    """sqrt(aggregate(transform(embedding,
+      |  x -> cast(x as double) * cast(x as double)),
+      | cast(0.0 as double), (a, b) -> a + b))""".stripMargin
+
+  /** Pairwise dot of `l`/`r` embedding cols (double, list order). */
+  private def dotSql(l: String, r: String) =
+    s"""aggregate(zip_with($l, $r,
+       |  (x, y) -> cast(x as double) * cast(y as double)),
+       | cast(0.0 as double), (a, b) -> a + b)""".stripMargin
+
+  private val cosE6 =
+    "cast(floor(dot / (na * nb) * 1000000 + 0.5) as bigint)"
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", expr(normSql))
+
+  /** Deterministic "random" hyperplanes: 8 planes × 64 dims, entries in
+    * [-1000, 1000] derived from md5(pid_i) — reproducible in any engine
+    * with an md5. Data-independent, so at scale this is a broadcast of
+    * 8 tiny arrays, and the signature pass is a narrow map. */
+  private def planes(s: SparkSession): DataFrame =
+    s.range(0, 8).select(col("id").cast("int").as("pid"), expr(
+      """transform(sequence(0, 63),
+        | i -> cast(conv(substr(md5(concat(cast(id as string), '_',
+        |        cast(i as string))), 1, 8), 16, 10) as bigint)
+        |      % 2001 - 1000)""".stripMargin).as("plane"))
+
+  /** LSH signature per vector: two 4-bit bands from the sign pattern of
+    * 8 hyperplane projections. */
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .crossJoin(broadcast(planes(s)))
+      .withColumn("dotp", expr(dotSql("embedding", "plane")))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(expr("""CASE WHEN pid < 4 AND dotp > 0
+              | THEN shiftleft(cast(1 as bigint), 3 - pid) ELSE 0L END"""
+          .stripMargin)).as("band0"),
+        sum(expr("""CASE WHEN pid >= 4 AND dotp > 0
+              | THEN shiftleft(cast(1 as bigint), 7 - pid) ELSE 0L END"""
+          .stripMargin)).as("band1"))
+
+  /** Exact cos_e6 for a (probe_id, nbr_id) pair frame carrying pe/ne
+    * embeddings and pn/nn norms. */
+  private def scorePairs(df: DataFrame): DataFrame =
+    df.withColumn("dot", expr(dotSql("pe", "ne")))
+      .withColumn("cos_e6", expr(
+        "cast(floor(dot / (pn * nn) * 1000000 + 0.5) as bigint)"))
+
+  private def topK(df: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_e6").desc, col("nbr_id").asc)
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "rnk", "nbr_id", "cos_e6")
+      .orderBy("probe_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force exact top-3 cosine for probe set vec_id < 10: broadcast
+    // nested-loop of the tiny probe side against the full corpus.
+    "v1_knn_brute" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir))
+      val p = e.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+        .filter(col("probe_id") < 10)
+      val c = e.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("ne"), col("nrm").as("nn"))
+      topK(scorePairs(broadcast(p).join(c, col("probe_id") =!= col("nbr_id"))), 3)
+    }),
+
+    // LSH-bucketed ANN: candidates share ≥1 signature band with the
+    // probe; exact cosine re-rank on candidates only.
+    "v2_knn_lsh" -> ((s, dir) => {
+      val sig = signatures(s, dir)
+      val probes = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("band0").as("pb0"),
+          col("band1").as("pb1"))
+      val cands = sig.select(col("vec_id").as("nbr_id"), col("band0"),
+        col("band1"))
+      val c0 = broadcast(probes).join(cands, col("pb0") === col("band0"))
+        .select("probe_id", "nbr_id")
+      val c1 = broadcast(probes).join(cands, col("pb1") === col("band1"))
+        .select("probe_id", "nbr_id")
+      val pairs = c0.union(c1).filter(col("probe_id") =!= col("nbr_id"))
+        .distinct()
+      val e = withNorm(emb(s, dir))
+      val scored = scorePairs(pairs
+        .join(e.select(col("vec_id").as("probe_id"),
+          col("embedding").as("pe"), col("nrm").as("pn")), Seq("probe_id"))
+        .join(e.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("ne"), col("nrm").as("nn")), Seq("nbr_id")))
+      topK(scored, 3)
+    }),
+
+    // Exact all-pairs near-dup at cosine ≥ 0.4 — quadratic verification
+    // baseline for the LSH path (production dedup uses v2/d4 banding).
+    "v3_cos_neardup" -> ((s, dir) => {
+      val e = withNorm(emb(s, dir))
+      val a = e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("pe"), col("nrm").as("pn"))
+      val b = e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("ne"), col("nrm").as("nn"))
+      scorePairs(a.join(b, col("vec_a") < col("vec_b")))
+        .filter(col("cos_e6") >= 400000)
+        .select("vec_a", "vec_b", "cos_e6")
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  /** Oracle fragments mirroring the Spark fold order exactly. */
+  private val oNorm =
+    """sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      | (a, b) -> a + b))""".stripMargin
+  private def oDot(l: String, r: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, len($l) + 1),
+       |   i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE))),
+       | (a, b) -> a + b)""".stripMargin
+  private val oNormCte =
+    s"""WITH nv AS (SELECT vec_id, embedding, $oNorm AS nrm
+       |FROM embeddings)""".stripMargin
+  private val oPlanes =
+    """pl AS (SELECT pid,
+      |  list_transform(range(64),
+      |   i -> ('0x' || substr(md5(pid || '_' || i), 1, 8))::BIGINT
+      |        % 2001 - 1000) AS plane
+      | FROM (SELECT unnest(range(8)) AS pid))""".stripMargin
+  private val oSig =
+    s"""sig AS (SELECT vec_id,
+       |  sum(CASE WHEN pid < 4 AND dotp > 0
+       |       THEN (1::BIGINT << (3 - pid)::INT) ELSE 0 END)::BIGINT AS band0,
+       |  sum(CASE WHEN pid >= 4 AND dotp > 0
+       |       THEN (1::BIGINT << (7 - pid)::INT) ELSE 0 END)::BIGINT AS band1
+       | FROM (SELECT e.vec_id, p.pid,
+       |   ${oDot("e.embedding", "p.plane")} AS dotp
+       |  FROM embeddings e CROSS JOIN pl p)
+       | GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "v1_knn_brute" -> (oNormCte + s""",
+      |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+      |  CAST(floor(${oDot("p.embedding", "c.embedding")}
+      |   / (p.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      | FROM nv p JOIN nv c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |  ORDER BY cos_e6 DESC, nbr_id) AS rnk FROM sc)
+      |SELECT probe_id, rnk, nbr_id, cos_e6 FROM rk WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin),
+    "v2_knn_lsh" -> (s"""WITH $oPlanes,
+      |$oSig,
+      |nv AS (SELECT vec_id, embedding, $oNorm AS nrm FROM embeddings),
+      |cand AS (
+      | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nbr_id
+      | FROM sig p JOIN sig c
+      |  ON (p.band0 = c.band0 OR p.band1 = c.band1)
+      | WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      |sc AS (SELECT cand.probe_id, cand.nbr_id,
+      |  CAST(floor(${oDot("p.embedding", "c.embedding")}
+      |   / (p.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      | FROM cand JOIN nv p ON cand.probe_id = p.vec_id
+      |  JOIN nv c ON cand.nbr_id = c.vec_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |  ORDER BY cos_e6 DESC, nbr_id) AS rnk FROM sc)
+      |SELECT probe_id, rnk, nbr_id, cos_e6 FROM rk WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin),
+    "v3_cos_neardup" -> (oNormCte + s"""
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      | CAST(floor(${oDot("a.embedding", "b.embedding")}
+      |  / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+      |WHERE CAST(floor(${oDot("a.embedding", "b.embedding")}
+      |  / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) >= 400000
+      |ORDER BY vec_a, vec_b""".stripMargin)
+  )
+}

@@ -1,0 +1,374 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * tokenization/quality/language-ID/fingerprinting plus the dedup
+  * family (exact, n-gram Jaccard, MinHash+LSH, SimHash).
+  *
+  * Every score that leaves the engine is an integer (`*_e2`/`*_e4` =
+  * value scaled by 10^2/10^4, half-up) computed with IEEE double ops in
+  * the same order as the DuckDB oracle, so the driver's hash compare is
+  * exact — no float column ever reaches the output schema.
+  *
+  * Scale notes (100 TB): every query here is a scan → narrow transform →
+  * partial-agg shuffle; the only self-joins are (a) shingle-inverted-
+  * index joins whose key cardinality grows with corpus size (so per-key
+  * fan-out stays bounded) and (b) LSH band buckets, which is the point
+  * of LSH. Nothing collects to the driver.
+  */
+object TextDedupQueries {
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Whitespace tokens, empties dropped (F-class token counting). */
+  private val tokensSql = "filter(split(text, ' '), t -> t <> '')"
+
+  /** Distinct word 3-gram shingles over the raw token array `w`. */
+  private val shinglesSql =
+    """array_distinct(transform(sequence(1, size(w) - 2),
+      |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+      |              element_at(w, i + 2))))""".stripMargin
+
+  /** 60-bit stable shingle hash folded into the minhash prime field.
+    * md5-prefix keeps Spark and DuckDB bit-identical (both hash UTF-8).
+    */
+  private val P = 1000000007L
+  private def shingleHash(c: String) =
+    s"cast(conv(substr(md5($c), 1, 15), 16, 10) as bigint) % $P"
+
+  /** 8 universal-hash permutations (a*h+b) % P for minhash; a,b < 2^27
+    * so a*h < 2^57 never overflows int64 under ANSI mode. */
+  private val perms: Seq[(Long, Long)] = Seq(
+    (73856093L, 19349663L), (83492791L, 29474327L),
+    (15485863L, 32452843L), (49979687L, 67867967L),
+    (23456789L, 98765431L), (54321893L, 12345701L),
+    (28657L, 514229L), (433494437L, 39916801L))
+
+  /** Per-doc shingle frame: doc_id, source, n (#shingles), sh (array). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("w", expr(tokensSql))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(shinglesSql))
+      .select(col("doc_id"), col("source"),
+        size(col("sh")).cast("long").as("n"), col("sh"))
+
+  /** Per-doc minhash signature mh0..mh7 (map-side partial min ⇒ the
+    * shuffle carries 8 longs per doc regardless of shingle count). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .withColumn("h", expr(shingleHash("shingle")))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"(h * ${a}L + ${b}L) % $P")).as(s"mh$i")
+    }
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Shared oracle CTE prefix for token/shingle queries. */
+  private val oracleToks =
+    """WITH toks AS (
+      |  SELECT doc_id, source, lang,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents)""".stripMargin
+  private val oracleShingled =
+    oracleToks + """,
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |  FROM toks WHERE len(w) >= 3)""".stripMargin
+  private def oracleShingleHash(c: String) =
+    s"('0x' || substr(md5($c), 1, 15))::BIGINT % $P"
+  private val oracleMinhash = oracleShingled + s""",
+      |hx AS (SELECT doc_id, ${oracleShingleHash("unnest(shingles)")} AS h
+      |       FROM sh),
+      |sig AS (SELECT doc_id,
+      |${perms.zipWithIndex.map { case ((a, b), i) =>
+          s"  min((h * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
+      |FROM hx GROUP BY 1)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ---------------------------------------------------
+    // Token counting (whitespace), type/token stats. Narrow map, no shuffle
+    // beyond the final orderBy.
+    "x1_token_count" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+          expr("""cast(floor(aggregate(w, 0L, (a, t) -> a + length(t))
+                 | * 100.0 / size(w) + 0.5) as bigint)""".stripMargin)
+            .as("avg_tok_len_e2"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: type-token ratio, stopword ratio, length norm —
+    // the heuristics a pretraining filter applies per document.
+    "x2_quality_score" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+        .withColumn("stop_cnt",
+          expr("cast(size(filter(w, t -> t IN ('the', 'a'))) as bigint)"))
+        .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+          expr("""cast(floor((0.5 * n_uniq / n_tokens
+                 | + 0.3 * (1.0 - stop_cnt / cast(n_tokens as double))
+                 | + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5)
+                 | as bigint)""".stripMargin).as("score_e4"))
+        .orderBy("doc_id")
+    }),
+
+    // Language ID via marker-word scoring (n-gram-heuristic stand-in);
+    // deterministic priority tie-break, compared against the labeled lang.
+    "x3_lang_id" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .withColumn("s_en", expr("size(filter(w, t -> t IN ('the', 'a')))"))
+        .withColumn("s_es", expr("size(filter(w, t -> t IN ('el', 'la')))"))
+        .withColumn("s_de", expr("size(filter(w, t -> t IN ('der', 'die')))"))
+        .withColumn("s_fr", expr("size(filter(w, t -> t IN ('le', 'les')))"))
+        .withColumn("s_zh", expr("size(filter(w, t -> t IN ('的')))"))
+        .withColumn("predicted", expr(
+          """CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+            | WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+            |  AND s_en >= s_zh THEN 'en'
+            | WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+            | WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+            | WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END""".stripMargin))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // Document fingerprint: order-sensitive rolling hash (mod prime) over
+    // the raw character stream — dedup key robust to storage layout.
+    "x4_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr(s"""aggregate(
+                  | transform(sequence(1, length(text)),
+                  |   i -> ascii(substring(text, i, 1))),
+                  | 0L, (a, b) -> (a * 31 + b) % $P)""".stripMargin)
+            .as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup -----------------------------------------------------------
+    // Exact dedup: content-hash group sizes (the survivors histogram).
+    "d1_exact_dedup" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(count(lit(1)).as("group_size"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy("group_size")
+    }),
+
+    // n-gram Jaccard near-dup: inverted-index self-join on (source,
+    // shingle) — the scalable explode-join pattern (never a cross join);
+    // per-key fan-out is bounded by docs-per-shingle.
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      val ex = shingled(s, dir)
+        .select(col("doc_id"), col("source"), col("n"),
+          explode(col("sh")).as("shingle"))
+      val a = ex.select(col("doc_id").as("doc_a"), col("source"),
+        col("n").as("na"), col("shingle"))
+      val b = ex.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b"), col("n").as("nb"), col("shingle")
+          .as("shingle_b"))
+      a.join(b, col("shingle") === col("shingle_b") &&
+          col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"), max("na").as("na"),
+          max("nb").as("nb"))
+        .withColumn("jacc_e4", expr(
+          "cast(floor(shared * 10000.0 / (na + nb - shared) + 0.5) as bigint)"))
+        .filter(col("jacc_e4") >= 200)
+        .select("doc_a", "doc_b", "shared", "jacc_e4")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash signatures (8 perms over 60-bit shingle hashes).
+    "d3_minhash_sig" -> ((s, dir) =>
+      minhashSig(s, dir).orderBy("doc_id")),
+
+    // LSH banding over the minhash signature: 4 bands × 2 rows; candidate
+    // pairs = docs colliding in ≥1 band. At 100 TB this is THE dedup
+    // join — band-bucket cardinality scales with corpus, not pairs².
+    "d4_lsh_pairs" -> ((s, dir) => {
+      val sig = minhashSig(s, dir)
+      val bands = sig.select(col("doc_id"), expr(
+        """explode(array(
+          | struct(0 as band, mh0 as k1, mh1 as k2),
+          | struct(1 as band, mh2 as k1, mh3 as k2),
+          | struct(2 as band, mh4 as k1, mh5 as k2),
+          | struct(3 as band, mh6 as k1, mh7 as k2)))""".stripMargin)
+        .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"),
+          col("b.k1").as("k1"), col("b.k2").as("k2"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("k1"), col("k2"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band").as("bb"),
+        col("k1").as("bk1"), col("k2").as("bk2"))
+      a.join(b, col("band") === col("bb") && col("k1") === col("bk1") &&
+          col("k2") === col("bk2") && col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 16-bit sign-aggregate fingerprint per doc. explode(16 bit
+    // positions) × tokens, partial-agg'd map-side.
+    "d5_simhash_sig" -> ((s, dir) => {
+      val th = docs(s, dir)
+        .select(col("doc_id"), explode(expr(tokensSql)).as("tok"))
+        .withColumn("h", expr(shingleHash("tok")))
+      th.select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 15)")).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("bal"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr(
+          "CASE WHEN bal > 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0L END"))
+          .as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs: Hamming distance ≤ 3 within a source block.
+    "d6_simhash_pairs" -> ((s, dir) => {
+      val th = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(expr(tokensSql))
+          .as("tok"))
+        .withColumn("h", expr(shingleHash("tok")))
+      val sig = th.select(col("doc_id"), col("source"), col("h"),
+          explode(expr("sequence(0, 15)")).as("b"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(sum(expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
+          .as("bal"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(expr(
+          "CASE WHEN bal > 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0L END"))
+          .as("simhash"))
+      val a = sig.select(col("doc_id").as("doc_a"), col("source"),
+        col("simhash").as("sa"))
+      val b = sig.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b"), col("simhash").as("sb"))
+      a.join(b, col("source") === col("source_b") &&
+          col("doc_a") < col("doc_b"))
+        .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x1_token_count" -> (oracleToks + """
+      |SELECT doc_id, len(w)::BIGINT AS n_tokens,
+      | len(list_distinct(w))::BIGINT AS n_uniq,
+      | CAST(floor(list_reduce(list_prepend(0::BIGINT,
+      |   list_transform(w, t -> len(t))), (a, b) -> a + b)
+      |  * 100.0 / len(w) + 0.5) AS BIGINT) AS avg_tok_len_e2
+      |FROM toks ORDER BY doc_id""".stripMargin),
+    "x2_quality_score" -> (oracleToks + """,
+      |q AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+      |  len(list_distinct(w))::BIGINT AS n_uniq,
+      |  len(list_filter(w, t -> t IN ('the', 'a')))::BIGINT AS stop_cnt
+      | FROM toks)
+      |SELECT doc_id, n_tokens, stop_cnt,
+      | CAST(floor((0.5 * n_uniq / n_tokens
+      |  + 0.3 * (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE))
+      |  + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
+      |  AS score_e4
+      |FROM q ORDER BY doc_id""".stripMargin),
+    "x3_lang_id" -> (oracleToks + """,
+      |sc AS (SELECT doc_id, lang,
+      |  len(list_filter(w, t -> t IN ('the', 'a'))) AS s_en,
+      |  len(list_filter(w, t -> t IN ('el', 'la'))) AS s_es,
+      |  len(list_filter(w, t -> t IN ('der', 'die'))) AS s_de,
+      |  len(list_filter(w, t -> t IN ('le', 'les'))) AS s_fr,
+      |  len(list_filter(w, t -> t IN ('的'))) AS s_zh
+      | FROM toks),
+      |p AS (SELECT lang,
+      |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+      |   WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+      |    AND s_en >= s_zh THEN 'en'
+      |   WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |   WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |   WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted
+      | FROM sc)
+      |SELECT lang, predicted, count(*) AS n_docs FROM p
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "x4_fingerprint" -> s"""
+      |SELECT doc_id,
+      | list_reduce(list_prepend(0::BIGINT,
+      |   list_transform(range(1, len(text) + 1),
+      |     i -> ascii(substr(text, i, 1)))),
+      |  (a, b) -> (a * 31 + b) % $P) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "d1_exact_dedup" -> """
+      |WITH h AS (SELECT sha256(text) AS hs FROM documents),
+      |g AS (SELECT hs, count(*) AS group_size FROM h GROUP BY 1)
+      |SELECT group_size, count(*) AS n_groups FROM g
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d2_ngram_jaccard" -> (oracleShingled + """,
+      |ex AS (SELECT doc_id, source, len(shingles)::BIGINT AS n,
+      |        unnest(shingles) AS shingle FROM sh),
+      |pairs AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  count(*) AS shared, max(a.n) AS na, max(b.n) AS nb
+      | FROM ex a JOIN ex b ON a.shingle = b.shingle
+      |  AND a.source = b.source AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared,
+      | CAST(floor(shared * 10000.0 / (na + nb - shared) + 0.5) AS BIGINT)
+      |  AS jacc_e4
+      |FROM pairs
+      |WHERE CAST(floor(shared * 10000.0 / (na + nb - shared) + 0.5)
+      |  AS BIGINT) >= 200
+      |ORDER BY doc_a, doc_b""".stripMargin),
+    "d3_minhash_sig" -> (oracleMinhash + """
+      |SELECT * FROM sig ORDER BY doc_id""".stripMargin),
+    "d4_lsh_pairs" -> (oracleMinhash + """,
+      |bands AS (
+      | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | count(*) AS n_shared_bands
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1
+      | AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "d5_simhash_sig" -> (oracleToks + s""",
+      |th AS (SELECT doc_id, ${oracleShingleHash("unnest(w)")} AS h
+      |       FROM toks),
+      |bits AS (SELECT doc_id, b.b AS b,
+      |  CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |   THEN 1::BIGINT << b.b ELSE 0 END AS bitval
+      | FROM th CROSS JOIN (SELECT unnest(range(16)) AS b) b GROUP BY 1, 2)
+      |SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bits
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin),
+    "d6_simhash_pairs" -> (oracleToks + s""",
+      |th AS (SELECT doc_id, source, ${oracleShingleHash("unnest(w)")} AS h
+      |       FROM toks),
+      |bits AS (SELECT doc_id, any_value(source) AS source, b.b AS b,
+      |  CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |   THEN 1::BIGINT << b.b ELSE 0 END AS bitval
+      | FROM th CROSS JOIN (SELECT unnest(range(16)) AS b) b
+      | GROUP BY doc_id, b.b),
+      |sig AS (SELECT doc_id, any_value(source) AS source,
+      |  sum(bitval)::BIGINT AS simhash FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+}
