@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextDedupQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++ GeomQueries.queries ++
+      EventTimeQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextDedupQueries.oracle ++
-      SimilarityQueries.oracle
+      SimilarityQueries.oracle ++ GeomQueries.oracle ++
+      EventTimeQueries.oracle
 }

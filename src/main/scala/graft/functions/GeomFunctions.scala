@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** In-house geometry expression family (no Sedona jar ships with this
+  * build — SURVEY §7.3). Replaces the reference's shapely usage
+  * (`mongo-etl/utils/geometry.py:12-242`) with pure Catalyst
+  * higher-order-function compositions over the coordinate
+  * representation `array<array<array<double>>>` (rings × points × [x,y])
+  * — no UDFs, so everything stays inside Catalyst's optimizer and the
+  * narrow map stage.
+  *
+  * Reference quirks preserved on purpose (SURVEY §7.4):
+  *  - `wktOuterRing` uses ONLY `coordinates[0]` and does NOT close the
+  *    ring (json-etl/geojson_to_geosparql_etl.py:27-42);
+  *  - `polygonFromColonString` DOES close an open ring
+  *    (segmentation-etl/nuclear_segmentation_etl.py:47-76);
+  *  - `wktDenormalized` scales by (width, height) and formats "%.2f"
+  *    (mongo-etl/mongodb_to_rdf.py:238-261).
+  */
+object GeomFunctions {
+
+  /** Outer ring of a geometry (rings × points × 2). */
+  def outerRing(geom: Column): Column = element_at(geom, 1)
+
+  /** F2: parse `[x1:y1:x2:y2:…]` into a single closed ring.
+    * Closes the ring iff first point != last point, exactly like
+    * nuclear_segmentation_etl.py:66-70. Returns rings×points×2 (one
+    * ring). */
+  def polygonFromColonString(s: Column): Column = {
+    val parsed = regexp_replace(trim(s), "^\\[|\\]$", "")
+    val pts = expr_pts(parsed)
+    array(close_ring(pts))
+  }
+
+  private def expr_pts(cleaned: Column): Column = {
+    val nums = split(cleaned, ":")
+    val nPairs = floor(size(nums) / 2).cast("int")
+    transform(
+      sequence(lit(1), nPairs),
+      i => array(
+        element_at(nums, i * 2 - 1).cast("double"),
+        element_at(nums, i * 2).cast("double")))
+  }
+
+  private def close_ring(pts: Column): Column =
+    when(element_at(pts, 1) === element_at(pts, -1), pts)
+      .otherwise(concat(pts, array(element_at(pts, 1))))
+
+  /** F1: WKT of the outer ring only, NO ring closure, "%.2f" formatting.
+    */
+  def wktOuterRing(geom: Column): Column =
+    ringToWkt(outerRing(geom))
+
+  /** F3: WKT with coordinates denormalized from [0,1] to pixel space
+    * (x*width, y*height), "%.2f", operating on the outer ring closed. */
+  def wktDenormalized(geom: Column, width: Column, height: Column): Column =
+    ringToWkt(close_ring(transform(outerRing(geom),
+      p => array(element_at(p, 1) * width, element_at(p, 2) * height))))
+
+  private def ringToWkt(ring: Column): Column =
+    concat(lit("POLYGON (("),
+      concat_ws(", ", transform(ring, p =>
+        concat(format_string("%.2f", element_at(p, 1)), lit(" "),
+          format_string("%.2f", element_at(p, 2))))),
+      lit("))"))
+
+  /** Shoelace area of the outer ring (assumed closed); |Σ cross|/2. */
+  def stArea(geom: Column): Column = {
+    val r = outerRing(geom)
+    abs(aggregate(
+      sequence(lit(1), size(r) - 1),
+      lit(0.0),
+      (acc, i) => acc
+        + element_at(element_at(r, i), 1) * element_at(element_at(r, i + 1), 2)
+        - element_at(element_at(r, i + 1), 1) * element_at(element_at(r, i), 2)
+    )) / 2
+  }
+
+  /** Perimeter of the outer ring (assumed closed). */
+  def stPerimeter(geom: Column): Column = {
+    val r = outerRing(geom)
+    aggregate(
+      sequence(lit(1), size(r) - 1),
+      lit(0.0),
+      (acc, i) => {
+        val dx = element_at(element_at(r, i + 1), 1) -
+          element_at(element_at(r, i), 1)
+        val dy = element_at(element_at(r, i + 1), 2) -
+          element_at(element_at(r, i), 2)
+        acc + sqrt(dx * dx + dy * dy)
+      })
+  }
+
+  /** Envelope (xmin, ymin, xmax, ymax) over ALL rings. */
+  def stEnvelope(geom: Column): Column = {
+    val xs = flatten(transform(geom, r => transform(r, p => element_at(p, 1))))
+    val ys = flatten(transform(geom, r => transform(r, p => element_at(p, 2))))
+    struct(
+      array_min(xs).as("xmin"), array_min(ys).as("ymin"),
+      array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+  }
+
+  /** Simple validity: outer ring exists, has ≥ 4 points, and is closed.
+    */
+  def stIsValid(geom: Column): Column = {
+    val r = outerRing(geom)
+    size(geom) >= 1 && size(r) >= 4 &&
+      (element_at(r, 1) === element_at(r, -1))
+  }
+
+  /** Point count of the outer ring. */
+  def stNumPoints(geom: Column): Column = size(outerRing(geom)).cast("long")
+
+  /** F19: WKT with null fallback (`safe_geometry_to_wkt`,
+    * mongo-etl/utils/geometry.py:245-260). */
+  def safeWkt(wkt: Column): Column = coalesce(wkt, lit("POINT EMPTY"))
+}

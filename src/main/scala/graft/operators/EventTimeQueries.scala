@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time windowing over the `events` table — the batch faces of
+  * the streaming operators in graft.streaming (SURVEY §2.10: the
+  * reference has no event-time at all; this is north-star coverage).
+  *
+  * Oracle parity notes: events.parquet is TIMESTAMP(NANOS); both
+  * engines truncate ns→µs (Tables.loadEvents uses integer div, DuckDB
+  * stores µs), so `ts` is identical. Window starts are compared as
+  * formatted strings; Spark tumbling windows and DuckDB time_bucket
+  * both align hour buckets to hour boundaries.
+  *
+  * Scale: tumbling/sliding aggregation is one partial+final hash agg
+  * (map-side combine) — the shuffle carries (bucket, type) pairs, not
+  * events. Sessionization is a single per-user sort (one shuffle on
+  * user_id) + lag/cumsum — the classic distributed sessionize.
+  */
+object EventTimeQueries {
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour window counts per event type.
+    "t1_tumbling_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")),
+
+    // Sliding 2-hour window (1-hour slide): each event lands in 2 windows.
+    "t2_sliding_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("cnt"))
+        .orderBy("ws")),
+
+    // Sessionization: 30-minute inactivity gap per user (batch analog of
+    // session_window / mapGroupsWithState).
+    "t3_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      ev(s, dir)
+        .filter(col("user_id") < 20)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum("new_sess").over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_tumbling_window" -> """
+      |SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+      |   '%Y-%m-%d %H:%M:%S') AS ws,
+      | event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "t2_sliding_window" -> """
+      |WITH w AS (SELECT unnest([
+      |  time_bucket(INTERVAL '1 hour', ts),
+      |  time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS ws
+      | FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, count(*) AS cnt
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t3_sessionize" -> """
+      |WITH e AS (SELECT user_id, ts,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+      |   AS prev_us
+      | FROM events WHERE user_id < 20),
+      |m AS (SELECT user_id, ts,
+      |  CASE WHEN prev_us IS NULL
+      |   OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END
+      |   AS new_sess FROM e),
+      |sx AS (SELECT user_id,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      | FROM m)
+      |SELECT user_id, max(sess_id)::BIGINT AS n_sessions,
+      | count(*) AS n_events
+      |FROM sx GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeomFunctions._
+
+/** Oracle-checked coverage for the geometry family (SURVEY A7/F1-F3/
+  * F18-F19). The testdata has no geometry tables, so each query
+  * synthesizes deterministic polygons from `part` integer columns and
+  * the oracle verifies against an INDEPENDENT closed-form derivation
+  * (rectangle area = w*h, envelope = corners, WKT via printf) rather
+  * than re-running the same fold — a stronger check than mirrored SQL.
+  *
+  * All geometry ops are narrow HOF maps: at 100 TB they pipeline inside
+  * whole-stage codegen'd scans with zero shuffle.
+  */
+object GeomQueries {
+  private def part50(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "part")
+      .filter(col("p_partkey") < 50)
+      .withColumn("x0", expr("cast(p_partkey % 10 as double)"))
+      .withColumn("y0", expr("cast(p_partkey % 7 as double)"))
+      .withColumn("w", expr("cast(1 + p_partkey % 5 as double)"))
+      .withColumn("h", expr("cast(1 + p_partkey % 3 as double)"))
+
+  /** Unclosed 4-corner rectangle ring (tests F1's no-closure quirk). */
+  private val openGeom = expr(
+    """array(array(
+      |  array(x0, y0), array(x0 + w, y0),
+      |  array(x0 + w, y0 + h), array(x0, y0 + h)))""".stripMargin)
+
+  /** Closed 5-point rectangle ring. */
+  private val closedGeom = expr(
+    """array(array(
+      |  array(x0, y0), array(x0 + w, y0), array(x0 + w, y0 + h),
+      |  array(x0, y0 + h), array(x0, y0)))""".stripMargin)
+
+  private val oracleBase =
+    """WITH g AS (SELECT p_partkey,
+      |  CAST(p_partkey % 10 AS DOUBLE) AS x0,
+      |  CAST(p_partkey % 7 AS DOUBLE) AS y0,
+      |  CAST(1 + p_partkey % 5 AS DOUBLE) AS w,
+      |  CAST(1 + p_partkey % 3 AS DOUBLE) AS h
+      | FROM part WHERE p_partkey < 50)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: outer-ring-only WKT, ring NOT closed (reference quirk).
+    "g1_wkt_ring" -> ((s, dir) =>
+      part50(s, dir)
+        .select(col("p_partkey"), wktOuterRing(openGeom).as("wkt"))
+        .orderBy("p_partkey")),
+
+    // A7/F18: shoelace area, perimeter, point count, validity — oracle
+    // checks the closed forms (w*h, 2(w+h)).
+    "g2_geom_stats" -> ((s, dir) =>
+      part50(s, dir)
+        .select(col("p_partkey"),
+          floor(stArea(closedGeom) + 0.5).cast("long").as("area_i"),
+          floor(stPerimeter(closedGeom) + 0.5).cast("long").as("perim_i"),
+          stNumPoints(closedGeom).as("n_points"),
+          stIsValid(closedGeom).as("is_valid"))
+        .orderBy("p_partkey")),
+
+    // A7 bounds: envelope fold vs corner closed form.
+    "g3_envelope" -> ((s, dir) =>
+      part50(s, dir)
+        .withColumn("env", stEnvelope(closedGeom))
+        .select(col("p_partkey"),
+          col("env.xmin").cast("long").as("xmin_i"),
+          col("env.ymin").cast("long").as("ymin_i"),
+          col("env.xmax").cast("long").as("xmax_i"),
+          col("env.ymax").cast("long").as("ymax_i"))
+        .orderBy("p_partkey")),
+
+    // F2: colon-string parse WITH ring closure (seg-etl quirk) → WKT.
+    "g4_colon_parse" -> ((s, dir) =>
+      part50(s, dir)
+        .withColumn("colon", expr(
+          """concat('[', cast(p_partkey % 10 as int), ':',
+            | cast(p_partkey % 7 as int), ':',
+            | cast(p_partkey % 10 + 1 + p_partkey % 5 as int), ':',
+            | cast(p_partkey % 7 as int), ':',
+            | cast(p_partkey % 10 + 1 + p_partkey % 5 as int), ':',
+            | cast(p_partkey % 7 + 1 + p_partkey % 3 as int), ']')"""
+            .stripMargin))
+        .withColumn("geom", polygonFromColonString(col("colon")))
+        .select(col("p_partkey"), wktOuterRing(col("geom")).as("wkt"),
+          stNumPoints(col("geom")).as("n_points"))
+        .orderBy("p_partkey")),
+
+    // F3: denormalized WKT (x*width, y*height, %.2f, closes the ring).
+    "g5_denorm_wkt" -> ((s, dir) =>
+      part50(s, dir)
+        .withColumn("norm_geom", expr(
+          """array(array(
+            | array(x0 / 10.0, y0 / 7.0),
+            | array((x0 + w) / 10.0, y0 / 7.0),
+            | array((x0 + w) / 10.0, (y0 + h) / 7.0),
+            | array(x0 / 10.0, (y0 + h) / 7.0)))""".stripMargin))
+        .select(col("p_partkey"),
+          wktDenormalized(col("norm_geom"), lit(1000.0), lit(2000.0))
+            .as("wkt"))
+        .orderBy("p_partkey"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_wkt_ring" -> (oracleBase + """
+      |SELECT p_partkey,
+      | printf('POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))',
+      |  x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h) AS wkt
+      |FROM g ORDER BY p_partkey""".stripMargin),
+    "g2_geom_stats" -> (oracleBase + """
+      |SELECT p_partkey,
+      | CAST(w * h AS BIGINT) AS area_i,
+      | CAST(2 * (w + h) AS BIGINT) AS perim_i,
+      | 5::BIGINT AS n_points, true AS is_valid
+      |FROM g ORDER BY p_partkey""".stripMargin),
+    "g3_envelope" -> (oracleBase + """
+      |SELECT p_partkey,
+      | CAST(x0 AS BIGINT) AS xmin_i, CAST(y0 AS BIGINT) AS ymin_i,
+      | CAST(x0 + w AS BIGINT) AS xmax_i, CAST(y0 + h AS BIGINT) AS ymax_i
+      |FROM g ORDER BY p_partkey""".stripMargin),
+    "g4_colon_parse" -> (oracleBase + """
+      |SELECT p_partkey,
+      | printf('POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))',
+      |  x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0) AS wkt,
+      | 4::BIGINT AS n_points
+      |FROM g ORDER BY p_partkey""".stripMargin),
+    "g5_denorm_wkt" -> (oracleBase + """
+      |SELECT p_partkey,
+      | printf('POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))',
+      |  x0 / 10.0 * 1000, y0 / 7.0 * 2000,
+      |  (x0 + w) / 10.0 * 1000, y0 / 7.0 * 2000,
+      |  (x0 + w) / 10.0 * 1000, (y0 + h) / 7.0 * 2000,
+      |  x0 / 10.0 * 1000, (y0 + h) / 7.0 * 2000,
+      |  x0 / 10.0 * 1000, y0 / 7.0 * 2000) AS wkt
+      |FROM g ORDER BY p_partkey""".stripMargin)
+  )
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events schema (event_id,
+  * ts, user_id, event_type, value, props). The reference's incremental
+  * machinery (cursor micro-batching T1, durable checkpoint T2 —
+  * mongo-etl/mongodb_to_rdf.py:515,528-579,114-192) maps to
+  * Structured Streaming micro-batches + checkpointLocation; these
+  * transforms are the streaming faces of the batch queries in
+  * operators.EventTimeQueries and are plan-compatible with both
+  * readStream and batch DataFrames (except the stateful ones, which
+  * are streaming-only).
+  *
+  * Scale: watermark + windowed agg keeps state bounded per (window,
+  * key); session/custom state is per-key and evicted on timeout.
+  * At 1000 executors the state store partitions by the group key —
+  * the same shuffle key the batch variants use.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+  case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour counts per event type; late data beyond the
+    * watermark is dropped (no late-data handling exists in the
+    * reference — SURVEY §2.10). */
+  def tumblingCounts(events: DataFrame, watermark: String = "1 hour")
+    : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Session windows with a 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes")
+    : DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming face of d1_exact_dedup (state = one key per id seen,
+    * evicted as the watermark passes). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour")
+    : DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state (T2 checkpoint-analog bookkeeping): running
+    * per-user totals via flatMapGroupsWithState, emitting an update per
+    * micro-batch in which the user appeared. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserAgg(userId, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** File-source stream over a directory of events parquet (schema must
+    * be supplied for streaming reads). */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+  }
+}
