@@ -18,10 +18,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextDedupQueries.queries ++
       SimilarityQueries.queries ++ GeomQueries.queries ++
-      EventTimeQueries.queries
+      EventTimeQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextDedupQueries.oracle ++
       SimilarityQueries.oracle ++ GeomQueries.oracle ++
-      EventTimeQueries.oracle
+      EventTimeQueries.oracle ++ MultimodalQueries.oracle
 }

@@ -1,0 +1,63 @@
+package graft.incremental
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable work ledger: the engine's replacement for the reference's
+  * checkpoint files (T2, mongo-etl/mongodb_to_rdf.py:114-192 and
+  * utils/checkpoint.py:9-235 — append + fsync text files of completed/
+  * failed ids).
+  *
+  * Design: an append-only parquet directory of (key, status, run_id)
+  * rows. Appends are atomic at file granularity (parquet commit
+  * protocol), so a killed run never corrupts the ledger — at worst the
+  * last in-flight keys are absent and get reprocessed (same at-least-
+  * once semantics as the reference's fsync'd append, :157-188).
+  *
+  * Work selection is the J5/P12/E2 anti-join: work ∖ completed. At
+  * 100 TB the ledger (one row per work unit — analyses, not marks;
+  * ~4M rows) broadcast-joins against the work table; if it ever
+  * outgrows the broadcast threshold, AQE falls back to a shuffle join
+  * — semantics unchanged. A bloom-filter pre-pass is the documented
+  * escape hatch (SURVEY §7.4).
+  */
+object Ledger {
+  val Completed = "completed"
+  val Failed = "failed"
+
+  /** Append keys with a status. Call once per finished unit-of-work
+    * batch (the driver's foreachBatch / job end). */
+  def record(spark: SparkSession, ledgerDir: String, keys: Seq[String],
+    status: String = Completed, runId: String = ""): Unit = {
+    import spark.implicits._
+    keys.toDF("key")
+      .withColumn("status", lit(status))
+      .withColumn("run_id", lit(runId))
+      .write.mode(SaveMode.Append).parquet(ledgerDir)
+  }
+
+  /** All keys ever recorded with the given statuses (default: anything
+    * that should NOT be reprocessed — completed or failed, matching
+    * should_process, mongodb_to_rdf.py:149-152). */
+  def doneKeys(spark: SparkSession, ledgerDir: String,
+    statuses: Seq[String] = Seq(Completed, Failed)): DataFrame = {
+    val df =
+      try spark.read.parquet(ledgerDir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          import spark.implicits._
+          Seq.empty[(String, String, String)]
+            .toDF("key", "status", "run_id")
+      }
+    df.filter(col("status").isin(statuses: _*)).select("key").distinct()
+  }
+
+  /** P12/J5: the work still to do = work anti-join done. `keyCol` names
+    * the work table's key column. */
+  def pending(work: DataFrame, ledgerDir: String, keyCol: String)
+    : DataFrame = {
+    val done = doneKeys(work.sparkSession, ledgerDir)
+      .withColumnRenamed("key", keyCol)
+    work.join(broadcast(done), Seq(keyCol), "left_anti")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.ttl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDF triple model + deterministic Turtle serialization (the engine's
+  * replacement for the reference's hand-rolled string folds — SURVEY
+  * F17/K7/S10/E3, mongo-etl/utils/rdf_utils.py:10-319).
+  *
+  * Unlike the reference (dict-ordered iteration + manual semicolon
+  * surgery, mongodb_to_rdf.py:541-546), serialization here is
+  * canonical: subjects and predicates sorted, so output is byte-stable
+  * for golden tests regardless of partitioning.
+  */
+object Turtle {
+
+  /** One RDF triple; `o` is a pre-formatted Turtle object term
+    * (IRI `<…>`, prefixed name, or literal with optional datatype). */
+  case class Triple(s: String, p: String, o: String)
+
+  /** The 9-prefix header shared by the file ETLs
+    * (json-etl/geojson_to_geosparql_etl.py:86-95). */
+  val PrefixHeader: String =
+    """@prefix dc:   <http://purl.org/dc/terms/> .
+      |@prefix exif: <http://www.w3.org/2003/12/exif/ns#> .
+      |@prefix geo:  <http://www.opengis.net/ont/geosparql#> .
+      |@prefix hal:  <https://halcyon.is/ns/> .
+      |@prefix prov: <http://www.w3.org/ns/prov#> .
+      |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+      |@prefix sno:  <http://snomed.info/id/> .
+      |@prefix so:   <https://schema.org/> .
+      |@prefix xsd:  <http://www.w3.org/2001/XMLSchema#> .
+      |
+      |""".stripMargin
+
+  /** Turtle string-literal escaping (the reference interpolates raw —
+    * a documented bug class we fix; SURVEY §7.4). */
+  def escapeLiteral(c: Column): Column = {
+    val esc = regexp_replace(c, "\\\\", "\\\\\\\\")
+    val q = regexp_replace(esc, "\"", "\\\\\"")
+    val n = regexp_replace(q, "\n", "\\\\n")
+    regexp_replace(n, "\r", "\\\\r")
+  }
+
+  /** `"lit"` / `"lit"^^xsd:type` object terms. */
+  def strLit(c: Column): Column =
+    concat(lit("\""), escapeLiteral(c), lit("\""))
+  def typedLit_(c: Column, dtype: String): Column =
+    concat(lit("\""), escapeLiteral(c), lit("\"^^"), lit(dtype))
+  def iri(c: Column): Column = concat(lit("<"), c, lit(">"))
+
+  /** Canonical Turtle text per subject: predicates `;`-chained, sorted;
+    * one `Dataset[String]` row per subject block. Group-by-subject is
+    * the only shuffle, keyed by `s` — at scale the subject space (one
+    * per image/feature) dwarfs executor count, so this parallelizes
+    * evenly; predicate lists per subject are small (no group skew). */
+  def serialize(triples: Dataset[Triple]): DataFrame = {
+    triples.toDF()
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(concat(col("p"), lit(" "), col("o"))))
+        .as("po"))
+      .select(col("s"), concat(col("s"), lit("\n    "),
+        concat_ws(" ;\n    ", col("po")), lit(" .\n")).as("ttl"))
+  }
+
+  /** Merge graphs = union + distinct (U-RDF:303-319 analog). */
+  def merge(a: Dataset[Triple], b: Dataset[Triple]): Dataset[Triple] = {
+    a.union(b).distinct()
+  }
+
+  /** Minimal N-Triples-ish line parser for round-trip tests: splits
+    * `s p o .` on the first two unquoted spaces. Not a full grammar —
+    * test scaffolding for our own canonical output only. */
+  def parseLine(line: String): Option[Triple] = {
+    val t = line.trim.stripSuffix(".").trim
+    val i1 = t.indexOf(' ')
+    if (i1 < 0) return None
+    val i2 = t.indexOf(' ', i1 + 1)
+    if (i2 < 0) return None
+    Some(Triple(t.substring(0, i1), t.substring(i1 + 1, i2),
+      t.substring(i2 + 1)))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long, typ: String,
+    v: Double = 1.0) = Event(id, ts(t), user, typ, v, "{}")
+
+  test("tumbling window counts with watermark (update mode)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        ev(1, "2026-01-01 10:05:00", 1, "click"),
+        ev(2, "2026-01-01 10:45:00", 1, "click"),
+        ev(3, "2026-01-01 11:05:00", 2, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .collect().map(r => (r.getTimestamp(0).toString,
+          r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L)))
+      assert(rows.contains(("2026-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event_ids within watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "click"),
+        ev(1, "2026-01-01 10:00:30", 1, "click"),
+        ev(2, "2026-01-01 10:01:00", 1, "view"))
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals accumulate across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "2026-01-01 10:00:00", 7, "click", 2.0),
+        ev(2, "2026-01-01 10:01:00", 7, "click", 3.0))
+      q.processAllAvailable()
+      in.addData(ev(3, "2026-01-01 10:02:00", 7, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("running").as[EventStreams.UserAgg]
+        .collect().sortBy(_.n_events)
+      assert(rows.map(r => (r.n_events, r.total_value)).toSeq ==
+        Seq((2L, 5.0), (3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("session windows split on 30-minute gaps") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionCounts(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "a"),
+        ev(2, "2026-01-01 10:10:00", 1, "a"),   // same session
+        ev(3, "2026-01-01 11:30:00", 1, "a"))   // new session
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").collect()
+      assert(sessions.length == 2)
+      assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq ==
+        Seq(1L, 2L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.pipelines.GeoJsonPipeline
+import java.nio.file.{Files, Paths}
+
+/** Golden test: the engine's GeoJSON→TTL output must be byte-identical
+  * to the reference implementation's output on the same fixture (the
+  * golden was produced by running the reference's create_geosparql_ttl
+  * on fixtures/TCGA-….geojson; only the wall-clock timestamp is
+  * normalized via injection). */
+class GeoJsonPipelineSpec extends SparkTestBase {
+  private val fixtureDir = "src/test/resources/fixtures"
+  private val goldenPath = "src/test/resources/golden/geojson_expected.ttl"
+
+  test("GeoJSON pipeline matches reference output byte-for-byte") {
+    val golden = new String(Files.readAllBytes(Paths.get(goldenPath)), "UTF-8")
+    val ts = "dc:date\\s+\"([^\"]+)\"".r
+      .findFirstMatchIn(golden).get.group(1)
+    val out = GeoJsonPipeline.run(spark, fixtureDir, ts).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getAs[String]("stem") ==
+      "TCGA-AA-1111-01Z-00-DX1.abcd-uuid-1234")
+    val ttl = row.getAs[String]("ttl")
+    assert(ttl == golden, {
+      val a = ttl.linesIterator.toSeq; val g = golden.linesIterator.toSeq
+      val firstDiff = a.zipAll(g, "<EOF>", "<EOF>").zipWithIndex
+        .find { case ((x, y), _) => x != y }
+      s"first differing line: $firstDiff"
+    })
+  }
+
+  test("only valid features survive (unmapped/zero/empty dropped)") {
+    val ttl = GeoJsonPipeline.run(spark, fixtureDir, "T").collect()
+      .head.getAs[String]("ttl")
+    assert("rdfs:member".r.findAllIn(ttl).size == 2)
+    // strict-> tie-break: first max wins → Necrosis (6574001), not Tumor
+    assert(ttl.contains("hal:classification  sno:6574001"))
+  }
+
+  test("file with no features still yields header + terminator") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("geojson_empty")
+    Files.writeString(tmp.resolve("TCGA-ZZ-0000-01Z-00-DX1.u.geojson"),
+      """{"features": []}""")
+    val out = GeoJsonPipeline.run(spark, tmp.toString, "T").collect()
+    assert(out.length == 1)
+    val ttl = out.head.getAs[String]("ttl")
+    assert(!ttl.contains("rdfs:member") && ttl.endsWith(" .\n"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.GeomFunctions._
+import org.apache.spark.sql.functions._
+
+class GeomFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(colFn: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(colFn.as("r")).collect().head.get(0)
+
+  test("polygonFromColonString closes an open ring") {
+    val g = polygonFromColonString(lit("[1:2:3:2:3:4]"))
+    assert(one(stNumPoints(g)) == 4L)   // 3 points + closure
+    assert(one(stIsValid(g)) == true)
+  }
+
+  test("polygonFromColonString keeps an already-closed ring") {
+    val g = polygonFromColonString(lit("[0:0:5:0:5:5:0:0]"))
+    assert(one(stNumPoints(g)) == 4L)
+    assert(one(stIsValid(g)) == true)
+  }
+
+  test("shoelace area and perimeter on a unit-ish rectangle") {
+    val g = polygonFromColonString(lit("[0:0:4:0:4:3:0:3]"))
+    assert(one(stArea(g)) == 12.0)
+    assert(one(stPerimeter(g)) == 14.0)
+  }
+
+  test("triangle area (shoelace, non-axis-aligned)") {
+    val g = polygonFromColonString(lit("[0:0:4:0:0:3]"))
+    assert(one(stArea(g)) == 6.0)
+  }
+
+  test("envelope spans all rings") {
+    val g = polygonFromColonString(lit("[1:2:7:2:7:9:1:9]"))
+    val env = one(stEnvelope(g)).asInstanceOf[org.apache.spark.sql.Row]
+    assert((env.getDouble(0), env.getDouble(1), env.getDouble(2),
+      env.getDouble(3)) == (1.0, 2.0, 7.0, 9.0))
+  }
+
+  test("wktOuterRing does NOT close the ring (reference F1 quirk)") {
+    val openG = expr(
+      "array(array(array(0.0d,0.0d), array(2.0d,0.0d), array(2.0d,2.0d)))")
+    assert(one(wktOuterRing(openG)) ==
+      "POLYGON ((0.00 0.00, 2.00 0.00, 2.00 2.00))")
+    assert(one(stIsValid(openG)) == false)
+  }
+
+  test("wktDenormalized scales and closes (reference F3 quirk)") {
+    val g = expr(
+      "array(array(array(0.1d,0.2d), array(0.3d,0.2d), array(0.3d,0.4d)))")
+    assert(one(wktDenormalized(g, lit(100.0), lit(200.0))) ==
+      "POLYGON ((10.00 40.00, 30.00 40.00, 30.00 80.00, 10.00 40.00))")
+  }
+
+  test("safeWkt falls back to POINT EMPTY") {
+    assert(one(safeWkt(lit(null).cast("string"))) == "POINT EMPTY")
+    assert(one(safeWkt(lit("POLYGON EMPTY"))) == "POLYGON EMPTY")
+  }
+}

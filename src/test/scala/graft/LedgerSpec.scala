@@ -1,0 +1,42 @@
+package graft
+
+import graft.incremental.Ledger
+import java.nio.file.Files
+
+class LedgerSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("empty ledger → everything pending; record → anti-joined out") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/l1"
+    val work = Seq("a", "b", "c", "d").toDF("wid")
+    assert(Ledger.pending(work, dir, "wid").count() == 4)
+
+    Ledger.record(spark, dir, Seq("a", "c"), Ledger.Completed, "run1")
+    val left = Ledger.pending(work, dir, "wid")
+      .select("wid").collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("b", "d"))
+  }
+
+  test("failed keys are excluded from work like completed ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/l2"
+    val work = Seq("x", "y", "z").toDF("wid")
+    Ledger.record(spark, dir, Seq("x"), Ledger.Completed)
+    Ledger.record(spark, dir, Seq("y"), Ledger.Failed)
+    assert(Ledger.pending(work, dir, "wid").collect()
+      .map(_.getString(0)).toSeq == Seq("z"))
+    // but a completed-only view still shows the failed key
+    assert(Ledger.doneKeys(spark, dir, Seq(Ledger.Completed))
+      .count() == 1)
+  }
+
+  test("appends across 'runs' accumulate (kill/restart no-dup model)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/l3"
+    Ledger.record(spark, dir, Seq("a"), Ledger.Completed, "run1")
+    Ledger.record(spark, dir, Seq("a", "b"), Ledger.Completed, "run2")
+    // duplicate 'a' records collapse to one key
+    assert(Ledger.doneKeys(spark, dir).count() == 2)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.pipelines.{MongoMarksPipeline, TtlFileSink}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPInputStream
+
+/** Golden test vs. the reference's mongodb_to_rdf batch output
+  * (BATCH_SIZE=2 emulation; fully deterministic — no timestamp). The
+  * golden run had no resolvable slide hash (slide ids must be int-able
+  * for the reference's Drupal fetch), so hash_missing=true + fallback
+  * sha256(imageid) — the engine reproduces that with an empty lookup. */
+class MongoMarksPipelineSpec extends SparkTestBase {
+  private val fx = "src/test/resources/fixtures/mongo"
+  private def golden(b: Int): String =
+    new String(Files.readAllBytes(Paths.get(
+      f"src/test/resources/golden/mongo_batch_$b%06d.ttl")), "UTF-8")
+
+  private def emptyHashes = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("slide", "real_hash")
+  }
+
+  private lazy val docs = MongoMarksPipeline.documents(
+    MongoMarksPipeline.readMarks(spark, s"$fx/marks.jsonl"),
+    MongoMarksPipeline.readAnalyses(spark, s"$fx/analyses.jsonl"),
+    emptyHashes, batchSize = 2).collect()
+    .map(r => r.getAs[String]("rel_path") ->
+      (r.getAs[String]("ttl"), r.getAs[Long]("n_marks"))).toMap
+
+  test("batch documents match reference output byte-for-byte") {
+    assert(docs.keySet == Set(
+      "exec-1/img-1/batch_000001.ttl.gz", "exec-1/img-1/batch_000002.ttl.gz"))
+    for (b <- 1 to 2) {
+      val (ttl, _) = docs(f"exec-1/img-1/batch_$b%06d.ttl.gz")
+      assert(ttl == golden(b), {
+        val a = ttl.linesIterator.toSeq
+        val g = golden(b).linesIterator.toSeq
+        s"batch $b first diff: ${
+          a.zipAll(g, "<EOF>", "<EOF>").find(p => p._1 != p._2)}"
+      })
+    }
+  }
+
+  test("batch sizes: 2 + 1 (invalid Point mark dropped)") {
+    assert(docs("exec-1/img-1/batch_000001.ttl.gz")._2 == 2L)
+    assert(docs("exec-1/img-1/batch_000002.ttl.gz")._2 == 1L)
+  }
+
+  test("slide-hash enrichment: resolved hash clears hashMissing") {
+    import spark.implicits._
+    val hashes = Seq(("slide-42", "a" * 64)).toDF("slide", "real_hash")
+    val enriched = MongoMarksPipeline.documents(
+      MongoMarksPipeline.readMarks(spark, s"$fx/marks.jsonl"),
+      MongoMarksPipeline.readAnalyses(spark, s"$fx/analyses.jsonl"),
+      hashes, batchSize = 2).collect()
+    val ttl = enriched.head.getAs[String]("ttl")
+    assert(ttl.contains("<urn:sha256:" + "a" * 64 + ">"))
+    assert(!ttl.contains("hal:hashMissing"))
+  }
+
+  test("TtlFileSink writes gzip files, atomic, skip-if-exists") {
+    val tmp = Files.createTempDirectory("ttlsink").toString
+    val df = MongoMarksPipeline.documents(
+      MongoMarksPipeline.readMarks(spark, s"$fx/marks.jsonl"),
+      MongoMarksPipeline.readAnalyses(spark, s"$fx/analyses.jsonl"),
+      emptyHashes, batchSize = 2)
+    TtlFileSink.write(df, tmp)
+    val p = Paths.get(tmp, "exec-1/img-1/batch_000001.ttl.gz")
+    assert(Files.exists(p))
+    val content = new String(
+      new GZIPInputStream(Files.newInputStream(p)).readAllBytes(), "UTF-8")
+    assert(content == golden(1))
+    // skip-if-exists: overwrite the file, re-run with skipExisting
+    Files.writeString(Paths.get(tmp, "exec-1/img-1/batch_000002.ttl.gz"),
+      "sentinel")
+    TtlFileSink.write(df, tmp, skipExisting = true)
+    assert(Files.readString(
+      Paths.get(tmp, "exec-1/img-1/batch_000002.ttl.gz")) == "sentinel")
+  }
+}

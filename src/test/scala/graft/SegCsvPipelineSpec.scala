@@ -1,0 +1,42 @@
+package graft
+
+import graft.pipelines.SegCsvPipeline
+import java.nio.file.{Files, Paths}
+
+/** Golden test vs. the reference's nuclear_segmentation_etl output on
+  * the fixtures/segtree tree (timestamp injected). */
+class SegCsvPipelineSpec extends SparkTestBase {
+  private val base = "src/test/resources/fixtures/segtree"
+  private def golden(name: String): String =
+    new String(Files.readAllBytes(
+      Paths.get(s"src/test/resources/golden/$name")), "UTF-8")
+
+  test("seg pipeline matches reference output byte-for-byte") {
+    val g = golden("seg_expected.ttl")
+    val ts = "dc:date\\s+\"([^\"]+)\"".r.findFirstMatchIn(g).get.group(1)
+    val out = SegCsvPipeline.run(spark, base, ts).collect()
+      .map(r => r.getAs[String]("rel_path") -> r.getAs[String]("ttl"))
+      .toMap
+    assert(out.size == 2)
+    val mainPath =
+      "TCGA-XX-0001-01Z-00-DX1.svs/blca_100_200_4000_4000_0.5_1-features.ttl.gz"
+    assert(out.contains(mainPath), s"paths: ${out.keys}")
+    assert(out(mainPath) == g, {
+      val a = out(mainPath).linesIterator.toSeq
+      val b = g.linesIterator.toSeq
+      s"first diff: ${a.zipAll(b, "<EOF>", "<EOF>").find(p => p._1 != p._2)}"
+    })
+  }
+
+  test("filename-parse fallback (0,0,40000,40000) matches reference") {
+    val g = golden("seg_expected_fallback.ttl")
+    val ts = "dc:date\\s+\"([^\"]+)\"".r.findFirstMatchIn(g).get.group(1)
+    val out = SegCsvPipeline.run(spark, base, ts).collect()
+      .map(r => r.getAs[String]("rel_path") -> r.getAs[String]("ttl"))
+      .toMap
+    val fbPath =
+      "TCGA-XX-0001-01Z-00-DX1.svs/blca_weird-features.ttl.gz"
+    assert(out.contains(fbPath), s"paths: ${out.keys}")
+    assert(out(fbPath) == g)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ttl.Turtle
+import graft.ttl.Turtle.Triple
+import org.apache.spark.sql.functions._
+
+class TurtleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("serialize groups by subject with sorted predicates") {
+    val ds = Seq(
+      Triple("<urn:a>", "hal:z", "\"1\""),
+      Triple("<urn:a>", "hal:b", "\"2\""),
+      Triple("<urn:b>", "hal:x", "\"3\"")).toDS()
+    val out = Turtle.serialize(ds).orderBy("s").collect()
+      .map(_.getAs[String]("ttl"))
+    assert(out(0) ==
+      "<urn:a>\n    hal:b \"2\" ;\n    hal:z \"1\" .\n")
+    assert(out(1) == "<urn:b>\n    hal:x \"3\" .\n")
+  }
+
+  test("serialization is deterministic under repartitioning") {
+    val t = (1 to 50).map(i => Triple(s"<urn:${i % 5}>", s"p$i", s"\"$i\""))
+    val a = Turtle.serialize(t.toDS().repartition(7)).orderBy("s")
+      .collect().map(_.getString(1)).mkString
+    val b = Turtle.serialize(t.toDS().repartition(2)).orderBy("s")
+      .collect().map(_.getString(1)).mkString
+    assert(a == b)
+  }
+
+  test("escapeLiteral handles quotes, backslashes, newlines") {
+    val r = Seq("""he said "hi"\ there""" + "\nnext").toDF("s")
+      .select(Turtle.strLit(col("s"))).collect().head.getString(0)
+    assert(r == "\"he said \\\"hi\\\"\\\\ there\\nnext\"")
+  }
+
+  test("merge is union+distinct (graph merge semantics)") {
+    val a = Seq(Triple("s", "p", "o"), Triple("s", "p2", "o")).toDS()
+    val b = Seq(Triple("s", "p", "o"), Triple("s2", "p", "o")).toDS()
+    assert(Turtle.merge(a, b).count() == 3)
+  }
+
+  test("parseLine round-trips simple triples") {
+    assert(Turtle.parseLine("<urn:a> hal:b \"2\" .") ==
+      Some(Triple("<urn:a>", "hal:b", "\"2\"")))
+    assert(Turtle.parseLine("garbage") == None)
+  }
+}
