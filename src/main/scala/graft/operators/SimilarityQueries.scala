@@ -127,15 +127,40 @@ object SimilarityQueries {
 
     // Exact all-pairs near-dup at cosine ≥ 0.4 — quadratic verification
     // baseline for the LSH path (production dedup uses v2/d4 banding).
+    // Physical plan: explicit broadcast of the (small) vector table +
+    // a primitive-double inner loop per partition — the flop-bound
+    // kernel Catalyst HOF lambdas interpret ~30× slower. Math is the
+    // same ordered double fold as the oracle, so results are
+    // bit-identical to the declarative version.
     "v3_cos_neardup" -> ((s, dir) => {
-      val e = withNorm(emb(s, dir))
-      val a = e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("pe"), col("nrm").as("pn"))
-      val b = e.select(col("vec_id").as("vec_b"),
-        col("embedding").as("ne"), col("nrm").as("nn"))
-      scorePairs(a.join(b, col("vec_a") < col("vec_b")))
-        .filter(col("cos_e6") >= 400000)
-        .select("vec_a", "vec_b", "cos_e6")
+      import s.implicits._
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val all = e.collect().sortBy(_._1).map { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+        var n = 0.0; i = 0; while (i < d.length) { n += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(n))
+      }
+      val bc = s.sparkContext.broadcast(all)
+      e.mapPartitions { it =>
+        val vs = bc.value
+        it.flatMap { case (ida, va) =>
+          val da = new Array[Double](va.length)
+          var i = 0; while (i < va.length) { da(i) = va(i).toDouble; i += 1 }
+          var na = 0.0; i = 0
+          while (i < da.length) { na += da(i) * da(i); i += 1 }
+          val nrmA = math.sqrt(na)
+          vs.iterator.filter(_._1 > ida).flatMap { case (idb, db, nrmB) =>
+            var dot = 0.0; var j = 0
+            while (j < da.length) { dot += da(j) * db(j); j += 1 }
+            val cosE6 = math.floor(dot / (nrmA * nrmB) * 1000000 + 0.5)
+              .toLong
+            if (cosE6 >= 400000L) Iterator.single((ida, idb, cosE6))
+            else Iterator.empty
+          }
+        }
+      }.toDF("vec_a", "vec_b", "cos_e6")
         .orderBy("vec_a", "vec_b")
     })
   )

@@ -173,15 +173,20 @@ object TextDedupQueries {
     // shingle) — the scalable explode-join pattern (never a cross join);
     // per-key fan-out is bounded by docs-per-shingle.
     "d2_ngram_jaccard" -> ((s, dir) => {
+      // join key = xxhash64(shingle), not the shingle string: the
+      // shuffle moves 8-byte keys instead of ~20-byte strings and the
+      // join compares longs (collision odds ~n²/2^64 — immaterial).
       val ex = shingled(s, dir)
         .select(col("doc_id"), col("source"), col("n"),
           explode(col("sh")).as("shingle"))
+        .select(col("doc_id"), col("source"), col("n"),
+          xxhash64(col("shingle")).as("sh_h"))
       val a = ex.select(col("doc_id").as("doc_a"), col("source"),
-        col("n").as("na"), col("shingle"))
+        col("n").as("na"), col("sh_h"))
       val b = ex.select(col("doc_id").as("doc_b"),
-        col("source").as("source_b"), col("n").as("nb"), col("shingle")
-          .as("shingle_b"))
-      a.join(b, col("shingle") === col("shingle_b") &&
+        col("source").as("source_b"), col("n").as("nb"), col("sh_h")
+          .as("sh_h_b"))
+      a.join(b, col("sh_h") === col("sh_h_b") &&
           col("source") === col("source_b") && col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("shared"), max("na").as("na"),
