@@ -90,17 +90,21 @@ object RelationalQueries {
     "a8_count" -> ((s, dir) =>
       t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))),
 
-    // SURVEY A1: argmax (dominant element) with deterministic tie-break via
-    // total order; the reference's strict-> first-max semantics.
+    // SURVEY A1: argmax (dominant element) with deterministic tie-break
+    // (qty desc, orderkey asc, linenumber asc) — the reference's
+    // strict-> first-max semantics. Expressed as max(struct(...)) with
+    // negated tie-break keys: a partial+final hash agg instead of a
+    // window sort — at 100 TB a window partitioned by a 3-value key is
+    // 3 giant sorted partitions (pure skew); this shuffles 3 rows.
     "a1_argmax" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity").desc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
-          col("l_linenumber"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("l_quantity"),
+          (-col("l_orderkey")).as("nk"),
+          (-col("l_linenumber")).as("nl"))).as("m"))
+        .select(col("l_returnflag"), col("m.l_quantity").as("l_quantity"),
+          (-col("m.nk")).as("l_orderkey"),
+          (-col("m.nl")).cast("int").as("l_linenumber"))
         .orderBy("l_returnflag")
     }),
 

@@ -56,17 +56,32 @@ object TextDedupQueries {
       .select(col("doc_id"), col("source"),
         size(col("sh")).cast("long").as("n"), col("sh"))
 
-  /** Per-doc minhash signature mh0..mh7 (map-side partial min ⇒ the
-    * shuffle carries 8 longs per doc regardless of shingle count). */
+  /** Per-doc minhash signature mh0..mh7, fused into a single narrow
+    * map: hash the shingle array once per doc, then 8 array_min folds
+    * — zero shuffle (vs. explode → groupBy(min), which moves one row
+    * per shingle). The stacked projection keeps the md5 hash array
+    * from being inlined 8× (CollapseProject skips non-cheap exprs). */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingled(s, dir)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .withColumn("h", expr(shingleHash("shingle")))
+    val hashed = shingled(s, dir)
+      .withColumn("hs", expr(s"transform(sh, x -> ${shingleHash("x")})"))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(expr(s"(h * ${a}L + ${b}L) % $P")).as(s"mh$i")
+      expr(s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % $P))")
+        .as(s"mh$i")
     }
-    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hashed.select(col("doc_id") +: mins: _*)
   }
+
+  /** Ordered (a,b) pairs from a sorted in-bucket array — turns the
+    * classic inverted-index SELF-JOIN into group + generate, so the
+    * upstream pipeline (tokenize/shingle/hash) runs ONCE instead of
+    * once per join side, and one shuffle disappears. Buckets are
+    * small by construction (docs-per-shingle / band collisions), so
+    * the quadratic is local and bounded. */
+  private def bucketPairs(xs: String): String =
+    s"""flatten(transform(sequence(1, size($xs) - 1),
+       | i -> transform(slice($xs, i + 1, size($xs) - i),
+       |   y -> named_struct('a', element_at($xs, i), 'b', y))))"""
+      .stripMargin
 
   /** Shared oracle CTE prefix for token/shingle queries. */
   private val oracleToks =
@@ -173,21 +188,22 @@ object TextDedupQueries {
     // shingle) — the scalable explode-join pattern (never a cross join);
     // per-key fan-out is bounded by docs-per-shingle.
     "d2_ngram_jaccard" -> ((s, dir) => {
-      // join key = xxhash64(shingle), not the shingle string: the
-      // shuffle moves 8-byte keys instead of ~20-byte strings and the
-      // join compares longs (collision odds ~n²/2^64 — immaterial).
+      // Inverted index as group-into-buckets: bucket key =
+      // (source, xxhash64(shingle)) — 8-byte keys in the shuffle, no
+      // strings — then ordered pairs generated inside each bucket.
       val ex = shingled(s, dir)
         .select(col("doc_id"), col("source"), col("n"),
           explode(col("sh")).as("shingle"))
         .select(col("doc_id"), col("source"), col("n"),
           xxhash64(col("shingle")).as("sh_h"))
-      val a = ex.select(col("doc_id").as("doc_a"), col("source"),
-        col("n").as("na"), col("sh_h"))
-      val b = ex.select(col("doc_id").as("doc_b"),
-        col("source").as("source_b"), col("n").as("nb"), col("sh_h")
-          .as("sh_h_b"))
-      a.join(b, col("sh_h") === col("sh_h_b") &&
-          col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+      val buckets = ex.groupBy(col("source"), col("sh_h"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
+          .as("xs"))
+        .filter(size(col("xs")) >= 2)
+      buckets
+        .select(explode(expr(bucketPairs("xs"))).as("p"))
+        .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
+          col("p.b.doc_id").as("doc_b"), col("p.b.n").as("nb"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("shared"), max("na").as("na"),
           max("nb").as("nb"))
@@ -216,12 +232,11 @@ object TextDedupQueries {
         .as("b"))
         .select(col("doc_id"), col("b.band").as("band"),
           col("b.k1").as("k1"), col("b.k2").as("k2"))
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"),
-        col("k1"), col("k2"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band").as("bb"),
-        col("k1").as("bk1"), col("k2").as("bk2"))
-      a.join(b, col("band") === col("bb") && col("k1") === col("bk1") &&
-          col("k2") === col("bk2") && col("doc_a") < col("doc_b"))
+      bands.groupBy(col("band"), col("k1"), col("k2"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(bucketPairs("xs"))).as("p"))
+        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
@@ -260,15 +275,19 @@ object TextDedupQueries {
         .agg(sum(expr(
           "CASE WHEN bal > 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0L END"))
           .as("simhash"))
-      val a = sig.select(col("doc_id").as("doc_a"), col("source"),
-        col("simhash").as("sa"))
-      val b = sig.select(col("doc_id").as("doc_b"),
-        col("source").as("source_b"), col("simhash").as("sb"))
-      a.join(b, col("source") === col("source_b") &&
-          col("doc_a") < col("doc_b"))
-        .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+      // block by source, generate in-block pairs once (no self-join).
+      // NOTE the blocking key is the scale lever: at 100 TB the block
+      // must stay executor-sized or move to band-bucketing like d4.
+      sig.groupBy(col("source"))
+        .agg(sort_array(collect_list(struct(col("doc_id"),
+          col("simhash")))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(bucketPairs("xs"))).as("p"))
+        .select(col("p.a.doc_id").as("doc_a"),
+          col("p.b.doc_id").as("doc_b"),
+          expr("cast(bit_count(p.a.simhash ^ p.b.simhash) as bigint)")
+            .as("hamming"))
         .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     })
   )
