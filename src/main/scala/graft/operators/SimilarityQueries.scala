@@ -28,17 +28,17 @@ object SimilarityQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Per-vector L2 norm, double fold in list order. */
-  private val normSql =
-    """sqrt(aggregate(transform(embedding,
-      |  x -> cast(x as double) * cast(x as double)),
-      | cast(0.0 as double), (a, b) -> a + b))""".stripMargin
+  /** Per-vector L2 norm via the codegen'd graft_dot kernel
+    * (graft.expressions.DotProductDouble): same promote-to-double,
+    * index-order fold as the HOF spelling and the DuckDB oracle, but
+    * a tight generated loop instead of interpreted lambdas. */
+  private val normSql = "sqrt(graft_dot(embedding, embedding))"
 
   /** Pairwise dot of `l`/`r` embedding cols (double, list order). */
-  private def dotSql(l: String, r: String) =
-    s"""aggregate(zip_with($l, $r,
-       |  (x, y) -> cast(x as double) * cast(y as double)),
-       | cast(0.0 as double), (a, b) -> a + b)""".stripMargin
+  private def dotSql(l: String, r: String) = s"graft_dot($l, $r)"
+
+  private def withGraftFns(s: SparkSession): Unit =
+    graft.expressions.GraftFunctions.register(s)
 
   private val cosE6 =
     "cast(floor(dot / (na * nb) * 1000000 + 0.5) as bigint)"
@@ -92,6 +92,7 @@ object SimilarityQueries {
     // Brute-force exact top-3 cosine for probe set vec_id < 10: broadcast
     // nested-loop of the tiny probe side against the full corpus.
     "v1_knn_brute" -> ((s, dir) => {
+      withGraftFns(s)
       val e = withNorm(emb(s, dir))
       val p = e.select(col("vec_id").as("probe_id"),
         col("embedding").as("pe"), col("nrm").as("pn"))
@@ -104,6 +105,7 @@ object SimilarityQueries {
     // LSH-bucketed ANN: candidates share ≥1 signature band with the
     // probe; exact cosine re-rank on candidates only.
     "v2_knn_lsh" -> ((s, dir) => {
+      withGraftFns(s)
       val sig = signatures(s, dir)
       val probes = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("band0").as("pb0"),
