@@ -189,13 +189,20 @@ object TextDedupQueries {
     // per-key fan-out is bounded by docs-per-shingle.
     "d2_ngram_jaccard" -> ((s, dir) => {
       // Inverted index as group-into-buckets: bucket key =
-      // (source, xxhash64(shingle)) — 8-byte keys in the shuffle, no
-      // strings — then ordered pairs generated inside each bucket.
-      val ex = shingled(s, dir)
-        .select(col("doc_id"), col("source"), col("n"),
-          explode(col("sh")).as("shingle"))
-        .select(col("doc_id"), col("source"), col("n"),
-          xxhash64(col("shingle")).as("sh_h"))
+      // (source, xxhash64(shingle)) — shingles are hashed INSIDE the
+      // building transform so no string array ever materializes, and
+      // the explode/shuffle carries 8-byte longs only.
+      val ex = docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .filter(size(col("w")) >= 3)
+        .withColumn("hs", expr(
+          """array_distinct(transform(sequence(1, size(w) - 2),
+            | i -> xxhash64(concat(element_at(w, i), ' ',
+            |   element_at(w, i + 1), ' ', element_at(w, i + 2)))))"""
+            .stripMargin))
+        .select(col("doc_id"), col("source"),
+          size(col("hs")).cast("long").as("n"),
+          explode(col("hs")).as("sh_h"))
       val buckets = ex.groupBy(col("source"), col("sh_h"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
           .as("xs"))
