@@ -60,4 +60,25 @@ object Ledger {
       .withColumnRenamed("key", keyCol)
     work.join(broadcast(done), Seq(keyCol), "left_anti")
   }
+
+  /** Bloom-filter pre-pass (SURVEY §7.4's 100 TB escape hatch): when
+    * the ledger outgrows the broadcast threshold, probe a compact
+    * bloom of done keys first — rows the bloom rejects are DEFINITELY
+    * pending and skip the join entirely; only might-contain rows
+    * (done ∪ false positives, rate `fpp`) go through the exact
+    * anti-join. Result is exactly `pending` (the bloom only prunes). */
+  def pendingBloom(work: DataFrame, ledgerDir: String, keyCol: String,
+    fpp: Double = 0.01): DataFrame = {
+    val spark = work.sparkSession
+    val done = doneKeys(spark, ledgerDir)
+    val n = math.max(done.count(), 1L)
+    val bloom = done.stat.bloomFilter(col("key"), n, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf((k: String) => k != null && bc.value.mightContain(k))
+    val definitelyPending = work.filter(!might(col(keyCol)))
+    val suspect = work.filter(might(col(keyCol)))
+      .join(done.withColumnRenamed("key", keyCol), Seq(keyCol),
+        "left_anti")
+    definitelyPending.union(suspect)
+  }
 }

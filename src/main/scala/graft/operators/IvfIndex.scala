@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: the k-means-
+  * coarse-quantizer scale path for embedding search, complementing the
+  * hyperplane-LSH variant (v2). Everything is deterministic — centroid
+  * init is the first-k-by-id rule and Lloyd iterations are fixed-count
+  * — so index builds are reproducible run to run.
+  *
+  * Scale shape (100 TB): centroids are a tiny broadcast table (k ≤
+  * ~65k); assignment is a broadcast cross-join + per-row argmin (one
+  * narrow pass over the corpus, no fact shuffle); the index is the
+  * corpus repartitioned/bucketed by cluster_id; a query probes the
+  * nProbe nearest clusters only — the candidate scan shrinks by
+  * ~k/nProbe versus brute force, and the per-cluster scans are
+  * co-located reads, not shuffles.
+  */
+object IvfIndex {
+
+  private def registered(s: SparkSession): Unit =
+    graft.expressions.GraftFunctions.register(s)
+
+  /** Argmin cluster for each row of `vecs` against broadcast
+    * `centroids` (cluster_id, centroid). Ties break to the lowest
+    * cluster_id. Cosine distance on graft_dot. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("sim", expr(
+        """graft_dot(embedding, centroid)
+          | / (sqrt(graft_dot(embedding, embedding))
+          |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cluster_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "sim")
+  }
+
+  /** Deterministic k-means: init = k lowest vec_ids; `iters` Lloyd
+    * rounds (assignment via broadcast argmin; recentering via
+    * per-dimension avg with posexplode + partial aggs). */
+  def buildCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    registered(emb.sparkSession)
+    var centroids = emb.orderBy("vec_id").limit(k)
+      .select(row_number().over(Window.orderBy(col("vec_id")))
+        .as("cluster_id"), col("embedding").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assign(emb, centroids)
+      centroids = assigned
+        .select(col("cluster_id"), posexplode(col("embedding"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(expr(
+          """transform(array_sort(collect_list(named_struct(
+            | 'dim', dim, 'm', m))), s -> cast(s.m as float))"""
+            .stripMargin).as("centroid"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** The index: corpus rows tagged with their cluster. */
+  def build(emb: DataFrame, centroids: DataFrame): DataFrame =
+    assign(emb, centroids)
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+
+  /** Top-`topK` cosine neighbors for each probe, scanning only the
+    * `nProbe` clusters nearest to the probe vector. */
+  def search(index: DataFrame, centroids: DataFrame, probes: DataFrame,
+    nProbe: Int, topK: Int): DataFrame = {
+    registered(index.sparkSession)
+    val probeClusters = {
+      val scored = probes.crossJoin(broadcast(centroids))
+        .withColumn("sim", expr(
+          """graft_dot(embedding, centroid)
+            | / (sqrt(graft_dot(embedding, embedding))
+            |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cluster_id").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nProbe)
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").as("pe"), col("cluster_id"))
+    }
+    val cands = probeClusters
+      .join(index.withColumnRenamed("vec_id", "nbr_id")
+        .withColumnRenamed("embedding", "ne"), Seq("cluster_id"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("cos_e6", expr(
+        """cast(floor(graft_dot(pe, ne)
+          | / (sqrt(graft_dot(pe, pe)) * sqrt(graft_dot(ne, ne)))
+          | * 1000000 + 0.5) as bigint)""".stripMargin))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_e6").desc, col("nbr_id").asc)
+    cands.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select("probe_id", "rnk", "nbr_id", "cos_e6")
+      .orderBy("probe_id", "rnk")
+  }
+}

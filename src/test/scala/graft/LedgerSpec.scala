@@ -31,6 +31,19 @@ class LedgerSpec extends SparkTestBase {
       .count() == 1)
   }
 
+  test("pendingBloom returns exactly pending (bloom only prunes)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/lb"
+    val work = (1 to 200).map(i => s"w$i").toDF("wid")
+    Ledger.record(spark, dir, (1 to 150).map(i => s"w$i"))
+    val exact = Ledger.pending(work, dir, "wid")
+      .collect().map(_.getString(0)).sorted
+    val bloomed = Ledger.pendingBloom(work, dir, "wid")
+      .collect().map(_.getString(0)).sorted
+    assert(bloomed.toSeq == exact.toSeq)
+    assert(exact.length == 50)
+  }
+
   test("appends across 'runs' accumulate (kill/restart no-dup model)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ledger").toString + "/l3"

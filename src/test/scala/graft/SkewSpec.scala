@@ -1,0 +1,28 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals direct groupBy") {
+    val l = Tables.load(spark, sf, "lineitem")
+    val direct = l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedCountSum(l, "l_returnflag", "l_quantity", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == direct)
+  }
+
+  test("salted join equals plain join") {
+    val l = Tables.load(spark, sf, "lineitem")
+      .select(col("l_suppkey").as("k"), col("l_quantity"))
+    val s = Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val plain = l.join(s, "k").count()
+    val salted = Skew.saltedJoin(l, s, "k", 4).count()
+    assert(salted == plain)
+  }
+}
