@@ -108,6 +108,41 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Hierarchical totals via ROLLUP (free from Catalyst — the
+    // reference folds dicts per level by hand). One expand + one agg.
+    "a9_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Lag/lead neighbors over a unique total order per group.
+    "w5_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 5)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          lag("l_quantity", 1).over(w).as("prev_qty"),
+          lead("l_quantity", 1).over(w).as("next_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // Pivot (wide conditional aggregation) with an explicit value list
+    // so the schema is static; missing combos coalesced to 0.
+    "p14_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- S/P-class scans, projections, filters --------------------------
     // SURVEY S4/P1/P2: projection pruning — ReadSchema carries 3 columns.
     "s1_scan_prune" -> ((s, dir) => {
@@ -424,6 +459,24 @@ object RelationalQueries {
         |  row_number() OVER (PARTITION BY l_returnflag
         |   ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rn
         | FROM lineitem) WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "a9_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "w5_lag_lead" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | lag(l_quantity) OVER w AS prev_qty,
+        | lead(l_quantity) OVER w AS next_qty
+        |FROM lineitem WHERE l_suppkey < 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        | ORDER BY l_orderkey, l_linenumber)
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "p14_pivot" ->
+      """SELECT l_returnflag,
+        | count(*) FILTER (l_linestatus = 'F') AS "F",
+        | count(*) FILTER (l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "s1_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey < 100 ORDER BY 1, 2""".stripMargin,

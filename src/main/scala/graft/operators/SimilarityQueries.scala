@@ -127,6 +127,21 @@ object SimilarityQueries {
       topK(scored, 3)
     }),
 
+    // IVF index end-to-end with exhaustive probing (nProbe = k): the
+    // coarse quantizer, cluster assignment, and probe machinery all
+    // execute, and the result must equal brute-force exactly — so the
+    // ORACLE IS THE BRUTE-FORCE SQL. (Recall at nProbe < k is pinned
+    // by IvfIndexSpec; production tunes nProbe for the recall/cost
+    // trade.)
+    "v4_knn_ivf" -> ((s, dir) => {
+      withGraftFns(s)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val centroids = IvfIndex.buildCentroids(e, k = 8, iters = 2)
+      val index = IvfIndex.build(e, centroids)
+      IvfIndex.search(index, centroids,
+        e.filter(col("vec_id") < 10), nProbe = 8, topK = 3)
+    }),
+
     // Exact all-pairs near-dup at cosine ≥ 0.4 — quadratic verification
     // baseline for the LSH path (production dedup uses v2/d4 banding).
     // Physical plan: explicit broadcast of the (small) vector table +
@@ -220,6 +235,15 @@ object SimilarityQueries {
       |   / (p.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
       | FROM cand JOIN nv p ON cand.probe_id = p.vec_id
       |  JOIN nv c ON cand.nbr_id = c.vec_id),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |  ORDER BY cos_e6 DESC, nbr_id) AS rnk FROM sc)
+      |SELECT probe_id, rnk, nbr_id, cos_e6 FROM rk WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin),
+    "v4_knn_ivf" -> (oNormCte + s""",
+      |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+      |  CAST(floor(${oDot("p.embedding", "c.embedding")}
+      |   / (p.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      | FROM nv p JOIN nv c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
       |rk AS (SELECT *, row_number() OVER (PARTITION BY probe_id
       |  ORDER BY cos_e6 DESC, nbr_id) AS rnk FROM sc)
       |SELECT probe_id, rnk, nbr_id, cos_e6 FROM rk WHERE rnk <= 3
