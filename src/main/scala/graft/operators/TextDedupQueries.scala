@@ -192,6 +192,11 @@ object TextDedupQueries {
       // (source, xxhash64(shingle)) — shingles are hashed INSIDE the
       // building transform so no string array ever materializes, and
       // the explode/shuffle carries 8-byte longs only.
+      // Cost note: the synthetic corpus draws from a ~30-word vocab,
+      // so nearly every shingle is shared and the index degenerates
+      // toward dense (every doc pair co-occurs). Real corpora have
+      // power-law shingle frequencies and tiny buckets; the d3/d4
+      // MinHash-LSH path is the scale answer either way.
       val ex = docs(s, dir)
         .withColumn("w", expr(tokensSql))
         .filter(size(col("w")) >= 3)
