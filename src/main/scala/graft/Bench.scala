@@ -18,28 +18,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq
-      else SparkEntry.queries.keys.toSeq.sorted
+    val known = SparkEntry.queries.keySet
+    val names = if (args.nonEmpty) {
+      args.filterNot(known).foreach(n =>
+        System.err.println(s"[bench] unknown query: $n (skipped)"))
+      args.toSeq.filter(known)
+    } else known.toSeq.sorted
     // warmup: one full pass (count) per query, untimed
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     // min of two timed passes: local[N] run-to-run variance is ±20%,
-    // and min-of-k is the standard way to report the plan's cost
-    // rather than scheduler noise.
-    def timeOne(name: String): Double = {
+    // and min-of-k reports the plan's cost rather than scheduler
+    // noise. A failing query reports -1, never its time-to-exception.
+    def timeOne(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
+      }
     }
     val results = names.map { name =>
-      name -> math.min(timeOne(name), timeOne(name))
+      name -> (timeOne(name), timeOne(name)) match {
+        case (n, (Some(a), Some(b))) => n -> math.min(a, b)
+        case (n, _) => n -> -1.0
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,18 +34,26 @@ object GeomFunctions {
     array(close_ring(pts))
   }
 
+  /** Guarded 1..n index range: Spark's sequence(1, 0) DESCENDS ([1,0])
+    * and would drive element_at(_, 0) into a hard error, so empty/
+    * degenerate inputs must map to an empty array, not sequence(1,n). */
+  private def idx(n: Column): Column =
+    when(n >= 1, sequence(lit(1), n.cast("int")))
+      .otherwise(array().cast("array<int>"))
+
   private def expr_pts(cleaned: Column): Column = {
     val nums = split(cleaned, ":")
     val nPairs = floor(size(nums) / 2).cast("int")
     transform(
-      sequence(lit(1), nPairs),
+      idx(nPairs),
       i => array(
         element_at(nums, i * 2 - 1).cast("double"),
         element_at(nums, i * 2).cast("double")))
   }
 
   private def close_ring(pts: Column): Column =
-    when(element_at(pts, 1) === element_at(pts, -1), pts)
+    when(size(pts) === 0, pts)
+      .when(element_at(pts, 1) === element_at(pts, -1), pts)
       .otherwise(concat(pts, array(element_at(pts, 1))))
 
   /** F1: WKT of the outer ring only, NO ring closure, "%.2f" formatting.
@@ -70,7 +78,7 @@ object GeomFunctions {
   def stArea(geom: Column): Column = {
     val r = outerRing(geom)
     abs(aggregate(
-      sequence(lit(1), size(r) - 1),
+      idx(size(r) - 1),
       lit(0.0),
       (acc, i) => acc
         + element_at(element_at(r, i), 1) * element_at(element_at(r, i + 1), 2)
@@ -82,7 +90,7 @@ object GeomFunctions {
   def stPerimeter(geom: Column): Column = {
     val r = outerRing(geom)
     aggregate(
-      sequence(lit(1), size(r) - 1),
+      idx(size(r) - 1),
       lit(0.0),
       (acc, i) => {
         val dx = element_at(element_at(r, i + 1), 1) -

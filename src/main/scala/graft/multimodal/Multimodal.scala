@@ -58,6 +58,7 @@ object Multimodal {
     * decoded frame; returns (media_id, frame_no, frame_byte). */
   def sampleFrames(media: Dataset[Media], stride: Int)
     : DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.flatMap { m =>
       m.content.indices.by(stride).map { i =>

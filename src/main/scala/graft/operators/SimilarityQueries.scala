@@ -40,9 +40,6 @@ object SimilarityQueries {
   private def withGraftFns(s: SparkSession): Unit =
     graft.expressions.GraftFunctions.register(s)
 
-  private val cosE6 =
-    "cast(floor(dot / (na * nb) * 1000000 + 0.5) as bigint)"
-
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", expr(normSql))
 

@@ -113,6 +113,7 @@ object TextDedupQueries {
     "x1_token_count" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("w", expr(tokensSql))
+        .filter(size(col("w")) > 0) // divide-by-zero guard (oracle too)
         .select(col("doc_id"),
           size(col("w")).cast("long").as("n_tokens"),
           size(array_distinct(col("w"))).cast("long").as("n_uniq"),
@@ -127,6 +128,7 @@ object TextDedupQueries {
     "x2_quality_score" -> ((s, dir) => {
       docs(s, dir)
         .withColumn("w", expr(tokensSql))
+        .filter(size(col("w")) > 0) // divide-by-zero guard (oracle too)
         .withColumn("n_tokens", size(col("w")).cast("long"))
         .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
         .withColumn("stop_cnt",
@@ -311,12 +313,12 @@ object TextDedupQueries {
       | CAST(floor(list_reduce(list_prepend(0::BIGINT,
       |   list_transform(w, t -> len(t))), (a, b) -> a + b)
       |  * 100.0 / len(w) + 0.5) AS BIGINT) AS avg_tok_len_e2
-      |FROM toks ORDER BY doc_id""".stripMargin),
+      |FROM toks WHERE len(w) > 0 ORDER BY doc_id""".stripMargin),
     "x2_quality_score" -> (oracleToks + """,
       |q AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
       |  len(list_distinct(w))::BIGINT AS n_uniq,
       |  len(list_filter(w, t -> t IN ('the', 'a')))::BIGINT AS stop_cnt
-      | FROM toks)
+      | FROM toks WHERE len(w) > 0)
       |SELECT doc_id, n_tokens, stop_cnt,
       | CAST(floor((0.5 * n_uniq / n_tokens
       |  + 0.3 * (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE))

@@ -105,19 +105,21 @@ object GeoJsonPipeline {
       .filter(col("snomed_id").isNotNull && col("wkt").isNotNull)
 
     // hal:measurement sub-blocks: every mapped prob_* entry, ','-joined,
-    // "%.6f" floats (:160-176).
-    val measurementFrag = concat_ws(",", expr(
-      s"""transform(
-         |  filter(map_entries(measurements),
-         |    e -> startswith(e.key, 'prob_')
-         |     AND element_at(${snomedIdMapSql}, substring(e.key, 6))
-         |         IS NOT NULL),
-         |  e -> concat('\n                                             [ hal:classification  sno:',
-         |    element_at(${snomedIdMapSql}, substring(e.key, 6)),
-         |    ';\n                                               hal:hasProbability  "',
-         |    format_string('%.6f', e.value),
-         |    '"^^xsd:float\n                                             ]'))"""
-        .stripMargin))
+    // "%.6f" floats (:160-176). Column-API lambdas reuse the single
+    // snomedIdMap literal (no duplicated SQL-string encoding).
+    def entryCls(e: Column): Column = {
+      val k = e.getField("key")
+      element_at(snomedIdMap, k.substr(lit(6), length(k)))
+    }
+    val measurementFrag = concat_ws(",", transform(
+      filter(map_entries(col("measurements")), e =>
+        e.getField("key").startsWith("prob_") && entryCls(e).isNotNull),
+      e => concat(
+        lit("\n                                             [ hal:classification  sno:"),
+        entryCls(e),
+        lit(";\n                                               hal:hasProbability  \""),
+        format_string("%.6f", e.getField("value")),
+        lit("\"^^xsd:float\n                                             ]"))))
 
     exploded.withColumn("fragment", concat(
       lit("        rdfs:member          [ a                   geo:Feature;\n" +
@@ -130,11 +132,6 @@ object GeoJsonPipeline {
       measurementFrag,
       lit("\n                             ]")))
   }
-
-  private val snomedIdMapSql: String =
-    "map(" + SnomedMappings.toSeq.flatMap { case (k, v) =>
-      Seq(s"'${k}'", s"'${v.split("/").last}'")
-    }.mkString(", ") + ")"
 
   /** Full document per file: header + ";\n"-joined member fragments +
     * " .\n" terminator (empty files keep header + terminator, like the

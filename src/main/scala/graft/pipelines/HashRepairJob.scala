@@ -82,7 +82,12 @@ object HashRepairJob {
     val lookup = loadHashJson(spark, hashJsonPath)
     val repaired = removeLoincPrefix(
       repair(readTtlTree(spark, baseDir), lookup))
-    TtlFileSink.write(repaired.select("rel_path", "ttl"), outDir)
-    repaired.filter(col("repaired")).count()
+    // two actions (write + count) — persist so the tree is read and
+    // rewritten once, not once per action
+    repaired.persist()
+    try {
+      TtlFileSink.write(repaired.select("rel_path", "ttl"), outDir)
+      repaired.filter(col("repaired")).count()
+    } finally repaired.unpersist()
   }
 }

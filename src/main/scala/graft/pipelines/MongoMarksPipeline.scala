@@ -211,8 +211,11 @@ object MongoMarksPipeline {
     val aSide = analysisSide(analyses, slideHashes)
     val m = markSide(marks, aSide)
 
-    val w = Window.partitionBy(col("exec_id"), col("image_id"))
-      .orderBy(col("mark_id"))
+    // analysis_id is part of the batching key: if two analysis docs
+    // ever share (exec, image), each re-run batches its own mark set
+    // deterministically instead of interleaving
+    val w = Window.partitionBy(col("analysis_id"), col("exec_id"),
+      col("image_id")).orderBy(col("mark_id"))
     val batched = m
       .withColumn("rn", row_number().over(w))
       .withColumn("batch_num",

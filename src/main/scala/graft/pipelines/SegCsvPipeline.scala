@@ -67,16 +67,22 @@ object SegCsvPipeline {
       .withColumn("image_hash", sha2(col("image_name"), 256))
       .withColumn("tokens",
         split(regexp_replace(trim(col("Polygon")), "^\\[|\\]$", ""), ":"))
+      // sequence(1,0) would DESCEND and drive element_at(_, 0) into an
+      // error on degenerate cells like '[]' / '[7]' — guard to empty.
       .withColumn("pairs", expr(
-        """transform(
-          | sequence(1, cast(floor(size(tokens) / 2) as int)),
-          | i -> concat(element_at(tokens, i * 2 - 1), ' ',
-          |             element_at(tokens, i * 2)))""".stripMargin))
+        """CASE WHEN size(tokens) >= 2 THEN transform(
+          |  sequence(1, cast(floor(size(tokens) / 2) as int)),
+          |  i -> concat(element_at(tokens, i * 2 - 1), ' ',
+          |              element_at(tokens, i * 2)))
+          | ELSE array() END""".stripMargin))
       .withColumn("closed_pairs", expr(
         """CASE WHEN size(pairs) > 0
           |  AND element_at(pairs, 1) <> element_at(pairs, -1)
           | THEN concat(pairs, array(element_at(pairs, 1)))
           | ELSE pairs END""".stripMargin))
+      // reference emits "POLYGON (())" for pairless rows (it only
+      // skips when the STRING is empty) — preserve that quirk, which
+      // the guarded transform above now reaches safely
       .filter(col("Polygon").isNotNull && length(trim(col("Polygon"))) > 0)
       .withColumn("wkt", concat(lit("POLYGON (("),
         concat_ws(", ", col("closed_pairs")), lit("))")))

@@ -54,6 +54,17 @@ class GeomFunctionsSpec extends SparkTestBase {
       "POLYGON ((10.00 40.00, 30.00 40.00, 30.00 80.00, 10.00 40.00))")
   }
 
+  test("degenerate colon strings do not crash (sequence(1,0) guard)") {
+    for (s <- Seq("[]", "[7]", "[1:2]")) {
+      val g = polygonFromColonString(lit(s))
+      val n = one(stNumPoints(g))
+      assert(n.asInstanceOf[Long] <= 1L, s"$s -> $n points")
+      assert(one(stArea(g)) == 0.0)
+      assert(one(stPerimeter(g)) == 0.0)
+      assert(one(stIsValid(g)) == false)
+    }
+  }
+
   test("safeWkt falls back to POINT EMPTY") {
     assert(one(safeWkt(lit(null).cast("string"))) == "POINT EMPTY")
     assert(one(safeWkt(lit("POLYGON EMPTY"))) == "POLYGON EMPTY")

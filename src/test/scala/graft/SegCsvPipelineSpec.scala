@@ -28,6 +28,22 @@ class SegCsvPipelineSpec extends SparkTestBase {
     })
   }
 
+  test("degenerate Polygon cells ('[]', '[7]') do not crash the job") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("segdegen")
+    val dir = tmp.resolve(
+      "x_polygon/I.svs.tar.gz/x_polygon/I.svs")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("1_2_3_4_z-features.csv"),
+      "AreaInPixels,PhysicalSize,Polygon\n5,1.5,[]\n6,2.5,[7]\n7,3.5,[1:2:3:4]\n")
+    val out = SegCsvPipeline.run(spark, tmp.toString, "T").collect()
+    assert(out.length == 1)
+    // all three rows emit members (reference keeps pairless polygons
+    // as "POLYGON (())")
+    assert("rdfs:member".r.findAllIn(out.head.getAs[String]("ttl"))
+      .size == 3)
+  }
+
   test("filename-parse fallback (0,0,40000,40000) matches reference") {
     val g = golden("seg_expected_fallback.ttl")
     val ts = "dc:date\\s+\"([^\"]+)\"".r.findFirstMatchIn(g).get.group(1)
