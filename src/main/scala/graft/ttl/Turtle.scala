@@ -80,4 +80,45 @@ object Turtle {
     Some(Triple(t.substring(0, i1), t.substring(i1 + 1, i2),
       t.substring(i2 + 1)))
   }
+
+  /** S10 (U-RDF:285-300 analog): distributed graph load — read our
+    * canonical serialization (and plain N-Triples) from text files
+    * back into a Dataset[Triple]. Handles the `subject\n  p o ;\n
+    * p o .` block layout `serialize` emits by threading the current
+    * subject through each partition's line stream; comment and
+    * @prefix lines are skipped. */
+  def read(spark: SparkSession, path: String): Dataset[Triple] = {
+    import spark.implicits._
+    spark.read.option("wholetext", true).text(path)
+      .as[String]
+      .flatMap { content =>
+        var subject: String = null
+        content.linesIterator.flatMap { raw =>
+          val line = raw.trim
+          if (line.isEmpty || line.startsWith("#") ||
+            line.startsWith("@prefix")) Iterator.empty
+          else {
+            val t = line.stripSuffix(".").stripSuffix(";").trim
+            val isContinuation = raw.startsWith(" ") ||
+              raw.startsWith("\t")
+            if (isContinuation && subject != null) {
+              val i = t.indexOf(' ')
+              if (i < 0) Iterator.empty
+              else Iterator.single(
+                Triple(subject, t.substring(0, i), t.substring(i + 1)))
+            } else {
+              val i1 = t.indexOf(' ')
+              if (i1 < 0) { subject = t; Iterator.empty }
+              else {
+                val i2 = t.indexOf(' ', i1 + 1)
+                subject = t.substring(0, i1)
+                if (i2 < 0) Iterator.empty
+                else Iterator.single(Triple(subject,
+                  t.substring(i1 + 1, i2), t.substring(i2 + 1)))
+              }
+            }
+          }
+        }
+      }
+  }
 }

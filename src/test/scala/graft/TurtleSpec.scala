@@ -40,6 +40,19 @@ class TurtleSpec extends SparkTestBase {
     assert(Turtle.merge(a, b).count() == 3)
   }
 
+  test("serialize → write → read round-trips the triple set") {
+    val triples = Seq(
+      Triple("<urn:a>", "hal:z", "\"1\""),
+      Triple("<urn:a>", "hal:b", "\"2\""),
+      Triple("<urn:b>", "hal:x", "\"3\""),
+      Triple("<urn:c>", "hal:y", "<urn:a>"))
+    val dir = java.nio.file.Files.createTempDirectory("ttl_rt").toString
+    Turtle.serialize(triples.toDS()).select("ttl")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val back = Turtle.read(spark, dir + "/*.txt").collect().toSet
+    assert(back == triples.toSet)
+  }
+
   test("parseLine round-trips simple triples") {
     assert(Turtle.parseLine("<urn:a> hal:b \"2\" .") ==
       Some(Triple("<urn:a>", "hal:b", "\"2\"")))
