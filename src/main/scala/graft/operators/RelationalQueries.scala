@@ -352,6 +352,40 @@ object RelationalQueries {
       c.distinct().except(o.distinct()).orderBy("custkey")
     }),
 
+    // SURVEY E-class: intersection (shared keys across two sets).
+    "e3_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      c.intersect(sup).orderBy("k")
+    }),
+
+    // Array construction/sort/slice/indexing over split tokens.
+    "f18_array_ops" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 40)
+        .withColumn("words", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          size(col("words")).cast("long").as("n_words"),
+          element_at(sort_array(col("words")), 1).as("first_sorted"),
+          concat_ws("-", slice(col("words"), 1, 2)).as("head2"),
+          array_position(col("words"),
+            element_at(col("words"), -1)).cast("long").as("last_pos"))
+        .orderBy("p_partkey")
+    }),
+
+    // Null-handling chain: nullif/coalesce/conditional defaults.
+    "f19_null_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_or_open"),
+          when(col("o_totalprice") > 200000, lit("big"))
+            .when(col("o_totalprice") > 100000, lit("mid"))
+            .otherwise(lit("small")).as("bucket"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- F-class scalar functions ------------------------------------
     // SURVEY F8: sha256 of a string id.
     "f8_sha2" -> ((s, dir) => {
@@ -576,6 +610,25 @@ object RelationalQueries {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
         |ORDER BY 1""".stripMargin,
+    "e3_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY 1""".stripMargin,
+    "f18_array_ops" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_name, ' ') AS words
+        | FROM part WHERE p_partkey < 40)
+        |SELECT p_partkey, len(words)::BIGINT AS n_words,
+        | list_sort(words)[1] AS first_sorted,
+        | array_to_string(words[1:2], '-') AS head2,
+        | list_position(words, words[-1])::BIGINT AS last_pos
+        |FROM w ORDER BY p_partkey""".stripMargin,
+    "f19_null_funcs" ->
+      """SELECT o_orderkey,
+        | coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        | CASE WHEN o_totalprice > 200000 THEN 'big'
+        |  WHEN o_totalprice > 100000 THEN 'mid'
+        |  ELSE 'small' END AS bucket
+        |FROM orders WHERE o_orderkey < 100 ORDER BY 1""".stripMargin,
     "f8_sha2" ->
       """SELECT c_custkey, sha256(c_name) AS id_hash FROM customer
         |WHERE c_custkey < 20 ORDER BY 1""".stripMargin,
