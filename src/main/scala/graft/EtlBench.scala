@@ -1,0 +1,76 @@
+package graft
+
+import graft.pipelines.{MongoMarksPipeline, TtlFileSink}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** ETL throughput benchmark: synthetic mark documents → batched TTL
+  * files, reported as marks/sec — the reference's only runtime metric
+  * (mongodb_to_rdf.py:799-821 computes exactly this for its 20-process
+  * pool; ~4B marks total). Args: [nMarks] [nAnalyses] [outDir].
+  *
+  * Marks are synthesized deterministically from spark.range — schema
+  * identical to MongoMarksPipeline.markSchema, ~5 polygon points per
+  * mark, 1k marks per (exec, image) batch like production.
+  */
+object EtlBench {
+  def main(args: Array[String]): Unit = {
+    val nMarks = args.headOption.map(_.toLong).getOrElse(200000L)
+    val nAnalyses = args.lift(1).map(_.toInt).getOrElse(20)
+    val outDir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("etl_bench").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val marks = spark.range(nMarks).select(
+      format_string("m-%012d", col("id")).as("_id"),
+      struct(
+        struct(format_string("exec-%d", col("id") % nAnalyses)
+          .as("execution_id")).as("analysis"),
+        struct(format_string("img-%d", col("id") % nAnalyses)
+          .as("imageid"),
+          format_string("slide-%d", col("id") % nAnalyses).as("slide"))
+          .as("image")).as("provenance"),
+      struct(array(struct(
+        struct(lit("Polygon").as("type"), expr(
+          """array(transform(sequence(0, 4), i -> array(
+            | cast((pmod(id * 7 + i * 13, 1000)) / 1000.0 as double),
+            | cast((pmod(id * 11 + i * 17, 1000)) / 1000.0 as double))))"""
+            .stripMargin).as("coordinates")).as("geometry"),
+        struct((col("id") % 100 / 10.0).as("footprint"),
+          lit("tumor.ep.1").as("nucleustype")).as("properties")))
+        .as("features")).as("geometries"),
+      struct(struct(array(struct(
+        lit("http://snomed.info/id/108369006").as("annotationID")))
+        .as("annotation")).as("mark")).as("userUpdate"))
+
+    val analyses = spark.range(nAnalyses).select(
+      format_string("an-%d", col("id")).as("_id"),
+      struct(format_string("exec-%d", col("id")).as("execution_id"),
+        struct(lit(40000L).as("image_width"),
+          lit(40000L).as("image_height"),
+          format_string("case-%d", col("id")).as("case_id"))
+          .as("algorithm_params")).as("analysis"),
+      struct(format_string("img-%d", col("id")).as("imageid"),
+        lit("subj").as("subject"), lit("study").as("study"),
+        format_string("slide-%d", col("id")).as("slide")).as("image"))
+
+    val hashes = Seq.empty[(String, String)].toDF("slide", "real_hash")
+
+    val t0 = System.nanoTime()
+    val docs = MongoMarksPipeline.documents(marks, analyses, hashes)
+    TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = nMarks / secs
+    println(s"""{"metric":"etl_marks_per_sec","value":$rate,""" +
+      s""""unit":"marks/sec","n_marks":$nMarks,"secs":$secs,""" +
+      s""""n_analyses":$nAnalyses}""")
+    spark.stop()
+  }
+}
