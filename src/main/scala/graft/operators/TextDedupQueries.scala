@@ -123,6 +123,20 @@ object TextDedupQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-style pre-tokenization count: letter runs / digits /
+    // punctuation as separate tokens (the GPT-2 pre-tokenizer shape,
+    // simplified to a regex both engines interpret identically).
+    "x5_bpe_tokens" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("""cast(size(regexp_extract_all(text,
+                 | '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]', 0)) as bigint)"""
+            .stripMargin).as("n_bpe_tokens"),
+          expr("cast(size(regexp_extract_all(text, '[0-9]', 0)) as bigint)")
+            .as("n_digits"))
+        .orderBy("doc_id")
+    }),
+
     // Quality scoring: type-token ratio, stopword ratio, length norm —
     // the heuristics a pretraining filter applies per document.
     "x2_quality_score" -> ((s, dir) => {
@@ -314,6 +328,12 @@ object TextDedupQueries {
       |   list_transform(w, t -> len(t))), (a, b) -> a + b)
       |  * 100.0 / len(w) + 0.5) AS BIGINT) AS avg_tok_len_e2
       |FROM toks WHERE len(w) > 0 ORDER BY doc_id""".stripMargin),
+    "x5_bpe_tokens" -> """
+      |SELECT doc_id,
+      | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))
+      |  ::BIGINT AS n_bpe_tokens,
+      | len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
+      |FROM documents ORDER BY doc_id""".stripMargin,
     "x2_quality_score" -> (oracleToks + """,
       |q AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
       |  len(list_distinct(w))::BIGINT AS n_uniq,
