@@ -67,6 +67,23 @@ object Multimodal {
     }.toDF("media_id", "frame_no", "frame_byte")
   }
 
+  /** STUB resize: a real implementation decodes, scales, re-encodes;
+    * the stub downsamples the payload by `factor` (every factor-th
+    * byte), preserving id/type and scaling the metadata dims — the
+    * Dataset→Dataset shape a codec-backed resize would have. */
+  def resizeStub(media: Dataset[Media], factor: Int): Dataset[Media] = {
+    require(factor > 0, s"factor must be positive, got $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out = m.content.indices.by(factor)
+          .map(m.content).toArray
+        Media(m.media_id, m.media_type, out,
+          m.width / factor, m.height / factor)
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (text bytes as payload)
     * — gives the multimodal path real data to run over in tests. */
   def mediaFromDocuments(docs: DataFrame): Dataset[Media] = {

@@ -33,6 +33,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.count(_._1 == 3L) == 2048)
   }
 
+  test("resizeStub downsamples payload and dims deterministically") {
+    val out = Multimodal.resizeStub(media.toDS(), factor = 2)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).content.toSeq == Seq[Byte](10, 30))
+    assert(out(1L).width == 1 && out(1L).height == 1)
+    assert(out(2L).content.isEmpty)
+    assert(out(3L).content.length == 2048)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeStub(media.toDS(), 0)
+    }
+  }
+
   test("mediaFromDocuments builds typed binary media from text") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val ds = Multimodal.mediaFromDocuments(docs)
