@@ -61,6 +61,35 @@ object Ledger {
     work.join(broadcast(done), Seq(keyCol), "left_anti")
   }
 
+  /** Compaction: append-only ledgers accrue one parquet file per
+    * record() call (4M analyses → millions of tiny files). Rewrites
+    * the distinct (key, status) set into a new generation directory
+    * and atomically swaps it in via rename — readers see either the
+    * old or the new generation, never a partial one. Keeps the
+    * newest status per key (completed beats an older failed). */
+  def compact(spark: SparkSession, ledgerDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(ledgerDir)
+    if (!Files.exists(src)) return
+    val tmp = Paths.get(ledgerDir + ".compact-tmp")
+    val old = Paths.get(ledgerDir + ".old")
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("status").asc, col("run_id").desc)
+    spark.read.parquet(ledgerDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.move(src, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, src, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the displaced generation
+    try {
+      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
+  }
+
   /** Bloom-filter pre-pass (SURVEY §7.4's 100 TB escape hatch): when
     * the ledger outgrows the broadcast threshold, probe a compact
     * bloom of done keys first — rows the bloom rejects are DEFINITELY

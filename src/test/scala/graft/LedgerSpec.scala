@@ -52,4 +52,24 @@ class LedgerSpec extends SparkTestBase {
     // duplicate 'a' records collapse to one key
     assert(Ledger.doneKeys(spark, dir).count() == 2)
   }
+
+  test("compact collapses record files and preserves the key set") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/l4"
+    (1 to 10).foreach(i =>
+      Ledger.record(spark, dir, Seq(s"k$i", "shared"),
+        Ledger.Completed, s"run$i"))
+    val before = Ledger.doneKeys(spark, dir).collect()
+      .map(_.getString(0)).sorted
+    Ledger.compact(spark, dir)
+    val after = Ledger.doneKeys(spark, dir).collect()
+      .map(_.getString(0)).sorted
+    assert(after.toSeq == before.toSeq && after.length == 11)
+    val parts = Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(parts == 1, s"expected 1 part file after compaction, $parts")
+    // ledger still appendable after compaction
+    Ledger.record(spark, dir, Seq("post"), Ledger.Completed)
+    assert(Ledger.doneKeys(spark, dir).count() == 12)
+  }
 }
