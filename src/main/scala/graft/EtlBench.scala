@@ -19,12 +19,8 @@ object EtlBench {
     val nAnalyses = args.lift(1).map(_.toInt).getOrElse(20)
     val outDir = args.lift(2).getOrElse(
       java.nio.file.Files.createTempDirectory("etl_bench").toString)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 

@@ -16,13 +16,22 @@ object GraftSession {
 
   def create(cores: Int = Runtime.getRuntime.availableProcessors())
     : SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+    // honor an externally supplied master (spark-submit --master):
+    // only default to local[cores] when none is configured, so the
+    // library entry point never forces a cluster job onto the driver
+    val builder = SparkSession.builder()
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val withMaster =
+      if (sys.props.contains("spark.master") ||
+        sys.env.contains("SPARK_MASTER_URL")) builder
+      else builder.master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    val spark = withMaster.getOrCreate()
+    // runtime confs set unconditionally — getOrCreate may have
+    // returned a pre-existing session whose builder configs were
+    // silently dropped, and oracle-verified behavior requires these
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     graft.expressions.GraftFunctions.register(spark)
     spark
   }

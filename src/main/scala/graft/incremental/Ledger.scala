@@ -62,32 +62,32 @@ object Ledger {
   }
 
   /** Compaction: append-only ledgers accrue one parquet file per
-    * record() call (4M analyses → millions of tiny files). Rewrites
-    * the distinct (key, status) set into a new generation directory
-    * and atomically swaps it in via rename — readers see either the
-    * old or the new generation, never a partial one. Keeps the
-    * newest status per key (completed beats an older failed). */
+    * record() call (4M analyses → millions of tiny files). Strategy:
+    * snapshot the current part-file list, APPEND one file holding
+    * their distinct (key, status, run_id='compacted') rows, then
+    * delete exactly the snapshotted inputs. No directory renames, so
+    * there is no window where the ledger is missing: a crash at any
+    * point leaves the dir with either originals + the compacted file
+    * (duplicate rows — harmless, doneKeys is distinct) or a partial
+    * delete (still a superset of the truth). Concurrent record()
+    * appends are never deleted (they are not in the snapshot). The
+    * full (key, status) SET is preserved, so doneKeys with any status
+    * filter returns identical results before and after. Run while no
+    * concurrent READER is active (a reader that planned against a
+    * snapshotted file could hit FileNotFound mid-scan). */
   def compact(spark: SparkSession, ledgerDir: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     val src = Paths.get(ledgerDir)
     if (!Files.exists(src)) return
-    val tmp = Paths.get(ledgerDir + ".compact-tmp")
-    val old = Paths.get(ledgerDir + ".old")
-    val w = Window.partitionBy(col("key"))
-      .orderBy(col("status").asc, col("run_id").desc)
-    spark.read.parquet(ledgerDir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val snapshot = Files.list(src).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet"))
+    if (snapshot.length <= 1) return
+    spark.read.parquet(snapshot: _*)
+      .select("key", "status").distinct()
+      .withColumn("run_id", lit("compacted"))
       .repartition(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    Files.move(src, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, src, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the displaced generation
-    try {
-      Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
+      .write.mode(SaveMode.Append).parquet(ledgerDir)
+    snapshot.foreach(p => Files.deleteIfExists(Paths.get(p)))
   }
 
   /** Bloom-filter pre-pass (SURVEY §7.4's 100 TB escape hatch): when

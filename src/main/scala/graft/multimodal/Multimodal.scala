@@ -69,8 +69,9 @@ object Multimodal {
 
   /** STUB resize: a real implementation decodes, scales, re-encodes;
     * the stub downsamples the payload by `factor` (every factor-th
-    * byte), preserving id/type and scaling the metadata dims — the
-    * Dataset→Dataset shape a codec-backed resize would have. */
+    * byte), preserving id/type. Dims use ceiling division so a
+    * nonempty payload never reports a 0×0 size (the 1-D byte stub
+    * cannot keep bytes == width*height — a real codec would). */
   def resizeStub(media: Dataset[Media], factor: Int): Dataset[Media] = {
     require(factor > 0, s"factor must be positive, got $factor")
     import media.sparkSession.implicits._
@@ -78,8 +79,9 @@ object Multimodal {
       it.map { m =>
         val out = m.content.indices.by(factor)
           .map(m.content).toArray
+        def ceilDiv(d: Int) = (d + factor - 1) / factor
         Media(m.media_id, m.media_type, out,
-          m.width / factor, m.height / factor)
+          ceilDiv(m.width), ceilDiv(m.height))
       }
     }
   }

@@ -3,36 +3,51 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
-import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 /** A5's runtime metrics, streaming-native: the reference computes
   * marks/sec and ETA by hand in its driver loop (mongodb_to_rdf.py:
   * 799-821) and never persists them; here a StreamingQueryListener
-  * accumulates rows processed and the engine-reported rate, giving
-  * the same progress report for any query without touching the
-  * dataflow.
+  * accumulates per-QUERY rows/batches/rate (keyed by query id, so
+  * multiple concurrent streams never blend into one bogus total) and
+  * exposes both per-query and whole-session views.
   */
 final class ProgressMetrics extends StreamingQueryListener {
-  private val rows = new AtomicLong(0L)
-  private val batches = new AtomicLong(0L)
-  private val lastRate = new AtomicReference[Double](0.0)
+  private final class Q {
+    val rows = new AtomicLong(0L)
+    val batches = new AtomicLong(0L)
+    @volatile var lastRate: Double = 0.0
+  }
+  private val byQuery = new ConcurrentHashMap[UUID, Q]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
-    rows.addAndGet(event.progress.numInputRows)
-    batches.incrementAndGet()
-    lastRate.set(event.progress.processedRowsPerSecond)
+    val q = byQuery.computeIfAbsent(event.progress.id, _ => new Q)
+    q.rows.addAndGet(event.progress.numInputRows)
+    q.batches.incrementAndGet()
+    q.lastRate = event.progress.processedRowsPerSecond
   }
 
-  def totalRows: Long = rows.get()
-  def totalBatches: Long = batches.get()
-  def rowsPerSecond: Double = lastRate.get()
+  import scala.jdk.CollectionConverters._
+  private def all = byQuery.values.asScala
 
-  /** Remaining-work ETA in seconds, like the reference's ETA-hours
-    * report — NaN until a rate is observed. */
-  def etaSeconds(remainingRows: Long): Double = {
-    val r = rowsPerSecond
+  def totalRows: Long = all.map(_.rows.get()).sum
+  def totalBatches: Long = all.map(_.batches.get()).sum
+  /** Aggregate throughput = sum of each active query's last rate. */
+  def rowsPerSecond: Double = all.map(_.lastRate).sum
+
+  def rowsFor(queryId: UUID): Long =
+    Option(byQuery.get(queryId)).map(_.rows.get()).getOrElse(0L)
+  def rateFor(queryId: UUID): Double =
+    Option(byQuery.get(queryId)).map(_.lastRate).getOrElse(0.0)
+
+  /** Remaining-work ETA in seconds for one query, like the
+    * reference's ETA-hours report — NaN until a rate is observed. */
+  def etaSeconds(queryId: UUID, remainingRows: Long): Double = {
+    val r = rateFor(queryId)
     if (r > 0) remainingRows / r else Double.NaN
   }
 }

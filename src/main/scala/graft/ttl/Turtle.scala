@@ -81,11 +81,27 @@ object Turtle {
       t.substring(i2 + 1)))
   }
 
-  /** S10 (U-RDF:285-300 analog): distributed graph load — read our
-    * canonical serialization (and plain N-Triples) from text files
-    * back into a Dataset[Triple]. Handles the `subject\n  p o ;\n
-    * p o .` block layout `serialize` emits by threading the current
-    * subject through each partition's line stream; comment and
+  /** N-Triples serialization: one `s p o .` line per triple — the
+    * SCALE format (line-splittable, any-size files), vs. the grouped
+    * block layout of `serialize` (prettier, but blocks span lines). */
+  def serializeNTriples(triples: Dataset[Triple]): Dataset[String] = {
+    import triples.sparkSession.implicits._
+    triples.map(t => s"${t.s} ${t.p} ${t.o} .")
+  }
+
+  /** Line-based N-Triples load: fully splittable (no wholetext), the
+    * 100 TB-safe reader. */
+  def readNTriples(spark: SparkSession, path: String): Dataset[Triple] = {
+    import spark.implicits._
+    spark.read.text(path).as[String].flatMap(parseLine _)
+  }
+
+  /** S10 (U-RDF:285-300 analog): graph load for the grouped BLOCK
+    * layout `serialize` emits (`subject\n  p o ;\n  p o .`): blocks
+    * span lines, so files are read wholetext — one task per file,
+    * whole file in memory. Fine for the block layout's intended use
+    * (per-subject documents); for arbitrarily large graph files use
+    * serializeNTriples/readNTriples, which split freely. Comment and
     * @prefix lines are skipped. */
   def read(spark: SparkSession, path: String): Dataset[Triple] = {
     import spark.implicits._

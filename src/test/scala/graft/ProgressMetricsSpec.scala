@@ -31,8 +31,9 @@ class ProgressMetricsSpec extends SparkTestBase {
         Thread.sleep(50)
       assert(metrics.totalRows == 3)
       assert(metrics.totalBatches >= 2)
-      assert(metrics.etaSeconds(0) == 0.0 ||
-        metrics.etaSeconds(0).isNaN || metrics.etaSeconds(0) >= 0.0)
+      assert(metrics.rowsFor(q.id) == 3) // per-query view
+      val eta = metrics.etaSeconds(q.id, 0)
+      assert(eta == 0.0 || eta.isNaN || eta >= 0.0)
     } finally {
       q.stop()
       spark.streams.removeListener(metrics)

@@ -53,6 +53,16 @@ class TurtleSpec extends SparkTestBase {
     assert(back == triples.toSet)
   }
 
+  test("N-Triples round-trip is splittable (line-based reader)") {
+    val triples = (1 to 100)
+      .map(i => Triple(s"<urn:$i>", "hal:v", s"\"$i\""))
+    val dir = java.nio.file.Files.createTempDirectory("nt_rt").toString
+    Turtle.serializeNTriples(triples.toDS()).toDF("value")
+      .repartition(4).write.mode("overwrite").text(dir)
+    val back = Turtle.readNTriples(spark, dir + "/*.txt").collect().toSet
+    assert(back == triples.toSet)
+  }
+
   test("parseLine round-trips simple triples") {
     assert(Turtle.parseLine("<urn:a> hal:b \"2\" .") ==
       Some(Triple("<urn:a>", "hal:b", "\"2\"")))
