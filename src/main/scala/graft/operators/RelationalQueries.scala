@@ -283,6 +283,21 @@ object RelationalQueries {
         .orderBy("missing")
     }),
 
+    // Range join (equi key + interval predicate): lineitems shipped
+    // within 90 days of their order date. Catalyst plans the equi part
+    // as the join key and evaluates the range residually — at scale
+    // the shuffle is still keyed, never a cross product.
+    "j8_range_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") <= date_add(o("o_orderdate"), 90))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- W-class windows -------------------------------------------------
     // SURVEY W1: batch numbering within (group) — the reference's
     // batch_%06d assignment, BATCH_SIZE=3 stand-in.
@@ -334,6 +349,23 @@ object RelationalQueries {
         .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
           col("o_totalprice"))
         .orderBy("o_custkey", "rnk")
+    }),
+
+    // Ranking windows: ntile buckets + exact-rational percent_rank /
+    // cume_dist, integer-scaled for hash parity.
+    "w6_ranking_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 60)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          expr("cast(floor(percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) * 1000000 + 0.5) as bigint)")
+            .as("pr_e6"),
+          expr("cast(floor(cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) * 1000000 + 0.5) as bigint)")
+            .as("cd_e6"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
     }),
 
     // ---- E-class set operations ------------------------------------------
@@ -575,6 +607,23 @@ object RelationalQueries {
         | (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45) l
         | ON p_partkey = l_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j8_range_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w6_ranking_windows" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+        |  AS pr_e6,
+        | CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+        |  AS cd_e6
+        |FROM lineitem WHERE l_orderkey < 60
+        |WINDOW w AS (PARTITION BY l_returnflag
+        | ORDER BY l_orderkey, l_linenumber)
+        |ORDER BY 1, 2, 3""".stripMargin,
     "w1_batch_number" ->
       """SELECT l_orderkey, l_linenumber,
         | (row_number() OVER (PARTITION BY l_orderkey
