@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Compile-checked versions of the MIGRATION.md snippets — every
+  * documented reference-to-engine mapping is a real method here, so
+  * the guide can't drift from the API. */
+object Examples {
+
+  /** MIGRATION §1: GeoJSON dir → one .ttl per input stem. */
+  def geojsonEtl(spark: SparkSession, inDir: String, outDir: String,
+    timestamp: String): Unit = {
+    import graft.pipelines.{GeoJsonPipeline, TtlFileSink}
+    val docs = GeoJsonPipeline.run(spark, inDir, timestamp)
+      .select(concat(col("stem"), lit(".ttl")).as("rel_path"),
+        col("ttl"))
+    TtlFileSink.write(docs, outDir)
+  }
+
+  /** MIGRATION §2: segmentation tree → gzip TTL per patch, resumable. */
+  def segEtl(spark: SparkSession, baseDir: String, outDir: String,
+    timestamp: String, startFrom: Option[String] = None): Unit = {
+    import graft.pipelines.{SegCsvPipeline, TtlFileSink}
+    val all = SegCsvPipeline.run(spark, baseDir, timestamp)
+    val docs = startFrom.fold(all)(s => all.filter(col("rel_path") >= s))
+    TtlFileSink.write(docs, outDir, skipExisting = true)
+  }
+
+  /** MIGRATION §3: marks + analyses (+ real image hashes) → batched
+    * TTL with ledger bookkeeping. */
+  def mongoEtl(spark: SparkSession, marksPath: String,
+    analysesPath: String, svsGlob: String, outDir: String,
+    ledgerDir: String): Unit = {
+    import graft.pipelines.{HashRepairJob, MongoMarksPipeline => M, TtlFileSink}
+    import graft.incremental.Ledger
+    import spark.implicits._
+    val analyses = Ledger.pending(
+      M.readAnalyses(spark, analysesPath), ledgerDir, "_id")
+    val hashes = HashRepairJob.buildHashLookup(spark, svsGlob)
+      .withColumnRenamed("slide", "slide_key")
+      .select(col("slide_key").as("slide"), col("real_hash"))
+    val docs = M.documents(M.readMarks(spark, marksPath), analyses,
+      hashes)
+    TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
+    Ledger.record(spark, ledgerDir,
+      analyses.select("_id").as[String].collect().toSeq)
+  }
+
+  /** MIGRATION §4: hash-repair snapshot job. */
+  def hashRepair(spark: SparkSession, rdfTree: String,
+    hashJson: String, outDir: String): Long = {
+    graft.pipelines.HashRepairJob.run(spark, rdfTree, hashJson, outDir)
+  }
+}
