@@ -141,40 +141,40 @@ object SimilarityQueries {
 
     // Exact all-pairs near-dup at cosine ≥ 0.4 — quadratic verification
     // baseline for the LSH path (production dedup uses v2/d4 banding).
-    // Physical plan: explicit broadcast of the (small) vector table +
-    // a primitive-double inner loop per partition — the flop-bound
-    // kernel Catalyst HOF lambdas interpret ~30× slower. Math is the
-    // same ordered double fold as the oracle, so results are
-    // bit-identical to the declarative version.
+    // DISTRIBUTED block-pair plan (nothing ever reaches the driver):
+    // vectors are hashed into B blocks; a vector in block b serves as
+    // the A-side of block pairs (b, j≥b) and the B-side of (i≤b, b),
+    // so every unordered block pair — and therefore every vector pair
+    // — meets in exactly one equi-join bucket keyed by the pair id.
+    // Shuffle volume is (B+1)·n rows; per-bucket work is (n/B)², so B
+    // is the executor-memory knob at scale. Scoring runs through the
+    // codegen'd graft_dot kernel (same ordered double fold as the
+    // oracle — bit-identical results).
     "v3_cos_neardup" -> ((s, dir) => {
-      import s.implicits._
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-      val all = e.collect().sortBy(_._1).map { case (id, v) =>
-        val d = new Array[Double](v.length)
-        var i = 0; while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
-        var n = 0.0; i = 0; while (i < d.length) { n += d(i) * d(i); i += 1 }
-        (id, d, math.sqrt(n))
-      }
-      val bc = s.sparkContext.broadcast(all)
-      e.mapPartitions { it =>
-        val vs = bc.value
-        it.flatMap { case (ida, va) =>
-          val da = new Array[Double](va.length)
-          var i = 0; while (i < va.length) { da(i) = va(i).toDouble; i += 1 }
-          var na = 0.0; i = 0
-          while (i < da.length) { na += da(i) * da(i); i += 1 }
-          val nrmA = math.sqrt(na)
-          vs.iterator.filter(_._1 > ida).flatMap { case (idb, db, nrmB) =>
-            var dot = 0.0; var j = 0
-            while (j < da.length) { dot += da(j) * db(j); j += 1 }
-            val cosE6 = math.floor(dot / (nrmA * nrmB) * 1000000 + 0.5)
-              .toLong
-            if (cosE6 >= 400000L) Iterator.single((ida, idb, cosE6))
-            else Iterator.empty
-          }
-        }
-      }.toDF("vec_a", "vec_b", "cos_e6")
+      withGraftFns(s)
+      val B = 8
+      val e = withNorm(emb(s, dir))
+        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val sideA = e
+        .withColumn("pid", explode(expr(
+          s"transform(sequence(blk, ${B - 1}), j -> blk * $B + j)")))
+        .select(col("pid"), col("vec_id").as("ida"), col("blk").as("ba"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+      val sideB = e
+        .withColumn("pid", explode(expr(
+          s"transform(sequence(0, blk), i -> i * $B + blk)")))
+        .select(col("pid"), col("vec_id").as("idb"), col("blk").as("bb"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      sideA.join(sideB, Seq("pid"))
+        // same-block pairs appear in both orders — keep one; cross-block
+        // pairs appear once with block-determined roles — keep all and
+        // canonicalize ids below (cosine is symmetric).
+        .filter(col("ba") =!= col("bb") || col("ida") < col("idb"))
+        .withColumn("cos_e6", expr(
+          "cast(floor(graft_dot(ea, eb) / (na * nb) * 1000000 + 0.5) as bigint)"))
+        .filter(col("cos_e6") >= 400000L)
+        .select(least(col("ida"), col("idb")).as("vec_a"),
+          greatest(col("ida"), col("idb")).as("vec_b"), col("cos_e6"))
         .orderBy("vec_a", "vec_b")
     })
   )

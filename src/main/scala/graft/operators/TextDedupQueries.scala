@@ -47,6 +47,11 @@ object TextDedupQueries {
     (23456789L, 98765431L), (54321893L, 12345701L),
     (28657L, 514229L), (433494437L, 39916801L))
 
+  /** d2's stop-shingle ceiling: shingles appearing in more than DfCap
+    * docs of a source are dropped from the inverted index (they carry
+    * no dedup signal and cost df²/2 pairs on one shuffle key). */
+  val DfCap = 20
+
   /** Per-doc shingle frame: doc_id, source, n (#shingles), sh (array). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -208,11 +213,15 @@ object TextDedupQueries {
       // (source, xxhash64(shingle)) — shingles are hashed INSIDE the
       // building transform so no string array ever materializes, and
       // the explode/shuffle carries 8-byte longs only.
-      // Cost note: the synthetic corpus draws from a ~30-word vocab,
-      // so nearly every shingle is shared and the index degenerates
-      // toward dense (every doc pair co-occurs). Real corpora have
-      // power-law shingle frequencies and tiny buckets; the d3/d4
-      // MinHash-LSH path is the scale answer either way.
+      // Hot-bucket guard: shingles with document frequency > DfCap are
+      // dropped from the index (mirrored EXACTLY in the DuckDB oracle)
+      // — the standard stop-shingle rule: a shingle shared by B docs
+      // yields B²/2 pairs on ONE key, and a stop-shingle carries no
+      // dedup signal anyway. `shared` counts only kept shingles; the
+      // union denominator keeps the full per-doc shingle counts, so
+      // the score is a (slight, conservative) underestimate for pairs
+      // whose overlap includes stop-shingles. The d3/d4 MinHash-LSH
+      // path is the production route at 100 TB either way.
       val ex = docs(s, dir)
         .withColumn("w", expr(tokensSql))
         .filter(size(col("w")) >= 3)
@@ -227,7 +236,7 @@ object TextDedupQueries {
       val buckets = ex.groupBy(col("source"), col("sh_h"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
           .as("xs"))
-        .filter(size(col("xs")) >= 2)
+        .filter(size(col("xs")).between(2, DfCap))
       buckets
         .select(explode(expr(bucketPairs("xs"))).as("p"))
         .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
@@ -303,10 +312,19 @@ object TextDedupQueries {
         .agg(sum(expr(
           "CASE WHEN bal > 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0L END"))
           .as("simhash"))
-      // block by source, generate in-block pairs once (no self-join).
-      // NOTE the blocking key is the scale lever: at 100 TB the block
-      // must stay executor-sized or move to band-bucketing like d4.
-      sig.groupBy(col("source"))
+      // Band-bucketed candidate generation (the d4 pattern, applied to
+      // simhash): split the 16-bit fingerprint into 4 × 4-bit bands —
+      // by pigeonhole, Hamming ≤ 3 means at most 3 bands differ, so
+      // every qualifying pair shares ≥1 band EXACTLY and is provably
+      // found. Bucket key = (source, band, band value): cardinality
+      // grows with the corpus, never a whole-source block in one
+      // aggregation buffer. A pair colliding in several bands is
+      // emitted once per collision → distinct() on the (deterministic)
+      // output triple.
+      val banded = sig.select(col("doc_id"), col("source"), col("simhash"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bv", expr("shiftright(simhash, band * 4) & 15"))
+      banded.groupBy(col("source"), col("band"), col("bv"))
         .agg(sort_array(collect_list(struct(col("doc_id"),
           col("simhash")))).as("xs"))
         .filter(size(col("xs")) >= 2)
@@ -316,6 +334,7 @@ object TextDedupQueries {
           expr("cast(bit_count(p.a.simhash ^ p.b.simhash) as bigint)")
             .as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     })
   )
@@ -375,13 +394,16 @@ object TextDedupQueries {
       |g AS (SELECT hs, count(*) AS group_size FROM h GROUP BY 1)
       |SELECT group_size, count(*) AS n_groups FROM g
       |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "d2_ngram_jaccard" -> (oracleShingled + """,
+    "d2_ngram_jaccard" -> (oracleShingled + s""",
       |ex AS (SELECT doc_id, source, len(shingles)::BIGINT AS n,
       |        unnest(shingles) AS shingle FROM sh),
+      |exk AS (SELECT * FROM (
+      |  SELECT ex.*, count(*) OVER (PARTITION BY source, shingle) AS df
+      |  FROM ex) WHERE df <= $DfCap),
       |pairs AS (
       | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  count(*) AS shared, max(a.n) AS na, max(b.n) AS nb
-      | FROM ex a JOIN ex b ON a.shingle = b.shingle
+      | FROM exk a JOIN exk b ON a.shingle = b.shingle
       |  AND a.source = b.source AND a.doc_id < b.doc_id
       | GROUP BY 1, 2)
       |SELECT doc_a, doc_b, shared,
