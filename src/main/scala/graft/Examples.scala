@@ -34,17 +34,21 @@ object Examples {
     ledgerDir: String): Unit = {
     import graft.pipelines.{HashRepairJob, MongoMarksPipeline => M, TtlFileSink}
     import graft.incremental.Ledger
-    import spark.implicits._
+    // Persist the pending set so the sink write and the ledger record
+    // see the SAME snapshot (pending re-evaluates the ledger dir
+    // otherwise), and record the ~4M keys distributively — never
+    // collect them to the driver.
     val analyses = Ledger.pending(
-      M.readAnalyses(spark, analysesPath), ledgerDir, "_id")
-    val hashes = HashRepairJob.buildHashLookup(spark, svsGlob)
-      .withColumnRenamed("slide", "slide_key")
-      .select(col("slide_key").as("slide"), col("real_hash"))
-    val docs = M.documents(M.readMarks(spark, marksPath), analyses,
-      hashes)
-    TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
-    Ledger.record(spark, ledgerDir,
-      analyses.select("_id").as[String].collect().toSeq)
+      M.readAnalyses(spark, analysesPath), ledgerDir, "_id").persist()
+    try {
+      val hashes = HashRepairJob.buildHashLookup(spark, svsGlob)
+        .withColumnRenamed("slide", "slide_key")
+        .select(col("slide_key").as("slide"), col("real_hash"))
+      val docs = M.documents(M.readMarks(spark, marksPath), analyses,
+        hashes)
+      TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
+      Ledger.record(analyses.select("_id"), ledgerDir)
+    } finally analyses.unpersist()
   }
 
   /** MIGRATION §4: hash-repair snapshot job. */

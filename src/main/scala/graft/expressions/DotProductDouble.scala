@@ -71,12 +71,19 @@ case class DotProductDouble(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (lt, rt) = (elemType(left), elemType(right))
+    // Decimal elements arrive as o.a.s.sql.types.Decimal objects — a
+    // `(double)` cast on them is invalid Java and would fail the whole
+    // enclosing codegen stage; call .toDouble() instead.
+    def asDouble(v: String, t: DataType): String = t match {
+      case _: DecimalType => s"$v.toDouble()"
+      case _ => s"(double)($v)"
+    }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
-      val getA = CodeGenerator.getValue(a, lt, i)
-      val getB = CodeGenerator.getValue(b, rt, i)
+      val getA = asDouble(CodeGenerator.getValue(a, lt, i), lt)
+      val getB = asDouble(CodeGenerator.getValue(b, rt, i), rt)
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -87,7 +94,7 @@ case class DotProductDouble(left: Expression, right: Expression)
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true; break;
          |    }
-         |    $sum += (double)($getA) * (double)($getB);
+         |    $sum += $getA * $getB;
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}

@@ -30,11 +30,23 @@ object Ledger {
   def record(spark: SparkSession, ledgerDir: String, keys: Seq[String],
     status: String = Completed, runId: String = ""): Unit = {
     import spark.implicits._
-    keys.toDF("key")
+    record(keys.toDF("key"), ledgerDir, status, runId)
+  }
+
+  /** Distributive record: append the FIRST column of `keys` (cast to
+    * string) without ever collecting to the driver — the right call
+    * when the key set is itself a big frame (e.g. 4M analysis ids at
+    * reference scale; the Seq overload above is for driver-known
+    * handfuls only). */
+  def record(keys: DataFrame, ledgerDir: String,
+    status: String, runId: String): Unit = {
+    keys.select(col(keys.columns.head).cast("string").as("key"))
       .withColumn("status", lit(status))
       .withColumn("run_id", lit(runId))
       .write.mode(SaveMode.Append).parquet(ledgerDir)
   }
+  def record(keys: DataFrame, ledgerDir: String): Unit =
+    record(keys, ledgerDir, Completed, "")
 
   /** All keys ever recorded with the given statuses (default: anything
     * that should NOT be reprocessed — completed or failed, matching
@@ -53,12 +65,17 @@ object Ledger {
   }
 
   /** P12/J5: the work still to do = work anti-join done. `keyCol` names
-    * the work table's key column. */
+    * the work table's key column. No broadcast hint: an explicit hint
+    * is honored REGARDLESS of size, so a ledger that outgrew the
+    * threshold would OOM the driver instead of degrading. Unhinted,
+    * AQE broadcasts while the done-side is small and falls back to a
+    * shuffle join when it is not — `pendingBloom` is the explicit
+    * escape hatch beyond that. */
   def pending(work: DataFrame, ledgerDir: String, keyCol: String)
     : DataFrame = {
     val done = doneKeys(work.sparkSession, ledgerDir)
       .withColumnRenamed("key", keyCol)
-    work.join(broadcast(done), Seq(keyCol), "left_anti")
+    work.join(done, Seq(keyCol), "left_anti")
   }
 
   /** Compaction: append-only ledgers accrue one parquet file per

@@ -13,15 +13,30 @@ import org.apache.spark.sql.functions._
   * covers sort-merge JOINS automatically; aggregation skew still
   * needs this pattern (or partial-agg push-down, which caps but does
   * not eliminate hot reducers when distinct-per-key is high).
+  *
+  * The salt is a pure function of row CONTENT (`pmod(hash(cols),
+  * buckets)`), never of `monotonically_increasing_id()` or `rand()`:
+  * a nondeterministic salt used as a shuffle key silently duplicates
+  * or drops rows when a stage retry recomputes a map task whose
+  * earlier output was already partially consumed (SPARK-23207 class)
+  * — exactly the failure mode of the long-running 100 TB jobs this
+  * helper targets. The trade: rows with identical salt-column values
+  * land in the same bucket, so callers should pass `saltCols` that
+  * are near-unique per row (default: every column of the frame).
   */
 object Skew {
 
-  /** Salted count+sum per key. `valueCol` must be numeric. */
+  /** Deterministic per-row salt in [0, saltBuckets). `cols` must be
+    * stable row content — near-unique combinations spread best. */
+  private def salt(cols: Seq[Column], saltBuckets: Int): Column =
+    pmod(hash(cols: _*), lit(saltBuckets))
+
+  /** Salted count+sum per key. `valueCol` must be numeric. `saltCols`
+    * picks the content the salt hashes (default: all columns). */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
-    saltBuckets: Int): DataFrame = {
-    val salted = df.withColumn("_salt",
-      pmod(hash(col(keyCol), monotonically_increasing_id()),
-        lit(saltBuckets)))
+    saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    val src = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
+    val salted = df.withColumn("_salt", salt(src.map(col), saltBuckets))
     salted
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
@@ -31,13 +46,13 @@ object Skew {
 
   /** Salted broadcast-side explosion for skewed joins: replicate the
     * SMALL side `saltBuckets`× with an explicit salt column, salt the
-    * big side randomly, and join on (key, salt) — every bucket of a
-    * hot key lands on a different reducer. */
+    * big side deterministically from its row content, and join on
+    * (key, salt) — every bucket of a hot key lands on a different
+    * reducer. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-    saltBuckets: Int): DataFrame = {
-    val bigSalted = big.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()),
-        lit(saltBuckets)))
+    saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    val src = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
+    val bigSalted = big.withColumn("_salt", salt(src.map(col), saltBuckets))
     val smallExploded = small
       .withColumn("_salt", explode(expr(
         s"sequence(0, ${saltBuckets - 1})")))

@@ -111,7 +111,11 @@ object MongoMarksPipeline {
       expr("try_element_at(geometries.features, 1)").as("feature"),
       expr("try_element_at(userUpdate.mark.annotation, 1).annotationID")
         .as("ann_id"))
-      .join(broadcast(analysisSide), Seq("exec_id", "image_id"))
+      // No broadcast hint: the analysis side is ~4M rows enriched with
+      // header strings at reference scale — a forced hint would be
+      // honored regardless of size and OOM the driver. Unhinted, AQE
+      // broadcasts it while small and shuffle-joins when it is not.
+      .join(analysisSide, Seq("exec_id", "image_id"))
 
     joined
       .filter(col("feature").isNotNull &&

@@ -1,9 +1,10 @@
 package graft.pipelines
 
 import org.apache.spark.sql.DataFrame
-import java.io.{BufferedOutputStream, FileOutputStream}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import java.io.BufferedOutputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import java.util.zip.GZIPOutputStream
 
 /** Document-per-path sink for (rel_path, ttl) frames — the engine's
@@ -16,8 +17,12 @@ import java.util.zip.GZIPOutputStream
   * Executed with foreachPartition: each task writes its partition's
   * documents — at scale this is embarrassingly parallel (one file per
   * document, no two tasks share a path because rel_path is unique).
-  * Writes go to a temp file + atomic rename, so a killed job never
-  * leaves a torn file and re-runs are idempotent.
+  * All I/O goes through the Hadoop `FileSystem` API resolved from
+  * `outDir`'s scheme, so the SAME code targets local disk (`file:/`
+  * or bare paths), HDFS, or S3A — a `java.nio` sink would scatter a
+  * multi-node job's output across executor-local disks and break
+  * skip-if-exists. Writes go to a temp file + rename, so a killed
+  * job never leaves a torn file and re-runs are idempotent.
   */
 object TtlFileSink {
 
@@ -26,27 +31,49 @@ object TtlFileSink {
   def write(docs: DataFrame, outDir: String,
     skipExisting: Boolean = false): Unit = {
     val out = outDir // serialize the string, not the config object
+    // Hadoop Configuration is not serializable — ship its effective
+    // entries (includes spark.hadoop.* overrides) and rebuild per task.
+    val confEntries: Array[(String, String)] = {
+      val c = docs.sparkSession.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
     docs.select("rel_path", "ttl").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.foreach { r =>
-          val rel = r.getString(0)
-          val content = r.getString(1)
-          val target = Paths.get(out, rel)
-          if (!(skipExisting && Files.exists(target))) {
-            Files.createDirectories(target.getParent)
-            val tmp = target.resolveSibling(target.getFileName.toString +
-              ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-            writeFile(tmp, content, rel.endsWith(".gz"))
-            Files.move(tmp, target,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        if (rows.hasNext) {
+          val conf = new Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val outPath = new HPath(out)
+          val fs = outPath.getFileSystem(conf)
+          rows.foreach { r =>
+            val rel = r.getString(0)
+            val content = r.getString(1)
+            val target = new HPath(outPath, rel)
+            if (!(skipExisting && fs.exists(target))) {
+              fs.mkdirs(target.getParent)
+              val tmp = new HPath(target.getParent, target.getName +
+                ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+              writeFile(fs, tmp, content, rel.endsWith(".gz"))
+              // Hadoop rename refuses an existing destination — clear
+              // it first (rel_path is unique per run, so no two tasks
+              // race on the same target).
+              if (fs.exists(target)) fs.delete(target, false)
+              if (!fs.rename(tmp, target)) {
+                fs.delete(tmp, false)
+                throw new java.io.IOException(
+                  s"rename $tmp -> $target failed")
+              }
+            }
           }
         }
     }
   }
 
-  private def writeFile(p: Path, content: String, gzip: Boolean): Unit = {
-    val fos = new FileOutputStream(p.toFile)
+  private def writeFile(fs: FileSystem, p: HPath, content: String,
+    gzip: Boolean): Unit = {
+    val fos = fs.create(p, true)
     val os = if (gzip)
       // level 6 matches the reference (mongodb_to_rdf.py:37)
       new GZIPOutputStream(new BufferedOutputStream(fos)) {

@@ -48,6 +48,30 @@ class DotProductDoubleSpec extends SparkTestBase {
     }
   }
 
+  test("decimal-element arrays compile under forced codegen") {
+    register()
+    // (double)(Decimal) is invalid Java — a bad cast here would fail
+    // the whole stage's compilation and silently fall back to
+    // interpreted execution. CODEGEN_ONLY turns that fallback into a
+    // hard error, so this asserts the generated code actually compiles.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.sql(
+        """SELECT graft_dot(
+          |  array(cast(1.5 as decimal(10,2)), cast(2.5 as decimal(10,2))),
+          |  array(cast(2.0 as decimal(10,2)), cast(4.0 as decimal(10,2))))
+          |  AS d""".stripMargin).collect().head.getDouble(0)
+      assert(r == 1.5 * 2.0 + 2.5 * 4.0)
+      // mixed decimal × double promotes per element too
+      val m = spark.sql(
+        """SELECT graft_dot(
+          |  array(cast(1.5 as decimal(10,2))), array(2.0d)) AS d"""
+          .stripMargin).collect().head.getDouble(0)
+      assert(m == 3.0)
+    } finally
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("codegen and interpreted paths agree") {
     register()
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))

@@ -53,6 +53,28 @@ class LedgerSpec extends SparkTestBase {
     assert(Ledger.doneKeys(spark, dir).count() == 2)
   }
 
+  test("record(df) appends distributively; pending joins without a forced broadcast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/l5"
+    val work = (1 to 100).map(i => s"w$i").toDF("wid")
+    Ledger.record(work.filter(col("wid").isin("w1", "w2", "w3")), dir)
+    assert(Ledger.pending(work, dir, "wid").count() == 97)
+    assert(Ledger.doneKeys(spark, dir).count() == 3)
+
+    // With auto-broadcast disabled the plan must NOT broadcast: a
+    // forced hint would be honored regardless and OOM the driver on
+    // an outsized ledger. Unhinted, AQE owns the fallback.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Ledger.pending(work, dir, "wid")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Broadcast"),
+        s"pending() still broadcasts with threshold=-1:\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("compact collapses record files and preserves the key set") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ledger").toString + "/l4"

@@ -78,4 +78,24 @@ class MongoMarksPipelineSpec extends SparkTestBase {
     assert(Files.readString(
       Paths.get(tmp, "exec-1/img-1/batch_000002.ttl.gz")) == "sentinel")
   }
+
+  test("TtlFileSink resolves the FileSystem from the URI scheme (file:/)") {
+    // The sink must route through Hadoop FileSystem — same code path
+    // for HDFS/S3A — so an explicit scheme'd URI must work.
+    val tmp = Files.createTempDirectory("ttlsink_uri")
+    val df = MongoMarksPipeline.documents(
+      MongoMarksPipeline.readMarks(spark, s"$fx/marks.jsonl"),
+      MongoMarksPipeline.readAnalyses(spark, s"$fx/analyses.jsonl"),
+      emptyHashes, batchSize = 2)
+    TtlFileSink.write(df, tmp.toUri.toString)
+    val p = Paths.get(tmp.toString, "exec-1/img-1/batch_000001.ttl.gz")
+    assert(Files.exists(p))
+    val content = new String(
+      new GZIPInputStream(Files.newInputStream(p)).readAllBytes(), "UTF-8")
+    assert(content == golden(1))
+    // no stray temp files left behind
+    val strays = Files.walk(tmp).toArray.map(_.toString)
+      .filter(_.contains(".tmp-"))
+    assert(strays.isEmpty, strays.mkString(","))
+  }
 }

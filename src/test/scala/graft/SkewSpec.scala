@@ -25,4 +25,28 @@ class SkewSpec extends SparkTestBase {
     val salted = Skew.saltedJoin(l, s, "k", 4).count()
     assert(salted == plain)
   }
+
+  test("salt is deterministic — no nondeterministic expression feeds the shuffle") {
+    // A nondeterministic salt used as a grouping/join key silently
+    // duplicates or drops rows under stage retry (SPARK-23207 class).
+    val l = Tables.load(spark, sf, "lineitem")
+    val agg = Skew.saltedCountSum(l, "l_returnflag", "l_quantity", 8)
+    val join = Skew.saltedJoin(
+      l.select(col("l_suppkey").as("k"), col("l_quantity")),
+      Tables.load(spark, sf, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_name")),
+      "k", 4)
+    for (df <- Seq(agg, join)) {
+      val nondet = df.queryExecution.analyzed.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case e if !e.deterministic => e
+        })
+      }.flatten
+      assert(nondet.isEmpty, s"nondeterministic exprs in plan: $nondet")
+    }
+    // and the salted result is stable across independent evaluations
+    val a = agg.collect().map(_.toSeq).toSet
+    val b = agg.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
