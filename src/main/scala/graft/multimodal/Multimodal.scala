@@ -2,18 +2,24 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+import javax.imageio.ImageIO
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in batches —
   * the Scala face of the mapInPandas pattern (north-star requirement).
   *
-  * The actual codec step is a DETERMINISTIC STUB (`decodeStub`): no
-  * image/audio libraries ship in this build, so "decode" derives
-  * features from the bytes themselves (length, digest, mean,
-  * frame-stride samples). The Spark-side plumbing — schema, typed
-  * Dataset, partition-batched iteration, feature struct shape — is
-  * real and is what a production codec would plug into.
+  * IMAGES decode for real: `decodeImage`/`decodeImageFeatures` run
+  * JDK `javax.imageio` (PNG/JPEG/GIF/BMP) — dimensions and pixel
+  * stats of the actual raster, oracle-checked by m2_image_decode.
+  * Audio/video have no decoder in this build, so their codec step is
+  * a DETERMINISTIC STUB (`decodeStub`): "decode" derives features
+  * from the bytes themselves (length, digest, mean, frame-stride
+  * samples). The Spark-side plumbing — schema, typed Dataset,
+  * partition-batched iteration, feature struct shape — is identical
+  * for both and is what a production audio codec would plug into.
   *
   * Scale: mapPartitions keeps per-row overhead amortized (one codec
   * context per partition, like one Arrow batch per mapInPandas call);
@@ -84,6 +90,89 @@ object Multimodal {
           ceilDiv(m.width), ceilDiv(m.height))
       }
     }
+  }
+
+  // ---- real image codec (JDK javax.imageio — no extra deps) ----
+
+  /** Decoded-image statistics: integer-exact, so they oracle-check. */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+    px_sum: Long, px_max: Int)
+
+  /** Encode a payload as a real grayscale PNG: pixels are the payload
+    * bytes row-major at fixed `width`, zero-padded to fill the last
+    * row. Deterministic; invertible up to the padding. */
+  private[graft] def encodeGrayPng(payload: Array[Byte], width: Int)
+    : Array[Byte] = {
+    require(payload.nonEmpty && width > 0)
+    val h = (payload.length + width - 1) / width
+    val img = new BufferedImage(width, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < width * h) {
+      raster.setSample(i % width, i / width, 0,
+        if (i < payload.length) payload(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode for image media types via `javax.imageio`
+    * (PNG/JPEG/GIF/BMP per JDK): dimensions and grayscale pixel stats
+    * of the decoded raster. Non-image media types have no decoder in
+    * this build and must go through `decodeStub`. */
+  private[multimodal] def decodeImage(m: Media): ImageFeatures = {
+    val img = ImageIO.read(new ByteArrayInputStream(m.content))
+    require(img != null, s"media_id=${m.media_id}: undecodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    var sum = 0L
+    var max = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0)
+        sum += v
+        if (v > max) max = v
+        x += 1
+      }
+      y += 1
+    }
+    ImageFeatures(m.media_id, w, h, sum, max)
+  }
+
+  /** Image feature extraction: real ImageIO decode per row, batched
+    * per partition (one reader context per task). Payloads stay in
+    * the scan stage — only the small feature rows move. */
+  def decodeImageFeatures(media: Dataset[Media]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        require(m.media_type.startsWith("image/"),
+          s"media_id=${m.media_id}: ${m.media_type} has no image decoder")
+        decodeImage(m)
+      }
+    }
+  }
+
+  /** Synthesize an IMAGE media table from `documents`: each doc's
+    * text bytes become the pixels of a real PNG (encodeGrayPng). The
+    * decode path is then honest end-to-end — and oracle-checkable,
+    * because the decoded stats are integer functions of the text. */
+  def imagesFromDocuments(docs: DataFrame, width: Int = 16)
+    : Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val payload = text.getBytes("UTF-8")
+          val h = (payload.length + width - 1) / width
+          Media(id, "image/png", encodeGrayPng(payload, width), width, h)
+        }
+      }
   }
 
   /** Synthesize a media table from `documents` (text bytes as payload)

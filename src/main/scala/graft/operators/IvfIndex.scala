@@ -17,11 +17,34 @@ import org.apache.spark.sql.functions._
   * nProbe nearest clusters only — the candidate scan shrinks by
   * ~k/nProbe versus brute force, and the per-cluster scans are
   * co-located reads, not shuffles.
+  *
+  * Two implementation rules keep the build itself scale-safe:
+  *  - centroids are MATERIALIZED to a driver-local frame after every
+  *    Lloyd round (k×dim floats — driver-safe by design). Chaining
+  *    rounds lazily instead would re-execute every prior round's full
+  *    corpus assignment each iteration (the plan doubles per round);
+  *  - the per-vector argmin is an AGGREGATE (`max(struct(sim,
+  *    -cluster_id, …))`, the a1_argmax pattern) with map-side partial
+  *    aggregation, so the exchange carries one row per vector — never
+  *    a Window over the n×k scored frame, which would shuffle and
+  *    sort n×k rows on every assignment pass. (Struct max buffers
+  *    aren't hash-aggregable, so Spark plans a SortAggregate; the
+  *    sort is per-partition map-side, the shuffle stays n rows.)
   */
 object IvfIndex {
 
   private def registered(s: SparkSession): Unit =
     graft.expressions.GraftFunctions.register(s)
+
+  /** Collect a (small) centroid frame and re-create it as a local
+    * relation: cuts the Lloyd lineage so iteration i+1's plan does not
+    * re-execute iteration i's corpus-wide assignment. k×dim floats —
+    * bounded and driver-safe by design (k ≤ ~65k). */
+  private def localize(centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(centroids.collect(): _*), centroids.schema)
+  }
 
   /** Argmin cluster for each row of `vecs` against broadcast
     * `centroids` (cluster_id, centroid). Ties break to the lowest
@@ -32,11 +55,15 @@ object IvfIndex {
         """graft_dot(embedding, centroid)
           | / (sqrt(graft_dot(embedding, embedding))
           |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cluster_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "sim")
+    // argmax by (sim, -cluster_id): struct comparison is field-by-field,
+    // so the best sim wins and ties break to the LOWEST cluster_id; the
+    // embedding rides along (never compared — (sim, cid) decides first).
+    scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cluster_id")).as("nc"),
+        col("embedding").as("e"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).as("cluster_id"),
+        col("best.e").as("embedding"))
   }
 
   /** Deterministic k-means: init = k lowest vec_ids; `iters` Lloyd
@@ -44,13 +71,13 @@ object IvfIndex {
     * per-dimension avg with posexplode + partial aggs). */
   def buildCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     registered(emb.sparkSession)
-    var centroids = emb.orderBy("vec_id").limit(k)
+    var centroids = localize(emb.orderBy("vec_id").limit(k)
       .select(row_number().over(Window.orderBy(col("vec_id")))
-        .as("cluster_id"), col("embedding").as("centroid"))
+        .as("cluster_id"), col("embedding").as("centroid")))
     var i = 0
     while (i < iters) {
       val assigned = assign(emb, centroids)
-      centroids = assigned
+      centroids = localize(assigned
         .select(col("cluster_id"), posexplode(col("embedding"))
           .as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
@@ -59,7 +86,7 @@ object IvfIndex {
         .agg(expr(
           """transform(array_sort(collect_list(named_struct(
             | 'dim', dim, 'm', m))), s -> cast(s.m as float))"""
-            .stripMargin).as("centroid"))
+            .stripMargin).as("centroid")))
       i += 1
     }
     centroids
@@ -71,7 +98,9 @@ object IvfIndex {
       .select(col("cluster_id"), col("vec_id"), col("embedding"))
 
   /** Top-`topK` cosine neighbors for each probe, scanning only the
-    * `nProbe` clusters nearest to the probe vector. */
+    * `nProbe` clusters nearest to the probe vector. The probe-side
+    * windows rank tiny frames (probes×k and candidates per probe),
+    * not the corpus. */
   def search(index: DataFrame, centroids: DataFrame, probes: DataFrame,
     nProbe: Int, topK: Int): DataFrame = {
     registered(index.sparkSession)

@@ -21,6 +21,22 @@ object MultimodalQueries {
         .select(col("media_id"), col("n_bytes"), col("sha256"),
           col("mean_byte_e4"))
         .orderBy("media_id")
+    }),
+
+    // REAL image decode: each doc's text bytes are encoded as a
+    // genuine grayscale PNG (zero-padded to a 16-wide raster), then
+    // decoded back with javax.imageio. The decoded width/height and
+    // integer pixel stats are exact functions of the text, so DuckDB
+    // verifies that a real encode→decode round trip happened.
+    "m2_image_decode" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      Multimodal.decodeImageFeatures(
+        Multimodal.imagesFromDocuments(docs, width = 16))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("px_sum"), col("px_max"))
+        .orderBy("media_id")
     })
   )
 
@@ -33,6 +49,20 @@ object MultimodalQueries {
       |   list_transform(range(1, len(text) + 1),
       |    i -> ascii(substr(text, i, 1)))), (a, b) -> a + b)
       |  * 10000.0 / len(text) + 0.5) AS BIGINT) AS mean_byte_e4
-      |FROM documents ORDER BY media_id""".stripMargin
+      |FROM documents ORDER BY media_id""".stripMargin,
+
+    // documents are pure ASCII (byte ops == char ops): pixel sum =
+    // sum of character codes (padding zeros contribute nothing),
+    // pixel max = max character code, height = ceil(len/16).
+    "m2_image_decode" -> """
+      |SELECT doc_id AS media_id,
+      | 16 AS width,
+      | CAST(ceil(len(text) / 16.0) AS INTEGER) AS height,
+      | list_reduce(list_prepend(0::BIGINT,
+      |   list_transform(range(1, len(text) + 1),
+      |    i -> ascii(substr(text, i, 1)))), (a, b) -> a + b) AS px_sum,
+      | CAST(list_max(list_transform(range(1, len(text) + 1),
+      |    i -> ascii(substr(text, i, 1)))) AS INTEGER) AS px_max
+      |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin
   )
 }

@@ -141,43 +141,54 @@ object SimilarityQueries {
 
     // Exact all-pairs near-dup at cosine ≥ 0.4 — quadratic verification
     // baseline for the LSH path (production dedup uses v2/d4 banding).
-    // DISTRIBUTED block-pair plan (nothing ever reaches the driver):
-    // vectors are hashed into B blocks; a vector in block b serves as
-    // the A-side of block pairs (b, j≥b) and the B-side of (i≤b, b),
-    // so every unordered block pair — and therefore every vector pair
-    // — meets in exactly one equi-join bucket keyed by the pair id.
-    // Shuffle volume is (B+1)·n rows; per-bucket work is (n/B)², so B
-    // is the executor-memory knob at scale. Scoring runs through the
-    // codegen'd graft_dot kernel (same ordered double fold as the
-    // oracle — bit-identical results).
-    "v3_cos_neardup" -> ((s, dir) => {
-      withGraftFns(s)
-      val B = 8
-      val e = withNorm(emb(s, dir))
-        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
-      val sideA = e
-        .withColumn("pid", explode(expr(
-          s"transform(sequence(blk, ${B - 1}), j -> blk * $B + j)")))
-        .select(col("pid"), col("vec_id").as("ida"), col("blk").as("ba"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-      val sideB = e
-        .withColumn("pid", explode(expr(
-          s"transform(sequence(0, blk), i -> i * $B + blk)")))
-        .select(col("pid"), col("vec_id").as("idb"), col("blk").as("bb"),
-          col("embedding").as("eb"), col("nrm").as("nb"))
-      sideA.join(sideB, Seq("pid"))
-        // same-block pairs appear in both orders — keep one; cross-block
-        // pairs appear once with block-determined roles — keep all and
-        // canonicalize ids below (cosine is symmetric).
-        .filter(col("ba") =!= col("bb") || col("ida") < col("idb"))
-        .withColumn("cos_e6", expr(
-          "cast(floor(graft_dot(ea, eb) / (na * nb) * 1000000 + 0.5) as bigint)"))
-        .filter(col("cos_e6") >= 400000L)
-        .select(least(col("ida"), col("idb")).as("vec_a"),
-          greatest(col("ida"), col("idb")).as("vec_b"), col("cos_e6"))
-        .orderBy("vec_a", "vec_b")
-    })
+    "v3_cos_neardup" -> ((s, dir) =>
+      cosNearDupPairs(s, emb(s, dir), blocks = 8))
   )
+
+  /** v3 as a reusable operator: exact all-pairs cosine near-dup over
+    * `emb` (vec_id, embedding), quadratic BY INTENT (verification
+    * baseline — production near-dup routes through v2/d4 banding).
+    *
+    * DISTRIBUTED block-pair plan (nothing ever reaches the driver):
+    * vectors are hashed into `blocks` blocks; a vector in block b
+    * serves as the A-side of block pairs (b, j≥b) and the B-side of
+    * (i≤b, b), so every unordered block pair — and therefore every
+    * vector pair — meets in exactly one equi-join bucket keyed by the
+    * pair id. Shuffle volume is (blocks+1)·n rows; per-bucket compare
+    * work is (n/blocks)², so `blocks` is the executor-memory knob:
+    * raise it until a bucket's two block slices fit in one task's
+    * memory (parallelism scales as blocks·(blocks+1)/2 buckets).
+    * Scoring runs through the codegen'd graft_dot kernel (same
+    * ordered double fold as the oracle — bit-identical results). */
+  def cosNearDupPairs(s: SparkSession, embDf: DataFrame, blocks: Int,
+    thresholdE6: Long = 400000L): DataFrame = {
+    require(blocks >= 1, s"blocks must be >= 1, got $blocks")
+    withGraftFns(s)
+    val B = blocks
+    val e = withNorm(embDf)
+      .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+    val sideA = e
+      .withColumn("pid", explode(expr(
+        s"transform(sequence(blk, ${B - 1}), j -> blk * $B + j)")))
+      .select(col("pid"), col("vec_id").as("ida"), col("blk").as("ba"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val sideB = e
+      .withColumn("pid", explode(expr(
+        s"transform(sequence(0, blk), i -> i * $B + blk)")))
+      .select(col("pid"), col("vec_id").as("idb"), col("blk").as("bb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    sideA.join(sideB, Seq("pid"))
+      // same-block pairs appear in both orders — keep one; cross-block
+      // pairs appear once with block-determined roles — keep all and
+      // canonicalize ids below (cosine is symmetric).
+      .filter(col("ba") =!= col("bb") || col("ida") < col("idb"))
+      .withColumn("cos_e6", expr(
+        "cast(floor(graft_dot(ea, eb) / (na * nb) * 1000000 + 0.5) as bigint)"))
+      .filter(col("cos_e6") >= thresholdE6)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"), col("cos_e6"))
+      .orderBy("vec_a", "vec_b")
+  }
 
   /** Oracle fragments mirroring the Spark fold order exactly. */
   private val oNorm =

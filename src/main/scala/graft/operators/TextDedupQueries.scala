@@ -47,9 +47,15 @@ object TextDedupQueries {
     (23456789L, 98765431L), (54321893L, 12345701L),
     (28657L, 514229L), (433494437L, 39916801L))
 
-  /** d2's stop-shingle ceiling: shingles appearing in more than DfCap
-    * docs of a source are dropped from the inverted index (they carry
-    * no dedup signal and cost df²/2 pairs on one shuffle key). */
+  /** d2's default stop-shingle ceiling: shingles appearing in more
+    * than DfCap docs of a source are dropped from the inverted index
+    * (they carry no dedup signal and cost df²/2 pairs on one shuffle
+    * key). Tunable per call via `ngramJaccardPairs(dfCap = …)`; the
+    * SEMANTIC consequences (conservative-union undercount) are
+    * documented there and in MIGRATION.md. Note the cap is applied to
+    * xxhash64(shingle) buckets — a 64-bit collision merging two
+    * shingles of one source could (at ~2^-64 odds) push a merged
+    * bucket past the cap; accepted. */
   val DfCap = 20
 
   /** Per-doc shingle frame: doc_id, source, n (#shingles), sh (array). */
@@ -110,6 +116,58 @@ object TextDedupQueries {
       |${perms.zipWithIndex.map { case ((a, b), i) =>
           s"  min((h * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
       |FROM hx GROUP BY 1)""".stripMargin
+
+  /** d2 as a reusable operator: n-gram (3-shingle) Jaccard near-dup
+    * pairs over a (doc_id, source, text) frame.
+    *
+    * Inverted index as group-into-buckets: bucket key = (source,
+    * xxhash64(shingle)) — shingles are hashed INSIDE the building
+    * transform so no string array ever materializes, and the
+    * explode/shuffle carries 8-byte longs only.
+    *
+    * `dfCap` is the stop-shingle ceiling: shingles with document
+    * frequency > dfCap are dropped from the index — the standard
+    * stop-shingle rule: a shingle shared by B docs yields B²/2 pairs
+    * on ONE shuffle key, and a stop-shingle carries no dedup signal
+    * anyway. SEMANTICS (also in MIGRATION.md): `shared` counts only
+    * kept shingles while the union denominator keeps full per-doc
+    * shingle counts, so jacc_e4 is a conservative UNDERESTIMATE for
+    * pairs whose overlap includes stop-shingles — a pair overlapping
+    * mostly in high-df shingles can fall below `minJaccE4`. Raise
+    * dfCap toward ∞ to recover exact Jaccard at the cost of hot-key
+    * blowup. The d3/d4 MinHash-LSH path is the production route at
+    * 100 TB either way. */
+  def ngramJaccardPairs(docsDf: DataFrame, dfCap: Int,
+    minJaccE4: Long = 200L): DataFrame = {
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    val ex = docsDf
+      .withColumn("w", expr(tokensSql))
+      .filter(size(col("w")) >= 3)
+      .withColumn("hs", expr(
+        """array_distinct(transform(sequence(1, size(w) - 2),
+          | i -> xxhash64(concat(element_at(w, i), ' ',
+          |   element_at(w, i + 1), ' ', element_at(w, i + 2)))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("source"),
+        size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("sh_h"))
+    val buckets = ex.groupBy(col("source"), col("sh_h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
+        .as("xs"))
+      .filter(size(col("xs")).between(2, dfCap))
+    buckets
+      .select(explode(expr(bucketPairs("xs"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
+        col("p.b.doc_id").as("doc_b"), col("p.b.n").as("nb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"), max("na").as("na"),
+        max("nb").as("nb"))
+      .withColumn("jacc_e4", expr(
+        "cast(floor(shared * 10000.0 / (na + nb - shared) + 0.5) as bigint)"))
+      .filter(col("jacc_e4") >= minJaccE4)
+      .select("doc_a", "doc_b", "shared", "jacc_e4")
+      .orderBy("doc_a", "doc_b")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ---------------------------------------------------
@@ -207,49 +265,9 @@ object TextDedupQueries {
 
     // n-gram Jaccard near-dup: inverted-index self-join on (source,
     // shingle) — the scalable explode-join pattern (never a cross join);
-    // per-key fan-out is bounded by docs-per-shingle.
-    "d2_ngram_jaccard" -> ((s, dir) => {
-      // Inverted index as group-into-buckets: bucket key =
-      // (source, xxhash64(shingle)) — shingles are hashed INSIDE the
-      // building transform so no string array ever materializes, and
-      // the explode/shuffle carries 8-byte longs only.
-      // Hot-bucket guard: shingles with document frequency > DfCap are
-      // dropped from the index (mirrored EXACTLY in the DuckDB oracle)
-      // — the standard stop-shingle rule: a shingle shared by B docs
-      // yields B²/2 pairs on ONE key, and a stop-shingle carries no
-      // dedup signal anyway. `shared` counts only kept shingles; the
-      // union denominator keeps the full per-doc shingle counts, so
-      // the score is a (slight, conservative) underestimate for pairs
-      // whose overlap includes stop-shingles. The d3/d4 MinHash-LSH
-      // path is the production route at 100 TB either way.
-      val ex = docs(s, dir)
-        .withColumn("w", expr(tokensSql))
-        .filter(size(col("w")) >= 3)
-        .withColumn("hs", expr(
-          """array_distinct(transform(sequence(1, size(w) - 2),
-            | i -> xxhash64(concat(element_at(w, i), ' ',
-            |   element_at(w, i + 1), ' ', element_at(w, i + 2)))))"""
-            .stripMargin))
-        .select(col("doc_id"), col("source"),
-          size(col("hs")).cast("long").as("n"),
-          explode(col("hs")).as("sh_h"))
-      val buckets = ex.groupBy(col("source"), col("sh_h"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
-          .as("xs"))
-        .filter(size(col("xs")).between(2, DfCap))
-      buckets
-        .select(explode(expr(bucketPairs("xs"))).as("p"))
-        .select(col("p.a.doc_id").as("doc_a"), col("p.a.n").as("na"),
-          col("p.b.doc_id").as("doc_b"), col("p.b.n").as("nb"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("shared"), max("na").as("na"),
-          max("nb").as("nb"))
-        .withColumn("jacc_e4", expr(
-          "cast(floor(shared * 10000.0 / (na + nb - shared) + 0.5) as bigint)"))
-        .filter(col("jacc_e4") >= 200)
-        .select("doc_a", "doc_b", "shared", "jacc_e4")
-        .orderBy("doc_a", "doc_b")
-    }),
+    // per-key fan-out is bounded by docs-per-shingle (dfCap).
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      ngramJaccardPairs(docs(s, dir), dfCap = DfCap)),
 
     // MinHash signatures (8 perms over 60-bit shingle hashes).
     "d3_minhash_sig" -> ((s, dir) =>

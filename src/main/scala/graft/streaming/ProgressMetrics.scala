@@ -23,7 +23,12 @@ final class ProgressMetrics extends StreamingQueryListener {
   private val byQuery = new ConcurrentHashMap[UUID, Q]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  /** A terminated query contributes no throughput: zero its rate so
+    * `rowsPerSecond` (sum of ACTIVE rates) never accumulates stale
+    * rates from dead queries. Row/batch totals stay — they are
+    * cumulative session counters, not rates. */
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+    Option(byQuery.get(event.id)).foreach(_.lastRate = 0.0)
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val q = byQuery.computeIfAbsent(event.progress.id, _ => new Q)
     q.rows.addAndGet(event.progress.numInputRows)

@@ -68,16 +68,42 @@ object Turtle {
     a.union(b).distinct()
   }
 
-  /** Minimal N-Triples-ish line parser for round-trip tests: splits
-    * `s p o .` on the first two unquoted spaces. Not a full grammar —
-    * test scaffolding for our own canonical output only. */
+  /** N-Triples line parser: splits `s p o .` on the first two spaces
+    * OUTSIDE quoted literals (backslash-escape aware), and strips only
+    * an UNQUOTED trailing statement dot — so every literal
+    * `escapeLiteral` emits (embedded spaces, quotes, dots, backslashes)
+    * re-reads exactly. Terms come back lexically (no prefix
+    * expansion); see TurtleParser for full Turtle documents. */
   def parseLine(line: String): Option[Triple] = {
-    val t = line.trim.stripSuffix(".").trim
-    val i1 = t.indexOf(' ')
-    if (i1 < 0) return None
-    val i2 = t.indexOf(' ', i1 + 1)
-    if (i2 < 0) return None
-    Some(Triple(t.substring(0, i1), t.substring(i1 + 1, i2),
+    val t0 = line.trim
+    if (t0.isEmpty || t0.startsWith("#")) return None
+    // quote state per character position
+    val inQ = new Array[Boolean](t0.length)
+    var q = false
+    var esc = false
+    var j = 0
+    while (j < t0.length) {
+      val c = t0.charAt(j)
+      if (esc) esc = false
+      else if (c == '\\') esc = true
+      else if (c == '"') q = !q
+      inQ(j) = q
+      j += 1
+    }
+    var t = t0
+    if (t.endsWith(".") && !inQ(t.length - 1))
+      t = t.dropRight(1).trim
+    var i1 = -1
+    var i2 = -1
+    var k = 0
+    while (k < t.length && i2 < 0) {
+      if (t.charAt(k) == ' ' && !inQ(k)) {
+        if (i1 < 0) i1 = k else i2 = k
+      }
+      k += 1
+    }
+    if (i1 < 0 || i2 < 0) None
+    else Some(Triple(t.substring(0, i1), t.substring(i1 + 1, i2),
       t.substring(i2 + 1)))
   }
 

@@ -1,0 +1,293 @@
+package graft.ttl
+
+import graft.ttl.Turtle.Triple
+import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.collection.mutable
+
+/** Recursive-descent Turtle parser — the S10 graph-load surface for
+  * REAL Turtle (reference U-RDF:285-300 parses turtle/nt/n3), able to
+  * re-read everything the engine's own serializers and the reference's
+  * published outputs emit: `@prefix` directives, IRIs (including the
+  * relative `<>`), prefixed names, `a`, quoted literals with the full
+  * Turtle escape set plus `^^datatype` / `@lang`, bare numeric and
+  * boolean literals, `;` / `,` chains, comments, and arbitrarily
+  * nested blank-node property lists `[ ... ]`.
+  *
+  * Emits CANONICAL terms so graphs from different serializations
+  * compare equal: IRIs expanded to absolute `<...>` form, literal
+  * values unescaped then re-escaped with the engine's own rules
+  * (Turtle.escapeLiteral), datatype IRIs expanded, anonymous blank
+  * nodes renamed `_:b0, _:b1, …` in document order.
+  *
+  * Scale: parsing is per-FILE (Turtle blocks are not line-splittable)
+  * — use it via `readTurtle` (wholetext, one task per file, the right
+  * shape for the reference's file-per-image corpus). For single huge
+  * graph files, serialize to N-Triples and use readNTriples, which
+  * splits freely.
+  */
+object TurtleParser {
+
+  val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+  /** Parse a full Turtle document into triples. Throws
+    * IllegalArgumentException with position info on malformed input. */
+  def parse(content: String): Seq[Triple] = new P(content).document()
+
+  /** Distributed Turtle load: one task per file (wholetext). */
+  def readTurtle(spark: SparkSession, path: String): Dataset[Triple] = {
+    import spark.implicits._
+    spark.read.option("wholetext", true).text(path)
+      .as[String].flatMap(parse _)
+  }
+
+  /** Scala-level twin of Turtle.escapeLiteral (Column version). */
+  def escape(v: String): String = v
+    .replace("\\", "\\\\").replace("\"", "\\\"")
+    .replace("\n", "\\n").replace("\r", "\\r")
+
+  /** Inverse of `escape`, plus the rest of Turtle's ECHAR/UCHAR set
+    * (\t \b \f \' \uXXXX \UXXXXXXXX). */
+  def unescape(v: String): String = {
+    val b = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case '"' => b.append('"'); i += 2
+          case '\'' => b.append('\''); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'u' =>
+            b.appendCodePoint(
+              Integer.parseInt(v.substring(i + 2, i + 6), 16)); i += 6
+          case 'U' =>
+            b.appendCodePoint(
+              Integer.parseInt(v.substring(i + 2, i + 10), 16)); i += 10
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  private final class P(s: String) {
+    private var i = 0
+    private val prefixes = mutable.Map[String, String]()
+    private val out = mutable.ArrayBuffer[Triple]()
+    private var bnCount = 0
+
+    private def fail(msg: String): Nothing = {
+      val ctx = s.substring(math.max(0, i - 30), math.min(s.length, i + 30))
+      throw new IllegalArgumentException(s"$msg at offset $i near «$ctx»")
+    }
+
+    private def ws(): Unit = {
+      var go = true
+      while (go && i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isWhitespace(c)) i += 1
+        else if (c == '#') {
+          while (i < s.length && s.charAt(i) != '\n') i += 1
+        } else go = false
+      }
+    }
+
+    private def peek: Char = if (i < s.length) s.charAt(i) else '\u0000'
+
+    private def expect(c: Char): Unit =
+      if (peek == c) i += 1 else fail(s"expected '$c', got '$peek'")
+
+    def document(): Seq[Triple] = {
+      ws()
+      while (i < s.length) {
+        if (s.regionMatches(true, i, "@prefix", 0, 7)) prefixDirective()
+        else if (s.regionMatches(true, i, "PREFIX", 0, 6) &&
+          i + 6 < s.length && Character.isWhitespace(s.charAt(i + 6))) {
+          i += 6; sparqlPrefix()
+        } else statement()
+        ws()
+      }
+      out.toSeq
+    }
+
+    private def prefixDirective(): Unit = {
+      i += 7
+      sparqlPrefix()
+      ws(); expect('.')
+    }
+
+    private def sparqlPrefix(): Unit = {
+      ws()
+      val ns = new StringBuilder
+      while (peek != ':' && !Character.isWhitespace(peek)) {
+        ns.append(peek); i += 1
+      }
+      ws(); expect(':'); ws()
+      if (peek != '<') fail("expected IRIREF in @prefix")
+      val iri = readIriRaw()
+      prefixes(ns.toString) = iri
+    }
+
+    private def statement(): Unit = {
+      val subj = peek match {
+        case '[' => bnodePropertyList()
+        case '<' => s"<${readIriRaw()}>"
+        case '_' => readBlankLabel()
+        case _ => readPname()
+      }
+      ws()
+      predicateObjectList(subj)
+      ws(); expect('.')
+    }
+
+    /** verb objectList (';' (verb objectList)?)* */
+    private def predicateObjectList(subj: String): Unit = {
+      var done = false
+      while (!done) {
+        ws()
+        val p = readVerb()
+        objectList(subj, p)
+        ws()
+        if (peek == ';') {
+          while (peek == ';') { i += 1; ws() }
+          if (peek == '.' || peek == ']' || i >= s.length) done = true
+        } else done = true
+      }
+    }
+
+    private def objectList(subj: String, p: String): Unit = {
+      var more = true
+      while (more) {
+        ws()
+        val o = readObject()
+        out += Triple(subj, p, o)
+        ws()
+        if (peek == ',') i += 1 else more = false
+      }
+    }
+
+    private def readVerb(): String =
+      if (peek == '<') s"<${readIriRaw()}>"
+      else if (peek == 'a' && i + 1 < s.length &&
+        Character.isWhitespace(s.charAt(i + 1))) { i += 1; RdfType }
+      else readPname()
+
+    private def readObject(): String = peek match {
+      case '<' => s"<${readIriRaw()}>"
+      case '"' => readLiteral()
+      case '[' => bnodePropertyList()
+      case '_' => readBlankLabel()
+      case c if c.isDigit || c == '+' || c == '-' ||
+        (c == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit) =>
+        readBareToken()
+      case _ =>
+        val save = i
+        val t = readBareTokenRaw()
+        if (t == "true" || t == "false") t
+        else { i = save; readPname() }
+    }
+
+    /** `[ predicateObjectList? ]` → fresh `_:bN`, nested triples
+      * appended in document order. */
+    private def bnodePropertyList(): String = {
+      expect('[')
+      val label = s"_:b$bnCount"; bnCount += 1
+      ws()
+      if (peek != ']') predicateObjectList(label)
+      ws(); expect(']')
+      label
+    }
+
+    private def readIriRaw(): String = {
+      expect('<')
+      val b = new StringBuilder
+      while (peek != '>') {
+        if (i >= s.length) fail("unterminated IRI")
+        b.append(peek); i += 1
+      }
+      i += 1
+      b.toString
+    }
+
+    private def readBlankLabel(): String = {
+      val b = new StringBuilder
+      b.append(peek); i += 1 // '_'
+      expect(':'); b.append(':')
+      while (isPnameChar(peek)) { b.append(peek); i += 1 }
+      b.toString
+    }
+
+    private def isPnameChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
+
+    private def readPname(): String = {
+      val ns = new StringBuilder
+      while (isPnameChar(peek) && peek != '.') { ns.append(peek); i += 1 }
+      if (peek != ':')
+        fail(s"expected prefixed name, got '${ns.toString}$peek'")
+      i += 1
+      val local = new StringBuilder
+      while (isPnameChar(peek)) { local.append(peek); i += 1 }
+      // PN_LOCAL must not end with '.' — trailing dots are statement
+      // terminators
+      var l = local.toString
+      while (l.nonEmpty && l.last == '.') { l = l.dropRight(1); i -= 1 }
+      val base = prefixes.getOrElse(ns.toString,
+        fail(s"unknown prefix '${ns.toString}:'"))
+      s"<$base$l>"
+    }
+
+    /** Quoted literal incl. escapes, with optional ^^dt / @lang. */
+    private def readLiteral(): String = {
+      expect('"')
+      val raw = new StringBuilder
+      var closed = false
+      while (!closed) {
+        if (i >= s.length) fail("unterminated literal")
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          raw.append(c).append(s.charAt(i + 1)); i += 2
+        } else if (c == '"') { closed = true; i += 1 }
+        else { raw.append(c); i += 1 }
+      }
+      val canon = "\"" + escape(unescape(raw.toString)) + "\""
+      if (peek == '^' && i + 1 < s.length && s.charAt(i + 1) == '^') {
+        i += 2
+        val dt = if (peek == '<') s"<${readIriRaw()}>" else readPname()
+        canon + "^^" + dt
+      } else if (peek == '@') {
+        i += 1
+        val tag = new StringBuilder
+        while (Character.isLetterOrDigit(peek) || peek == '-') {
+          tag.append(peek); i += 1
+        }
+        canon + "@" + tag.toString
+      } else canon
+    }
+
+    /** Bare numeric/boolean token, ended by whitespace or punctuation;
+      * a trailing '.' is the statement terminator unless followed by a
+      * digit (decimal point). */
+    private def readBareToken(): String = readBareTokenRaw()
+
+    private def readBareTokenRaw(): String = {
+      val b = new StringBuilder
+      var go = true
+      while (go && i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isWhitespace(c) || c == ';' || c == ',' ||
+          c == ']' || c == ')') go = false
+        else if (c == '.' &&
+          (i + 1 >= s.length || !s.charAt(i + 1).isDigit)) go = false
+        else { b.append(c); i += 1 }
+      }
+      if (b.isEmpty) fail("expected token")
+      b.toString
+    }
+  }
+}

@@ -32,6 +32,29 @@ class IvfIndexSpec extends SparkTestBase {
       brute.map(_.toString).sorted))
   }
 
+  test("assignment is an aggregate, not a Window over the n×k frame") {
+    // A Window argmin shuffles and sorts every (vector, centroid)
+    // pair; the max(struct(...)) aggregate combines map-side, so the
+    // exchange carries one row per vector — n rows, not n×k. Guard
+    // against regression in the plan.
+    val centroids = IvfIndex.buildCentroids(emb, k = 4, iters = 1)
+    val plan = IvfIndex.build(emb, centroids)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"assignment plan has a Window:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"no map-side partial aggregation in assignment plan:\n$plan")
+  }
+
+  test("Lloyd iterations do not re-execute prior rounds (lineage cut)") {
+    // Centroids are localized between rounds, so the frame a round
+    // returns must be a LocalRelation-backed plan with no scan of the
+    // corpus in its lineage.
+    val centroids = IvfIndex.buildCentroids(emb, k = 4, iters = 3)
+    val plan = centroids.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"centroid plan still chains to the corpus scan:\n$plan")
+  }
+
   test("nProbe=2 search hits decent recall vs brute force") {
     val centroids = IvfIndex.buildCentroids(emb, k = 8, iters = 2)
     val index = IvfIndex.build(emb, centroids)

@@ -51,4 +51,43 @@ class MultimodalSpec extends SparkTestBase {
     val first = ds.filter(_.media_id == 0L).collect().head
     assert(first.media_type == "text/plain" && first.content.nonEmpty)
   }
+
+  test("PNG encode→decode round trip is pixel-exact (real ImageIO)") {
+    val payload = "hello multimodal world!".getBytes("UTF-8")
+    val png = Multimodal.encodeGrayPng(payload, width = 8)
+    // it is a real PNG (magic bytes), not the payload echoed back
+    assert(png.take(8).toSeq ==
+      Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 8 && img.getHeight == 3) // ceil(23/8)
+    val pixels = for (y <- 0 until 3; x <- 0 until 8)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(pixels.take(23) == payload.map(_ & 0xff).toSeq)
+    assert(pixels.drop(23).forall(_ == 0)) // zero padding
+  }
+
+  test("decodeImageFeatures runs real decode over a Dataset") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 0)
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.imagesFromDocuments(docs, width = 16))
+      .collect().map(f => f.media_id -> f).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.keySet == texts.keySet)
+    for ((id, t) <- texts.take(20)) {
+      val bytes = t.getBytes("UTF-8").map(_ & 0xff)
+      assert(feats(id).width == 16)
+      assert(feats(id).height == (bytes.length + 15) / 16)
+      assert(feats(id).px_sum == bytes.map(_.toLong).sum)
+      assert(feats(id).px_max == bytes.max)
+    }
+    // non-image media is rejected, not silently stub-decoded
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageFeatures(
+        Multimodal.mediaFromDocuments(docs)).collect()
+    }
+  }
 }

@@ -39,4 +39,33 @@ class ProgressMetricsSpec extends SparkTestBase {
       spark.streams.removeListener(metrics)
     }
   }
+
+  test("terminated queries stop contributing to the aggregate rate") {
+    implicit val sql = spark.sqlContext
+    val metrics = ProgressMetrics.attach(spark)
+    val in = MemoryStream[Event]
+    val q = in.toDF().writeStream.format("memory")
+      .queryName("pm_evict_sink").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Event(1, Timestamp.valueOf("2026-01-01 10:00:00"), 1,
+        "a", 1.0, "{}"))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (metrics.rowsFor(q.id) < 1 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.stop()
+      q.awaitTermination()
+      // termination events are async too
+      val d2 = System.nanoTime() + 10e9.toLong
+      while (metrics.rateFor(q.id) != 0.0 && System.nanoTime() < d2)
+        Thread.sleep(50)
+      assert(metrics.rateFor(q.id) == 0.0,
+        s"stale rate ${metrics.rateFor(q.id)} after termination")
+      assert(metrics.rowsPerSecond == 0.0)
+      // cumulative counters survive eviction
+      assert(metrics.rowsFor(q.id) == 1)
+    } finally {
+      spark.streams.removeListener(metrics)
+    }
+  }
 }

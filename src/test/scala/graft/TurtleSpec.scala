@@ -68,4 +68,29 @@ class TurtleSpec extends SparkTestBase {
       Some(Triple("<urn:a>", "hal:b", "\"2\"")))
     assert(Turtle.parseLine("garbage") == None)
   }
+
+  test("parseLine re-reads escapeLiteral's own output (quoted spaces, dots, quotes)") {
+    import graft.ttl.TurtleParser
+    val nasty = Seq(
+      "plain words with spaces",
+      """quoted "inner" words""",
+      "trailing dot.",
+      "semi ; colon",
+      "back\\slash and \"quote\"",
+      "newline\nand\rreturn",
+      "ends with space ")
+    for (v <- nasty) {
+      // escape exactly as the engine serializes literals
+      val line = Seq(v).toDF("s")
+        .select(concat(lit("<urn:s> <urn:p> "), Turtle.strLit(col("s")),
+          lit(" ."))).collect().head.getString(0)
+      val t = Turtle.parseLine(line)
+        .getOrElse(fail(s"parseLine failed on: $line"))
+      assert(t.s == "<urn:s>" && t.p == "<urn:p>")
+      // the object term must be the full quoted literal…
+      assert(t.o.startsWith("\"") && t.o.endsWith("\""), t.o)
+      // …and unescape to the original value
+      assert(TurtleParser.unescape(t.o.substring(1, t.o.length - 1)) == v)
+    }
+  }
 }
