@@ -65,9 +65,13 @@ object Enrich {
   /** `enrich` with per-task connection setup (see lookupTableWith). */
   def enrichWith(df: DataFrame, keyCol: String, resultCol: String)
     (init: () => String => Option[String]): DataFrame = {
+    // join through a name no user frame can carry, so the drop below
+    // can never swallow a fact column (drop(name) removes EVERY
+    // attribute with that name, including df's own)
+    val k = "__graft_enrich_key"
     val lut = lookupTableWith(df, keyCol)(init)
-      .select(col("key"), col("value").as(resultCol))
-    df.join(lut, df(keyCol).cast("string") === lut("key"), "left")
-      .drop("key")
+      .select(col("key").as(k), col("value").as(resultCol))
+    df.join(lut, df(keyCol).cast("string") === lut(k), "left")
+      .drop(k)
   }
 }

@@ -31,11 +31,31 @@ object Skew {
   private def salt(cols: Seq[Column], saltBuckets: Int): Column =
     pmod(hash(cols: _*), lit(saltBuckets))
 
+  /** Spark's hash() rejects MapType (map iteration order is
+    * undefined), so the all-columns default must skip any column
+    * whose type contains a map at any nesting depth. */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => false
+      case ArrayType(et, _) => hashable(et)
+      case StructType(fields) => fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+  }
+
+  private def defaultSaltCols(df: DataFrame, keyCol: String): Seq[String] = {
+    val ok = df.schema.fields
+      .filter(f => hashable(f.dataType)).map(_.name).toSeq
+    if (ok.nonEmpty) ok else Seq(keyCol)
+  }
+
   /** Salted count+sum per key. `valueCol` must be numeric. `saltCols`
     * picks the content the salt hashes (default: all columns). */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
     saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
-    val src = if (saltCols.nonEmpty) saltCols else df.columns.toSeq
+    val src = if (saltCols.nonEmpty) saltCols
+      else defaultSaltCols(df, keyCol)
     val salted = df.withColumn("_salt", salt(src.map(col), saltBuckets))
     salted
       .groupBy(col(keyCol), col("_salt"))
@@ -51,7 +71,8 @@ object Skew {
     * reducer. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
     saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
-    val src = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
+    val src = if (saltCols.nonEmpty) saltCols
+      else defaultSaltCols(big, key)
     val bigSalted = big.withColumn("_salt", salt(src.map(col), saltBuckets))
     val smallExploded = small
       .withColumn("_salt", explode(expr(

@@ -31,40 +31,50 @@ object TtlFileSink {
   def write(docs: DataFrame, outDir: String,
     skipExisting: Boolean = false): Unit = {
     val out = outDir // serialize the string, not the config object
-    // Hadoop Configuration is not serializable — ship its effective
-    // entries (includes spark.hadoop.* overrides) and rebuild per task.
-    val confEntries: Array[(String, String)] = {
+    // Hadoop Configuration is not serializable — broadcast its
+    // effective entries (includes spark.hadoop.* overrides) ONCE per
+    // executor instead of shipping hundreds of entries in every task
+    // closure, and rebuild per task.
+    val confEntries = {
       val c = docs.sparkSession.sessionState.newHadoopConf()
       val it = c.iterator()
       val b = Array.newBuilder[(String, String)]
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-      b.result()
+      docs.sparkSession.sparkContext.broadcast(b.result())
     }
     docs.select("rel_path", "ttl").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
           val conf = new Configuration(false)
-          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          confEntries.value.foreach { case (k, v) => conf.set(k, v) }
           val outPath = new HPath(out)
           val fs = outPath.getFileSystem(conf)
+          // FileContext gives the ATOMIC overwrite rename FileSystem
+          // lacks — no delete-then-rename window where a previously
+          // complete output file is missing.
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri, conf)
+          // Build child paths from (scheme, authority, path-string) so
+          // rel_path is never URI-PARSED: an exec id like "run:2020-01"
+          // or a '#' in a path segment must not become a scheme or
+          // fragment.
+          val q = fs.makeQualified(outPath).toUri
+          def child(rel: String): HPath =
+            new HPath(q.getScheme, q.getAuthority,
+              q.getPath.stripSuffix("/") + "/" + rel)
           rows.foreach { r =>
             val rel = r.getString(0)
             val content = r.getString(1)
-            val target = new HPath(outPath, rel)
+            val target = child(rel)
             if (!(skipExisting && fs.exists(target))) {
               fs.mkdirs(target.getParent)
               val tmp = new HPath(target.getParent, target.getName +
                 ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
               writeFile(fs, tmp, content, rel.endsWith(".gz"))
-              // Hadoop rename refuses an existing destination — clear
-              // it first (rel_path is unique per run, so no two tasks
-              // race on the same target).
-              if (fs.exists(target)) fs.delete(target, false)
-              if (!fs.rename(tmp, target)) {
-                fs.delete(tmp, false)
-                throw new java.io.IOException(
-                  s"rename $tmp -> $target failed")
-              }
+              // atomic replace: concurrent/speculative attempts of the
+              // same rel_path write identical content, last one wins
+              fc.rename(tmp, target,
+                org.apache.hadoop.fs.Options.Rename.OVERWRITE)
             }
           }
         }

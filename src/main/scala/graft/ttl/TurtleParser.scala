@@ -16,8 +16,10 @@ import scala.collection.mutable
   * Emits CANONICAL terms so graphs from different serializations
   * compare equal: IRIs expanded to absolute `<...>` form, literal
   * values unescaped then re-escaped with the engine's own rules
-  * (Turtle.escapeLiteral), datatype IRIs expanded, anonymous blank
-  * nodes renamed `_:b0, _:b1, …` in document order.
+  * (Turtle.escapeLiteral), datatype IRIs expanded, and ALL blank
+  * nodes — anonymous `[ ]` and explicit `_:label` alike — renamed
+  * `_:b0, _:b1, …` in first-use order through one shared counter, so
+  * a generated label can never collide with a parsed one.
   *
   * Scale: parsing is per-FILE (Turtle blocks are not line-splittable)
   * — use it via `readTurtle` (wholetext, one task per file, the right
@@ -63,11 +65,9 @@ object TurtleParser {
           case '\'' => b.append('\''); i += 2
           case '\\' => b.append('\\'); i += 2
           case 'u' =>
-            b.appendCodePoint(
-              Integer.parseInt(v.substring(i + 2, i + 6), 16)); i += 6
+            b.appendCodePoint(hexEscape(v, i + 2, 4)); i += 6
           case 'U' =>
-            b.appendCodePoint(
-              Integer.parseInt(v.substring(i + 2, i + 10), 16)); i += 10
+            b.appendCodePoint(hexEscape(v, i + 2, 8)); i += 10
           case other => b.append(other); i += 2
         }
       } else { b.append(c); i += 1 }
@@ -75,11 +75,28 @@ object TurtleParser {
     b.toString
   }
 
+  private def hexEscape(v: String, from: Int, len: Int): Int = {
+    if (from + len > v.length)
+      throw new IllegalArgumentException(
+        s"truncated \\u escape at offset $from in literal «$v»")
+    try Integer.parseInt(v.substring(from, from + len), 16)
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"malformed \\u escape at offset $from in literal «$v»")
+    }
+  }
+
   private final class P(s: String) {
     private var i = 0
     private val prefixes = mutable.Map[String, String]()
     private val out = mutable.ArrayBuffer[Triple]()
     private var bnCount = 0
+    private val bnMap = mutable.Map[String, String]()
+
+    private def freshBn(): String = {
+      val l = s"_:b$bnCount"; bnCount += 1; l
+    }
 
     private def fail(msg: String): Nothing = {
       val ctx = s.substring(math.max(0, i - 30), math.min(s.length, i + 30))
@@ -124,9 +141,11 @@ object TurtleParser {
     private def sparqlPrefix(): Unit = {
       ws()
       val ns = new StringBuilder
-      while (peek != ':' && !Character.isWhitespace(peek)) {
+      while (i < s.length && peek != ':' &&
+        !Character.isWhitespace(peek)) {
         ns.append(peek); i += 1
       }
+      if (i >= s.length) fail("unterminated @prefix directive")
       ws(); expect(':'); ws()
       if (peek != '<') fail("expected IRIREF in @prefix")
       val iri = readIriRaw()
@@ -134,6 +153,7 @@ object TurtleParser {
     }
 
     private def statement(): Unit = {
+      val wasBnode = peek == '['
       val subj = peek match {
         case '[' => bnodePropertyList()
         case '<' => s"<${readIriRaw()}>"
@@ -141,7 +161,9 @@ object TurtleParser {
         case _ => readPname()
       }
       ws()
-      predicateObjectList(subj)
+      // `[ ... ] .` is a complete statement (predicateObjectList is
+      // optional after a blank-node property list in the grammar)
+      if (!(wasBnode && peek == '.')) predicateObjectList(subj)
       ws(); expect('.')
     }
 
@@ -196,7 +218,7 @@ object TurtleParser {
       * appended in document order. */
     private def bnodePropertyList(): String = {
       expect('[')
-      val label = s"_:b$bnCount"; bnCount += 1
+      val label = freshBn()
       ws()
       if (peek != ']') predicateObjectList(label)
       ws(); expect(']')
@@ -219,7 +241,13 @@ object TurtleParser {
       b.append(peek); i += 1 // '_'
       expect(':'); b.append(':')
       while (isPnameChar(peek)) { b.append(peek); i += 1 }
-      b.toString
+      // like PN_LOCAL, a label never ends with '.' — that is the
+      // statement terminator abutting the label
+      var l = b.toString
+      while (l.endsWith(".")) { l = l.dropRight(1); i -= 1 }
+      // canonicalize through the shared counter so explicit labels
+      // and generated `[ ]` labels can never collide
+      bnMap.getOrElseUpdate(l, freshBn())
     }
 
     private def isPnameChar(c: Char): Boolean =

@@ -63,6 +63,15 @@ class EnrichSpec extends SparkTestBase {
     assert(out.toSet == Set((-1L, None), (1L, Some("n1")), (2L, Some("n2"))))
   }
 
+  test("a fact column literally named 'key' survives enrichment") {
+    val facts = Seq(("k1", "keep-me"), ("k2", "me-too"))
+      .toDF("id", "key")
+    val out = Enrich.enrich(facts, "id", "v")(k => Some(k.toUpperCase))
+      .orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("keep-me", "me-too"))
+    assert(out.map(_.getString(2)).toSeq == Seq("K1", "K2"))
+  }
+
   test("per-task init runs setup once per partition (connection reuse)") {
     EnrichSpecService.reset()
     val inits = new AtomicInteger(0)

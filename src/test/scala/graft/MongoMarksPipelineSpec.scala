@@ -98,4 +98,20 @@ class MongoMarksPipelineSpec extends SparkTestBase {
       .filter(_.contains(".tmp-"))
     assert(strays.isEmpty, strays.mkString(","))
   }
+
+  test("TtlFileSink never URI-parses rel_path (':' and '#' in segments)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ttlsink_colon").toString
+    // exec ids are arbitrary store strings — "run:2020" must not be
+    // read as a URI scheme, nor '#' as a fragment
+    val df = Seq(
+      ("run:2020-01/img#7/batch_000001.ttl", "content-a"),
+      ("plain/batch_000002.ttl", "content-b"))
+      .toDF("rel_path", "ttl")
+    TtlFileSink.write(df, tmp)
+    assert(Files.readString(
+      Paths.get(tmp, "run:2020-01/img#7/batch_000001.ttl")) == "content-a")
+    assert(Files.readString(
+      Paths.get(tmp, "plain/batch_000002.ttl")) == "content-b")
+  }
 }

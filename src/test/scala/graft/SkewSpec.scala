@@ -49,4 +49,17 @@ class SkewSpec extends SparkTestBase {
     val b = agg.collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("map-typed columns are skipped by the default salt (hash() rejects maps)") {
+    import org.apache.spark.sql.functions.{map, lit}
+    val df = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("meta", map(lit("k"), lit("v")))
+    val direct = df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = Skew.saltedCountSum(df, "l_returnflag", "l_quantity", 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == direct)
+  }
 }

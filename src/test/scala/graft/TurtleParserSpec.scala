@@ -117,5 +117,40 @@ class TurtleParserSpec extends SparkTestBase {
       TurtleParser.parse("ex:s ex:p \"unclosed .")
     }
     assert(e.getMessage.contains("offset"))
+    // truncated @prefix must throw, not loop forever
+    intercept[IllegalArgumentException] {
+      TurtleParser.parse("@prefix ex")
+    }
+    // truncated/malformed \u escapes throw the documented exception
+    intercept[IllegalArgumentException] { TurtleParser.unescape("a\\u12") }
+    intercept[IllegalArgumentException] { TurtleParser.unescape("\\uZZZZ") }
+  }
+
+  test("explicit _:bN labels never collide with generated [ ] labels") {
+    val doc =
+      """@prefix ex: <http://example.org/> .
+        |_:b0 ex:p "explicit" .
+        |ex:s ex:q [ ex:r "anon" ] .
+        |_:b0 ex:p2 "same node" .
+        |""".stripMargin
+    val ts = TurtleParser.parse(doc)
+    val explicitNode = ts.find(_.o == "\"explicit\"").get.s
+    val anonNode = ts.find(_.o == "\"anon\"").get.s
+    assert(explicitNode != anonNode,
+      s"distinct blank nodes merged into $anonNode")
+    // and the explicit label stays one node across statements
+    assert(ts.find(_.o == "\"same node\"").get.s == explicitNode)
+  }
+
+  test("grammar edges: label abutting '.', standalone [ ] statement") {
+    val ts = TurtleParser.parse(
+      """@prefix ex: <http://example.org/> .
+        |ex:s ex:p _:b1.
+        |_:b1 ex:q "v" .
+        |[ ex:a "standalone" ] .
+        |""".stripMargin)
+    val label = ts.find(t => t.p == "<http://example.org/p>").get.o
+    assert(ts.exists(t => t.s == label && t.o == "\"v\""))
+    assert(ts.exists(_.o == "\"standalone\""))
   }
 }
