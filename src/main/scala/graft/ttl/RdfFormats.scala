@@ -1,0 +1,365 @@
+package graft.ttl
+
+import graft.ttl.Turtle.Triple
+import org.apache.spark.sql.{Dataset, SparkSession}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** S10 format coverage beyond Turtle/N-Triples: RDF/XML and JSON-LD
+  * readers + writers, and the `Rdf` load/serialize dispatcher
+  * mirroring the reference's format switch (mongo-etl/utils/
+  * rdf_utils.py:259-299 — rdflib `parse/serialize(format=turtle|xml|
+  * n3|nt|json-ld)`).
+  *
+  * Both readers emit the SAME canonical terms as TurtleParser (IRIs
+  * as absolute `<...>`, literals escaped with the engine's rules,
+  * blank nodes `_:bN` in first-use order), so a graph loaded from any
+  * format compares equal triple-for-triple. JDK-only dependencies:
+  * DOM for XML, Jackson (already on Spark's classpath) for JSON-LD.
+  */
+object RdfXml {
+  val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+  def parse(content: String): Seq[Triple] = {
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(true)
+    // no external entity resolution — parsing is offline by design
+    dbf.setFeature(
+      "http://apache.org/xml/features/nonvalidating/load-external-dtd",
+      false)
+    val doc = dbf.newDocumentBuilder().parse(
+      new org.xml.sax.InputSource(new java.io.StringReader(content)))
+    val st = new XmlState
+    val root = doc.getDocumentElement
+    if (root.getNamespaceURI == RdfNs && root.getLocalName == "RDF")
+      childElements(root).foreach(e => st.nodeElement(e))
+    else st.nodeElement(root) // a single node element as document root
+    st.out.toSeq
+  }
+
+  private def childElements(n: org.w3c.dom.Node)
+    : Seq[org.w3c.dom.Element] = {
+    val kids = n.getChildNodes
+    (0 until kids.getLength).map(kids.item)
+      .collect { case e: org.w3c.dom.Element => e }
+  }
+
+  private final class XmlState {
+    val out = mutable.ArrayBuffer[Triple]()
+    private var bnCount = 0
+    private val bnMap = mutable.Map[String, String]()
+    private def freshBn(): String = { val l = s"_:b$bnCount"; bnCount += 1; l }
+    private def nodeId(id: String): String =
+      bnMap.getOrElseUpdate(id, freshBn())
+
+    private def rdfAttr(e: org.w3c.dom.Element, local: String)
+      : Option[String] =
+      Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
+
+    private def qnameIri(e: org.w3c.dom.Element): String =
+      s"<${e.getNamespaceURI}${e.getLocalName}>"
+
+    /** Node element → subject term; emits its triples. */
+    def nodeElement(e: org.w3c.dom.Element): String = {
+      val subj = rdfAttr(e, "about").map(a => s"<$a>")
+        .orElse(rdfAttr(e, "ID").map(id => s"<#$id>"))
+        .orElse(rdfAttr(e, "nodeID").map(nodeId))
+        .getOrElse(freshBn())
+      if (!(e.getNamespaceURI == RdfNs && e.getLocalName == "Description"))
+        out += Triple(subj, TurtleParser.RdfType, qnameIri(e))
+      // non-rdf attributes are literal property shorthands
+      val attrs = e.getAttributes
+      (0 until attrs.getLength).map(attrs.item).foreach {
+        case a: org.w3c.dom.Attr
+          if a.getNamespaceURI != null && a.getNamespaceURI != RdfNs &&
+            a.getNamespaceURI != "http://www.w3.org/2000/xmlns/" &&
+            a.getNamespaceURI != "http://www.w3.org/XML/1998/namespace" =>
+          out += Triple(subj, s"<${a.getNamespaceURI}${a.getLocalName}>",
+            "\"" + TurtleParser.escape(a.getValue) + "\"")
+        case _ =>
+      }
+      childElements(e).foreach(p => propertyElement(subj, p))
+      subj
+    }
+
+    private def propertyElement(subj: String,
+      p: org.w3c.dom.Element): Unit = {
+      val pred = qnameIri(p)
+      val kids = childElements(p)
+      val obj =
+        rdfAttr(p, "resource").map(r => s"<$r>")
+          .orElse(rdfAttr(p, "nodeID").map(nodeId))
+          .getOrElse {
+            if (kids.nonEmpty) nodeElement(kids.head)
+            else {
+              val text = TurtleParser.escape(p.getTextContent)
+              val dt = rdfAttr(p, "datatype")
+              val lang = Option(p.getAttributeNS(
+                "http://www.w3.org/XML/1998/namespace", "lang"))
+                .filter(_.nonEmpty)
+              dt.map(d => "\"" + text + "\"^^<" + d + ">")
+                .orElse(lang.map(l => "\"" + text + "\"@" + l))
+                .getOrElse("\"" + text + "\"")
+            }
+          }
+      out += Triple(subj, pred, obj)
+    }
+  }
+
+  /** Deterministic RDF/XML writer: one rdf:Description per subject,
+    * subjects and predicates sorted (same canonical ordering rule as
+    * Turtle.serialize). Terms must be in canonical form. */
+  def write(triples: Seq[Triple]): String = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append(s"""<rdf:RDF xmlns:rdf="$RdfNs">\n""")
+    def xmlEsc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    for ((s, ts) <- triples.groupBy(_.s).toSeq.sortBy(_._1)) {
+      val about =
+        if (s.startsWith("_:")) s"""rdf:nodeID="${s.drop(2)}""""
+        else s"""rdf:about="${xmlEsc(s.stripPrefix("<").stripSuffix(">"))}""""
+      sb.append(s"  <rdf:Description $about>\n")
+      for (t <- ts.sortBy(tt => (tt.p, tt.o))) {
+        val iri = t.p.stripPrefix("<").stripSuffix(">")
+        // split namespace/local at the last '#' or '/'
+        val cut = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/')) + 1
+        val (ns, local) = (iri.substring(0, cut), iri.substring(cut))
+        val tag = s"""n:$local xmlns:n="${xmlEsc(ns)}""""
+        t.o match {
+          case o if o.startsWith("<") =>
+            sb.append(s"""    <$tag rdf:resource="${
+              xmlEsc(o.stripPrefix("<").stripSuffix(">"))}"/>\n""")
+          case o if o.startsWith("_:") =>
+            sb.append(s"""    <$tag rdf:nodeID="${o.drop(2)}"/>\n""")
+          case o if o.startsWith("\"") =>
+            val vEnd = o.lastIndexOf('"')
+            val v = xmlEsc(TurtleParser.unescape(o.substring(1, vEnd)))
+            val suffix = o.substring(vEnd + 1)
+            if (suffix.startsWith("^^"))
+              sb.append(s"""    <$tag rdf:datatype="${xmlEsc(suffix
+                .drop(2).stripPrefix("<").stripSuffix(">"))}">$v</n:$local>\n""")
+            else if (suffix.startsWith("@"))
+              sb.append(s"""    <$tag xml:lang="${suffix.drop(1)}">$v</n:$local>\n""")
+            else sb.append(s"    <$tag>$v</n:$local>\n")
+          case o => // bare numeric/boolean token
+            sb.append(s"    <$tag>${xmlEsc(o)}</n:$local>\n")
+        }
+      }
+      sb.append("  </rdf:Description>\n")
+    }
+    sb.append("</rdf:RDF>\n")
+    sb.toString
+  }
+}
+
+/** JSON-LD reader/writer for the expanded-style idioms the reference
+  * ecosystem emits: node objects with `@id`/`@type`, `@graph` arrays,
+  * a simple `@context` of term → absolute-IRI strings, `@value` /
+  * `@type` / `@language` literal objects, `@id` reference objects,
+  * nested node objects (blank nodes), and plain string/number/boolean
+  * values. Full JSON-LD context processing (remote contexts, reverse
+  * terms, containers) is out of scope — unsupported keys throw rather
+  * than silently mis-read. */
+object JsonLd {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+  private val XsdInteger = "<http://www.w3.org/2001/XMLSchema#integer>"
+
+  def parse(content: String): Seq[Triple] = {
+    val root = new ObjectMapper().readTree(content)
+    val st = new LdState
+    root match {
+      case a: ArrayNode => a.elements().asScala.foreach(n =>
+        st.nodeObject(n.asInstanceOf[ObjectNode], Map.empty))
+      case o: ObjectNode =>
+        val ctx = st.context(o)
+        Option(o.get("@graph")) match {
+          case Some(g: ArrayNode) => g.elements().asScala.foreach(n =>
+            st.nodeObject(n.asInstanceOf[ObjectNode], ctx))
+          case _ => st.nodeObject(o, ctx)
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"JSON-LD root must be object or array, got $other")
+    }
+    st.out.toSeq
+  }
+
+  private final class LdState {
+    val out = mutable.ArrayBuffer[Triple]()
+    private var bnCount = 0
+    private val bnMap = mutable.Map[String, String]()
+    private def freshBn(): String = { val l = s"_:b$bnCount"; bnCount += 1; l }
+
+    def context(o: ObjectNode): Map[String, String] =
+      Option(o.get("@context")).map {
+        case c: ObjectNode => c.properties().asScala.map { e =>
+          if (!e.getValue.isTextual)
+            throw new IllegalArgumentException(
+              s"unsupported @context entry for '${e.getKey}' (only " +
+                "term -> IRI-string mappings are supported)")
+          e.getKey -> e.getValue.asText
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"unsupported @context form: $other")
+      }.getOrElse(Map.empty)
+
+    private def expand(term: String, ctx: Map[String, String]): String =
+      ctx.get(term) match {
+        case Some(iri) => s"<$iri>"
+        case None =>
+          val colon = term.indexOf(':')
+          if (colon > 0 && ctx.contains(term.take(colon)))
+            s"<${ctx(term.take(colon))}${term.drop(colon + 1)}>"
+          else if (term.contains("://") || term.startsWith("urn:"))
+            s"<$term>"
+          else throw new IllegalArgumentException(
+            s"term '$term' not in @context and not an absolute IRI")
+      }
+
+    private def subjectTerm(id: String): String =
+      if (id.startsWith("_:"))
+        bnMap.getOrElseUpdate(id, freshBn())
+      else s"<$id>"
+
+    def nodeObject(o: ObjectNode, parentCtx: Map[String, String])
+      : String = {
+      val ctx = parentCtx ++ context(o)
+      val subj = Option(o.get("@id")).map(n => subjectTerm(n.asText))
+        .getOrElse(freshBn())
+      o.properties().asScala.foreach { e =>
+        (e.getKey, e.getValue) match {
+          case ("@context" | "@id", _) => ()
+          case ("@type", v) =>
+            values(v).foreach(t => out += Triple(subj,
+              TurtleParser.RdfType, expand(t.asText, ctx)))
+          case (k, _) if k.startsWith("@") =>
+            throw new IllegalArgumentException(s"unsupported keyword $k")
+          case (k, v) =>
+            val pred = expand(k, ctx)
+            values(v).foreach(n => out += Triple(subj, pred,
+              objectTerm(n, ctx)))
+        }
+      }
+      subj
+    }
+
+    private def values(n: JsonNode): Seq[JsonNode] = n match {
+      case a: ArrayNode => a.elements().asScala.toSeq
+      case other => Seq(other)
+    }
+
+    private def objectTerm(n: JsonNode, ctx: Map[String, String])
+      : String = n match {
+      case o: ObjectNode if o.has("@value") =>
+        val v = o.get("@value")
+        val lit =
+          if (v.isTextual) "\"" + TurtleParser.escape(v.asText) + "\""
+          else v.asText // bare numeric/boolean, canonical form
+        Option(o.get("@type")).map(t =>
+          lit + "^^" + expand(t.asText, ctx))
+          .orElse(Option(o.get("@language")).map(l => lit + "@" + l.asText))
+          .getOrElse(lit)
+      case o: ObjectNode if o.has("@id") && o.size() <= 2 =>
+        subjectTerm(o.get("@id").asText)
+      case o: ObjectNode => nodeObject(o, ctx) // nested node → bnode
+      case v if v.isTextual =>
+        "\"" + TurtleParser.escape(v.asText) + "\""
+      case v => v.asText // number / boolean as bare canonical token
+    }
+  }
+
+  /** Deterministic expanded-form writer (sorted subjects/predicates). */
+  def write(triples: Seq[Triple]): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val arr = mapper.createArrayNode()
+    def idOf(term: String): String =
+      if (term.startsWith("_:")) term else term.stripPrefix("<").stripSuffix(">")
+    for ((s, ts) <- triples.groupBy(_.s).toSeq.sortBy(_._1)) {
+      val node = mapper.createObjectNode()
+      node.put("@id", idOf(s))
+      for ((p, pts) <- ts.groupBy(_.p).toSeq.sortBy(_._1)) {
+        val vals = mapper.createArrayNode()
+        for (t <- pts.sortBy(_.o)) {
+          t.o match {
+            case o if o.startsWith("<") || o.startsWith("_:") =>
+              vals.add(mapper.createObjectNode().put("@id", idOf(o)))
+            case o if o.startsWith("\"") =>
+              val vEnd = o.lastIndexOf('"')
+              val v = TurtleParser.unescape(o.substring(1, vEnd))
+              val obj = mapper.createObjectNode().put("@value", v)
+              val suffix = o.substring(vEnd + 1)
+              if (suffix.startsWith("^^"))
+                obj.put("@type",
+                  suffix.drop(2).stripPrefix("<").stripSuffix(">"))
+              else if (suffix.startsWith("@"))
+                obj.put("@language", suffix.drop(1))
+              vals.add(obj)
+            case o => // bare token: keep canonical integer/decimal/bool
+              val obj = mapper.createObjectNode()
+              if (o == "true" || o == "false")
+                obj.put("@value", o.toBoolean)
+              else if (o.matches("[+-]?[0-9]+")) {
+                obj.put("@value", o.toLong)
+                obj.put("@type", XsdInteger.stripPrefix("<").stripSuffix(">"))
+              } else obj.put("@value", o.toDouble)
+              vals.add(obj)
+          }
+        }
+        if (p == TurtleParser.RdfType) {
+          val types = mapper.createArrayNode()
+          pts.sortBy(_.o).foreach(t => types.add(idOf(t.o)))
+          node.set[JsonNode]("@type", types)
+        } else node.set[JsonNode](idOf(p), vals)
+      }
+      arr.add(node)
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(arr)
+  }
+}
+
+/** `load_graph` / `serialize_graph` analog (rdf_utils.py:259-299):
+  * one entry point, format-dispatched. N3 documents that stay within
+  * Turtle's grammar (the overwhelmingly common case, and everything
+  * rdflib's turtle serializer emits) load via the Turtle parser. */
+object Rdf {
+  def load(spark: SparkSession, path: String, format: String = "turtle")
+    : Dataset[Triple] = {
+    import spark.implicits._
+    format.toLowerCase match {
+      case "turtle" | "ttl" | "n3" => TurtleParser.readTurtle(spark, path)
+      case "nt" | "ntriples" | "n-triples" =>
+        Turtle.readNTriples(spark, path)
+      case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" =>
+        spark.read.option("wholetext", true).text(path)
+          .as[String].flatMap(RdfXml.parse _)
+      case "json-ld" | "jsonld" =>
+        spark.read.option("wholetext", true).text(path)
+          .as[String].flatMap(JsonLd.parse _)
+      case other => throw new IllegalArgumentException(
+        s"unsupported RDF format '$other' " +
+          "(turtle|ttl|n3|nt|xml|json-ld)")
+    }
+  }
+
+  /** Whole-graph serialization to a single string (driver-side, for
+    * per-document graphs — the reference's usage shape; distributed
+    * sinks go through Turtle.serialize / serializeNTriples). */
+  def serialize(triples: Seq[Triple], format: String = "turtle"): String =
+    format.toLowerCase match {
+      case "turtle" | "ttl" | "n3" =>
+        triples.groupBy(_.s).toSeq.sortBy(_._1).map { case (s, ts) =>
+          s + "\n    " + ts.map(t => s"${t.p} ${t.o}").sorted
+            .mkString(" ;\n    ") + " .\n"
+        }.mkString
+      case "nt" | "ntriples" | "n-triples" =>
+        triples.map(t => s"${t.s} ${t.p} ${t.o} .").mkString("\n") + "\n"
+      case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" => RdfXml.write(triples)
+      case "json-ld" | "jsonld" => JsonLd.write(triples)
+      case other => throw new IllegalArgumentException(
+        s"unsupported RDF format '$other'")
+    }
+}
