@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.DataFrame
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
-import java.io.BufferedOutputStream
+import java.io.{BufferedOutputStream, OutputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPOutputStream
 
@@ -17,12 +17,18 @@ import java.util.zip.GZIPOutputStream
   * Executed with foreachPartition: each task writes its partition's
   * documents — at scale this is embarrassingly parallel (one file per
   * document, no two tasks share a path because rel_path is unique).
-  * All I/O goes through the Hadoop `FileSystem` API resolved from
-  * `outDir`'s scheme, so the SAME code targets local disk (`file:/`
-  * or bare paths), HDFS, or S3A — a `java.nio` sink would scatter a
-  * multi-node job's output across executor-local disks and break
-  * skip-if-exists. Writes go to a temp file + rename, so a killed
-  * job never leaves a torn file and re-runs are idempotent.
+  * The filesystem is resolved from `outDir`'s scheme, so the SAME
+  * call targets HDFS or S3A on a cluster — not only executor-local
+  * disks. Two write strategies behind one API:
+  *  - remote schemes (hdfs, s3a, …) go through Hadoop
+  *    `FileSystem`/`FileContext` with an ATOMIC overwrite rename;
+  *  - `file:`/bare paths use `java.nio` directly with
+  *    `ATOMIC_MOVE` — same temp+rename discipline, but avoiding
+  *    Hadoop's local-FS permission shell-outs (RawLocalFileSystem
+  *    exec's `chmod` per file when libhadoop is absent — a fork per
+  *    document would dominate a many-small-files sink).
+  * Either way a killed job never leaves a torn file and re-runs are
+  * idempotent.
   */
 object TtlFileSink {
 
@@ -30,6 +36,46 @@ object TtlFileSink {
     * use `skipExisting = true` for resume semantics (K5/T3). */
   def write(docs: DataFrame, outDir: String,
     skipExisting: Boolean = false): Unit = {
+    val scheme = new HPath(outDir).toUri.getScheme
+    if (scheme == null || scheme == "file")
+      writeLocal(docs, outDir, skipExisting)
+    else writeHadoop(docs, outDir, skipExisting)
+  }
+
+  /** Local fast path: plain java.nio, atomic move, no subprocesses. */
+  private def writeLocal(docs: DataFrame, outDir: String,
+    skipExisting: Boolean): Unit = {
+    import java.nio.file.{Files, Paths}
+    // strip a file: scheme if present; Paths.get wants a plain path
+    val out = new HPath(outDir).toUri.getPath match {
+      case null | "" => outDir
+      case p => p
+    }
+    docs.select("rel_path", "ttl").foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          val rel = r.getString(0)
+          val content = r.getString(1)
+          val target = Paths.get(out, rel)
+          if (!(skipExisting && Files.exists(target))) {
+            Files.createDirectories(target.getParent)
+            val tmp = target.resolveSibling(target.getFileName.toString +
+              ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+            writeStream(Files.newOutputStream(tmp), content,
+              rel.endsWith(".gz"))
+            Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+    }
+  }
+
+  /** Cluster path: Hadoop FileSystem/FileContext for hdfs/s3a/….
+    * (private[graft] so the spec can drive it through a file: URI —
+    * the write() dispatcher routes local schemes to writeLocal.) */
+  private[graft] def writeHadoop(docs: DataFrame, outDir: String,
+    skipExisting: Boolean): Unit = {
     val out = outDir // serialize the string, not the config object
     // Hadoop Configuration is not serializable — broadcast its
     // effective entries (includes spark.hadoop.* overrides) ONCE per
@@ -70,7 +116,8 @@ object TtlFileSink {
               fs.mkdirs(target.getParent)
               val tmp = new HPath(target.getParent, target.getName +
                 ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-              writeFile(fs, tmp, content, rel.endsWith(".gz"))
+              writeStream(fs.create(tmp, true), content,
+                rel.endsWith(".gz"))
               // atomic replace: concurrent/speculative attempts of the
               // same rel_path write identical content, last one wins
               fc.rename(tmp, target,
@@ -81,15 +128,14 @@ object TtlFileSink {
     }
   }
 
-  private def writeFile(fs: FileSystem, p: HPath, content: String,
+  private def writeStream(raw: OutputStream, content: String,
     gzip: Boolean): Unit = {
-    val fos = fs.create(p, true)
     val os = if (gzip)
       // level 6 matches the reference (mongodb_to_rdf.py:37)
-      new GZIPOutputStream(new BufferedOutputStream(fos)) {
+      new GZIPOutputStream(new BufferedOutputStream(raw)) {
         `def`.setLevel(6)
       }
-    else new BufferedOutputStream(fos)
+    else new BufferedOutputStream(raw)
     try os.write(content.getBytes(StandardCharsets.UTF_8))
     finally os.close()
   }

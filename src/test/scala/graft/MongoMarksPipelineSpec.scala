@@ -79,15 +79,17 @@ class MongoMarksPipelineSpec extends SparkTestBase {
       Paths.get(tmp, "exec-1/img-1/batch_000002.ttl.gz")) == "sentinel")
   }
 
-  test("TtlFileSink resolves the FileSystem from the URI scheme (file:/)") {
-    // The sink must route through Hadoop FileSystem — same code path
-    // for HDFS/S3A — so an explicit scheme'd URI must work.
+  test("TtlFileSink's Hadoop path works end-to-end (driven via file:/)") {
+    // writeHadoop is the HDFS/S3A code path; drive it through a file:
+    // URI so its FileSystem/FileContext mechanics are exercised (the
+    // public write() routes local schemes to the java.nio fast path).
     val tmp = Files.createTempDirectory("ttlsink_uri")
     val df = MongoMarksPipeline.documents(
       MongoMarksPipeline.readMarks(spark, s"$fx/marks.jsonl"),
       MongoMarksPipeline.readAnalyses(spark, s"$fx/analyses.jsonl"),
       emptyHashes, batchSize = 2)
-    TtlFileSink.write(df, tmp.toUri.toString)
+    TtlFileSink.writeHadoop(df.select("rel_path", "ttl"),
+      tmp.toUri.toString, skipExisting = false)
     val p = Paths.get(tmp.toString, "exec-1/img-1/batch_000001.ttl.gz")
     assert(Files.exists(p))
     val content = new String(
