@@ -485,6 +485,23 @@ object RelationalQueries {
           floor(col("l_quantity")).cast("int").as("qty_int"),
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
         .orderBy("l_orderkey", "line_no")
+    }),
+
+    // SURVEY S7: the generic external-enrichment operator (Enrich) run
+    // end-to-end — distinct keys, per-task fetch with negative cache,
+    // unforced join-back. The "service" is a deterministic function
+    // (upper-case for even-length names, miss otherwise) so the DuckDB
+    // oracle can impersonate it exactly; the machinery under test is
+    // the real one a Drupal/REST fetcher would plug into.
+    "s7_enrich" -> ((s, dir) => {
+      val facts = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"))
+      Enrich.enrich(facts, "n_name", "fetched") { k =>
+        if (k.length % 2 == 0) Some(k.toLowerCase) else None
+      }
+        .select("n_nationkey", "n_name", "fetched")
+        .orderBy("n_nationkey")
     })
   )
 
@@ -705,6 +722,10 @@ object RelationalQueries {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
         | CAST(floor(l_quantity) AS INTEGER) AS qty_int,
         | strftime(l_shipdate, '%Y-%m-%d') AS ship_day
-        |FROM lineitem WHERE l_orderkey < 30 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem WHERE l_orderkey < 30 ORDER BY 1, 2""".stripMargin,
+    "s7_enrich" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        | CASE WHEN len(n_name) % 2 = 0 THEN lower(n_name) END AS fetched
+        |FROM nation ORDER BY 1""".stripMargin
   )
 }
