@@ -34,18 +34,21 @@ object Examples {
     ledgerDir: String): Unit = {
     import graft.pipelines.{HashRepairJob, MongoMarksPipeline => M, TtlFileSink}
     import graft.incremental.Ledger
+    import graft.sources.MarkStores
+    // The store seam: a live connector swaps in by format name only.
+    val store = MarkStores("jsonl", Map(
+      "marks.path" -> marksPath, "analyses.path" -> analysesPath))
     // Persist the pending set so the sink write and the ledger record
     // see the SAME snapshot (pending re-evaluates the ledger dir
     // otherwise), and record the ~4M keys distributively — never
     // collect them to the driver.
     val analyses = Ledger.pending(
-      M.readAnalyses(spark, analysesPath), ledgerDir, "_id").persist()
+      store.analyses(spark), ledgerDir, "_id").persist()
     try {
       val hashes = HashRepairJob.buildHashLookup(spark, svsGlob)
         .withColumnRenamed("slide", "slide_key")
         .select(col("slide_key").as("slide"), col("real_hash"))
-      val docs = M.documents(M.readMarks(spark, marksPath), analyses,
-        hashes)
+      val docs = M.documents(store.marks(spark), analyses, hashes)
       TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
       Ledger.record(analyses.select("_id"), ledgerDir)
     } finally analyses.unpersist()
@@ -56,4 +59,21 @@ object Examples {
     hashJson: String, outDir: String): Long = {
     graft.pipelines.HashRepairJob.run(spark, rdfTree, hashJson, outDir)
   }
+
+  /** MIGRATION §4b: rdflib load_graph/serialize_graph equivalents. */
+  def rdfRoundTrip(spark: SparkSession, inPath: String, inFormat: String,
+    outFormat: String): String = {
+    import graft.ttl.Rdf
+    val triples = Rdf.load(spark, inPath, inFormat)
+    Rdf.serialize(triples.collect().toSeq, outFormat)
+  }
+
+  /** MIGRATION §3 sidebar: generic keyed-service enrichment (the
+    * Drupal fetch shape) with a per-task connection. */
+  def enrichExample(df: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame =
+    graft.operators.Enrich.enrichWith(df, "slide", "hash") { () =>
+      // val client = connect()  — one per task goes here
+      (k: String) => if (k.isEmpty) None else Some(k.reverse)
+    }
 }

@@ -490,7 +490,7 @@ object RelationalQueries {
     // SURVEY S7: the generic external-enrichment operator (Enrich) run
     // end-to-end — distinct keys, per-task fetch with negative cache,
     // unforced join-back. The "service" is a deterministic function
-    // (upper-case for even-length names, miss otherwise) so the DuckDB
+    // (lower-case for even-length names, miss otherwise) so the DuckDB
     // oracle can impersonate it exactly; the machinery under test is
     // the real one a Drupal/REST fetcher would plug into.
     "s7_enrich" -> ((s, dir) => {

@@ -36,9 +36,13 @@ object TtlFileSink {
     * use `skipExisting = true` for resume semantics (K5/T3). */
   def write(docs: DataFrame, outDir: String,
     skipExisting: Boolean = false): Unit = {
-    val scheme = new HPath(outDir).toUri.getScheme
-    if (scheme == null || scheme == "file")
-      writeLocal(docs, outDir, skipExisting)
+    // Resolve the path through Hadoop's OWN resolution (driver-side):
+    // a bare "/data/rdf" with fs.defaultFS=hdfs://… must go to HDFS,
+    // not to each executor's local disk. Only a path that RESOLVES to
+    // the local filesystem takes the java.nio fast path.
+    val conf = docs.sparkSession.sessionState.newHadoopConf()
+    val scheme = new HPath(outDir).getFileSystem(conf).getScheme
+    if (scheme == "file") writeLocal(docs, outDir, skipExisting)
     else writeHadoop(docs, outDir, skipExisting)
   }
 

@@ -23,10 +23,21 @@ object RdfXml {
   def parse(content: String): Seq[Triple] = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
-    // no external entity resolution — parsing is offline by design
+    // No entity resolution of ANY kind: an executor parsing untrusted
+    // RDF/XML must not read local files via a DOCTYPE SYSTEM entity
+    // (XXE) — disallow DOCTYPE outright, plus belt-and-braces the
+    // external-entity features.
+    dbf.setFeature(
+      "http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature(
+      "http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature(
+      "http://xml.org/sax/features/external-parameter-entities", false)
     dbf.setFeature(
       "http://apache.org/xml/features/nonvalidating/load-external-dtd",
       false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
     val doc = dbf.newDocumentBuilder().parse(
       new org.xml.sax.InputSource(new java.io.StringReader(content)))
     val st = new XmlState
@@ -84,6 +95,14 @@ object RdfXml {
 
     private def propertyElement(subj: String,
       p: org.w3c.dom.Element): Unit = {
+      // fail LOUDLY on idioms this reader does not model, instead of
+      // silently emitting wrong triples (same contract as JsonLd)
+      rdfAttr(p, "parseType").foreach(pt =>
+        throw new IllegalArgumentException(
+          s"rdf:parseType=\"$pt\" is not supported by this reader"))
+      if (p.getNamespaceURI == RdfNs && p.getLocalName == "li")
+        throw new IllegalArgumentException(
+          "rdf:li / container membership is not supported by this reader")
       val pred = qnameIri(p)
       val kids = childElements(p)
       val obj =
@@ -92,18 +111,39 @@ object RdfXml {
           .getOrElse {
             if (kids.nonEmpty) nodeElement(kids.head)
             else {
-              val text = TurtleParser.escape(p.getTextContent)
+              val lex = p.getTextContent
               val dt = rdfAttr(p, "datatype")
               val lang = Option(p.getAttributeNS(
                 "http://www.w3.org/XML/1998/namespace", "lang"))
                 .filter(_.nonEmpty)
-              dt.map(d => "\"" + text + "\"^^<" + d + ">")
-                .orElse(lang.map(l => "\"" + text + "\"@" + l))
-                .getOrElse("\"" + text + "\"")
+              dt.map(d => TurtleParser.canonTyped(lex, s"<$d>"))
+                .orElse(lang.map(l =>
+                  "\"" + TurtleParser.escape(lex) + "\"@" + l))
+                .getOrElse("\"" + TurtleParser.escape(lex) + "\"")
             }
           }
       out += Triple(subj, pred, obj)
     }
+  }
+
+  /** Predicate IRI → (namespace, local) where local is the longest
+    * IRI suffix that is a valid XML NCName — an all-digit tail (e.g.
+    * <http://ex.org/123>) has none and CANNOT be serialized as
+    * RDF/XML (a real limitation of the format); fail loudly. */
+  private def splitQName(iri: String): (String, String) = {
+    def ncChar(c: Char) = Character.isLetterOrDigit(c) ||
+      c == '_' || c == '-' || c == '.'
+    def ncStart(c: Char) = Character.isLetter(c) || c == '_'
+    var idx = iri.length
+    var i = iri.length - 1
+    while (i >= 0 && ncChar(iri.charAt(i))) {
+      if (ncStart(iri.charAt(i))) idx = i
+      i -= 1
+    }
+    if (idx == iri.length)
+      throw new IllegalArgumentException(
+        s"predicate IRI <$iri> has no XML-serializable local name")
+    (iri.substring(0, idx), iri.substring(idx))
   }
 
   /** Deterministic RDF/XML writer: one rdf:Description per subject,
@@ -121,10 +161,7 @@ object RdfXml {
         else s"""rdf:about="${xmlEsc(s.stripPrefix("<").stripSuffix(">"))}""""
       sb.append(s"  <rdf:Description $about>\n")
       for (t <- ts.sortBy(tt => (tt.p, tt.o))) {
-        val iri = t.p.stripPrefix("<").stripSuffix(">")
-        // split namespace/local at the last '#' or '/'
-        val cut = math.max(iri.lastIndexOf('#'), iri.lastIndexOf('/')) + 1
-        val (ns, local) = (iri.substring(0, cut), iri.substring(cut))
+        val (ns, local) = splitQName(t.p.stripPrefix("<").stripSuffix(">"))
         val tag = s"""n:$local xmlns:n="${xmlEsc(ns)}""""
         t.o match {
           case o if o.startsWith("<") =>
@@ -142,8 +179,14 @@ object RdfXml {
             else if (suffix.startsWith("@"))
               sb.append(s"""    <$tag xml:lang="${suffix.drop(1)}">$v</n:$local>\n""")
             else sb.append(s"    <$tag>$v</n:$local>\n")
-          case o => // bare numeric/boolean token
-            sb.append(s"    <$tag>${xmlEsc(o)}</n:$local>\n")
+          case o =>
+            // bare numeric/boolean token: XML has no bare syntax, so
+            // write the equivalent typed literal; parse canonicalizes
+            // it back to the bare token (TurtleParser.canonTyped)
+            val dt = TurtleParser.bareTokenDatatype(o)
+              .stripPrefix("<").stripSuffix(">")
+            sb.append(s"""    <$tag rdf:datatype="${
+              xmlEsc(dt)}">${xmlEsc(o)}</n:$local>\n""")
         }
       }
       sb.append("  </rdf:Description>\n")
@@ -255,14 +298,23 @@ object JsonLd {
       : String = n match {
       case o: ObjectNode if o.has("@value") =>
         val v = o.get("@value")
-        val lit =
-          if (v.isTextual) "\"" + TurtleParser.escape(v.asText) + "\""
-          else v.asText // bare numeric/boolean, canonical form
-        Option(o.get("@type")).map(t =>
-          lit + "^^" + expand(t.asText, ctx))
-          .orElse(Option(o.get("@language")).map(l => lit + "@" + l.asText))
-          .getOrElse(lit)
-      case o: ObjectNode if o.has("@id") && o.size() <= 2 =>
+        Option(o.get("@type")) match {
+          case Some(t) =>
+            // canonTyped folds xsd:integer/decimal/boolean back to the
+            // bare-token spelling — the same canonical term every
+            // reader emits for that RDF literal
+            TurtleParser.canonTyped(v.asText, expand(t.asText, ctx))
+          case None =>
+            val lit =
+              if (v.isTextual)
+                "\"" + TurtleParser.escape(v.asText) + "\""
+              else v.asText // bare numeric/boolean, canonical form
+            Option(o.get("@language")).map(l => lit + "@" + l.asText)
+              .getOrElse(lit)
+        }
+      case o: ObjectNode if o.has("@id") && o.size() == 1 =>
+        // a PURE reference; {@id, …props} carries triples and must go
+        // through nodeObject (which also returns the subject term)
         subjectTerm(o.get("@id").asText)
       case o: ObjectNode => nodeObject(o, ctx) // nested node → bnode
       case v if v.isTextual =>
@@ -326,24 +378,45 @@ object JsonLd {
   * Turtle's grammar (the overwhelmingly common case, and everything
   * rdflib's turtle serializer emits) load via the Turtle parser. */
 object Rdf {
-  def load(spark: SparkSession, path: String, format: String = "turtle")
-    : Dataset[Triple] = {
+  /** Blank-node labels are scoped to one DOCUMENT: when loading many
+    * files into one Dataset, `_:b0` from file A and `_:b0` from file B
+    * are different nodes — prefix each with a tag derived from its
+    * file name so the union never conflates them. */
+  private def relabel(t: Triple, tag: String): Triple = {
+    def fix(term: String): String =
+      if (term.startsWith("_:")) "_:" + tag + "_" + term.drop(2) else term
+    Triple(fix(t.s), t.p, fix(t.o))
+  }
+
+  private def readWholetext(spark: SparkSession, path: String)(
+    parseOne: String => Seq[Triple]): Dataset[Triple] = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    spark.read.option("wholetext", true).text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val tag = java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(f))
+        parseOne(content).map(relabel(_, tag))
+      }
+  }
+
+  def load(spark: SparkSession, path: String, format: String = "turtle")
+    : Dataset[Triple] =
     format.toLowerCase match {
-      case "turtle" | "ttl" | "n3" => TurtleParser.readTurtle(spark, path)
+      case "turtle" | "ttl" | "n3" =>
+        readWholetext(spark, path)(TurtleParser.parse _)
       case "nt" | "ntriples" | "n-triples" =>
         Turtle.readNTriples(spark, path)
       case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" =>
-        spark.read.option("wholetext", true).text(path)
-          .as[String].flatMap(RdfXml.parse _)
+        readWholetext(spark, path)(RdfXml.parse _)
       case "json-ld" | "jsonld" =>
-        spark.read.option("wholetext", true).text(path)
-          .as[String].flatMap(JsonLd.parse _)
+        readWholetext(spark, path)(JsonLd.parse _)
       case other => throw new IllegalArgumentException(
         s"unsupported RDF format '$other' " +
           "(turtle|ttl|n3|nt|xml|json-ld)")
     }
-  }
 
   /** Whole-graph serialization to a single string (driver-side, for
     * per-document graphs — the reference's usage shape; distributed

@@ -35,12 +35,10 @@ object TurtleParser {
     * IllegalArgumentException with position info on malformed input. */
   def parse(content: String): Seq[Triple] = new P(content).document()
 
-  /** Distributed Turtle load: one task per file (wholetext). */
-  def readTurtle(spark: SparkSession, path: String): Dataset[Triple] = {
-    import spark.implicits._
-    spark.read.option("wholetext", true).text(path)
-      .as[String].flatMap(parse _)
-  }
+  /** Distributed Turtle load: one task per file (wholetext), blank
+    * nodes disambiguated per file (see Rdf.load). */
+  def readTurtle(spark: SparkSession, path: String): Dataset[Triple] =
+    Rdf.load(spark, path, "turtle")
 
   /** Scala-level twin of Turtle.escapeLiteral (Column version). */
   def escape(v: String): String = v
@@ -74,6 +72,30 @@ object TurtleParser {
     }
     b.toString
   }
+
+  private val XsdInteger = "<http://www.w3.org/2001/XMLSchema#integer>"
+  private val XsdDecimal = "<http://www.w3.org/2001/XMLSchema#decimal>"
+  private val XsdBoolean = "<http://www.w3.org/2001/XMLSchema#boolean>"
+
+  /** Canonical term for a typed literal with UNESCAPED lexical `lex`
+    * and expanded datatype term `dt` (`<...>`). Turtle's bare tokens
+    * (`42`, `12.5`, `true`) ARE xsd:integer/decimal/boolean literals,
+    * so those datatypes canonicalize to the bare spelling whenever the
+    * lexical form fits the bare grammar — one spelling per RDF term
+    * across every reader (Turtle, RDF/XML, JSON-LD). */
+  def canonTyped(lex: String, dt: String): String = dt match {
+    case XsdInteger if lex.matches("[+-]?[0-9]+") => lex
+    case XsdDecimal if lex.matches("[+-]?[0-9]*\\.[0-9]+") => lex
+    case XsdBoolean if lex == "true" || lex == "false" => lex
+    case _ => "\"" + escape(lex) + "\"^^" + dt
+  }
+
+  /** Datatype for a bare token, for writers targeting formats with no
+    * bare-token syntax (RDF/XML, JSON-LD). */
+  def bareTokenDatatype(tok: String): String =
+    if (tok == "true" || tok == "false") XsdBoolean
+    else if (tok.matches("[+-]?[0-9]+")) XsdInteger
+    else XsdDecimal
 
   private def hexEscape(v: String, from: Int, len: Int): Int = {
     if (from + len > v.length)
@@ -283,11 +305,12 @@ object TurtleParser {
         } else if (c == '"') { closed = true; i += 1 }
         else { raw.append(c); i += 1 }
       }
-      val canon = "\"" + escape(unescape(raw.toString)) + "\""
+      val lex = unescape(raw.toString)
+      val canon = "\"" + escape(lex) + "\""
       if (peek == '^' && i + 1 < s.length && s.charAt(i + 1) == '^') {
         i += 2
         val dt = if (peek == '<') s"<${readIriRaw()}>" else readPname()
-        canon + "^^" + dt
+        canonTyped(lex, dt)
       } else if (peek == '@') {
         i += 1
         val tag = new StringBuilder

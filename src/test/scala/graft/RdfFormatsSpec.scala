@@ -12,7 +12,11 @@ class RdfFormatsSpec extends SparkTestBase {
     Triple("<urn:a>", "<http://ex.org/r>", "\"bonjour\"@fr"),
     Triple("<urn:a>", "<http://ex.org/s>", "<urn:b>"),
     Triple("<urn:b>", "<http://ex.org/t>", "\"with \\\"quotes\\\" & <xml>\""),
-    Triple("<urn:b>", TurtleParser.RdfType, "<http://ex.org/Thing>"))
+    Triple("<urn:b>", TurtleParser.RdfType, "<http://ex.org/Thing>"),
+    // bare tokens — one canonical spelling per RDF term in EVERY format
+    Triple("<urn:b>", "<http://ex.org/n>", "42"),
+    Triple("<urn:b>", "<http://ex.org/d>", "12.5"),
+    Triple("<urn:b>", "<http://ex.org/f>", "true"))
 
   test("RDF/XML write → parse round-trips canonical triples exactly") {
     val xml = RdfXml.write(bnodeFree)
@@ -133,5 +137,80 @@ class RdfFormatsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       JsonLd.parse("""{"@context": "http://remote.ctx/", "@id": "urn:x"}""")
     }
+  }
+
+  test("a JSON-LD reference object carrying properties keeps its triples") {
+    val ts = JsonLd.parse(
+      """{"@id": "urn:a",
+        |"http://ex.org/seeAlso": {"@id": "urn:b",
+        |  "http://ex.org/label": "two"}}""".stripMargin)
+    assert(ts.toSet == Set(
+      Triple("<urn:a>", "<http://ex.org/seeAlso>", "<urn:b>"),
+      Triple("<urn:b>", "<http://ex.org/label>", "\"two\"")))
+  }
+
+  test("XXE: DOCTYPE with SYSTEM entity is rejected, not resolved") {
+    val evil =
+      """<?xml version="1.0"?>
+        |<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="urn:a"><ex:p>&x;</ex:p></rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    intercept[Exception] { RdfXml.parse(evil) }
+  }
+
+  test("unsupported RDF/XML idioms fail loudly (parseType, rdf:li)") {
+    val pt =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="urn:a">
+        |    <ex:author rdf:parseType="Resource"><ex:name>Ada</ex:name></ex:author>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val e = intercept[IllegalArgumentException] { RdfXml.parse(pt) }
+    assert(e.getMessage.contains("parseType"))
+  }
+
+  test("predicates with no XML-safe local name are rejected by the writer") {
+    val e = intercept[IllegalArgumentException] {
+      RdfXml.write(Seq(Triple("<urn:a>", "<http://ex.org/123>", "\"x\"")))
+    }
+    assert(e.getMessage.contains("local name"))
+    // but a digit-containing (not digit-leading) local part is fine
+    val ok = RdfXml.write(Seq(
+      Triple("<urn:a>", "<http://ex.org/v2>", "\"x\"")))
+    assert(RdfXml.parse(ok).head.p == "<http://ex.org/v2>")
+  }
+
+  test("typed xsd:integer literals and bare tokens canonicalize identically") {
+    // "42"^^xsd:integer IS the bare token 42 — one spelling everywhere
+    val ts = TurtleParser.parse(
+      """@prefix ex: <http://example.org/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ex:s ex:a 42 ; ex:b "42"^^xsd:integer ;
+        |  ex:c "007"^^xsd:integer ; ex:d "x"^^xsd:integer .""".stripMargin)
+    assert(ts.find(_.p == "<http://example.org/a>").get.o == "42")
+    assert(ts.find(_.p == "<http://example.org/b>").get.o == "42")
+    // leading zeros are still a valid Turtle INTEGER lexical → bare
+    assert(ts.find(_.p == "<http://example.org/c>").get.o == "007")
+    // a lexical OUTSIDE the bare grammar keeps the quoted typed form
+    assert(ts.find(_.p == "<http://example.org/d>").get.o ==
+      "\"x\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+  }
+
+  test("blank nodes from different files never conflate in Rdf.load") {
+    val dir = java.nio.file.Files.createTempDirectory("rdf_multi")
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |ex:doc ex:author [ ex:name "%s" ] .""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("a.ttl"), doc.format("Ada"))
+    java.nio.file.Files.writeString(dir.resolve("b.ttl"), doc.format("Bob"))
+    val ts = Rdf.load(spark, dir.toString + "/*.ttl", "turtle").collect()
+    val authors = ts.filter(_.p == "<http://ex.org/author>").map(_.o)
+    assert(authors.length == 2 && authors.distinct.length == 2,
+      s"blank nodes conflated: ${authors.toSeq}")
+    val names = ts.filter(_.p == "<http://ex.org/name>").map(_.s)
+    assert(names.toSet == authors.toSet)
   }
 }
