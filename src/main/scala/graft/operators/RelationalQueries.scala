@@ -487,6 +487,17 @@ object RelationalQueries {
         .orderBy("l_orderkey", "line_no")
     }),
 
+    // Skew toolkit end-to-end: the two-phase salted aggregation must
+    // equal the direct groupBy for any associative aggregate — here
+    // checked against the oracle's single-phase sum. (l_quantity is
+    // integer-valued, so double summation is order-exact.) The salt is
+    // a pure function of row content; see Skew.scala for why that
+    // matters under stage retry.
+    "a10_salted_agg" -> ((s, dir) =>
+      Skew.saltedCountSum(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", saltBuckets = 8)
+        .orderBy("l_returnflag")),
+
     // SURVEY S7: the generic external-enrichment operator (Enrich) run
     // end-to-end — distinct keys, per-task fetch with negative cache,
     // unforced join-back. The "service" is a deterministic function
@@ -726,6 +737,10 @@ object RelationalQueries {
     "s7_enrich" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         | CASE WHEN len(n_name) % 2 = 0 THEN lower(n_name) END AS fetched
-        |FROM nation ORDER BY 1""".stripMargin
+        |FROM nation ORDER BY 1""".stripMargin,
+    "a10_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | sum(l_quantity) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
