@@ -29,4 +29,24 @@ class ExamplesSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(s"$work/out2")) ||
       Files.list(Paths.get(s"$work/out2")).count() == 0)
   }
+
+  test("rdfRoundTrip converts a golden turtle file across formats") {
+    val ttl = "src/test/resources/golden/seg_expected.ttl"
+    val asJsonLd = Examples.rdfRoundTrip(spark, ttl, "turtle", "json-ld")
+    val asXml = Examples.rdfRoundTrip(spark, ttl, "turtle", "xml")
+    // both serializations re-parse to the same triple count
+    val n = graft.ttl.TurtleParser.parse(
+      java.nio.file.Files.readString(Paths.get(ttl))).size
+    assert(graft.ttl.JsonLd.parse(asJsonLd).size == n)
+    assert(graft.ttl.RdfXml.parse(asXml).size == n)
+  }
+
+  test("enrichExample enriches a slide frame with a left join") {
+    import spark.implicits._
+    val out = Examples.enrichExample(
+      Seq("s1", "s2", "").toDF("slide"))
+    val m = out.collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(m == Map("s1" -> Some("1s"), "s2" -> Some("2s"), "" -> None))
+  }
 }
