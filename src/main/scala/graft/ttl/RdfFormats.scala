@@ -93,18 +93,43 @@ object RdfXml {
       subj
     }
 
+    private val RdfFirst = s"<${RdfNs}first>"
+    private val RdfRest = s"<${RdfNs}rest>"
+    private val RdfNil = s"<${RdfNs}nil>"
+
     private def propertyElement(subj: String,
       p: org.w3c.dom.Element): Unit = {
-      // fail LOUDLY on idioms this reader does not model, instead of
-      // silently emitting wrong triples (same contract as JsonLd)
-      rdfAttr(p, "parseType").foreach(pt =>
-        throw new IllegalArgumentException(
-          s"rdf:parseType=\"$pt\" is not supported by this reader"))
       if (p.getNamespaceURI == RdfNs && p.getLocalName == "li")
         throw new IllegalArgumentException(
           "rdf:li / container membership is not supported by this reader")
       val pred = qnameIri(p)
       val kids = childElements(p)
+      // rdf:parseType shorthands (rdflib's pretty-xml emits Resource
+      // and Collection); "Literal" (XML content) stays a loud error —
+      // silently stringifying markup would corrupt data.
+      rdfAttr(p, "parseType") match {
+        case Some("Resource") =>
+          // the property element body IS a property list of a fresh bnode
+          val b = freshBn()
+          out += Triple(subj, pred, b)
+          kids.foreach(k => propertyElement(b, k))
+          return
+        case Some("Collection") =>
+          // children are list items → rdf:first/rest chain
+          if (kids.isEmpty) { out += Triple(subj, pred, RdfNil); return }
+          val cells = kids.map(_ => freshBn())
+          out += Triple(subj, pred, cells.head)
+          for (idx <- kids.indices) {
+            out += Triple(cells(idx), RdfFirst, nodeElement(kids(idx)))
+            out += Triple(cells(idx), RdfRest,
+              if (idx + 1 < kids.length) cells(idx + 1) else RdfNil)
+          }
+          return
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"rdf:parseType=\"$other\" is not supported by this reader")
+        case None => ()
+      }
       val obj =
         rdfAttr(p, "resource").map(r => s"<$r>")
           .orElse(rdfAttr(p, "nodeID").map(nodeId))
@@ -153,8 +178,11 @@ object RdfXml {
     val sb = new StringBuilder
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
     sb.append(s"""<rdf:RDF xmlns:rdf="$RdfNs">\n""")
+    // '\r' must be a character reference: XML parsers normalize raw
+    // CR (and CRLF) to LF in content, silently corrupting literals.
     def xmlEsc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
       .replace(">", "&gt;").replace("\"", "&quot;")
+      .replace("\r", "&#13;")
     for ((s, ts) <- triples.groupBy(_.s).toSeq.sortBy(_._1)) {
       val about =
         if (s.startsWith("_:")) s"""rdf:nodeID="${s.drop(2)}""""

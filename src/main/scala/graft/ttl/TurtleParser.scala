@@ -178,6 +178,7 @@ object TurtleParser {
       val wasBnode = peek == '['
       val subj = peek match {
         case '[' => bnodePropertyList()
+        case '(' => collection()
         case '<' => s"<${readIriRaw()}>"
         case '_' => readBlankLabel()
         case _ => readPname()
@@ -225,6 +226,7 @@ object TurtleParser {
       case '<' => s"<${readIriRaw()}>"
       case '"' => readLiteral()
       case '[' => bnodePropertyList()
+      case '(' => collection()
       case '_' => readBlankLabel()
       case c if c.isDigit || c == '+' || c == '-' ||
         (c == '.' && i + 1 < s.length && s.charAt(i + 1).isDigit) =>
@@ -234,6 +236,37 @@ object TurtleParser {
         val t = readBareTokenRaw()
         if (t == "true" || t == "false") t
         else { i = save; readPname() }
+    }
+
+    private val RdfFirst =
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+    private val RdfRest =
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+    private val RdfNil =
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
+
+    /** `( o1 o2 … )` → the standard rdf:first/rdf:rest bnode chain;
+      * `()` is rdf:nil. */
+    private def collection(): String = {
+      expect('(')
+      ws()
+      val items = mutable.ArrayBuffer[String]()
+      while (peek != ')') {
+        if (i >= s.length) fail("unterminated collection")
+        items += readObject()
+        ws()
+      }
+      i += 1
+      if (items.isEmpty) RdfNil
+      else {
+        val cells = items.map(_ => freshBn())
+        for (idx <- items.indices) {
+          out += Triple(cells(idx), RdfFirst, items(idx))
+          out += Triple(cells(idx), RdfRest,
+            if (idx + 1 < items.length) cells(idx + 1) else RdfNil)
+        }
+        cells.head
+      }
     }
 
     /** `[ predicateObjectList? ]` → fresh `_:bN`, nested triples

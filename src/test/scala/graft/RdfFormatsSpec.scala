@@ -160,16 +160,61 @@ class RdfFormatsSpec extends SparkTestBase {
     intercept[Exception] { RdfXml.parse(evil) }
   }
 
-  test("unsupported RDF/XML idioms fail loudly (parseType, rdf:li)") {
-    val pt =
+  test("rdf:parseType=Resource and Collection parse; Literal fails loudly") {
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val doc =
       """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
         |         xmlns:ex="http://ex.org/">
         |  <rdf:Description rdf:about="urn:a">
         |    <ex:author rdf:parseType="Resource"><ex:name>Ada</ex:name></ex:author>
+        |    <ex:tags rdf:parseType="Collection">
+        |      <rdf:Description rdf:about="urn:t1"/>
+        |      <rdf:Description rdf:about="urn:t2"/>
+        |    </ex:tags>
         |  </rdf:Description>
         |</rdf:RDF>""".stripMargin
-    val e = intercept[IllegalArgumentException] { RdfXml.parse(pt) }
-    assert(e.getMessage.contains("parseType"))
+    val ts = RdfXml.parse(doc)
+    val author = ts.find(_.p == "<http://ex.org/author>").get.o
+    assert(author.startsWith("_:"))
+    assert(ts.contains(Triple(author, "<http://ex.org/name>", "\"Ada\"")))
+    // collection: urn:a -ex:tags-> cell1 -first-> t1, -rest-> cell2 …
+    val head = ts.find(_.p == "<http://ex.org/tags>").get.o
+    assert(ts.contains(Triple(head, s"<${rdfNs}first>", "<urn:t1>")))
+    val cell2 = ts.find(t => t.s == head && t.p == s"<${rdfNs}rest>").get.o
+    assert(ts.contains(Triple(cell2, s"<${rdfNs}first>", "<urn:t2>")))
+    assert(ts.contains(Triple(cell2, s"<${rdfNs}rest>", s"<${rdfNs}nil>")))
+
+    val lit =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="urn:a">
+        |    <ex:body rdf:parseType="Literal"><b>markup</b></ex:body>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val e = intercept[IllegalArgumentException] { RdfXml.parse(lit) }
+    assert(e.getMessage.contains("Literal"))
+  }
+
+  test("Turtle collections become rdf:first/rest chains") {
+    import graft.ttl.Turtle.{Triple => T}
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val ts = TurtleParser.parse(
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:list ( 1 2 3 ) ; ex:empty () .
+        |""".stripMargin)
+    assert(ts.contains(T("<http://ex.org/s>", "<http://ex.org/empty>",
+      s"<${rdfNs}nil>")))
+    val head = ts.find(_.p == "<http://ex.org/list>").get.o
+    // walk the chain: 1 → 2 → 3 → nil
+    def first(cell: String) =
+      ts.find(t => t.s == cell && t.p == s"<${rdfNs}first>").get.o
+    def rest(cell: String) =
+      ts.find(t => t.s == cell && t.p == s"<${rdfNs}rest>").get.o
+    assert(first(head) == "1")
+    val c2 = rest(head)
+    assert(first(c2) == "2")
+    val c3 = rest(c2)
+    assert(first(c3) == "3" && rest(c3) == s"<${rdfNs}nil>")
   }
 
   test("predicates with no XML-safe local name are rejected by the writer") {
