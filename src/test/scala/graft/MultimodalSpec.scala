@@ -67,6 +67,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(pixels.drop(23).forall(_ == 0)) // zero padding
   }
 
+  test("PNG codec property: random payloads round-trip pixel-exact") {
+    import org.scalacheck.Gen
+    var seed = org.scalacheck.rng.Seed(7L)
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      bytes <- Gen.listOfN(n, Gen.choose(0, 255))
+      w <- Gen.choose(1, 32)
+    } yield (bytes.map(_.toByte).toArray, w)
+    (0 until 40).foreach { _ =>
+      val (payload, w) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.encodeGrayPng(payload, w)))
+      val h = (payload.length + w - 1) / w
+      assert(img.getWidth == w && img.getHeight == h)
+      val pixels = for (y <- 0 until h; x <- 0 until w)
+        yield img.getRaster.getSample(x, y, 0)
+      assert(pixels.take(payload.length) == payload.map(_ & 0xff).toSeq)
+      assert(pixels.drop(payload.length).forall(_ == 0))
+    }
+  }
+
   test("decodeImageFeatures runs real decode over a Dataset") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .filter(org.apache.spark.sql.functions.length(
