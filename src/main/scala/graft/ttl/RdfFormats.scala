@@ -322,8 +322,29 @@ object JsonLd {
       case other => Seq(other)
     }
 
+    private val RdfFirst =
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+    private val RdfRest =
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+    private val RdfNil =
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
+
     private def objectTerm(n: JsonNode, ctx: Map[String, String])
       : String = n match {
+      case o: ObjectNode if o.has("@list") =>
+        // rdflib's JSON-LD spelling of an RDF collection → the same
+        // rdf:first/rest chain the Turtle and XML readers build
+        val items = values(o.get("@list")).map(v => objectTerm(v, ctx))
+        if (items.isEmpty) RdfNil
+        else {
+          val cells = items.map(_ => freshBn())
+          for (idx <- items.indices) {
+            out += Triple(cells(idx), RdfFirst, items(idx))
+            out += Triple(cells(idx), RdfRest,
+              if (idx + 1 < items.length) cells(idx + 1) else RdfNil)
+          }
+          cells.head
+        }
       case o: ObjectNode if o.has("@value") =>
         val v = o.get("@value")
         Option(o.get("@type")) match {

@@ -195,6 +195,21 @@ class RdfFormatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("Literal"))
   }
 
+  test("JSON-LD @list becomes the same rdf:first/rest chain") {
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val ts = JsonLd.parse(
+      """{"@id": "urn:s",
+        |"http://ex.org/tags": {"@list": [{"@id": "urn:t1"}, "two"]},
+        |"http://ex.org/none": {"@list": []}}""".stripMargin)
+    assert(ts.contains(Triple("<urn:s>", "<http://ex.org/none>",
+      s"<${rdfNs}nil>")))
+    val head = ts.find(_.p == "<http://ex.org/tags>").get.o
+    assert(ts.contains(Triple(head, s"<${rdfNs}first>", "<urn:t1>")))
+    val c2 = ts.find(t => t.s == head && t.p == s"<${rdfNs}rest>").get.o
+    assert(ts.contains(Triple(c2, s"<${rdfNs}first>", "\"two\"")))
+    assert(ts.contains(Triple(c2, s"<${rdfNs}rest>", s"<${rdfNs}nil>")))
+  }
+
   test("Turtle collections become rdf:first/rest chains") {
     import graft.ttl.Turtle.{Triple => T}
     val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
