@@ -53,7 +53,10 @@ object HashRepairJob {
     * lookup entry pass through unchanged (flagged `repaired=false`). */
   def repair(ttlFiles: DataFrame, hashLookup: DataFrame): DataFrame =
     ttlFiles
-      .join(broadcast(hashLookup), Seq("slide"), "left")
+      // size-gated: the lookup is one row per slide image and tracks
+      // the corpus — degrade to a shuffle join past the threshold
+      .join(graft.operators.Broadcasting.maybeBroadcast(hashLookup),
+        Seq("slide"), "left")
       .withColumn("replacement",
         concat(lit("<urn:sha256:"), col("real_hash"), lit(">")))
       .withColumn("has_sha", col("ttl").rlike("<urn:sha256:[0-9a-fA-F]+>"))

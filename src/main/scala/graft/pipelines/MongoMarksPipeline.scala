@@ -92,7 +92,11 @@ object MongoMarksPipeline {
       coalesce(col("image.subject"), lit("")).as("subject_id"),
       coalesce(col("image.study"), lit("")).as("study"),
       coalesce(col("image.slide"), lit("")).as("slide"))
-    a.join(broadcast(slideHashes), Seq("slide"), "left")
+    // size-gated: one row per slide — small today, but it tracks the
+    // corpus; if it outgrows the threshold this degrades to a shuffle
+    // join instead of OOMing the driver (Broadcasting.maybeBroadcast)
+    a.join(graft.operators.Broadcasting.maybeBroadcast(slideHashes),
+      Seq("slide"), "left")
       .withColumn("hash_missing",
         col("slide") =!= "" && col("real_hash").isNull)
       .withColumn("image_hash",
