@@ -29,10 +29,13 @@ object HashRepairJob {
         regexp_extract(col("path"), "([^/]+)\\.svs$", 1).as("slide"),
         sha2(col("content"), 256).as("real_hash"))
 
-  /** S9: slide_hashes.json list of {slide, hash} → lookup frame. */
+  /** S9: slide_hashes.json list of {slide, hash} → lookup frame.
+    * multiLine: the reference's file is ONE pretty-printed JSON array
+    * (json.dump default), not JSONL — without this option Spark reads
+    * it as a corrupt record. */
   def loadHashJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(path).select(col("slide"),
-      lower(col("hash")).as("real_hash"))
+    spark.read.option("multiLine", true).json(path)
+      .select(col("slide"), lower(col("hash")).as("real_hash"))
 
   /** S8: whole-file scan of `<base>/<slide>.svs/batch_*.ttl.gz`
     * (gzip transparent), one row per file with its slide key. */
