@@ -23,9 +23,32 @@ object Broadcasting {
   /** Default cap matches Spark's autoBroadcastJoinThreshold default. */
   val DefaultMaxBytes: Long = 10L << 20
 
+  /** Byte-estimate gate. CAVEAT: Catalyst's sizeInBytes for a narrow
+    * projection of a wide scan (e.g. (slide, hash) derived from a
+    * binaryFile read) can be wildly wrong in either direction — use
+    * `maybeBroadcastByCount` for such frames. This variant is right
+    * for lookups backed by their own compact files (parquet/JSON),
+    * where the scan estimate ≈ reality, and is useful when the
+    * session's autoBroadcastJoinThreshold has been lowered or
+    * disabled (it makes the broadcast intent explicit and local). */
   def maybeBroadcast(df: DataFrame,
     maxBytes: Long = DefaultMaxBytes): DataFrame = {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= maxBytes) broadcast(df) else df
+  }
+
+  /** Row-count gate for frames whose byte ESTIMATE lies (expensive
+    * derivations like sha2-over-binaryFile): persists `df`, probes at
+    * most `maxRows + 1` rows, and hints only when the frame is
+    * genuinely small. The probe's partitions land in the cache, so
+    * the downstream join reuses — not recomputes — the expensive
+    * derivation. Caller owns the returned frame's unpersist (or lets
+    * the cache age out with the session). */
+  def maybeBroadcastByCount(df: DataFrame,
+    maxRows: Long = 1000000L): DataFrame = {
+    val cached = df.persist()
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val n = cached.limit(probe).count()
+    if (n <= maxRows) broadcast(cached) else cached
   }
 }

@@ -22,7 +22,14 @@ object HashRepairJob {
 
   /** F9/GEN-SH replacement: real SHA-256 of image files via the
     * binaryFile source — builds the (slide, real_hash) lookup that the
-    * reference computed with a generated bash script + sha256sum. */
+    * reference computed with a generated bash script + sha256sum.
+    *
+    * KEY CONVENTION: `slide` here EXCLUDES the `.svs` extension
+    * ("slide-42"), matching the mongo documents' `image.slide` field
+    * (MongoMarksPipeline). `repair()`/`readTtlTree` and the
+    * reference's slide_hashes.json key by FOLDER name, which INCLUDES
+    * `.svs` ("slideA.svs") — append the extension before feeding this
+    * frame into `repair()`. */
   def buildHashLookup(spark: SparkSession, svsGlob: String): DataFrame =
     spark.read.format("binaryFile").load(svsGlob)
       .select(
@@ -56,9 +63,10 @@ object HashRepairJob {
     * lookup entry pass through unchanged (flagged `repaired=false`). */
   def repair(ttlFiles: DataFrame, hashLookup: DataFrame): DataFrame =
     ttlFiles
-      // size-gated: the lookup is one row per slide image and tracks
-      // the corpus — degrade to a shuffle join past the threshold
-      .join(graft.operators.Broadcasting.maybeBroadcast(hashLookup),
+      // size-gated by ROW COUNT (byte estimates lie for the
+      // binaryFile-derived buildHashLookup variant): one row per
+      // slide image — degrade to a shuffle join past the cap
+      .join(graft.operators.Broadcasting.maybeBroadcastByCount(hashLookup),
         Seq("slide"), "left")
       .withColumn("replacement",
         concat(lit("<urn:sha256:"), col("real_hash"), lit(">")))

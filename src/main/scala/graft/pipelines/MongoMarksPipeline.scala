@@ -92,10 +92,11 @@ object MongoMarksPipeline {
       coalesce(col("image.subject"), lit("")).as("subject_id"),
       coalesce(col("image.study"), lit("")).as("study"),
       coalesce(col("image.slide"), lit("")).as("slide"))
-    // size-gated: one row per slide — small today, but it tracks the
-    // corpus; if it outgrows the threshold this degrades to a shuffle
-    // join instead of OOMing the driver (Broadcasting.maybeBroadcast)
-    a.join(graft.operators.Broadcasting.maybeBroadcast(slideHashes),
+    // size-gated by ROW COUNT: one row per slide — small today, but it
+    // tracks the corpus, and its byte ESTIMATE lies when derived from
+    // a binaryFile scan (sha2 over image bytes). Past the cap this
+    // degrades to a shuffle join instead of OOMing the driver.
+    a.join(graft.operators.Broadcasting.maybeBroadcastByCount(slideHashes),
       Seq("slide"), "left")
       .withColumn("hash_missing",
         col("slide") =!= "" && col("real_hash").isNull)

@@ -107,7 +107,14 @@ object RdfXml {
       // rdf:parseType shorthands (rdflib's pretty-xml emits Resource
       // and Collection); "Literal" (XML content) stays a loud error —
       // silently stringifying markup would corrupt data.
-      rdfAttr(p, "parseType") match {
+      val pt = rdfAttr(p, "parseType")
+      if (pt.exists(t => t == "Resource" || t == "Collection") &&
+        kids.isEmpty && p.getTextContent.trim.nonEmpty)
+        throw new IllegalArgumentException(
+          s"rdf:parseType=\"${pt.get}\" body must be element content, " +
+            s"got text «${p.getTextContent.trim.take(40)}» — refusing " +
+            "to drop it silently")
+      pt match {
         case Some("Resource") =>
           // the property element body IS a property list of a fresh bnode
           val b = freshBn()
@@ -115,14 +122,18 @@ object RdfXml {
           kids.foreach(k => propertyElement(b, k))
           return
         case Some("Collection") =>
-          // children are list items → rdf:first/rest chain
+          // children are list items → rdf:first/rest chain. Item terms
+          // are evaluated BEFORE chain cells are allocated — the same
+          // label order as the Turtle and JSON-LD collection readers,
+          // so the three formats stay canonical-label-identical.
           if (kids.isEmpty) { out += Triple(subj, pred, RdfNil); return }
-          val cells = kids.map(_ => freshBn())
+          val items = kids.map(nodeElement)
+          val cells = items.map(_ => freshBn())
           out += Triple(subj, pred, cells.head)
-          for (idx <- kids.indices) {
-            out += Triple(cells(idx), RdfFirst, nodeElement(kids(idx)))
+          for (idx <- items.indices) {
+            out += Triple(cells(idx), RdfFirst, items(idx))
             out += Triple(cells(idx), RdfRest,
-              if (idx + 1 < kids.length) cells(idx + 1) else RdfNil)
+              if (idx + 1 < items.length) cells(idx + 1) else RdfNil)
           }
           return
         case Some(other) =>

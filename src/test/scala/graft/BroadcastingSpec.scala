@@ -9,28 +9,56 @@ class BroadcastingSpec extends SparkTestBase {
   private def planOf(joined: org.apache.spark.sql.DataFrame) =
     joined.queryExecution.executedPlan.toString
 
-  test("small frames get the broadcast hint") {
-    val big = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
-    val dim = Seq((1, "a"), (2, "b")).toDF("k", "name")
-    val joined = big.join(Broadcasting.maybeBroadcast(dim), Seq("k"))
-    assert(planOf(joined).contains("BroadcastHashJoin"))
-  }
-
-  test("frames past the cap do NOT get the hint — shuffle join instead of driver OOM") {
-    val big = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
-    val dim = (1 to 500).map(i => (i, "x" * 100)).toDF("k", "name")
-    // tiny cap forces the degrade path; also disable auto-broadcast so
-    // the planner can't re-add it from its own estimate
+  /** Auto-broadcast would mask the helper entirely: with the default
+    * threshold the planner broadcasts tiny frames on its own, so every
+    * assertion here runs with it disabled — the ONLY possible source
+    * of a broadcast is the helper's explicit hint. */
+  private def withAutoBroadcastOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      f
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("small frames get the broadcast hint (byte gate)") {
+    withAutoBroadcastOff {
+      val big = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
+      val dim = Seq((1, "a"), (2, "b")).toDF("k", "name")
+      val joined = big.join(Broadcasting.maybeBroadcast(dim), Seq("k"))
+      assert(planOf(joined).contains("BroadcastHashJoin"), planOf(joined))
+    }
+  }
+
+  test("frames past the byte cap do NOT get the hint") {
+    withAutoBroadcastOff {
+      val big = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
+      val dim = (1 to 500).map(i => (i, "x" * 100)).toDF("k", "name")
       val joined = big.join(
         Broadcasting.maybeBroadcast(dim, maxBytes = 16), Seq("k"))
       val plan = planOf(joined)
       assert(!plan.contains("Broadcast"),
         s"oversized frame still broadcast:\n$plan")
       assert(joined.count() == 500)
-    } finally
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("count gate: small frames broadcast, oversized degrade to shuffle") {
+    withAutoBroadcastOff {
+      val big = (1 to 1000).map(i => (i, s"v$i")).toDF("k", "v")
+      val dim = (1 to 50).map(i => (i, s"h$i")).toDF("k", "h")
+      val small = big.join(
+        Broadcasting.maybeBroadcastByCount(dim, maxRows = 100), Seq("k"))
+      assert(planOf(small).contains("BroadcastHashJoin"), planOf(small))
+
+      val wide = big.join(
+        Broadcasting.maybeBroadcastByCount(dim, maxRows = 10), Seq("k"))
+      val plan = planOf(wide)
+      assert(!plan.contains("Broadcast"),
+        s"over-count frame still broadcast:\n$plan")
+      assert(wide.count() == 50)
+      dim.unpersist()
+    }
   }
 }

@@ -193,6 +193,51 @@ class RdfFormatsSpec extends SparkTestBase {
         |</rdf:RDF>""".stripMargin
     val e = intercept[IllegalArgumentException] { RdfXml.parse(lit) }
     assert(e.getMessage.contains("Literal"))
+
+    // Resource/Collection with TEXT bodies must throw, not drop the text
+    val textBody =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="urn:a">
+        |    <ex:p rdf:parseType="Resource">loose text</ex:p>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val e2 = intercept[IllegalArgumentException] { RdfXml.parse(textBody) }
+    assert(e2.getMessage.contains("loose text"))
+
+    // rdf:li containers stay a loud error
+    val li =
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="urn:a">
+        |    <rdf:li rdf:resource="urn:m1"/>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin
+    val e3 = intercept[IllegalArgumentException] { RdfXml.parse(li) }
+    assert(e3.getMessage.contains("rdf:li"))
+  }
+
+  test("collection chains get identical labels from all three formats") {
+    // one-element list whose item is itself a blank node: label
+    // allocation order (items before cells) must match across readers
+    val fromTtl = TurtleParser.parse(
+      """@prefix ex: <http://ex.org/> .
+        |ex:s ex:tags ( [ ex:a "1" ] ) .""".stripMargin).toSet
+    val fromXml = RdfXml.parse(
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <rdf:Description rdf:about="http://ex.org/s">
+        |    <ex:tags rdf:parseType="Collection">
+        |      <rdf:Description><ex:a>1</ex:a></rdf:Description>
+        |    </ex:tags>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin).toSet
+    val fromJson = JsonLd.parse(
+      """{"@id": "http://ex.org/s",
+        |"http://ex.org/tags": {"@list": [{"http://ex.org/a": "1"}]}}"""
+        .stripMargin).toSet
+    assert(fromTtl == fromXml, s"ttl=$fromTtl\nxml=$fromXml")
+    assert(fromTtl == fromJson, s"ttl=$fromTtl\njson=$fromJson")
   }
 
   test("JSON-LD @list becomes the same rdf:first/rest chain") {
