@@ -51,7 +51,12 @@ object Examples {
       val docs = M.documents(store.marks(spark), analyses, hashes)
       TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
       Ledger.record(analyses.select("_id"), ledgerDir)
-    } finally analyses.unpersist()
+    } finally {
+      analyses.unpersist()
+      // documents() size-gated the slide-hash lookup via
+      // maybeBroadcastByCount (a persist) — reclaim it per run
+      graft.operators.Broadcasting.releaseAll()
+    }
   }
 
   /** MIGRATION §4: hash-repair snapshot job. */

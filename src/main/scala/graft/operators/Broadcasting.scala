@@ -37,18 +37,38 @@ object Broadcasting {
     if (est <= maxBytes) broadcast(df) else df
   }
 
+  /** Every frame persisted by `maybeBroadcastByCount`, so long-lived
+    * sessions can reclaim the cache: internal call sites (hash-repair,
+    * marks-pipeline) return lazy frames and cannot know when their
+    * caller is done, so without a registry each pipeline invocation
+    * would leave cached partitions behind until eviction pressure. */
+  private val cachedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
   /** Row-count gate for frames whose byte ESTIMATE lies (expensive
     * derivations like sha2-over-binaryFile): persists `df`, probes at
     * most `maxRows + 1` rows, and hints only when the frame is
     * genuinely small. The probe's partitions land in the cache, so
     * the downstream join reuses — not recomputes — the expensive
-    * derivation. Caller owns the returned frame's unpersist (or lets
-    * the cache age out with the session). */
+    * derivation. The persist is tracked: call `releaseAll()` after
+    * materializing downstream results (pipeline sinks do) to drop
+    * every cache this helper created, or unpersist the returned
+    * frame yourself for finer control. */
   def maybeBroadcastByCount(df: DataFrame,
     maxRows: Long = 1000000L): DataFrame = {
     val cached = df.persist()
+    cachedFrames.add(cached)
     val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
     val n = cached.limit(probe).count()
     if (n <= maxRows) broadcast(cached) else cached
+  }
+
+  /** Unpersist every frame `maybeBroadcastByCount` has cached since
+    * the last release. Safe at any point — an unpersisted frame that
+    * a still-lazy plan references simply recomputes — but the right
+    * moment is after the join's consumer materializes (post-write). */
+  def releaseAll(): Unit = {
+    var d = cachedFrames.poll()
+    while (d != null) { d.unpersist(); d = cachedFrames.poll() }
   }
 }

@@ -44,10 +44,19 @@ object Skew {
     }
   }
 
+  /** Fails loudly when the only hashable content is the key itself:
+    * `hash(key) % buckets` is CONSTANT per key, so every row of a hot
+    * key would land in one bucket and the salting would silently do
+    * nothing — the caller believes skew is handled when it is not. */
   private def defaultSaltCols(df: DataFrame, keyCol: String): Seq[String] = {
     val ok = df.schema.fields
       .filter(f => hashable(f.dataType)).map(_.name).toSeq
-    if (ok.nonEmpty) ok else Seq(keyCol)
+    if (ok.exists(_ != keyCol)) ok
+    else throw new IllegalArgumentException(
+      s"every non-key column of the frame (schema: ${df.schema.simpleString}) " +
+        "is map-typed (unhashable), so the default salt would be " +
+        s"hash($keyCol) alone — constant per key, spreading nothing. " +
+        "Pass saltCols naming stable, near-unique row content explicitly.")
   }
 
   /** Salted count+sum per key. `valueCol` must be numeric. `saltCols`

@@ -102,6 +102,11 @@ object HashRepairJob {
     try {
       TtlFileSink.write(repaired.select("rel_path", "ttl"), outDir)
       repaired.filter(col("repaired")).count()
-    } finally repaired.unpersist()
+    } finally {
+      repaired.unpersist()
+      // repair() size-gated its lookup via maybeBroadcastByCount,
+      // which persists — reclaim that cache now that the job is done
+      graft.operators.Broadcasting.releaseAll()
+    }
   }
 }

@@ -20,7 +20,14 @@ import scala.jdk.CollectionConverters._
 object RdfXml {
   val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
-  def parse(content: String): Seq[Triple] = {
+  def parse(content: String): Seq[Triple] = parse(content, None)
+
+  /** `base` resolves `rdf:ID="x"` to `<base#x>` (the RDF/XML spec's
+    * in-document fragment identifiers). Without a base, rdf:ID is
+    * REJECTED rather than emitted as a relative `<#x>` — every other
+    * reader in this module guarantees absolute IRIs, and a silently
+    * relative one would corrupt cross-format graph equality. */
+  def parse(content: String, base: Option[String]): Seq[Triple] = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
     // No entity resolution of ANY kind: an executor parsing untrusted
@@ -40,7 +47,7 @@ object RdfXml {
     dbf.setExpandEntityReferences(false)
     val doc = dbf.newDocumentBuilder().parse(
       new org.xml.sax.InputSource(new java.io.StringReader(content)))
-    val st = new XmlState
+    val st = new XmlState(base)
     val root = doc.getDocumentElement
     if (root.getNamespaceURI == RdfNs && root.getLocalName == "RDF")
       childElements(root).foreach(e => st.nodeElement(e))
@@ -55,7 +62,7 @@ object RdfXml {
       .collect { case e: org.w3c.dom.Element => e }
   }
 
-  private final class XmlState {
+  private final class XmlState(base: Option[String]) {
     val out = mutable.ArrayBuffer[Triple]()
     private var bnCount = 0
     private val bnMap = mutable.Map[String, String]()
@@ -67,13 +74,29 @@ object RdfXml {
       : Option[String] =
       Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
 
-    private def qnameIri(e: org.w3c.dom.Element): String =
-      s"<${e.getNamespaceURI}${e.getLocalName}>"
+    /** A node/property element with no namespace would interpolate the
+      * literal string "null" into the IRI — fail loudly instead (the
+      * module contract is "unsupported input throws, never corrupts"). */
+    private def qnameIri(e: org.w3c.dom.Element): String = {
+      val ns = e.getNamespaceURI
+      if (ns == null) throw new IllegalArgumentException(
+        s"element '${e.getNodeName}' has no XML namespace — RDF/XML " +
+          "node and property elements must be namespace-qualified")
+      s"<$ns${e.getLocalName}>"
+    }
 
     /** Node element → subject term; emits its triples. */
     def nodeElement(e: org.w3c.dom.Element): String = {
       val subj = rdfAttr(e, "about").map(a => s"<$a>")
-        .orElse(rdfAttr(e, "ID").map(id => s"<#$id>"))
+        .orElse(rdfAttr(e, "ID").map { id =>
+          base match {
+            case Some(b) => s"<$b#$id>"
+            case None => throw new IllegalArgumentException(
+              s"""rdf:ID="$id" requires a base IRI to resolve against """ +
+                "— pass one via parse(content, Some(base)), or use " +
+                "rdf:about with an absolute IRI")
+          }
+        })
         .orElse(rdfAttr(e, "nodeID").map(nodeId))
         .getOrElse(freshBn())
       if (!(e.getNamespaceURI == RdfNs && e.getLocalName == "Description"))
@@ -87,6 +110,13 @@ object RdfXml {
             a.getNamespaceURI != "http://www.w3.org/XML/1998/namespace" =>
           out += Triple(subj, s"<${a.getNamespaceURI}${a.getLocalName}>",
             "\"" + TurtleParser.escape(a.getValue) + "\"")
+        // a namespace-less attribute (bare `xmlns` declares the default
+        // namespace and carries the xmlns NS URI, so it is NOT this
+        // case) would become a "<nullfoo>" predicate — fail loudly
+        case a: org.w3c.dom.Attr if a.getNamespaceURI == null =>
+          throw new IllegalArgumentException(
+            s"attribute '${a.getName}' has no XML namespace — RDF/XML " +
+              "property-attribute shorthands must be namespace-qualified")
         case _ =>
       }
       childElements(e).foreach(p => propertyElement(subj, p))
@@ -448,6 +478,18 @@ object Rdf {
     Triple(fix(t.s), t.p, fix(t.o))
   }
 
+  /** 128-bit per-file tag. A 32-bit tag is past its ~2^16 birthday
+    * bound at the reference's ~4M file-per-image corpus — thousands of
+    * expected colliding file pairs, each silently conflating `_:b0` of
+    * two distinct documents in the unioned Dataset. 128 bits puts the
+    * collision probability at ~(4e6)^2 / 2^129 ≈ 1e-26: negligible at
+    * any plausible scale. */
+  private[ttl] def fileTag(f: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().take(16).map(b => f"$b%02x").mkString
+  }
+
   private def readWholetext(spark: SparkSession, path: String)(
     parseOne: String => Seq[Triple]): Dataset[Triple] = {
     import spark.implicits._
@@ -456,8 +498,7 @@ object Rdf {
       .select(input_file_name().as("f"), col("value"))
       .as[(String, String)]
       .flatMap { case (f, content) =>
-        val tag = java.lang.Integer.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(f))
+        val tag = fileTag(f)
         parseOne(content).map(relabel(_, tag))
       }
   }

@@ -224,7 +224,7 @@ object TurtleParser {
 
     private def readObject(): String = peek match {
       case '<' => s"<${readIriRaw()}>"
-      case '"' => readLiteral()
+      case '"' | '\'' => readLiteral()
       case '[' => bnodePropertyList()
       case '(' => collection()
       case '_' => readBlankLabel()
@@ -325,18 +325,42 @@ object TurtleParser {
       s"<$base$l>"
     }
 
-    /** Quoted literal incl. escapes, with optional ^^dt / @lang. */
+    /** Quoted literal incl. escapes, with optional ^^dt / @lang.
+      * Handles all four Turtle string forms: `"…"`, `'…'`, and the
+      * long forms `"""…"""` / `'''…'''` (rdflib's turtle serializer
+      * emits the long double-quote form for any literal containing a
+      * newline — the engine must re-read its outputs). Long strings
+      * admit raw newlines and unescaped quotes (runs of 1–2). */
     private def readLiteral(): String = {
-      expect('"')
+      val q = peek // '"' or '\''
+      i += 1
       val raw = new StringBuilder
-      var closed = false
-      while (!closed) {
-        if (i >= s.length) fail("unterminated literal")
-        val c = s.charAt(i)
-        if (c == '\\' && i + 1 < s.length) {
-          raw.append(c).append(s.charAt(i + 1)); i += 2
-        } else if (c == '"') { closed = true; i += 1 }
-        else { raw.append(c); i += 1 }
+      if (peek == q && i + 1 < s.length && s.charAt(i + 1) == q) {
+        // long form: consume the two remaining openers, scan to q q q
+        i += 2
+        var closed = false
+        while (!closed) {
+          if (i >= s.length) fail("unterminated long literal")
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            raw.append(c).append(s.charAt(i + 1)); i += 2
+          } else if (c == q && i + 2 < s.length &&
+            s.charAt(i + 1) == q && s.charAt(i + 2) == q) {
+            closed = true; i += 3
+          } else { raw.append(c); i += 1 }
+        }
+      } else if (peek == q) {
+        i += 1 // empty short string `""` / `''`
+      } else {
+        var closed = false
+        while (!closed) {
+          if (i >= s.length) fail("unterminated literal")
+          val c = s.charAt(i)
+          if (c == '\\' && i + 1 < s.length) {
+            raw.append(c).append(s.charAt(i + 1)); i += 2
+          } else if (c == q) { closed = true; i += 1 }
+          else { raw.append(c); i += 1 }
+        }
       }
       val lex = unescape(raw.toString)
       val canon = "\"" + escape(lex) + "\""

@@ -61,4 +61,15 @@ class BroadcastingSpec extends SparkTestBase {
       dim.unpersist()
     }
   }
+
+  test("releaseAll unpersists every count-gate cache") {
+    import org.apache.spark.storage.StorageLevel
+    val dim = (1 to 50).map(i => (i, s"h$i")).toDF("k", "h")
+    Broadcasting.maybeBroadcastByCount(dim, maxRows = 100)
+    assert(dim.storageLevel != StorageLevel.NONE,
+      "count gate should have persisted the frame")
+    Broadcasting.releaseAll()
+    assert(dim.storageLevel == StorageLevel.NONE,
+      "releaseAll should have unpersisted the tracked cache")
+  }
 }

@@ -317,5 +317,42 @@ class RdfFormatsSpec extends SparkTestBase {
       s"blank nodes conflated: ${authors.toSeq}")
     val names = ts.filter(_.p == "<http://ex.org/name>").map(_.s)
     assert(names.toSet == authors.toSet)
+    // the per-file disambiguation tag must be far wider than 32 bits:
+    // at ~4M files a 32-bit tag has thousands of expected birthday
+    // collisions, silently conflating _:b0 across distinct documents
+    authors.foreach(a => assert(a.matches("_:[0-9a-f]{32}_b\\d+"),
+      s"expected 128-bit file tag in label, got $a"))
+  }
+
+  test("RDF/XML rejects namespace-less elements and attributes") {
+    val rdfNs = RdfXml.RdfNs
+    val badElem =
+      s"""<?xml version="1.0"?>
+         |<rdf:RDF xmlns:rdf="$rdfNs">
+         |  <Thing rdf:about="urn:x"/>
+         |</rdf:RDF>""".stripMargin
+    val e1 = intercept[IllegalArgumentException](RdfXml.parse(badElem))
+    assert(e1.getMessage.contains("namespace"))
+    val badAttr =
+      s"""<?xml version="1.0"?>
+         |<rdf:RDF xmlns:rdf="$rdfNs">
+         |  <rdf:Description rdf:about="urn:x" name="y"/>
+         |</rdf:RDF>""".stripMargin
+    val e2 = intercept[IllegalArgumentException](RdfXml.parse(badAttr))
+    assert(e2.getMessage.contains("namespace"))
+  }
+
+  test("rdf:ID resolves against an explicit base, throws without one") {
+    val rdfNs = RdfXml.RdfNs
+    val xml =
+      s"""<?xml version="1.0"?>
+         |<rdf:RDF xmlns:rdf="$rdfNs" xmlns:ex="http://ex.org/">
+         |  <rdf:Description rdf:ID="frag"><ex:p>v</ex:p></rdf:Description>
+         |</rdf:RDF>""".stripMargin
+    val err = intercept[IllegalArgumentException](RdfXml.parse(xml))
+    assert(err.getMessage.contains("base"))
+    val ts = RdfXml.parse(xml, Some("http://ex.org/doc"))
+    assert(ts == Seq(
+      Triple("<http://ex.org/doc#frag>", "<http://ex.org/p>", "\"v\"")))
   }
 }

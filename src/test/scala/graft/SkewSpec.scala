@@ -62,4 +62,21 @@ class SkewSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted == direct)
   }
+
+  test("default salt refuses a frame whose only hashable column is the key") {
+    // hash(key) % buckets is constant per key — salting would silently
+    // do nothing; the helper must fail loudly instead
+    import spark.implicits._
+    val big = Seq(("a", Map("x" -> 1)), ("a", Map("y" -> 2)))
+      .toDF("k", "m")
+    val dim = Seq(("a", "dim")).toDF("k", "name")
+    val err = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, dim, "k", 4)
+    }
+    assert(err.getMessage.contains("saltCols"))
+    // explicit saltCols naming the key is the caller's own informed
+    // choice — still accepted
+    assert(Skew.saltedJoin(big, dim, "k", 4, saltCols = Seq("k"))
+      .count() == 2)
+  }
 }
