@@ -62,6 +62,26 @@ object EventTimeQueries {
         .groupBy(col("user_id"))
         .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // As-of join: each click enriched with the most recent view value
+    // at-or-before it for the same user (AsofJoin's union-scan plan —
+    // one shuffle, no pair blowup; oracle = DuckDB's native ASOF JOIN).
+    // The view side is pre-aggregated per (user, ts) so equal-time
+    // duplicates cannot make the match ambiguous in either engine.
+    "j9_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e
+        .filter(col("event_type") === "click" && col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
+      AsofJoin.backward(clicks, views, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"),
+          floor(col("v") * lit(10000d) + lit(0.5d)).cast("long")
+            .as("v_e4"))
+        .orderBy("event_id")
     })
   )
 
@@ -93,6 +113,17 @@ object EventTimeQueries {
       | FROM m)
       |SELECT user_id, max(sess_id)::BIGINT AS n_sessions,
       | count(*) AS n_events
-      |FROM sx GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM sx GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j9_asof_join" -> """
+      |WITH l AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'click' AND user_id < 50),
+      |r AS (SELECT user_id, ts, max(value) AS v FROM events
+      |  WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id,
+      | strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS t,
+      | CAST(floor(r.v * 10000 + 0.5) AS BIGINT) AS v_e4
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id""".stripMargin
   )
 }

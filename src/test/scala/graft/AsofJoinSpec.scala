@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val quotes = Seq(
+    ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+    ("B", 15L, 9.0)).toDF("sym", "qt", "px")
+
+  private val trades = Seq(
+    ("A", 5L, 100), // before any quote → null
+    ("A", 10L, 101), // exact tie → matches qt=10
+    ("A", 25L, 102), // between → qt=20
+    ("A", 99L, 103), // after all → qt=30
+    ("B", 14L, 104), // before B's only quote → null
+    ("C", 50L, 105)) // key with no right rows → null
+    .toDF("sym", "tt", "qty")
+
+  test("backward: latest right row at-or-before, nulls when none") {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tt", "qt")
+      .select("sym", "tt", "qty", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out == Set(
+      ("A", 5L, None), ("A", 10L, Some(1.0)), ("A", 25L, Some(2.0)),
+      ("A", 99L, Some(3.0)), ("B", 14L, None), ("C", 50L, None)))
+  }
+
+  test("forward: earliest right row at-or-after") {
+    val out = AsofJoin.forward(trades, quotes, Seq("sym"), "tt", "qt")
+      .select("sym", "tt", "px")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set(
+      ("A", 5L, Some(1.0)), ("A", 10L, Some(1.0)), ("A", 25L, Some(3.0)),
+      ("A", 99L, None), ("B", 14L, Some(9.0)), ("C", 50L, None)))
+  }
+
+  test("left payload columns survive and row count is exactly |L|") {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tt", "qt")
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == Seq("sym", "tt", "qty", "px"))
+    assert(out.filter(col("qty") === 102).select("px").as[Double]
+      .head() == 2.0)
+  }
+
+  test("plan shape: one shuffle on the key, no nested-loop join") {
+    val out = AsofJoin.backward(trades, quotes, Seq("sym"), "tt", "qt")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // union-scan: a Window over the union, not a join operator at all
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("guards: missing key and colliding payload names throw") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades, quotes, Nil, "tt", "qt")
+    }
+    val clash = quotes.withColumnRenamed("px", "qty")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades, clash, Seq("sym"), "tt", "qt")
+    }
+  }
+}
