@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-Min Sketch: fixed-size frequency summary for heavy-hitter /
+  * approximate-count queries over unbounded key domains — the sketch
+  * the reference lacks and a 100 TB corpus needs (exact per-key counts
+  * of a high-cardinality column shuffle every key; the sketch shuffles
+  * at most `Depth × Width` counters regardless of input size).
+  *
+  * Estimates are upper bounds (collisions only ADD), within
+  * `ε·N` of truth with probability 1−δ for w = e/ε, d = ln(1/δ).
+  *
+  * Hashes are DETERMINISTIC (md5 of "i:key", first 60 bits) — the
+  * same arithmetic is expressible in any engine with md5, so sketch
+  * contents and estimates are bit-identical cross-engine (the driver's
+  * DuckDB oracle replays them exactly). No seed, no RNG: a stage retry
+  * re-deals every row to the same counter.
+  *
+  * Two faces, asserted equal by CmsSketchSpec:
+  *  - relational (`counters`/`estimates`): codegen'd column
+  *    expressions, narrow explode ×Depth, partial+final hash agg —
+  *    the 100 TB path;
+  *  - `CmsAggregator`: a typed Dataset Aggregator whose buffer IS the
+  *    d×w counter array (8 KB) — for `ds.select(cms.toColumn)` users
+  *    and mergeable per-partition sketches.
+  */
+object CmsSketch {
+  val Depth = 4
+  val Width = 256
+
+  /** Row-content hash → counter column, identical in Spark and any
+    * md5-capable oracle: first 15 hex chars of md5("i:key") as int64
+    * (60 bits — BIGINT-safe), mod Width. */
+  def bucket(i: Int, key: Column): Column =
+    pmod(conv(substring(md5(concat(lit(i.toString), lit(":"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(Width))
+
+  private def probeFrame(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol), explode(array((0 until Depth).map(i =>
+      struct(lit(i).as("i"), bucket(i, col(keyCol)).as("bucket"))): _*))
+      .as("ib"))
+      .select(col(keyCol), col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+
+  /** Sketch counters as a frame: (i, bucket, c), ≤ Depth×Width rows.
+    * One scan; the shuffle after partial aggregation carries at most
+    * d×w rows PER MAP PARTITION, independent of input size. */
+  def counters(df: DataFrame, keyCol: String): DataFrame =
+    probeFrame(df, keyCol)
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `keys`: min over the key's Depth counters.
+    * `counters` is ≤ d×w rows by construction — the broadcast hint is
+    * safe unconditionally. Inner join: keys absent from the sketched
+    * frame are the caller's concern (their true count is 0 but their
+    * buckets may still exist; probe with a left join + coalesce(c,0)
+    * if that distinction matters). */
+  def estimates(cnt: DataFrame, keys: DataFrame, keyCol: String)
+    : DataFrame =
+    probeFrame(keys, keyCol)
+      .join(broadcast(cnt), Seq("i", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(min("c").as("est"))
+
+  /** Top-k heavy hitters of `df(keyCol)` by sketch estimate,
+    * deterministic tie-break on the key. */
+  def topK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val cnt = counters(df, keyCol)
+    estimates(cnt, df.select(keyCol).distinct(), keyCol)
+      .orderBy(col("est").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /** JVM twin of `bucket` — same md5 arithmetic, byte for byte. */
+  private[graft] def bucketJvm(i: Int, key: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$i:$key".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % Width).toInt
+  }
+
+  /** Mergeable typed aggregator: buffer = flat d×w counter array. */
+  class CmsAggregator extends Aggregator[String, Array[Long], Array[Long]] {
+    def zero: Array[Long] = new Array[Long](Depth * Width)
+    def reduce(b: Array[Long], key: String): Array[Long] = {
+      var i = 0
+      while (i < Depth) {
+        b(i * Width + bucketJvm(i, key)) += 1L; i += 1
+      }
+      b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  }
+
+  /** Estimate from a materialized sketch array (driver-side probe). */
+  def estimateFrom(sketch: Array[Long], key: String): Long =
+    (0 until Depth).map(i => sketch(i * Width + bucketJvm(i, key))).min
+}

@@ -513,7 +513,17 @@ object RelationalQueries {
       }
         .select("n_nationkey", "n_name", "fetched")
         .orderBy("n_nationkey")
-    })
+    }),
+
+    // Count-Min Sketch heavy hitters: estimates are upper bounds from
+    // a d×w counter grid whose hashes are deterministic md5 arithmetic
+    // (CmsSketch.bucket) — bit-identical in DuckDB, so the whole
+    // sketch path (counters → min-estimate → top-k) is oracle-exact
+    // despite being approximate with respect to TRUE counts.
+    "a11_cms_topk" -> ((s, dir) =>
+      CmsSketch.topK(t(s, dir, "lineitem").select(col("l_suppkey")),
+        "l_suppkey", 10)
+        .select(col("l_suppkey").as("k"), col("est")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -741,6 +751,23 @@ object RelationalQueries {
     "a10_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
         | sum(l_quantity) AS total
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a11_cms_topk" ->
+      """WITH d AS (SELECT unnest([0,1,2,3]) AS i),
+        |probe AS (
+        |  SELECT i, ('0x' || substr(md5(i::VARCHAR || ':' ||
+        |      l_suppkey::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM lineitem CROSS JOIN d),
+        |cnt AS (SELECT i, bucket, count(*) AS c FROM probe GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+        |kp AS (
+        |  SELECT k, i, ('0x' || substr(md5(i::VARCHAR || ':' ||
+        |      k::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+        |  FROM keys CROSS JOIN d),
+        |est AS (
+        |  SELECT kp.k, min(c) AS est FROM kp
+        |  JOIN cnt ON kp.i = cnt.i AND kp.bucket = cnt.bucket
+        |  GROUP BY 1)
+        |SELECT k, est FROM est ORDER BY est DESC, k LIMIT 10""".stripMargin
   )
 }
