@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition seeded RNG: the selected
+  * set changes whenever partitioning changes (repartition, AQE,
+  * cluster resize) and a stage retry can re-draw a partition — the
+  * same silent-wrong-answer class as a nondeterministic shuffle key.
+  * Hash sampling decides per ROW CONTENT: `u(key) < rate` where
+  * `u` is a uniform integer derived from md5 of the key (plus an
+  * optional salt that selects a different-but-still-deterministic
+  * sample). Reproducible across runs, engines, partitionings, and
+  * retries; subset-monotone (the 1% sample is contained in the 10%
+  * sample); and expressible identically in any md5-capable oracle.
+  *
+  * At 100 TB this is a narrow codegen'd filter pushed at the scan —
+  * no shuffle, no state, no driver involvement.
+  */
+object Sampling {
+
+  /** Scale of the acceptance threshold: hash-derived uniform is an
+    * integer in [0, 1e6) — rates are exact at ppm granularity. */
+  val Granularity = 1000000L
+
+  /** Uniform integer in [0, Granularity) from the key's md5 (first
+    * 60 bits — BIGINT-safe; same arithmetic as CmsSketch.bucket). */
+  def uniform(key: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(lit(salt), lit(":"),
+      key.cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(Granularity))
+
+  /** Keep rows whose key hashes under `rate`. */
+  def byHash(df: DataFrame, keyCol: String, rate: Double,
+    salt: String = ""): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    df.filter(uniform(col(keyCol), salt) <
+      lit(math.round(rate * Granularity)))
+  }
+
+  /** Per-stratum rates (class-balanced downsampling): rows whose
+    * stratum is absent from `rates` are DROPPED — an explicit mix
+    * spec, not a passthrough. */
+  def stratifiedByHash(df: DataFrame, keyCol: String, strataCol: String,
+    rates: Map[String, Double], salt: String = ""): DataFrame = {
+    rates.values.foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0,1]"))
+    val threshold = rates.foldLeft(lit(-1L)) { case (acc, (k, r)) =>
+      when(col(strataCol) === lit(k),
+        lit(math.round(r * Granularity))).otherwise(acc)
+    }
+    df.filter(uniform(col(keyCol), salt) < threshold)
+  }
+}

@@ -354,10 +354,38 @@ object TextDedupQueries {
         .filter(col("hamming") <= 3)
         .distinct()
         .orderBy("doc_a", "doc_b")
-    })
+    }),
+
+    // Deterministic hash sampling (Sampling.byHash): the selected set
+    // is a pure function of doc_id — stable across partitionings,
+    // retries, and engines, unlike df.sample's per-partition RNG.
+    "x6_hash_sample" -> ((s, dir) =>
+      Sampling.byHash(docs(s, dir), "doc_id", 0.10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // Stratified variant: a per-language training-mix spec (en kept
+    // at 25%, de 50%, zh 100%, everything else dropped).
+    "x7_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedByHash(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.25, "de" -> 0.5, "zh" -> 1.0))
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        .orderBy("lang"))
   )
 
   val oracle: Map[String, String] = Map(
+    "x6_hash_sample" -> """
+      |SELECT doc_id, lang FROM documents
+      |WHERE ('0x' || substr(md5(':' || doc_id::VARCHAR), 1, 15))::BIGINT
+      |  % 1000000 < 100000
+      |ORDER BY doc_id""".stripMargin,
+    "x7_stratified_sample" -> """
+      |SELECT lang, count(*) AS cnt FROM documents
+      |WHERE ('0x' || substr(md5(':' || doc_id::VARCHAR), 1, 15))::BIGINT
+      |  % 1000000 <
+      |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+      |            WHEN 'zh' THEN 1000000 ELSE -1 END
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x1_token_count" -> (oracleToks + """
       |SELECT doc_id, len(w)::BIGINT AS n_tokens,
       | len(list_distinct(w))::BIGINT AS n_uniq,

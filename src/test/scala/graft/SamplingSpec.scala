@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("selection is a pure function of content — repartition-invariant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val a = Sampling.byHash(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.byHash(docs.repartition(13), "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sample changed under repartitioning")
+  }
+
+  test("samples are subset-monotone in the rate and near the target size") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count().toDouble
+    val s5 = Sampling.byHash(docs, "doc_id", 0.05)
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.byHash(docs, "doc_id", 0.50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s5.subsetOf(s50), "1-in-20 sample not inside 1-in-2 sample")
+    assert(math.abs(s50.size / n - 0.5) < 0.15,
+      s"50% sample badly sized: ${s50.size} of $n")
+    // a different salt draws a different (but still deterministic) set
+    val salted = Sampling.byHash(docs, "doc_id", 0.50, salt = "v2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(salted != s50)
+  }
+
+  test("rate edges: 0 keeps nothing, 1 keeps everything") {
+    val docs = Tables.load(spark, sf, "documents")
+    assert(Sampling.byHash(docs, "doc_id", 0.0).count() == 0)
+    assert(Sampling.byHash(docs, "doc_id", 1.0).count() == docs.count())
+    intercept[IllegalArgumentException](
+      Sampling.byHash(docs, "doc_id", 1.5))
+  }
+
+  test("stratified: per-stratum rates apply, unlisted strata drop") {
+    val df = Seq.tabulate(400)(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val out = Sampling.stratifiedByHash(df, "id", "s",
+      Map("a" -> 1.0, "b" -> 0.0))
+    val kept = out.select("s").distinct().as[String].collect().toSeq
+    assert(kept == Seq("a"))
+    assert(out.count() == 200)
+    val none = Sampling.stratifiedByHash(df, "id", "s", Map("c" -> 1.0))
+    assert(none.count() == 0, "unlisted strata must be dropped")
+  }
+
+  test("plan shape: a narrow filter, no shuffle, no UDF") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = Sampling.byHash(docs, "doc_id", 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling shuffled:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQL UDF"),
+      plan)
+  }
+}
