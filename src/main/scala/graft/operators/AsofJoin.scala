@@ -39,17 +39,24 @@ object AsofJoin {
     leftTime: String, rightTime: String): DataFrame =
     asof(left, right, keys, leftTime, rightTime, forward = true)
 
+  private val Reserved = Set("_t", "_side", "_lp", "_rp", "_m")
+
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
     leftTime: String, rightTime: String, forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    val clash = (left.columns ++ right.columns).filter(Reserved).distinct
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with the " +
+        s"operator's internal columns (${Reserved.mkString(", ")}) — " +
+        "rename before joining")
     val lPayload = left.columns.toSeq
       .filterNot(c => keys.contains(c) || c == leftTime)
     val rPayload = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == rightTime)
     require(rPayload.nonEmpty,
       "right side has no payload columns beyond key/time")
-    require(lPayload.intersect(rPayload).isEmpty,
-      s"ambiguous output columns: ${lPayload.intersect(rPayload)}")
+    val dup = (lPayload :+ leftTime).intersect(rPayload)
+    require(dup.isEmpty, s"ambiguous output columns: $dup")
 
     def structOf(cols: Seq[String]): Column =
       struct(cols.map(col): _*)
@@ -64,16 +71,24 @@ object AsofJoin {
       (if (lPayload.nonEmpty) structOf(lPayload)
       else structOf(Seq(leftTime))).as("_lp"),
       lit(null).cast(rpType).as("_rp")): _*)
-    val rSel = right.select(keyCols ++ Seq(
-      col(rightTime).as("_t"), lit(0).as("_side"),
-      lit(null).cast(lpType).as("_lp"),
-      structOf(rPayload).as("_rp")): _*)
+    // a NULL-time right row can never satisfy ≤/≥ — drop it up front
+    // (otherwise nulls-first ordering would hand its payload to left
+    // rows with no true match, diverging from SQL ASOF semantics)
+    val rSel = right.filter(col(rightTime).isNotNull)
+      .select(keyCols ++ Seq(
+        col(rightTime).as("_t"), lit(0).as("_side"),
+        lit(null).cast(lpType).as("_lp"),
+        structOf(rPayload).as("_rp")): _*)
 
     // at equal _t the right row (side 0) sorts first in both
-    // directions, so an exact-tie right row is visible to the left row
+    // directions, so an exact-tie right row is visible to the left
+    // row. NULL-time LEFT rows sort FIRST in both directions: with
+    // null-time right rows already dropped they see no right payload
+    // and correctly match nothing (left-join null), while staying in
+    // the output.
     val ord =
-      if (forward) Seq(col("_t").desc, col("_side").asc)
-      else Seq(col("_t").asc, col("_side").asc)
+      if (forward) Seq(col("_t").desc_nulls_first, col("_side").asc)
+      else Seq(col("_t").asc_nulls_first, col("_side").asc)
     val w = Window.partitionBy(keyCols: _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 

@@ -41,7 +41,14 @@ object Broadcasting {
     * sessions can reclaim the cache: internal call sites (hash-repair,
     * marks-pipeline) return lazy frames and cannot know when their
     * caller is done, so without a registry each pipeline invocation
-    * would leave cached partitions behind until eviction pressure. */
+    * would leave cached partitions behind until eviction pressure.
+    *
+    * The registry is JVM-GLOBAL: `releaseAll()` drains caches from
+    * EVERY in-flight pipeline sharing the session — concurrent
+    * pipelines that must not disturb each other should unpersist
+    * their own returned frames instead (such frames are purged from
+    * the registry on the next `maybeBroadcastByCount` call, so the
+    * manual path does not pin them here). */
   private val cachedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
@@ -56,6 +63,10 @@ object Broadcasting {
     * frame yourself for finer control. */
   def maybeBroadcastByCount(df: DataFrame,
     maxRows: Long = 1000000L): DataFrame = {
+    // housekeeping: forget frames the caller already unpersisted
+    // manually, so the registry never pins dead plans
+    cachedFrames.removeIf(f =>
+      f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     val cached = df.persist()
     cachedFrames.add(cached)
     val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt

@@ -32,12 +32,10 @@ object CmsSketch {
   val Depth = 4
   val Width = 256
 
-  /** Row-content hash → counter column, identical in Spark and any
-    * md5-capable oracle: first 15 hex chars of md5("i:key") as int64
-    * (60 bits — BIGINT-safe), mod Width. */
+  /** Row-content hash → counter column (StableHash.md5Mod with the
+    * row index as prefix — identical in Spark and any md5 oracle). */
   def bucket(i: Int, key: Column): Column =
-    pmod(conv(substring(md5(concat(lit(i.toString), lit(":"),
-      key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(Width))
+    StableHash.md5Mod(i.toString, key, Width)
 
   private def probeFrame(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol), explode(array((0 until Depth).map(i =>

@@ -25,12 +25,10 @@ object Sampling {
     * integer in [0, 1e6) — rates are exact at ppm granularity. */
   val Granularity = 1000000L
 
-  /** Uniform integer in [0, Granularity) from the key's md5 (first
-    * 60 bits — BIGINT-safe; same arithmetic as CmsSketch.bucket). */
+  /** Uniform integer in [0, Granularity) from the key's md5
+    * (StableHash.md5Mod with the salt as prefix). */
   def uniform(key: Column, salt: String): Column =
-    pmod(conv(substring(md5(concat(lit(salt), lit(":"),
-      key.cast("string"))), 1, 15), 16, 10).cast("long"),
-      lit(Granularity))
+    StableHash.md5Mod(salt, key, Granularity)
 
   /** Keep rows whose key hashes under `rate`. */
   def byHash(df: DataFrame, keyCol: String, rate: Double,

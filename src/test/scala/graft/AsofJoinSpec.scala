@@ -66,5 +66,33 @@ class AsofJoinSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       AsofJoin.backward(trades, clash, Seq("sym"), "tt", "qt")
     }
+    // right payload named like the LEFT time column would emit two
+    // "tt" columns — must throw, not produce a duplicate
+    val timeClash = quotes.withColumnRenamed("px", "tt")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(trades, timeClash, Seq("sym"), "tt", "qt")
+    }
+    // reserved internal names are rejected up front
+    val reserved = trades.withColumnRenamed("qty", "_t")
+    intercept[IllegalArgumentException] {
+      AsofJoin.backward(reserved, quotes, Seq("sym"), "tt", "qt")
+    }
+  }
+
+  test("null timestamps match nothing, matching SQL ASOF semantics") {
+    val q = Seq(("A", Option.empty[Long], 7.0),
+      ("A", Some(20L), 2.0)).toDF("sym", "qt", "px")
+    val t = Seq(("A", Some(5L), 100), ("A", Some(25L), 101),
+      ("A", Option.empty[Long], 102)).toDF("sym", "tt", "qty")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("qty", "px").collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val back = run(AsofJoin.backward(t, q, Seq("sym"), "tt", "qt"))
+    // t=5: no quote at-or-before (the null-time quote must NOT leak
+    // in); t=25: qt=20; null-time trade: no match, row preserved
+    assert(back == Map(100 -> None, 101 -> Some(2.0), 102 -> None))
+    val fwd = run(AsofJoin.forward(t, q, Seq("sym"), "tt", "qt"))
+    assert(fwd == Map(100 -> Some(2.0), 101 -> None, 102 -> None))
   }
 }
