@@ -523,7 +523,15 @@ object RelationalQueries {
     "a11_cms_topk" -> ((s, dir) =>
       CmsSketch.topK(t(s, dir, "lineitem").select(col("l_suppkey")),
         "l_suppkey", 10)
-        .select(col("l_suppkey").as("k"), col("est")))
+        .select(col("l_suppkey").as("k"), col("est"))),
+
+    // KMV cardinality sketch: distinct-count estimate from the k=64
+    // smallest md5 hashes. Deterministic hash → the ESTIMATE itself
+    // is oracle-exact (DuckDB replays the identical arithmetic),
+    // unlike approx_count_distinct whose HLL is engine-private.
+    "a12_kmv_distinct" -> ((s, dir) =>
+      KmvSketch.distinctEstimate(t(s, dir, "lineitem"),
+        "l_suppkey", 64))
   )
 
   val oracle: Map[String, String] = Map(
@@ -768,6 +776,19 @@ object RelationalQueries {
         |  SELECT kp.k, min(c) AS est FROM kp
         |  JOIN cnt ON kp.i = cnt.i AND kp.bucket = cnt.bucket
         |  GROUP BY 1)
-        |SELECT k, est FROM est ORDER BY est DESC, k LIMIT 10""".stripMargin
+        |SELECT k, est FROM est ORDER BY est DESC, k LIMIT 10""".stripMargin,
+    "a12_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv:' ||
+        |      l_suppkey::VARCHAR), 1, 15))::BIGINT
+        |    % 1152921504606846976 AS h
+        |  FROM lineitem),
+        |topk AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |a AS (SELECT count(*) AS seen, max(h) AS kth FROM topk)
+        |SELECT CASE WHEN seen < 64 THEN seen
+        |  ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |    greatest(kth, 1) + 0.5) AS BIGINT) END AS est_distinct,
+        | seen::BIGINT AS k_seen
+        |FROM a""".stripMargin
   )
 }

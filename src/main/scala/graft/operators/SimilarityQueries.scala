@@ -142,7 +142,25 @@ object SimilarityQueries {
     // Exact all-pairs near-dup at cosine ≥ 0.4 — quadratic verification
     // baseline for the LSH path (production dedup uses v2/d4 banding).
     "v3_cos_neardup" -> ((s, dir) =>
-      cosNearDupPairs(s, emb(s, dir), blocks = 8))
+      cosNearDupPairs(s, emb(s, dir), blocks = 8)),
+
+    // Per-label embedding centroids (class prototypes for a training
+    // mix). Elements are integer-scaled BEFORE summing, so the
+    // cross-row float sum is order-free and exact in both engines;
+    // the mean divides once in double (IEEE-identical).
+    "v5_label_centroids" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          floor(col("v").cast("double") * lit(1000000d) + lit(0.5d))
+            .cast("long").as("v_e6"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum("v_e6").as("sum_e6"), count(lit(1)).as("cnt"))
+        .withColumn("mean_e6",
+          floor(col("sum_e6").cast("double") / col("cnt") + lit(0.5d))
+            .cast("long"))
+        .orderBy("label", "pos"))
   )
 
   /** v3 as a reusable operator: exact all-pairs cosine near-dup over
@@ -263,6 +281,18 @@ object SimilarityQueries {
       |FROM nv a JOIN nv b ON a.vec_id < b.vec_id
       |WHERE CAST(floor(${oDot("a.embedding", "b.embedding")}
       |  / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) >= 400000
-      |ORDER BY vec_a, vec_b""".stripMargin)
+      |ORDER BY vec_a, vec_b""".stripMargin),
+    "v5_label_centroids" -> """
+      |WITH e AS (
+      |  SELECT label, unnest(embedding) AS v,
+      |    unnest(range(1, len(embedding) + 1)) AS pos1
+      |  FROM embeddings),
+      |g AS (SELECT label, pos1 - 1 AS pos,
+      |  CAST(floor(v::DOUBLE * 1000000 + 0.5) AS BIGINT) AS v_e6
+      | FROM e)
+      |SELECT label, pos, sum(v_e6)::BIGINT AS sum_e6, count(*) AS cnt,
+      | CAST(floor(sum(v_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
+      |  AS mean_e6
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
