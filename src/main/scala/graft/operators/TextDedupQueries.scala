@@ -370,7 +370,21 @@ object TextDedupQueries {
       Sampling.stratifiedByHash(docs(s, dir), "doc_id", "lang",
         Map("en" -> 0.25, "de" -> 0.5, "zh" -> 1.0))
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Sequence packing (Packing.byRunningOffset): documents → 500-
+    // token context-window bins per source shard; output is the bin
+    // manifest (docs + tokens per bin).
+    "w7_pack_bins" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .select(col("doc_id"), col("source"),
+          size(col("w")).cast("long").as("n_tok"))
+      Packing.byRunningOffset(toks, "source", "doc_id", "n_tok", 500L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("source", "bin")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -386,6 +400,15 @@ object TextDedupQueries {
       |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
       |            WHEN 'zh' THEN 1000000 ELSE -1 END
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w7_pack_bins" -> (oracleToks + """,
+      |t AS (SELECT doc_id, source, len(w)::BIGINT AS n_tok FROM toks),
+      |o AS (SELECT doc_id, source, n_tok,
+      |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |   AS off FROM t)
+      |SELECT source, (off // 500)::BIGINT AS bin, count(*) AS n_docs,
+      | sum(n_tok)::BIGINT AS n_tokens
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "x1_token_count" -> (oracleToks + """
       |SELECT doc_id, len(w)::BIGINT AS n_tokens,
       | len(list_distinct(w))::BIGINT AS n_uniq,
