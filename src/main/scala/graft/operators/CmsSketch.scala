@@ -32,15 +32,24 @@ object CmsSketch {
   val Depth = 4
   val Width = 256
 
-  /** Row-content hash → counter column (StableHash.md5Mod with the
-    * row index as prefix — identical in Spark and any md5 oracle). */
-  def bucket(i: Int, key: Column): Column =
-    StableHash.md5Mod(i.toString, key, Width)
+  /** All Depth bucket indices come from ONE md5 evaluation per row:
+    * row i reads bits [8i, 8i+8) of the 60-bit StableHash value
+    * (Width = 256 = 8 bits; 4×8 = 32 of the 60 bits). One hash per
+    * row instead of Depth — md5 dominates the sketch's map cost —
+    * and the bit-slice is the same `>>`/`&` arithmetic in any
+    * oracle. md5 bits are independent enough for the d pairwise
+    * rows CMS asks for. */
+  def rowHash(key: Column): Column =
+    StableHash.md5Mod("cms", key, 1L << 60)
+
+  def bucket(i: Int, hash: Column): Column =
+    shiftright(hash, i * 8).bitwiseAND(lit(255L))
 
   private def probeFrame(df: DataFrame, keyCol: String): DataFrame =
-    df.select(col(keyCol), explode(array((0 until Depth).map(i =>
-      struct(lit(i).as("i"), bucket(i, col(keyCol)).as("bucket"))): _*))
-      .as("ib"))
+    df.select(col(keyCol), rowHash(col(keyCol)).as("_h"))
+      .select(col(keyCol), explode(array((0 until Depth).map(i =>
+        struct(lit(i).as("i"), bucket(i, col("_h")).as("bucket"))): _*))
+        .as("ib"))
       .select(col(keyCol), col("ib.i").as("i"), col("ib.bucket").as("bucket"))
 
   /** Sketch counters as a frame: (i, bucket, c), ≤ Depth×Width rows.
@@ -73,12 +82,13 @@ object CmsSketch {
       .limit(k)
   }
 
-  /** JVM twin of `bucket` — same md5 arithmetic, byte for byte. */
+  /** JVM twin of `rowHash`/`bucket` — same arithmetic, bit for bit. */
   private[graft] def bucketJvm(i: Int, key: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$i:$key".getBytes("UTF-8"))
+    val hex = md.digest(s"cms:$key".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % Width).toInt
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    ((h >> (i * 8)) & 255L).toInt
   }
 
   /** Mergeable typed aggregator: buffer = flat d×w counter array. */

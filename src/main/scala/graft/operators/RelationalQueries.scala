@@ -762,16 +762,17 @@ object RelationalQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a11_cms_topk" ->
       """WITH d AS (SELECT unnest([0,1,2,3]) AS i),
+        |h AS (SELECT ('0x' || substr(md5('cms:' ||
+        |    l_suppkey::VARCHAR), 1, 15))::BIGINT AS h FROM lineitem),
         |probe AS (
-        |  SELECT i, ('0x' || substr(md5(i::VARCHAR || ':' ||
-        |      l_suppkey::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
-        |  FROM lineitem CROSS JOIN d),
+        |  SELECT i, (h >> (i * 8)) & 255 AS bucket FROM h CROSS JOIN d),
         |cnt AS (SELECT i, bucket, count(*) AS c FROM probe GROUP BY 1, 2),
         |keys AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+        |kh AS (SELECT k, ('0x' || substr(md5('cms:' ||
+        |    k::VARCHAR), 1, 15))::BIGINT AS h FROM keys),
         |kp AS (
-        |  SELECT k, i, ('0x' || substr(md5(i::VARCHAR || ':' ||
-        |      k::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
-        |  FROM keys CROSS JOIN d),
+        |  SELECT k, i, (h >> (i * 8)) & 255 AS bucket
+        |  FROM kh CROSS JOIN d),
         |est AS (
         |  SELECT kp.k, min(c) AS est FROM kp
         |  JOIN cnt ON kp.i = cnt.i AND kp.bucket = cnt.bucket
