@@ -14,12 +14,16 @@ import javax.imageio.ImageIO
   * IMAGES decode for real: `decodeImage`/`decodeImageFeatures` run
   * JDK `javax.imageio` (PNG/JPEG/GIF/BMP) — dimensions and pixel
   * stats of the actual raster, oracle-checked by m2_image_decode.
-  * Audio/video have no decoder in this build, so their codec step is
-  * a DETERMINISTIC STUB (`decodeStub`): "decode" derives features
-  * from the bytes themselves (length, digest, mean, frame-stride
-  * samples). The Spark-side plumbing — schema, typed Dataset,
-  * partition-batched iteration, feature struct shape — is identical
-  * for both and is what a production audio codec would plug into.
+  * AUDIO decodes for real too: `decodeAudio`/`decodeAudioFeatures`
+  * run JDK `javax.sound.sampled` (WAV/AIFF/AU containers; 16-bit
+  * mono PCM payloads) — sample counts and amplitude stats of the
+  * actual PCM, oracle-checked by m3_audio_decode. VIDEO has no
+  * decoder in this build, so its codec step is a DETERMINISTIC STUB
+  * (`decodeStub`): "decode" derives features from the bytes
+  * themselves (length, digest, mean, frame-stride samples). The
+  * Spark-side plumbing — schema, typed Dataset, partition-batched
+  * iteration, feature struct shape — is identical for all three and
+  * is what a production video codec would plug into.
   *
   * Scale: mapPartitions keeps per-row overhead amortized (one codec
   * context per partition, like one Arrow batch per mapInPandas call);
@@ -184,5 +188,93 @@ object Multimodal {
       col("text").cast("binary").as("content"),
       lit(0).as("width"), lit(0).as("height"))
       .as[Media]
+  }
+
+  // ---- real audio codec (JDK javax.sound.sampled — no extra deps) ----
+
+  /** Decoded-audio statistics: integer-exact, so they oracle-check.
+    * Amplitudes are |16-bit sample| values. */
+  case class AudioFeatures(media_id: Long, sample_rate: Int,
+    n_samples: Long, amp_sum: Long, amp_max: Int)
+
+  /** Encode a payload as a real 16-bit PCM mono WAV (RIFF container
+    * via AudioSystem): sample i = (byte_i − 128) << 8 — the unsigned
+    * byte centered, then widened. Deterministic and invertible. */
+  private[graft] def encodePcmWav(payload: Array[Byte],
+    sampleRate: Int): Array[Byte] = {
+    require(payload.nonEmpty && sampleRate > 0)
+    val pcm = new Array[Byte](payload.length * 2)
+    var i = 0
+    while (i < payload.length) {
+      val s = ((payload(i) & 0xff) - 128) << 8
+      pcm(2 * i) = (s & 0xff).toByte // little-endian lo
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte // hi
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, payload.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode for WAV audio via `javax.sound.sampled`: container
+    * parse, format inspection, full PCM read. Only 16-bit mono PCM is
+    * supported (what this build encodes); anything else throws. */
+  private[multimodal] def decodeAudio(m: Media): AudioFeatures = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(m.content))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian,
+      s"media_id=${m.media_id}: unsupported audio format $fmt")
+    val bytes = ais.readAllBytes()
+    var sum = 0L
+    var max = 0
+    var n = 0L
+    var i = 0
+    while (i + 1 < bytes.length) {
+      val s = (bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)
+      val a = math.abs(s)
+      sum += a
+      if (a > max) max = a
+      n += 1
+      i += 2
+    }
+    AudioFeatures(m.media_id, fmt.getSampleRate.toInt, n, sum, max)
+  }
+
+  /** Audio feature extraction: real WAV decode per row, batched per
+    * partition. Payloads stay in the scan stage — only the small
+    * feature rows move. */
+  def decodeAudioFeatures(media: Dataset[Media]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        require(m.media_type.startsWith("audio/"),
+          s"media_id=${m.media_id}: ${m.media_type} has no audio decoder")
+        decodeAudio(m)
+      }
+    }
+  }
+
+  /** Synthesize an AUDIO media table from `documents`: each doc's
+    * text bytes become the samples of a real WAV (encodePcmWav). The
+    * decode path is honest end-to-end — and oracle-checkable, because
+    * the decoded sample stats are integer functions of the text. */
+  def audioFromDocuments(docs: DataFrame, sampleRate: Int = 8000)
+    : Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          Media(id, "audio/wav",
+            encodePcmWav(text.getBytes("UTF-8"), sampleRate), 0, 0)
+        }
+      }
   }
 }

@@ -37,6 +37,22 @@ object MultimodalQueries {
         .select(col("media_id"), col("width"), col("height"),
           col("px_sum"), col("px_max"))
         .orderBy("media_id")
+    }),
+
+    // REAL audio decode: each doc's text bytes become the samples of
+    // a genuine 16-bit PCM mono WAV, decoded back with
+    // javax.sound.sampled (container parse + full PCM read). The
+    // amplitude stats are exact integer functions of the text, so
+    // DuckDB verifies that a real encode→decode round trip happened.
+    "m3_audio_decode" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      Multimodal.decodeAudioFeatures(
+        Multimodal.audioFromDocuments(docs, sampleRate = 8000))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("amp_sum"), col("amp_max"))
+        .orderBy("media_id")
     })
   )
 
@@ -63,6 +79,20 @@ object MultimodalQueries {
       |    i -> ascii(substr(text, i, 1)))), (a, b) -> a + b) AS px_sum,
       | CAST(list_max(list_transform(range(1, len(text) + 1),
       |    i -> ascii(substr(text, i, 1)))) AS INTEGER) AS px_max
+      |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin,
+
+    // sample i = (ascii_i − 128) << 8; documents are ASCII (< 128), so
+    // |sample| = (128 − ascii) * 256: amp_sum = 256·Σ(128−ascii),
+    // amp_max = 256·(128 − min ascii), n_samples = len(text).
+    "m3_audio_decode" -> """
+      |SELECT doc_id AS media_id, 8000 AS sample_rate,
+      | len(text)::BIGINT AS n_samples,
+      | (256 * list_reduce(list_prepend(0::BIGINT,
+      |   list_transform(range(1, len(text) + 1),
+      |    i -> 128 - ascii(substr(text, i, 1)))), (a, b) -> a + b)
+      |  )::BIGINT AS amp_sum,
+      | CAST(256 * (128 - list_min(list_transform(range(1, len(text) + 1),
+      |    i -> ascii(substr(text, i, 1))))) AS INTEGER) AS amp_max
       |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin
   )
 }

@@ -112,4 +112,44 @@ class MultimodalSpec extends SparkTestBase {
         Multimodal.mediaFromDocuments(docs)).collect()
     }
   }
+
+  test("encodePcmWav → javax.sound decode round-trips sample-exact") {
+    val payload = Array[Byte](0, 64, 127, -128, -1) // unsigned 0..255
+    val wav = Multimodal.encodePcmWav(payload, 8000)
+    // a genuine RIFF/WAVE container, parseable by the JDK
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    assert(ais.getFormat.getChannels == 1)
+    val pcm = ais.readAllBytes()
+    val samples = pcm.grouped(2).map(p =>
+      (p(1).toInt << 8) | (p(0) & 0xff)).toSeq
+    assert(samples == payload.map(b => ((b & 0xff) - 128) << 8).toSeq)
+  }
+
+  test("decodeAudioFeatures runs real WAV decode over a Dataset") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) > 0)
+    val feats = Multimodal.decodeAudioFeatures(
+      Multimodal.audioFromDocuments(docs, sampleRate = 8000))
+      .collect().map(f => f.media_id -> f).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(feats.keySet == texts.keySet)
+    for ((id, t) <- texts.take(20)) {
+      val amps = t.getBytes("UTF-8").map(b => ((b & 0xff) - 128).abs * 256)
+      assert(feats(id).sample_rate == 8000)
+      assert(feats(id).n_samples == amps.length.toLong)
+      assert(feats(id).amp_sum == amps.map(_.toLong).sum)
+      assert(feats(id).amp_max == amps.max)
+    }
+    // non-audio media is rejected, not silently stub-decoded
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFeatures(
+        Multimodal.mediaFromDocuments(docs)).collect()
+    }
+  }
 }
