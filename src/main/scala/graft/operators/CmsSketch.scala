@@ -82,22 +82,29 @@ object CmsSketch {
       .limit(k)
   }
 
-  /** JVM twin of `rowHash`/`bucket` — same arithmetic, bit for bit. */
-  private[graft] def bucketJvm(i: Int, key: String): Int = {
+  /** JVM twin of `rowHash` — same arithmetic, bit for bit. One md5
+    * per key; slice buckets from it with `bucketOf`. */
+  private[graft] def hashJvm(key: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"cms:$key".getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    ((h >> (i * 8)) & 255L).toInt
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
+
+  private[graft] def bucketOf(i: Int, h: Long): Int =
+    ((h >> (i * 8)) & 255L).toInt
+
+  private[graft] def bucketJvm(i: Int, key: String): Int =
+    bucketOf(i, hashJvm(key))
 
   /** Mergeable typed aggregator: buffer = flat d×w counter array. */
   class CmsAggregator extends Aggregator[String, Array[Long], Array[Long]] {
     def zero: Array[Long] = new Array[Long](Depth * Width)
     def reduce(b: Array[Long], key: String): Array[Long] = {
+      val h = hashJvm(key) // one digest per row, like the column face
       var i = 0
       while (i < Depth) {
-        b(i * Width + bucketJvm(i, key)) += 1L; i += 1
+        b(i * Width + bucketOf(i, h)) += 1L; i += 1
       }
       b
     }
@@ -112,6 +119,8 @@ object CmsSketch {
   }
 
   /** Estimate from a materialized sketch array (driver-side probe). */
-  def estimateFrom(sketch: Array[Long], key: String): Long =
-    (0 until Depth).map(i => sketch(i * Width + bucketJvm(i, key))).min
+  def estimateFrom(sketch: Array[Long], key: String): Long = {
+    val h = hashJvm(key)
+    (0 until Depth).map(i => sketch(i * Width + bucketOf(i, h))).min
+  }
 }

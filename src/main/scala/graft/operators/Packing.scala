@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * fixed-token-budget bins (context windows) by RUNNING OFFSET — doc
   * d goes to bin `floor(offset(d) / budget)` where offset is the sum
   * of token counts of all earlier documents in its shard. This is the
-  * standard offset-based approximation of greedy packing (a bin may
-  * overflow by one document's tail; no bin is left sparse), chosen
-  * because it is a pure window computation: deterministic, one
-  * shuffle, no sequential driver scan — true greedy packing is an
-  * inherently serial fold.
+  * standard offset-based approximation of greedy packing, chosen
+  * because it is a pure window computation: one shuffle, no
+  * sequential driver scan — true greedy packing is an inherently
+  * serial fold. For documents no longer than the budget, a bin
+  * overflows by at most one document's tail and no bin is skipped; a
+  * document LONGER than the budget overflows its bin by more and
+  * leaves the bins its excess spans empty (split such documents
+  * before packing if that matters).
   *
   * Packing is per-`shardCol` (e.g. source): the running sum
   * parallelizes across shards, which is also the realistic training
@@ -23,7 +26,10 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Adds `bin` (0-based per shard) to (shardCol, orderCol, tokenCol)
-    * rows. `budget` = tokens per bin. */
+    * rows. `budget` = tokens per bin. `orderCol` must be UNIQUE
+    * within each shard (doc_id-like): the running sum over tied
+    * order keys would be partitioning/retry-dependent — the
+    * nondeterminism this module bans everywhere else. */
   def byRunningOffset(df: DataFrame, shardCol: String, orderCol: String,
     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

@@ -152,7 +152,9 @@ object SimilarityQueries {
       emb(s, dir)
         .select(col("label"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
-        .select(col("label"), col("pos"),
+        // driver schema compare is exact-width: posexplode emits int,
+        // the oracle's range() arithmetic emits BIGINT — cast to long
+        .select(col("label"), col("pos").cast("long").as("pos"),
           floor(col("v").cast("double") * lit(1000000d) + lit(0.5d))
             .cast("long").as("v_e6"))
         .groupBy(col("label"), col("pos"))
