@@ -162,7 +162,27 @@ object SimilarityQueries {
         .withColumn("mean_e6",
           floor(col("sum_e6").cast("double") / col("cnt") + lit(0.5d))
             .cast("long"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // Symmetric int8 quantization (max-abs per vector → [-127, 127]):
+    // the standard 4× memory cut for ANN indexes at scale. maxabs is
+    // a left fold from 0.0 (same order as the oracle's list_reduce);
+    // q = round(v/maxabs·127) is one double chain, IEEE-identical.
+    "v6_int8_quantize" -> ((s, dir) =>
+      emb(s, dir)
+        .filter(col("vec_id") < 20)
+        .withColumn("maxabs", expr(
+          """aggregate(embedding, cast(0.0 as double),
+            |  (a, x) -> greatest(a, abs(cast(x as double))))"""
+            .stripMargin))
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")),
+          col("maxabs"))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          when(col("maxabs") === 0d, lit(0L))
+            .otherwise(floor(col("v").cast("double") / col("maxabs")
+              * lit(127d) + lit(0.5d)).cast("long")).as("q"))
+        .orderBy("vec_id", "pos"))
   )
 
   /** v3 as a reusable operator: exact all-pairs cosine near-dup over
@@ -295,6 +315,22 @@ object SimilarityQueries {
       |SELECT label, pos, sum(v_e6)::BIGINT AS sum_e6, count(*) AS cnt,
       | CAST(floor(sum(v_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
       |  AS mean_e6
-      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "v6_int8_quantize" -> """
+      |WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+      |     (a, b) -> greatest(a, b)) AS maxabs
+      |  FROM embeddings WHERE vec_id < 20),
+      |e AS (
+      |  SELECT vec_id, maxabs, unnest(embedding) AS v,
+      |    unnest(range(1, len(embedding) + 1)) AS pos1
+      |  FROM m)
+      |SELECT vec_id, pos1 - 1 AS pos,
+      | CASE WHEN maxabs = 0 THEN 0
+      |  ELSE CAST(floor(v::DOUBLE / maxabs * 127 + 0.5) AS BIGINT)
+      |  END AS q
+      |FROM e ORDER BY 1, 2""".stripMargin
   )
 }

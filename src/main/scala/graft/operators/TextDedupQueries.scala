@@ -372,6 +372,18 @@ object TextDedupQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy("lang")),
 
+    // Canonical text normalization (cleaning stage): strip
+    // non-alphanumerics, collapse runs of spaces, trim, lowercase —
+    // the usual pre-dedup/pre-tokenize canonical form. Pure
+    // codegen'd string expressions; byte-identical in the oracle
+    // (documents are ASCII).
+    "x8_normalize" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(regexp_replace(col("text"),
+            "[^a-zA-Z0-9 ]", ""), " +", " "))).as("norm"))
+        .orderBy("doc_id")),
+
     // Sequence packing (Packing.byRunningOffset): documents → 500-
     // token context-window bins per source shard; output is the bin
     // manifest (docs + tokens per bin).
@@ -400,6 +412,11 @@ object TextDedupQueries {
       |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
       |            WHEN 'zh' THEN 1000000 ELSE -1 END
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x8_normalize" -> """
+      |SELECT doc_id,
+      | lower(trim(regexp_replace(regexp_replace(text,
+      |   '[^a-zA-Z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm
+      |FROM documents ORDER BY doc_id""".stripMargin,
     "w7_pack_bins" -> (oracleToks + """,
       |t AS (SELECT doc_id, source, len(w)::BIGINT AS n_tok FROM toks),
       |o AS (SELECT doc_id, source, n_tok,
