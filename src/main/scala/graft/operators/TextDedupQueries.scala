@@ -82,6 +82,30 @@ object TextDedupQueries {
     hashed.select(col("doc_id") +: mins: _*)
   }
 
+  /** LSH candidate pairs (the d4 plan, reusable): 4 bands × 2 minhash
+    * keys, band-bucket grouping, in-bucket pair generation — never a
+    * self-join, never pairs². */
+  private def lshCandidatePairs(s: SparkSession, dir: String)
+    : DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = sig.select(col("doc_id"), expr(
+      """explode(array(
+        | struct(0 as band, mh0 as k1, mh1 as k2),
+        | struct(1 as band, mh2 as k1, mh3 as k2),
+        | struct(2 as band, mh4 as k1, mh5 as k2),
+        | struct(3 as band, mh6 as k1, mh7 as k2)))""".stripMargin)
+      .as("b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.k1").as("k1"), col("b.k2").as("k2"))
+    bands.groupBy(col("band"), col("k1"), col("k2"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(bucketPairs("xs"))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** Ordered (a,b) pairs from a sorted in-bucket array — turns the
     * classic inverted-index SELF-JOIN into group + generate, so the
     * upstream pipeline (tokenize/shingle/hash) runs ONCE instead of
@@ -276,26 +300,8 @@ object TextDedupQueries {
     // LSH banding over the minhash signature: 4 bands × 2 rows; candidate
     // pairs = docs colliding in ≥1 band. At 100 TB this is THE dedup
     // join — band-bucket cardinality scales with corpus, not pairs².
-    "d4_lsh_pairs" -> ((s, dir) => {
-      val sig = minhashSig(s, dir)
-      val bands = sig.select(col("doc_id"), expr(
-        """explode(array(
-          | struct(0 as band, mh0 as k1, mh1 as k2),
-          | struct(1 as band, mh2 as k1, mh3 as k2),
-          | struct(2 as band, mh4 as k1, mh5 as k2),
-          | struct(3 as band, mh6 as k1, mh7 as k2)))""".stripMargin)
-        .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"),
-          col("b.k1").as("k1"), col("b.k2").as("k2"))
-      bands.groupBy(col("band"), col("k1"), col("k2"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
-        .filter(size(col("xs")) >= 2)
-        .select(explode(expr(bucketPairs("xs"))).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "d4_lsh_pairs" -> ((s, dir) =>
+      lshCandidatePairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // SimHash: 16-bit sign-aggregate fingerprint per doc. explode(16 bit
     // positions) × tokens, partial-agg'd map-side.
@@ -372,6 +378,26 @@ object TextDedupQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy("lang")),
 
+    // End-to-end dedup APPLICATION: what a pipeline actually ships.
+    // Exact groups collapse to their min-doc_id representative; LSH
+    // candidate pairs then drop each pair's higher id (single-pass
+    // keep-lowest — deliberately NOT transitive closure, which needs
+    // iterative union-find: greedy may over-remove when a doc_b's
+    // doc_a was itself removed; conservative and deterministic, the
+    // oracle applies the identical rule). Output: survivors/source.
+    "d7_dedup_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val reps = d.groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val losers = lshCandidatePairs(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      reps.join(losers, Seq("doc_id"), "left_anti")
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
     // Canonical text normalization (cleaning stage): strip
     // non-alphanumerics, collapse runs of spaces, trim, lowercase —
     // the usual pre-dedup/pre-tokenize canonical form. Pure
@@ -412,6 +438,23 @@ object TextDedupQueries {
       |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
       |            WHEN 'zh' THEN 1000000 ELSE -1 END
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d7_dedup_apply" -> (oracleMinhash + """,
+      |bands AS (
+      | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig),
+      |losers AS (
+      | SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+      |  AND a.doc_id < b.doc_id),
+      |reps AS (SELECT min(doc_id) AS doc_id FROM documents
+      |         GROUP BY sha256(text)),
+      |surv AS (SELECT r.doc_id FROM reps r LEFT JOIN losers l
+      |         ON r.doc_id = l.doc_id WHERE l.doc_id IS NULL)
+      |SELECT d.source, count(*) AS n_docs
+      |FROM surv JOIN documents d ON surv.doc_id = d.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
     "x8_normalize" -> """
       |SELECT doc_id,
       | lower(trim(regexp_replace(regexp_replace(text,
