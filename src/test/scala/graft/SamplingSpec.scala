@@ -61,4 +61,27 @@ class SamplingSpec extends SparkTestBase {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQL UDF"),
       plan)
   }
+
+  test("composes with Structured Streaming: stream sample == batch sample") {
+    // a stateless deterministic filter needs no watermark or state —
+    // the same operator call works on a streaming frame unchanged
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val sampled = Sampling.byHash(in.toDF().withColumnRenamed("value", "id"),
+      "id", 0.3)
+    val q = sampled.writeStream.format("memory")
+      .queryName("sampled_stream").outputMode("append").start()
+    try {
+      in.addData(1L to 500L)
+      q.processAllAvailable()
+      val streamed = spark.table("sampled_stream")
+        .select("id").as[Long].collect().toSet
+      val batch = Sampling.byHash(
+        (1L to 500L).toDF("id"), "id", 0.3)
+        .select("id").as[Long].collect().toSet
+      assert(streamed == batch, "stream and batch samples diverged")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
