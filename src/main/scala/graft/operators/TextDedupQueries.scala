@@ -378,6 +378,17 @@ object TextDedupQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy("lang")),
 
+    // Transitive dedup GROUPS: connected components over the LSH
+    // candidate pairs (min-label propagation, one shuffle per round,
+    // rounds = component diameter) — the closure d7's single-pass rule
+    // deliberately skips. Oracle = a recursive CTE reaching the same
+    // fixpoint.
+    "d8_dedup_groups" -> ((s, dir) =>
+      ConnectedComponents.dedupGroups(
+        lshCandidatePairs(s, dir), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp"), col("group_size"))
+        .orderBy("doc_id")),
+
     // End-to-end dedup APPLICATION: what a pipeline actually ships.
     // Exact groups collapse to their min-doc_id representative; LSH
     // candidate pairs then drop each pair's higher id (single-pass
@@ -438,6 +449,29 @@ object TextDedupQueries {
       |  CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
       |            WHEN 'zh' THEN 1000000 ELSE -1 END
       |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d8_dedup_groups" -> (oracleMinhash.replaceFirst(
+      "WITH ", "WITH RECURSIVE ") + """,
+      |bands AS (
+      | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1
+      |  AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |cc(id, comp) AS (
+      | SELECT a, a FROM edges
+      | UNION
+      | SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+      |assign AS (SELECT id, min(comp) AS comp FROM cc GROUP BY 1),
+      |sizes AS (SELECT comp, count(*) AS group_size FROM assign
+      |          GROUP BY 1)
+      |SELECT id AS doc_id, a.comp, group_size
+      |FROM assign a JOIN sizes s ON a.comp = s.comp
+      |ORDER BY doc_id""".stripMargin),
     "d7_dedup_apply" -> (oracleMinhash + """,
       |bands AS (
       | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig

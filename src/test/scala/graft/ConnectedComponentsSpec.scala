@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)], maxIter: Int = 25) =
+    ConnectedComponents.minLabel(
+      edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chains, cliques, and separate components all close to min id") {
+    // chain 1-2-3-4, triangle 10-11-12, isolated edge 20-21
+    val m = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("label flows against edge direction too (undirected)") {
+    // min id at the 'dst' end of every edge
+    val m = comps(Seq((5L, 1L), (9L, 5L)))
+    assert(m.values.toSet == Set(1L))
+  }
+
+  test("non-convergence within maxIter throws rather than returning wrong labels") {
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalStateException](comps(chain, maxIter = 2))
+  }
+
+  test("dedupGroups attaches component sizes") {
+    val g = ConnectedComponents.dedupGroups(
+      Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(g == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (8L, 7L, 2L)))
+  }
+}
