@@ -3,64 +3,114 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by min-label propagation — the
-  * transitive-closure step that turns near-dup PAIRS into dedup
-  * GROUPS (d7's single-pass keep-lowest is deliberately not closure;
-  * this is). Each node starts labeled with itself; every round each
-  * node takes the min of its own and its neighbors' labels; fixpoint
-  * = every node carries its component's minimum id.
+/** Distributed connected components — the transitive-closure step
+  * that turns near-dup PAIRS into dedup GROUPS (d7's single-pass
+  * keep-lowest is deliberately not closure; this is). Node ids must
+  * be integral (doc ids); every node maps to its component's MIN id.
   *
-  * Scale shape: one shuffle per round (join edges⋈labels + min-agg),
-  * rounds bounded by graph DIAMETER — near-dup graphs are unions of
-  * small cliques/chains, so a handful of rounds closes them. Each
-  * round's result is persisted and the previous round's cache dropped
-  * (the IvfIndex lesson: never let an iterative lineage chain re-run
-  * from round 0), and convergence is checked with a count on the
-  * CHANGED set, not a collect.
+  * Two-tier plan, count-gated like Broadcasting.maybeBroadcastByCount:
+  *
+  *  - **Local union-find** (edge count ≤ `localEdgeCap`): one task,
+  *    path-compressed, min-root linking — exact in ONE pass. This is
+  *    the right plan almost always: the edge set is the LSH pair
+  *    list, which is tiny relative to the corpus (that is the whole
+  *    point of banding), and a 5M-edge union-find is milliseconds —
+  *    while every iterative round below costs a full shuffle cycle
+  *    of fixed latency. The corpus never flows through the single
+  *    task; only the pairs do.
+  *
+  *  - **Iterative min-label propagation** (edge count above the cap):
+  *    neighbor-min each round, rounds bounded by component diameter,
+  *    per-round persist with the previous cache dropped and the edge
+  *    set cached once (its lineage is the whole upstream pipeline).
+  *    Loud IllegalStateException on non-convergence.
   */
 object ConnectedComponents {
 
-  /** Edges (srcCol, dstCol) are undirected. Returns (id, comp): every
-    * node of the edge set mapped to its component's min id. Throws if
-    * `maxIter` rounds do not converge (diameter > maxIter). The
-    * returned frame is PERSISTED (already materialized by the last
-    * convergence check — one small row per node); unpersist it when
-    * done, or release with the session. */
+  /** Above this many (directed) edges the single-task union-find is
+    * no longer obviously cheap and the iterative path takes over. */
+  val LocalEdgeCap: Long = 5000000L
+
+  /** Edges (srcCol, dstCol) are undirected, ids integral. Returns
+    * (id: long, comp: long) — every node of the edge set mapped to
+    * its component's min id. */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
-    maxIter: Int = 25): DataFrame = {
-    // persist the symmetric edge set: its lineage may be an entire
-    // upstream pipeline (minhash → bands → pairs), and EVERY round
-    // joins against it — without the cut, round i re-executes the
-    // pipeline i times (the IvfIndex lineage lesson)
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    maxIter: Int = 25, localEdgeCap: Long = LocalEdgeCap): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
       .persist()
     try {
-      var comp = sym.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id"))
-        .persist()
-      comp.count() // materialize so each round starts from a cut lineage
-      var round = 0
-      var converged = false
-      while (!converged) {
-        if (round >= maxIter)
-          throw new IllegalStateException(
-            s"connected components did not converge in $maxIter rounds")
-        val next = sym.join(comp, col("src") === col("id"))
-          .select(col("dst").as("id"), col("comp"))
-          .union(comp.select(col("id"), col("comp")))
-          .groupBy(col("id")).agg(min("comp").as("comp"))
-          .persist()
-        val changed = next.join(comp.withColumnRenamed("comp", "prev"),
-          Seq("id"))
-          .filter(col("comp") < col("prev")).count()
-        comp.unpersist()
-        comp = next
-        converged = changed == 0
-        round += 1
-      }
-      comp
+      val probe = math.min(localEdgeCap + 1, Int.MaxValue.toLong).toInt
+      if (sym.limit(probe).count() <= localEdgeCap) localUnionFind(sym)
+      else iterate(sym, maxIter)
     } finally sym.unpersist()
+    // NOTE: the result of either branch is materialized (localUnionFind
+    // collects nothing but is computed under the persist; iterate
+    // persists its result) before sym is released — see each branch.
+  }
+
+  /** One-task exact union-find: path compression + min-root linking,
+    * so each root IS its component's min id. The iterator is consumed
+    * fully before emitting, then results stream out. */
+  private def localUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val out = sym.as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap[Long]()
+        def add(x: Long): Unit =
+          if (!parent.contains(x)) parent(x) = x
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          add(a); add(b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keys.toArray.sorted.iterator.map(k => (k, find(k)))
+      }
+      .toDF("id", "comp")
+      .persist()
+    out.count() // materialize before the caller releases the edge cache
+    out
+  }
+
+  private def iterate(sym: DataFrame, maxIter: Int): DataFrame = {
+    var comp = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist()
+    comp.count() // each round starts from a cut lineage
+    var round = 0
+    var converged = false
+    while (!converged) {
+      if (round >= maxIter)
+        throw new IllegalStateException(
+          s"connected components did not converge in $maxIter rounds")
+      val next = sym.join(comp, col("src") === col("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .union(comp.select(col("id"), col("comp")))
+        .groupBy(col("id")).agg(min("comp").as("comp"))
+        .persist()
+      val changed = next.join(comp.withColumnRenamed("comp", "prev"),
+        Seq("id"))
+        .filter(col("comp") < col("prev")).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      round += 1
+    }
+    comp
   }
 
   /** Dedup grouping: component assignment for every doc in `pairs`

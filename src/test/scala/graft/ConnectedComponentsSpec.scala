@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 class ConnectedComponentsSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def comps(edges: Seq[(Long, Long)], maxIter: Int = 25) =
+  private def comps(edges: Seq[(Long, Long)], maxIter: Int = 25,
+    localEdgeCap: Long = ConnectedComponents.LocalEdgeCap) =
     ConnectedComponents.minLabel(
-      edges.toDF("a", "b"), "a", "b", maxIter)
+      edges.toDF("a", "b"), "a", "b", maxIter, localEdgeCap)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chains, cliques, and separate components all close to min id") {
@@ -25,9 +26,18 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(m.values.toSet == Set(1L))
   }
 
+  test("iterative path agrees with the local union-find path exactly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L), (5L, 1L), (9L, 5L))
+    // localEdgeCap = 0 forces the iterative branch
+    assert(comps(edges, localEdgeCap = 0L) == comps(edges))
+  }
+
   test("non-convergence within maxIter throws rather than returning wrong labels") {
     val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
-    intercept[IllegalStateException](comps(chain, maxIter = 2))
+    // force the iterative branch; a 12-chain needs more than 2 rounds
+    intercept[IllegalStateException](
+      comps(chain, maxIter = 2, localEdgeCap = 0L))
   }
 
   test("dedupGroups attaches component sizes") {
