@@ -44,6 +44,15 @@ object AsofJoin {
   private def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
     leftTime: String, rightTime: String, forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    // the union would silently widen mismatched time types (int vs
+    // long, date vs timestamp), quietly changing comparison semantics
+    // and the output time column's type — require identical types
+    val lt = left.schema(leftTime).dataType
+    val rt = right.schema(rightTime).dataType
+    require(lt == rt,
+      s"as-of time columns must have identical types: $leftTime is " +
+        s"${lt.simpleString}, $rightTime is ${rt.simpleString} — cast " +
+        "one side before joining")
     val clash = (left.columns ++ right.columns).filter(Reserved).distinct
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} collide with the " +

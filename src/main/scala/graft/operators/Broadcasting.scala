@@ -74,6 +74,18 @@ object Broadcasting {
     if (n <= maxRows) broadcast(cached) else cached
   }
 
+  /** Register an ALREADY-persisted frame in the release registry, so
+    * operators that persist internally (ConnectedComponents' edge
+    * closure, for one) share the same reclamation point as
+    * `maybeBroadcastByCount` instead of leaking caches in long-lived
+    * sessions. Returns the frame for call-site chaining. */
+  def track(df: DataFrame): DataFrame = {
+    cachedFrames.removeIf(f =>
+      f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    cachedFrames.add(df)
+    df
+  }
+
   /** Unpersist every frame `maybeBroadcastByCount` has cached since
     * the last release. Safe at any point — an unpersisted frame that
     * a still-lazy plan references simply recomputes — but the right

@@ -45,8 +45,12 @@ object CmsSketch {
   def bucket(i: Int, hash: Column): Column =
     shiftright(hash, i * 8).bitwiseAND(lit(255L))
 
+  /** NULL keys are NOT COUNTED (md5(null) is null — there is no
+    * content to hash): both faces skip them, so the column sketch and
+    * `CmsAggregator` stay bit-identical on null-bearing inputs. */
   private def probeFrame(df: DataFrame, keyCol: String): DataFrame =
-    df.select(col(keyCol), rowHash(col(keyCol)).as("_h"))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), rowHash(col(keyCol)).as("_h"))
       .select(col(keyCol), explode(array((0 until Depth).map(i =>
         struct(lit(i).as("i"), bucket(i, col("_h")).as("bucket"))): _*))
         .as("ib"))
@@ -101,6 +105,7 @@ object CmsSketch {
   class CmsAggregator extends Aggregator[String, Array[Long], Array[Long]] {
     def zero: Array[Long] = new Array[Long](Depth * Width)
     def reduce(b: Array[Long], key: String): Array[Long] = {
+      if (key == null) return b // null keys uncounted — see probeFrame
       val h = hashJvm(key) // one digest per row, like the column face
       var i = 0
       while (i < Depth) {

@@ -83,7 +83,10 @@ object ConnectedComponents {
       .toDF("id", "comp")
       .persist()
     out.count() // materialize before the caller releases the edge cache
-    out
+    // tracked: Broadcasting.releaseAll() reclaims it (or unpersist the
+    // returned frame directly) — callers get a lazy frame and this
+    // method cannot know when they are done with it
+    Broadcasting.track(out)
   }
 
   private def iterate(sym: DataFrame, maxIter: Int): DataFrame = {
@@ -110,7 +113,7 @@ object ConnectedComponents {
       converged = changed == 0
       round += 1
     }
-    comp
+    Broadcasting.track(comp) // see localUnionFind — same release contract
   }
 
   /** Dedup grouping: component assignment for every doc in `pairs`

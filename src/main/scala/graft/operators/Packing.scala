@@ -29,14 +29,30 @@ object Packing {
     * rows. `budget` = tokens per bin. `orderCol` must be UNIQUE
     * within each shard (doc_id-like): the running sum over tied
     * order keys would be partitioning/retry-dependent — the
-    * nondeterminism this module bans everywhere else. */
+    * nondeterminism this module bans everywhere else. Token counts
+    * must be non-null and non-negative (a null would silently skip
+    * the row in the running sum, shifting every later offset; a
+    * negative one breaks bin monotonicity) — violations throw. */
   def byRunningOffset(df: DataFrame, shardCol: String, orderCol: String,
     tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val clash = df.columns.toSet.intersect(Set("_off", "bin"))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with the " +
+        "operator's output/internal columns (_off, bin) — rename " +
+        "before packing")
+    val tok = when(col(tokenCol).isNull || col(tokenCol) < 0,
+      raise_error(concat(lit(s"Packing: token count '$tokenCol' must " +
+        "be non-null and non-negative, got "),
+        coalesce(col(tokenCol).cast("string"), lit("null")))))
+      .otherwise(col(tokenCol))
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("_off", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      .withColumn("bin", expr(s"_off div $budget"))
+    // `bin` references the checked token too: the window frame ends at
+    // the PREVIOUS row, so a shard's last token is never summed — the
+    // gate on `bin` makes every row's own token get validated as well
+    df.withColumn("_off", coalesce(sum(tok).over(w), lit(0L)))
+      .withColumn("bin", when(tok >= 0, expr(s"_off div $budget")))
       .drop("_off")
   }
 }

@@ -30,17 +30,29 @@ object Sampling {
   def uniform(key: Column, salt: String): Column =
     StableHash.md5Mod(salt, key, Granularity)
 
-  /** Keep rows whose key hashes under `rate`. */
+  /** A NULL key has no content to hash: md5(null) is null, the
+    * comparison is null, and the filter would drop the row SILENTLY —
+    * even at rate 1.0, violating "rate 1 keeps everything". Sampling
+    * decisions must be explicit, so a null key fails loudly instead;
+    * filter nulls (or coalesce to a sentinel) before sampling. */
+  private def checkedUniform(key: Column, salt: String): Column =
+    when(key.isNull, raise_error(lit(
+      "Sampling: null key — hash sampling requires non-null keys " +
+        "(filter or coalesce them first)")))
+      .otherwise(uniform(key, salt))
+
+  /** Keep rows whose key hashes under `rate`. Null keys throw — see
+    * `checkedUniform`. */
   def byHash(df: DataFrame, keyCol: String, rate: Double,
     salt: String = ""): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
-    df.filter(uniform(col(keyCol), salt) <
+    df.filter(checkedUniform(col(keyCol), salt) <
       lit(math.round(rate * Granularity)))
   }
 
   /** Per-stratum rates (class-balanced downsampling): rows whose
     * stratum is absent from `rates` are DROPPED — an explicit mix
-    * spec, not a passthrough. */
+    * spec, not a passthrough. Null keys throw — see `checkedUniform`. */
   def stratifiedByHash(df: DataFrame, keyCol: String, strataCol: String,
     rates: Map[String, Double], salt: String = ""): DataFrame = {
     rates.values.foreach(r =>
@@ -49,6 +61,6 @@ object Sampling {
       when(col(strataCol) === lit(k),
         lit(math.round(r * Granularity))).otherwise(acc)
     }
-    df.filter(uniform(col(keyCol), salt) < threshold)
+    df.filter(checkedUniform(col(keyCol), salt) < threshold)
   }
 }

@@ -330,7 +330,11 @@ object TurtleParser {
       * long forms `"""…"""` / `'''…'''` (rdflib's turtle serializer
       * emits the long double-quote form for any literal containing a
       * newline — the engine must re-read its outputs). Long strings
-      * admit raw newlines and unescaped quotes (runs of 1–2). */
+      * admit raw newlines and unescaped quotes, including quotes
+      * ABUTTING the closing delimiter: per the Turtle grammar the
+      * close is longest-match, so in a quote run of n ≥ 3 the final
+      * three quotes close the literal and the leading n−3 belong to
+      * the content (`"""a""""` is the string `a"`). */
     private def readLiteral(): String = {
       val q = peek // '"' or '\''
       i += 1
@@ -344,9 +348,17 @@ object TurtleParser {
           val c = s.charAt(i)
           if (c == '\\' && i + 1 < s.length) {
             raw.append(c).append(s.charAt(i + 1)); i += 2
-          } else if (c == q && i + 2 < s.length &&
-            s.charAt(i + 1) == q && s.charAt(i + 2) == q) {
-            closed = true; i += 3
+          } else if (c == q) {
+            // longest-match close: in a run of n consecutive quotes,
+            // n < 3 are content; otherwise the LAST three close and
+            // the leading n−3 are content (so content may end in `"`)
+            var run = 1
+            while (i + run < s.length && s.charAt(i + run) == q) run += 1
+            if (run >= 3) {
+              var k = 0
+              while (k < run - 3) { raw.append(q); k += 1 }
+              closed = true; i += run
+            } else { raw.append(c); i += 1 }
           } else { raw.append(c); i += 1 }
         }
       } else if (peek == q) {

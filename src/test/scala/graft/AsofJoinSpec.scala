@@ -79,6 +79,19 @@ class AsofJoinSpec extends SparkTestBase {
     }
   }
 
+  test("mismatched time-column types are rejected, not silently coerced") {
+    val t = Seq(("A", 5, 100)).toDF("sym", "tt", "qty") // int time
+    val q = Seq(("A", 4L, 1.5)).toDF("sym", "qt", "px") // long time
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.backward(t, q, Seq("sym"), "tt", "qt")
+    }
+    assert(e.getMessage.contains("identical types"), e.getMessage)
+    // identical types still join fine
+    val ok = AsofJoin.backward(
+      t.withColumn("tt", $"tt".cast("long")), q, Seq("sym"), "tt", "qt")
+    assert(ok.select("px").collect().head.getDouble(0) == 1.5)
+  }
+
   test("null timestamps match nothing, matching SQL ASOF semantics") {
     val q = Seq(("A", Option.empty[Long], 7.0),
       ("A", Some(20L), 2.0)).toDF("sym", "qt", "px")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.ConnectedComponents
+import graft.operators.{Broadcasting, ConnectedComponents}
 import org.apache.spark.sql.functions._
 
 class ConnectedComponentsSpec extends SparkTestBase {
@@ -38,6 +38,22 @@ class ConnectedComponentsSpec extends SparkTestBase {
     // force the iterative branch; a 12-chain needs more than 2 rounds
     intercept[IllegalStateException](
       comps(chain, maxIter = 2, localEdgeCap = 0L))
+  }
+
+  test("internal persists are tracked and reclaimed by releaseAll") {
+    Broadcasting.releaseAll() // start from an empty registry
+    val local = ConnectedComponents.minLabel(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+    val iter = ConnectedComponents.minLabel(
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b", localEdgeCap = 0L)
+    import org.apache.spark.storage.StorageLevel
+    assert(local.storageLevel != StorageLevel.NONE, "local result not cached")
+    assert(iter.storageLevel != StorageLevel.NONE, "iterative result not cached")
+    Broadcasting.releaseAll()
+    assert(local.storageLevel == StorageLevel.NONE,
+      "releaseAll left the union-find result cached")
+    assert(iter.storageLevel == StorageLevel.NONE,
+      "releaseAll left the iterative result cached")
   }
 
   test("dedupGroups attaches component sizes") {

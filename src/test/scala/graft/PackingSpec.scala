@@ -40,4 +40,35 @@ class PackingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Packing.byRunningOffset(df, "src", "id", "n", 0L))
   }
+
+  test("pre-existing _off/bin columns are rejected, not overwritten") {
+    val withBin = Seq(("s", 1L, 1L, 9L)).toDF("src", "id", "n", "bin")
+    val e = intercept[IllegalArgumentException](
+      Packing.byRunningOffset(withBin, "src", "id", "n", 10L))
+    assert(e.getMessage.contains("bin"))
+    val withOff = Seq(("s", 1L, 1L, 9L)).toDF("src", "id", "n", "_off")
+    intercept[IllegalArgumentException](
+      Packing.byRunningOffset(withOff, "src", "id", "n", 10L))
+  }
+
+  test("null and negative token counts fail loudly, even on a shard's last row") {
+    def msgs(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    val neg = Seq(("s", 1L, 5L), ("s", 2L, -1L), ("s", 3L, 5L))
+      .toDF("src", "id", "n")
+    val e = intercept[Exception](
+      Packing.byRunningOffset(neg, "src", "id", "n", 10L).collect())
+    assert(msgs(e).contains("non-negative"), msgs(e))
+    // a null on the LAST row never enters any running-sum frame — the
+    // bin gate must still catch it
+    val lastNull = Seq(("s", 1L, Some(5L)), ("s", 2L, Option.empty[Long]))
+      .toDF("src", "id", "n")
+    val e2 = intercept[Exception](
+      Packing.byRunningOffset(lastNull, "src", "id", "n", 10L).collect())
+    assert(msgs(e2).contains("non-null"), msgs(e2))
+  }
 }

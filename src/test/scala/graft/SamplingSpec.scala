@@ -62,6 +62,30 @@ class SamplingSpec extends SparkTestBase {
       plan)
   }
 
+  test("null sampling keys fail loudly instead of silently dropping") {
+    // even at rate 1.0 a null key would vanish from the sample — the
+    // operator raises instead, so the caller decides what null means
+    val df = Seq(Some("a"), None, Some("b")).toDF("k")
+    def rootMessages(t: Throwable): String = {
+      val sb = new StringBuilder
+      var c: Throwable = t
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    val e = intercept[Exception] {
+      Sampling.byHash(df, "k", 1.0).collect()
+    }
+    assert(rootMessages(e).contains("null key"), rootMessages(e))
+    val e2 = intercept[Exception] {
+      Sampling.stratifiedByHash(
+        df.withColumn("s", lit("x")), "k", "s", Map("x" -> 1.0)).collect()
+    }
+    assert(rootMessages(e2).contains("null key"), rootMessages(e2))
+    // non-null rows keep sampling exactly as before
+    assert(Sampling.byHash(df.filter($"k".isNotNull), "k", 1.0)
+      .count() == 2L)
+  }
+
   test("composes with Structured Streaming: stream sample == batch sample") {
     // a stateless deterministic filter needs no watermark or state —
     // the same operator call works on a streaming frame unchanged

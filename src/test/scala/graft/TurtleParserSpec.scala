@@ -182,6 +182,21 @@ class TurtleParserSpec extends SparkTestBase {
     assert(obj("emptyl") == "\"\"")
   }
 
+  test("long literals close longest-match: content may end in quotes") {
+    // per the Turtle grammar the closing delimiter is the LAST three
+    // quotes of a run — """a"""" is the string a" (and '''b''''' is
+    // b''), not a close-plus-stray-quote
+    val one = TurtleParser.parse("<urn:s> <urn:p> \"\"\"a\"\"\"\" .")
+    assert(one == TurtleParser.parse("<urn:s> <urn:p> \"a\\\"\" ."))
+    val two = TurtleParser.parse("<urn:s> <urn:p> '''b''''' .")
+    assert(two == TurtleParser.parse("<urn:s> <urn:p> \"b''\" ."))
+    // the next token after the close is still read correctly
+    val typed = TurtleParser.parse(
+      "<urn:s> <urn:p> \"\"\"7\"\"\"\"^^<http://www.w3.org/2001/XMLSchema#string> .")
+    assert(typed.head.o ==
+      "\"7\\\"\"^^<http://www.w3.org/2001/XMLSchema#string>")
+  }
+
   test("long literals re-read the engine's own escaped output") {
     // serialize a newline literal, embed it in a long form by hand,
     // and make sure short-escaped and long-raw spellings parse equal
