@@ -18,10 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextDedupQueries.queries ++
       SimilarityQueries.queries ++ GeomQueries.queries ++
-      EventTimeQueries.queries ++ MultimodalQueries.queries
+      EventTimeQueries.queries ++ MultimodalQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextDedupQueries.oracle ++
       SimilarityQueries.oracle ++ GeomQueries.oracle ++
-      EventTimeQueries.oracle ++ MultimodalQueries.oracle
+      EventTimeQueries.oracle ++ MultimodalQueries.oracle ++
+      CurationQueries.oracle
 }
