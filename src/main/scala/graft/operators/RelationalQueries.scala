@@ -531,7 +531,115 @@ object RelationalQueries {
     // unlike approx_count_distinct whose HLL is engine-private.
     "a12_kmv_distinct" -> ((s, dir) =>
       KmvSketch.distinctEstimate(t(s, dir, "lineitem"),
-        "l_suppkey", 64))
+        "l_suppkey", 64)),
+
+    // TPC-H Q3 shape: fact ⋈ two filtered dimensions. The customer
+    // side shrinks to one segment (~20% of an already-small table) and
+    // the orders filter prunes before either join — Catalyst's
+    // size-based planning broadcasts both dimension sides, so the
+    // 600k-row (→ billions at 100 TB) lineitem scan joins without a
+    // shuffle; the only exchange is the final group-by.
+    "q3_ship_priority" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_orderpriority")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: a five-way join tree where every side except
+    // lineitem is dimension-sized. region→nation prunes to one
+    // region's nations; customer/supplier must share the nation
+    // (the classic cyclic join condition). All dimension joins
+    // auto-broadcast on size; lineitem is scanned once, shuffled only
+    // for the final per-nation aggregate.
+    "q5_region_volume" -> ((s, dir) => {
+      val nat = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice",
+          "l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(nat, supp("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") *
+          (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    // Latest-wins upsert (Upsert.latestWins): base snapshot + a
+    // changelog batch (modified totalprice for keys %10, inserted new
+    // keys for %97), merged by the argmax-without-a-Window plan. The
+    // oracle encodes the EXPECTED post-merge state directly (CASE +
+    // UNION), independently of the merge machinery.
+    "u1_upsert_latest" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.withColumn("version", lit(1L))
+      val upd = orders
+        .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("version", lit(2L))
+      val ins = orders
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("version", lit(2L))
+      Upsert.latestWins(base, upd.unionByName(ins),
+        Seq("o_orderkey"), "version")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          sum("version").as("sum_version"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // One-pass exact table profile (Profiling.summary): per-column
+    // null/distinct/min/max in long format — the ingest-time data-
+    // quality summary. Exact distinct counts cost an Expand (documented
+    // there; approxSummary is the HLL monitoring path).
+    "s8_profile" -> ((s, dir) =>
+      Profiling.summary(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"))
+        .orderBy("column")),
+
+    // Exact distributed quantiles (Quantiles.perGroup): rank-and-
+    // interpolate through the spilling window sort, never the built-in
+    // `percentile` aggregate's in-memory per-group buffer. Quarter
+    // fractions over integer-valued quantities make the interpolation
+    // arithmetic exact, not just reproducible.
+    "a13_quantiles" -> ((s, dir) =>
+      Quantiles.perGroup(t(s, dir, "lineitem"), "l_returnflag",
+        "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
+        .orderBy("l_returnflag")),
+
+    // Fixed-width histogram: floor(price / width) binning — the
+    // profiling staple; pure hash agg with map-side combine.
+    "a14_histogram" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long")
+          .as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bin"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term weighting over a text column — the classic relevance /
+  * keyword-extraction signal a corpus pipeline computes for search,
+  * quality filtering and near-dup triage.
+  *
+  * Numeric contract: idf = ln((N+1)/(df+1)) + 1 (smoothed, so terms in
+  * every document still score > 0) is quantized HALF-UP to an integer
+  * `idf_e6` the moment it is computed; `score_e6 = tf * idf_e6` is then
+  * pure int64 arithmetic. The single transcendental evaluates once per
+  * DISTINCT df value, and ln agrees bit-for-bit across libm/JVM/DuckDB
+  * on these rational inputs (verified empirically), so the e6 floor is
+  * a belt-and-suspenders guard, not a load-bearing assumption.
+  *
+  * Plan shape at 100 TB:
+  *  - tf: tokenize → explode → groupBy(doc, term) — ONE corpus shuffle
+  *    with map-side combine (the explode never materializes off-heap);
+  *  - df: groupBy(term) over the tf frame — a VOCABULARY-sized frame
+  *    (sublinear in corpus rows), joined back size-gated
+  *    (`Broadcasting.maybeBroadcast`): broadcast when it fits, shuffle
+  *    join when a giant vocabulary says otherwise;
+  *  - N: a 1-row aggregate cross-joined in (Catalyst broadcasts it).
+  * Nothing quadratic, nothing driver-side.
+  */
+object TfIdf {
+
+  /** Per-(doc, term) weights: (idCol, term, tf, df, score_e6), one row
+    * per distinct term of each document with ≥ 1 token. */
+  def scores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set("term", "tf", "df", "score_e6", "n_docs", "idf_e6"))
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with tf-idf " +
+        "output columns — rename before scoring")
+    val tf = df
+      .select(col(idCol),
+        explode(expr(s"filter(split($textCol, ' '), t -> t <> '')"))
+          .as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = Broadcasting.maybeBroadcast(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val n = tf.agg(count_distinct(col(idCol)).as("n_docs"))
+    tf.join(docFreq, "term")
+      .crossJoin(n)
+      .withColumn("idf_e6",
+        floor((log((col("n_docs") + 1) / (col("df") + 1)) + 1)
+          * 1000000 + 0.5).cast("long"))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        (col("tf") * col("idf_e6")).as("score_e6"))
+  }
+
+  /** Top-`k` terms per document by score, ties broken by term asc —
+    * integer comparisons end to end, so the ranking is deterministic
+    * on any engine. One additional shuffle (window by doc). */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int)
+    : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    scores(df, idCol, textCol)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}
