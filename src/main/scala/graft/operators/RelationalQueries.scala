@@ -898,6 +898,108 @@ object RelationalQueries {
         |  ELSE CAST(floor(63.0 * 1152921504606846976.0 /
         |    greatest(kth, 1) + 0.5) AS BIGINT) END AS est_distinct,
         | seen::BIGINT AS k_seen
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "q3_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Encodes the EXPECTED post-merge state directly (CASE + UNION
+    // ALL), independent of the merge machinery: %10 keys carry the
+    // update (price+1000, version 2), %97 keys add a shifted-key
+    // insert (original price, version 2), everything else passes
+    // through at version 1.
+    "u1_upsert_latest" ->
+      """WITH merged AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 10 = 0
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS version
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice AS price, 2 AS version
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        | round(sum(price), 2) AS sum_price,
+        | sum(version)::BIGINT AS sum_version
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s8_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |    count(*) - count(l_orderkey) AS n_nulls,
+        |    count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS min_val,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS max_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*),
+        |    count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag),
+        |    CAST(min(l_returnflag) AS VARCHAR),
+        |    CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(*),
+        |    count(*) - count(l_shipdate),
+        |    count(DISTINCT l_shipdate),
+        |    CAST(min(l_shipdate) AS VARCHAR),
+        |    CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*),
+        |    count(*) - count(l_quantity),
+        |    count(DISTINCT l_quantity),
+        |    CAST(min(l_quantity) AS VARCHAR),
+        |    CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+        |) ORDER BY "column"""".stripMargin,
+    // Replays Quantiles.perGroup's rank-and-interpolate formula
+    // exactly: lo = floor((n-1)p)+1, v = vLo + frac*(vHi - vLo),
+    // frac = (n-1)p - floor((n-1)p), half-up scaled to 10^2.
+    "a13_quantiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag AS g, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |a AS (
+        |  SELECT g, max(n) AS n1,
+        |    max(CASE WHEN rn = floor((n-1)*0.25) + 1 THEN v END) AS lo25,
+        |    max(CASE WHEN rn = floor((n-1)*0.25) + 2 THEN v END) AS hi25,
+        |    max(CASE WHEN rn = floor((n-1)*0.5) + 1 THEN v END) AS lo50,
+        |    max(CASE WHEN rn = floor((n-1)*0.5) + 2 THEN v END) AS hi50,
+        |    max(CASE WHEN rn = floor((n-1)*0.75) + 1 THEN v END) AS lo75,
+        |    max(CASE WHEN rn = floor((n-1)*0.75) + 2 THEN v END) AS hi75
+        |  FROM r GROUP BY g)
+        |SELECT g AS l_returnflag,
+        |  CAST(floor((CASE WHEN hi25 IS NULL THEN lo25
+        |    ELSE lo25 + ((n1-1)*0.25 - floor((n1-1)*0.25)) * (hi25 - lo25)
+        |    END) * 100.0 + 0.5) AS BIGINT) AS p25_e2,
+        |  CAST(floor((CASE WHEN hi50 IS NULL THEN lo50
+        |    ELSE lo50 + ((n1-1)*0.5 - floor((n1-1)*0.5)) * (hi50 - lo50)
+        |    END) * 100.0 + 0.5) AS BIGINT) AS p50_e2,
+        |  CAST(floor((CASE WHEN hi75 IS NULL THEN lo75
+        |    ELSE lo75 + ((n1-1)*0.75 - floor((n1-1)*0.75)) * (hi75 - lo75)
+        |    END) * 100.0 + 0.5) AS BIGINT) AS p75_e2
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "a14_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
