@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
+
+import graft.expressions.BloomMightContain
 
 /** Bloom-filter pre-filtered semi/anti join: the standard 100 TB
   * pattern for "big fact ⋉ filtered dimension" when the dimension's
@@ -82,19 +84,19 @@ object BloomJoin {
     Bloom(words, numHashes)
   }
 
-  /** Membership test column: all `numHashes` bits set. The word array
-    * rides into the plan as ONE literal (task binaries ship it once
-    * per executor), and the test is codegen'd shifts/ands — no join,
-    * no shuffle, evaluated right on top of the scan. */
+  /** Membership test column: all `numHashes` bits set — a native
+    * codegen'd probe (`BloomMightContain`) over the same two xxhash64
+    * values the build hashed with. The word array rides as a plain
+    * JVM field (one primitive block per task binary), never as an
+    * array literal in the expression tree: the literal spelling cost
+    * seconds of optimizer hashing + per-task boxed deserialization at
+    * the 4M-bit default. No join, no shuffle, evaluated right on top
+    * of the scan. */
   def mightContain(bloom: Bloom, key: Column): Column = {
-    val words = typedlit(bloom.words.toSeq)
-    bitCols(key, bloom.numBits, bloom.numHashes)
-      .map { bit =>
-        val word = element_at(words, ((bit / 64) + 1).cast("int"))
-        call_function("shiftright", word, (bit % 64).cast("int"))
-          .bitwiseAND(lit(1L)) === lit(1L)
-      }
-      .reduce(_ && _)
+    val h1 = GraftShims.expression(xxhash64(key))
+    val h2 = GraftShims.expression(xxhash64(lit("graft_bloom"), key))
+    GraftShims.column(
+      BloomMightContain(h1, h2, bloom.words, bloom.numHashes))
   }
 
   /** Exact semi join with bloom pre-pruning: `big ⋉ small` on

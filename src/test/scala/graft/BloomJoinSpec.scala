@@ -55,6 +55,35 @@ class BloomJoinSpec extends SparkTestBase {
     assert(fp < 100L, s"false-positive count $fp out of 2000 probes")
   }
 
+  test("probe matches build bits under forced codegen and interpreted") {
+    // The probe is a custom expression (BloomMightContain); make sure
+    // the generated Java and the interpreted path agree with the
+    // distributed build's pmod/xxhash64 arithmetic bit-for-bit.
+    val keys = (0L until 512L).map(k => Tuple1(k)).toDF("k")
+    val bloom = BloomJoin.build(keys, "k", numBits = 1 << 12)
+    val probes = (0L until 4096L).map(k => Tuple1(k)).toDF("k")
+    def hits(mode: String): Set[Long] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try probes.filter(BloomJoin.mightContain(bloom, col("k")))
+        .as[Long].collect().toSet
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    val gen = hits("CODEGEN_ONLY")
+    val interp = hits("NO_CODEGEN")
+    assert(gen == interp)
+    assert((0L until 512L).forall(gen.contains), "false negative")
+  }
+
+  test("probe plan carries no giant array literal") {
+    val keys = (0L until 512L).map(k => Tuple1(k)).toDF("k")
+    val bloom = BloomJoin.build(keys, "k") // 4M-bit default
+    // analyzed plan: the optimizer folds a LocalRelation filter away
+    val plan = big.filter(BloomJoin.mightContain(bloom, col("k")))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("graft_bloom_might_contain"))
+    assert(plan.length < 10000, s"plan unexpectedly large: ${plan.length}")
+  }
+
   test("parameters are validated") {
     intercept[IllegalArgumentException](
       BloomJoin.build(small, "sk", numBits = 100))
