@@ -17,13 +17,18 @@ import javax.imageio.ImageIO
   * AUDIO decodes for real too: `decodeAudio`/`decodeAudioFeatures`
   * run JDK `javax.sound.sampled` (WAV/AIFF/AU containers; 16-bit
   * mono PCM payloads) — sample counts and amplitude stats of the
-  * actual PCM, oracle-checked by m3_audio_decode. VIDEO has no
-  * decoder in this build, so its codec step is a DETERMINISTIC STUB
-  * (`decodeStub`): "decode" derives features from the bytes
-  * themselves (length, digest, mean, frame-stride samples). The
-  * Spark-side plumbing — schema, typed Dataset, partition-batched
-  * iteration, feature struct shape — is identical for all three and
-  * is what a production video codec would plug into.
+  * actual PCM, oracle-checked by m3_audio_decode. VIDEO decodes for
+  * real as well: `decodeVideo`/`decodeVideoFeatures`/
+  * `sampleVideoFrames` parse YUV4MPEG2 (.y4m — mjpegtools/ffmpeg's
+  * uncompressed interchange format; stream header, FRAME markers,
+  * raw planes; mono + 420/422/444 chroma) — frame counts and luma
+  * stats of the actual planes, oracle-checked by m4_video_decode.
+  * COMPRESSED codecs (H.264 etc.) have no JDK decoder; payloads in
+  * those formats go through `decodeStub`, which derives features
+  * from the bytes themselves (length, digest, mean). The Spark-side
+  * plumbing — schema, typed Dataset, partition-batched iteration,
+  * feature struct shape — is identical across modalities and is what
+  * any production codec plugs into.
   *
   * Scale: mapPartitions keeps per-row overhead amortized (one codec
   * context per partition, like one Arrow batch per mapInPandas call);
@@ -38,8 +43,9 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, media_type: String,
     n_bytes: Long, sha256: String, mean_byte_e4: Long, n_frames: Int)
 
-  /** STUB decode: stands in for a real image/audio decoder.
-    * Deterministic: features are pure functions of the payload. */
+  /** STUB decode: stands in for decoders this build lacks (compressed
+    * video etc.). Deterministic: features are pure functions of the
+    * payload. */
   private[multimodal] def decodeStub(m: Media, frameStride: Int)
     : MediaFeatures = {
     val bytes = m.content
@@ -274,6 +280,201 @@ object Multimodal {
         it.map { case (id, text) =>
           Media(id, "audio/wav",
             encodePcmWav(text.getBytes("UTF-8"), sampleRate), 0, 0)
+        }
+      }
+  }
+
+  // ---- real video codec (YUV4MPEG2 — pure JDK, public format) ----
+
+  /** Decoded-video statistics: integer-exact, so they oracle-check.
+    * Luma stats cover the Y plane of every frame. */
+  case class VideoFeatures(media_id: Long, width: Int, height: Int,
+    n_frames: Int, luma_sum: Long, luma_max: Int)
+
+  /** Per-sampled-frame luma statistics (real frame extraction). */
+  case class FrameFeatures(media_id: Long, frame_no: Int,
+    luma_sum: Long, luma_max: Int)
+
+  /** Encode a payload as a real YUV4MPEG2 (.y4m) stream, Cmono
+    * colorspace: the payload bytes are the luma plane, width×height
+    * per frame, zero-padded to fill the last frame. Y4M is the
+    * uncompressed interchange format of mjpegtools/ffmpeg — a textual
+    * stream header + per-frame FRAME markers + raw planes. */
+  private[graft] def encodeY4m(payload: Array[Byte], width: Int,
+    height: Int, fps: Int = 25): Array[Byte] = {
+    require(payload.nonEmpty && width > 0 && height > 0 && fps > 0)
+    val frameSize = width * height
+    val nFrames = (payload.length + frameSize - 1) / frameSize
+    val header = s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII")
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    val out = new ByteArrayOutputStream(
+      header.length + nFrames * (marker.length + frameSize))
+    out.write(header)
+    var f = 0
+    while (f < nFrames) {
+      out.write(marker)
+      val from = f * frameSize
+      val until = math.min(from + frameSize, payload.length)
+      out.write(payload, from, until - from)
+      var pad = frameSize - (until - from)
+      while (pad > 0) { out.write(0); pad -= 1 }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Chroma bytes per frame for a Y4M colorspace tag. */
+  private def chromaBytes(cs: String, w: Int, h: Int): Int =
+    if (cs == "mono") 0
+    else if (cs.startsWith("420")) (w * h) / 2
+    else if (cs.startsWith("422")) w * h
+    else if (cs.startsWith("444")) 2 * w * h
+    else throw new IllegalArgumentException(
+      s"unsupported Y4M colorspace C$cs")
+
+  /** Parsed Y4M stream header + frame geometry. */
+  private final case class Y4mHeader(width: Int, height: Int,
+    dataStart: Int, lumaSize: Int, frameSize: Int)
+
+  private def parseY4mHeader(bytes: Array[Byte], mediaId: Long)
+    : Y4mHeader = {
+    val nl = bytes.indexOf('\n'.toByte)
+    require(nl > 0, s"media_id=$mediaId: missing Y4M header line")
+    val header = new String(bytes, 0, nl, "US-ASCII")
+    val tokens = header.split(' ')
+    require(tokens.head == "YUV4MPEG2",
+      s"media_id=$mediaId: not a YUV4MPEG2 stream")
+    var w = -1
+    var h = -1
+    var cs = "420jpeg" // Y4M default when no C tag is present
+    tokens.tail.foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'C' => cs = t.substring(1)
+        case _ => // F (rate), I (interlace), A (aspect), X (extension)
+      }
+    }
+    require(w > 0 && h > 0,
+      s"media_id=$mediaId: Y4M header lacks W/H: $header")
+    Y4mHeader(w, h, nl + 1, w * h, w * h + chromaBytes(cs, w, h))
+  }
+
+  /** Position just past the FRAME marker line at `pos` (markers may
+    * carry parameters up to the newline). */
+  private def skipFrameMarker(bytes: Array[Byte], pos: Int,
+    mediaId: Long, frameNo: Int): Int = {
+    val m = "FRAME"
+    require(pos + m.length <= bytes.length &&
+      (0 until m.length).forall(i => bytes(pos + i) == m.charAt(i).toByte),
+      s"media_id=$mediaId: bad FRAME marker at frame $frameNo")
+    var p = pos + m.length
+    while (p < bytes.length && bytes(p) != '\n'.toByte) p += 1
+    require(p < bytes.length,
+      s"media_id=$mediaId: unterminated FRAME marker at frame $frameNo")
+    p + 1
+  }
+
+  /** REAL decode for Y4M video: stream-header parse (W/H/C tags,
+    * mono + 420/422/444 chroma), FRAME-marker walk, full luma-plane
+    * read per frame. Truncated frames throw. */
+  private[multimodal] def decodeVideo(m: Media): VideoFeatures = {
+    val bytes = m.content
+    val hd = parseY4mHeader(bytes, m.media_id)
+    var pos = hd.dataStart
+    var frames = 0
+    var sum = 0L
+    var max = 0
+    while (pos < bytes.length) {
+      pos = skipFrameMarker(bytes, pos, m.media_id, frames)
+      require(pos + hd.frameSize <= bytes.length,
+        s"media_id=${m.media_id}: truncated frame $frames")
+      var i = pos
+      val lumaEnd = pos + hd.lumaSize
+      while (i < lumaEnd) {
+        val v = bytes(i) & 0xff
+        sum += v
+        if (v > max) max = v
+        i += 1
+      }
+      pos += hd.frameSize
+      frames += 1
+    }
+    VideoFeatures(m.media_id, hd.width, hd.height, frames, sum, max)
+  }
+
+  /** Video feature extraction: real Y4M decode per row, batched per
+    * partition. Payloads stay in the scan stage — only the small
+    * feature rows move. */
+  def decodeVideoFeatures(media: Dataset[Media]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        require(m.media_type.startsWith("video/"),
+          s"media_id=${m.media_id}: ${m.media_type} has no video decoder")
+        decodeVideo(m)
+      }
+    }
+  }
+
+  /** REAL frame sampling: decode every `stride`-th frame of each Y4M
+    * stream and emit its luma stats — the distributed shape of "pull
+    * keyframes for a vision encoder". Frames the stride skips are
+    * never stats-scanned (only seeked past). */
+  def sampleVideoFrames(media: Dataset[Media], stride: Int)
+    : Dataset[FrameFeatures] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        require(m.media_type.startsWith("video/"),
+          s"media_id=${m.media_id}: ${m.media_type} has no video decoder")
+        val bytes = m.content
+        val hd = parseY4mHeader(bytes, m.media_id)
+        val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
+        var pos = hd.dataStart
+        var frame = 0
+        while (pos < bytes.length) {
+          pos = skipFrameMarker(bytes, pos, m.media_id, frame)
+          require(pos + hd.frameSize <= bytes.length,
+            s"media_id=${m.media_id}: truncated frame $frame")
+          if (frame % stride == 0) {
+            var i = pos
+            val lumaEnd = pos + hd.lumaSize
+            var sum = 0L
+            var max = 0
+            while (i < lumaEnd) {
+              val v = bytes(i) & 0xff
+              sum += v
+              if (v > max) max = v
+              i += 1
+            }
+            out += FrameFeatures(m.media_id, frame, sum, max)
+          }
+          pos += hd.frameSize
+          frame += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Synthesize a VIDEO media table from `documents`: each doc's text
+    * bytes become the luma planes of a real Y4M stream (encodeY4m).
+    * The decode path is honest end-to-end — and oracle-checkable,
+    * because the decoded luma stats are integer functions of the
+    * text. */
+  def videosFromDocuments(docs: DataFrame, width: Int = 8,
+    height: Int = 8): Dataset[Media] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          Media(id, "video/x-yuv4mpeg",
+            encodeY4m(text.getBytes("UTF-8"), width, height),
+            width, height)
         }
       }
   }

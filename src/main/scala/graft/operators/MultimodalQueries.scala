@@ -53,6 +53,22 @@ object MultimodalQueries {
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           col("amp_sum"), col("amp_max"))
         .orderBy("media_id")
+    }),
+
+    // REAL video decode: each doc's text bytes become the luma planes
+    // of a genuine YUV4MPEG2 stream (8×8 mono frames, zero-padded),
+    // decoded back by the Y4M parser (header, FRAME markers, plane
+    // walk). Frame counts and luma stats are exact integer functions
+    // of the text, so DuckDB verifies a real encode→decode round trip.
+    "m4_video_decode" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      Multimodal.decodeVideoFeatures(
+        Multimodal.videosFromDocuments(docs, width = 8, height = 8))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("luma_sum"), col("luma_max"))
+        .orderBy("media_id")
     })
   )
 
@@ -93,6 +109,18 @@ object MultimodalQueries {
       |  )::BIGINT AS amp_sum,
       | CAST(256 * (128 - list_min(list_transform(range(1, len(text) + 1),
       |    i -> ascii(substr(text, i, 1))))) AS INTEGER) AS amp_max
+      |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin,
+
+    // 8×8 mono frames: n_frames = ceil(len/64); padding zeros add
+    // nothing to the luma sum and never win the max (ASCII > 0).
+    "m4_video_decode" -> """
+      |SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+      | CAST(ceil(len(text) / 64.0) AS INTEGER) AS n_frames,
+      | list_reduce(list_prepend(0::BIGINT,
+      |   list_transform(range(1, len(text) + 1),
+      |    i -> ascii(substr(text, i, 1)))), (a, b) -> a + b) AS luma_sum,
+      | CAST(list_max(list_transform(range(1, len(text) + 1),
+      |    i -> ascii(substr(text, i, 1)))) AS INTEGER) AS luma_max
       |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin
   )
 }

@@ -152,4 +152,67 @@ class MultimodalSpec extends SparkTestBase {
         Multimodal.mediaFromDocuments(docs)).collect()
     }
   }
+
+  test("encodeY4m → decodeVideo round-trips frame/luma stats exactly") {
+    // 100 bytes at 6×4 = 24/frame → 5 frames, 20 padding zeros
+    val payload = (1 to 100).map(_.toByte).toArray
+    val y4m = Multimodal.encodeY4m(payload, width = 6, height = 4)
+    assert(new String(y4m.take(9), "US-ASCII") == "YUV4MPEG2")
+    val f = Multimodal.decodeVideoFeatures(
+      Seq(Media(7L, "video/x-yuv4mpeg", y4m, 6, 4)).toDS())
+      .collect().head
+    assert(f.width == 6 && f.height == 4)
+    assert(f.n_frames == 5)
+    assert(f.luma_sum == (1 to 100).sum.toLong)
+    assert(f.luma_max == 100)
+  }
+
+  test("Y4M decoder skips chroma planes and FRAME parameters") {
+    // hand-built 2×2 C420 stream: luma 4 bytes + chroma 2 bytes/frame;
+    // second FRAME marker carries a parameter (spec-legal)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W2 H2 F30:1 C420\n".getBytes("US-ASCII"))
+    bos.write("FRAME\n".getBytes("US-ASCII"))
+    bos.write(Array[Byte](10, 20, 30, 40, 99, 99)) // chroma ≠ luma
+    bos.write("FRAME Xparam\n".getBytes("US-ASCII"))
+    bos.write(Array[Byte](50, 60, 70, 80, 99, 99))
+    val f = Multimodal.decodeVideoFeatures(
+      Seq(Media(1L, "video/x-yuv4mpeg", bos.toByteArray, 2, 2)).toDS())
+      .collect().head
+    assert(f.n_frames == 2)
+    assert(f.luma_sum == (10 + 20 + 30 + 40 + 50 + 60 + 70 + 80).toLong)
+    assert(f.luma_max == 80) // the 99s live in chroma, never counted
+  }
+
+  test("sampleVideoFrames extracts every stride-th frame's stats") {
+    val payload = (0 until 64 * 7).map(i => (i % 101).toByte).toArray
+    val y4m = Multimodal.encodeY4m(payload, 8, 8) // 7 frames exactly
+    val frames = Multimodal.sampleVideoFrames(
+      Seq(Media(3L, "video/x-yuv4mpeg", y4m, 8, 8)).toDS(), stride = 3)
+      .collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 3, 6))
+    val expect0 = (0 until 64).map(i => (i % 101).toLong).sum
+    assert(frames.head.luma_sum == expect0)
+  }
+
+  test("Y4M decoder fails loudly on truncation and bad markers") {
+    val good = Multimodal.encodeY4m((1 to 64).map(_.toByte).toArray, 8, 8)
+    val truncated = good.dropRight(10)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFeatures(
+        Seq(Media(1L, "video/x-yuv4mpeg", truncated, 8, 8)).toDS())
+        .collect()
+    }
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFeatures(
+        Seq(Media(2L, "video/x-yuv4mpeg",
+          "YUV4MPEG2 W8 H8\nBOGUS\n".getBytes("US-ASCII"), 8, 8)).toDS())
+        .collect()
+    }
+    // non-video media is rejected, not silently stub-decoded
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFeatures(
+        Seq(Media(3L, "image/png", good, 8, 8)).toDS()).collect()
+    }
+  }
 }
