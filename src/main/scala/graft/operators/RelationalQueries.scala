@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.sources.Layout
 
 /** Relational operator coverage for SURVEY.md §2, re-expressed over the
   * driver's TPC-H-ish testdata and verified against a DuckDB oracle.
@@ -487,6 +488,22 @@ object RelationalQueries {
         .orderBy("l_orderkey", "line_no")
     }),
 
+    // Z-order layout: the Morton code driving Layout.writeZOrdered is
+    // a pure integer function of (value, min, max) per column —
+    // min/max-scale to 8-bit buckets (exact `div` arithmetic), then
+    // interleave bits. The oracle replays the identical arithmetic, so
+    // a hash match proves the clustering key a 100 TB rewrite would
+    // range-partition on. (The write path itself is spec'd by
+    // LayoutSpec's per-file spread assertions.)
+    "p15_zorder_code" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+      li.select(col("l_orderkey"), col("l_linenumber").cast("long")
+          .as("line_no"),
+        Layout.zCode(li, Seq("l_partkey", "l_suppkey"), bits = 8)
+          .as("z"))
+        .orderBy("l_orderkey", "line_no")
+    }),
+
     // Skew toolkit end-to-end: the two-phase salted aggregation must
     // equal the direct groupBy for any associative aggregate — here
     // checked against the oracle's single-phase sum. (l_quantity is
@@ -497,6 +514,20 @@ object RelationalQueries {
       Skew.saltedCountSum(t(s, dir, "lineitem"), "l_returnflag",
         "l_quantity", saltBuckets = 8)
         .orderBy("l_returnflag")),
+
+    // Skewed-join face of the toolkit: replicate the small side 8×,
+    // salt the big side from row content, join on (key, salt) — a hot
+    // key's rows spread over 8 reducers instead of one. Must equal the
+    // plain equi-join; the oracle IS the plain join.
+    "j12_salted_join" -> ((s, dir) => {
+      val nations = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Skew.saltedJoin(t(s, dir, "lineitem"), nations, "l_suppkey",
+        saltBuckets = 8, saltCols = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy("s_nationkey")
+    }),
 
     // SURVEY S7: the generic external-enrichment operator (Enrich) run
     // end-to-end — distinct keys, per-task fetch with negative cache,
@@ -868,6 +899,27 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS cnt,
         | sum(l_quantity) AS total
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j12_salted_join" ->
+      """SELECT s_nationkey, count(*) AS cnt,
+        | sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Morton-code replay: 8-bit min/max buckets (integer div), bit
+    // b of column c lands at result bit b*2+c (c: partkey=0,
+    // suppkey=1).
+    "p15_zorder_code" ->
+      """WITH f AS (SELECT * FROM lineitem WHERE l_orderkey < 100),
+        |mm AS (SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+        |       min(l_suppkey) AS mns, max(l_suppkey) AS mxs FROM f),
+        |b AS (SELECT l_orderkey, l_linenumber::BIGINT AS line_no,
+        |  ((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS bp,
+        |  ((l_suppkey - mns) * 256) // (mxs - mns + 1) AS bs
+        | FROM f, mm)
+        |SELECT l_orderkey, line_no,
+        | list_sum(list_transform(range(0, 8), i ->
+        |   (((bp >> i) & 1) << (2*i)) + (((bs >> i) & 1) << (2*i + 1))
+        | ))::BIGINT AS z
+        |FROM b ORDER BY l_orderkey, line_no""".stripMargin,
     "a11_cms_topk" ->
       """WITH d AS (SELECT unnest([0,1,2,3]) AS i),
         |h AS (SELECT ('0x' || substr(md5('cms:' ||
