@@ -23,12 +23,13 @@ import javax.imageio.ImageIO
   * uncompressed interchange format; stream header, FRAME markers,
   * raw planes; mono + 420/422/444 chroma) — frame counts and luma
   * stats of the actual planes, oracle-checked by m4_video_decode.
-  * COMPRESSED codecs (H.264 etc.) have no JDK decoder; payloads in
-  * those formats go through `decodeStub`, which derives features
-  * from the bytes themselves (length, digest, mean). The Spark-side
-  * plumbing — schema, typed Dataset, partition-batched iteration,
-  * feature struct shape — is identical across modalities and is what
-  * any production codec plugs into.
+  * Callers pick the decoder EXPLICITLY (`decode*Features` each
+  * reject media types they can't parse); `extractFeatures` is the
+  * type-agnostic byte-stats path (length, digest, mean) for payloads
+  * with no decoder in this build — compressed codecs like H.264 have
+  * none. The Spark-side plumbing — schema, typed Dataset,
+  * partition-batched iteration, feature struct shape — is identical
+  * across modalities and is what any production codec plugs into.
   *
   * Scale: mapPartitions keeps per-row overhead amortized (one codec
   * context per partition, like one Arrow batch per mapInPandas call);
@@ -324,14 +325,24 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Chroma bytes per frame for a Y4M colorspace tag. */
-  private def chromaBytes(cs: String, w: Int, h: Int): Int =
-    if (cs == "mono") 0
-    else if (cs.startsWith("420")) (w * h) / 2
-    else if (cs.startsWith("422")) w * h
-    else if (cs.startsWith("444")) 2 * w * h
-    else throw new IllegalArgumentException(
-      s"unsupported Y4M colorspace C$cs")
+  /** Chroma bytes per frame for a Y4M colorspace tag. Only the 8-bit
+    * colorspaces are whitelisted EXACTLY — a prefix match would size
+    * high-bit-depth variants (C420p10/p12/p16: 2 bytes per sample) or
+    * C444alpha (an extra plane) as 8-bit and walk into the middle of
+    * a plane. Chroma planes use ceil subsampling, so odd-dimension
+    * 420/422 streams size correctly too. */
+  private def chromaBytes(cs: String, w: Int, h: Int): Int = {
+    val cw = (w + 1) / 2 // ceil(w/2)
+    val ch = (h + 1) / 2
+    cs match {
+      case "mono" => 0
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => 2 * cw * ch
+      case "422" => 2 * cw * h
+      case "444" => 2 * w * h
+      case other => throw new IllegalArgumentException(
+        s"unsupported Y4M colorspace C$other (8-bit mono/420/422/444 only)")
+    }
+  }
 
   /** Parsed Y4M stream header + frame geometry. */
   private final case class Y4mHeader(width: Int, height: Int,
@@ -376,30 +387,54 @@ object Multimodal {
     p + 1
   }
 
+  /** Walk every frame of a Y4M stream: validates each FRAME marker
+    * and frame length, calls `f(frameNo, lumaStart)` (luma plane =
+    * `hd.lumaSize` bytes from lumaStart), returns the frame count.
+    * THE one copy of the format's frame geometry — both the full
+    * decode and stride sampling run through it. */
+  private def foreachFrame(bytes: Array[Byte], hd: Y4mHeader,
+    mediaId: Long)(f: (Int, Int) => Unit): Int = {
+    var pos = hd.dataStart
+    var frame = 0
+    while (pos < bytes.length) {
+      pos = skipFrameMarker(bytes, pos, mediaId, frame)
+      require(pos + hd.frameSize <= bytes.length,
+        s"media_id=$mediaId: truncated frame $frame")
+      f(frame, pos)
+      pos += hd.frameSize
+      frame += 1
+    }
+    frame
+  }
+
+  /** Sum + max over one luma plane. */
+  @inline private def lumaStats(bytes: Array[Byte], start: Int,
+    len: Int): (Long, Int) = {
+    var sum = 0L
+    var max = 0
+    var i = start
+    val end = start + len
+    while (i < end) {
+      val v = bytes(i) & 0xff
+      sum += v
+      if (v > max) max = v
+      i += 1
+    }
+    (sum, max)
+  }
+
   /** REAL decode for Y4M video: stream-header parse (W/H/C tags,
     * mono + 420/422/444 chroma), FRAME-marker walk, full luma-plane
     * read per frame. Truncated frames throw. */
   private[multimodal] def decodeVideo(m: Media): VideoFeatures = {
     val bytes = m.content
     val hd = parseY4mHeader(bytes, m.media_id)
-    var pos = hd.dataStart
-    var frames = 0
     var sum = 0L
     var max = 0
-    while (pos < bytes.length) {
-      pos = skipFrameMarker(bytes, pos, m.media_id, frames)
-      require(pos + hd.frameSize <= bytes.length,
-        s"media_id=${m.media_id}: truncated frame $frames")
-      var i = pos
-      val lumaEnd = pos + hd.lumaSize
-      while (i < lumaEnd) {
-        val v = bytes(i) & 0xff
-        sum += v
-        if (v > max) max = v
-        i += 1
-      }
-      pos += hd.frameSize
-      frames += 1
+    val frames = foreachFrame(bytes, hd, m.media_id) { (_, lumaStart) =>
+      val (s, mx) = lumaStats(bytes, lumaStart, hd.lumaSize)
+      sum += s
+      if (mx > max) max = mx
     }
     VideoFeatures(m.media_id, hd.width, hd.height, frames, sum, max)
   }
@@ -433,27 +468,11 @@ object Multimodal {
         val bytes = m.content
         val hd = parseY4mHeader(bytes, m.media_id)
         val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
-        var pos = hd.dataStart
-        var frame = 0
-        while (pos < bytes.length) {
-          pos = skipFrameMarker(bytes, pos, m.media_id, frame)
-          require(pos + hd.frameSize <= bytes.length,
-            s"media_id=${m.media_id}: truncated frame $frame")
+        foreachFrame(bytes, hd, m.media_id) { (frame, lumaStart) =>
           if (frame % stride == 0) {
-            var i = pos
-            val lumaEnd = pos + hd.lumaSize
-            var sum = 0L
-            var max = 0
-            while (i < lumaEnd) {
-              val v = bytes(i) & 0xff
-              sum += v
-              if (v > max) max = v
-              i += 1
-            }
+            val (sum, max) = lumaStats(bytes, lumaStart, hd.lumaSize)
             out += FrameFeatures(m.media_id, frame, sum, max)
           }
-          pos += hd.frameSize
-          frame += 1
         }
         out
       }

@@ -585,9 +585,13 @@ object RelationalQueries {
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"),
           col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") *
-          (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
+        // integer cents PER ROW, then an associative integer sum:
+        // order-free, so the oracle (and any partial-agg schedule)
+        // reproduces it exactly — a rounded double sum would hinge on
+        // summation order at the cent boundary
+        .agg(sum(floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100 + 0.5)).as("revenue_e2"))
+        .orderBy(col("revenue_e2").desc, col("l_orderkey"))
         .limit(10)
     }),
 
@@ -614,8 +618,9 @@ object RelationalQueries {
           cust("c_nationkey") === supp("s_nationkey"))
         .join(nat, supp("s_nationkey") === nat("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") *
-          (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // see q3: per-row integer cents keep the sum order-free
+        .agg(sum(floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100 + 0.5)).as("revenue_e2"))
         .orderBy("n_name")
     }),
 
@@ -638,8 +643,10 @@ object RelationalQueries {
       Upsert.latestWins(base, upd.unionByName(ins),
         Seq("o_orderkey"), "version")
         .groupBy(col("o_orderpriority"))
+        // see q3: per-row integer cents keep the sum order-free
         .agg(count(lit(1)).as("cnt"),
-          round(sum("o_totalprice"), 2).as("sum_price"),
+          sum(floor(col("o_totalprice") * 100 + 0.5))
+            .as("sum_price_e2"),
           sum("version").as("sum_version"))
         .orderBy("o_orderpriority")
     }),
@@ -951,9 +958,14 @@ object RelationalQueries {
         |    greatest(kth, 1) + 0.5) AS BIGINT) END AS est_distinct,
         | seen::BIGINT AS k_seen
         |FROM a""".stripMargin,
+    // Per-row integer cents (floor(x*100+0.5) replayed exactly), then
+    // an integer sum — order-free on both engines, unlike a rounded
+    // double sum whose cent-boundary behavior hinges on partial-agg
+    // order.
     "q3_ship_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   ::BIGINT)::BIGINT AS revenue_e2
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -961,10 +973,11 @@ object RelationalQueries {
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |  AND l_shipdate > TIMESTAMP '1999-01-01'
         |GROUP BY 1, 2, 3
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_e2 DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_region_volume" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   ::BIGINT)::BIGINT AS revenue_e2
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -990,7 +1003,7 @@ object RelationalQueries {
         |  SELECT o_orderpriority, o_totalprice AS price, 2 AS version
         |  FROM orders WHERE o_orderkey % 97 = 0)
         |SELECT o_orderpriority, count(*) AS cnt,
-        | round(sum(price), 2) AS sum_price,
+        | sum(floor(price * 100 + 0.5)::BIGINT)::BIGINT AS sum_price_e2,
         | sum(version)::BIGINT AS sum_version
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "s8_profile" ->

@@ -90,6 +90,9 @@ object Layout {
     * file covers a tight hyper-rectangle of the z-columns. */
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
     bits: Int = 16, numFiles: Int = 0): Unit = {
+    require(!df.columns.contains("_z"),
+      "column _z collides with the layout's Morton-code column — " +
+        "rename it before rewriting")
     val coded = df.withColumn("_z", zCode(df, cols, bits))
     val ranged =
       if (numFiles > 0) coded.repartitionByRange(numFiles, col("_z"))

@@ -214,5 +214,13 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.decodeVideoFeatures(
         Seq(Media(3L, "image/png", good, 8, 8)).toDS()).collect()
     }
+    // high-bit-depth colorspaces (2 bytes/sample) must be rejected,
+    // not sized as 8-bit — a prefix match would walk into mid-plane
+    val p10 = ("YUV4MPEG2 W2 H2 C420p10\n" + "FRAME\n").getBytes(
+      "US-ASCII") ++ new Array[Byte](12) // 2×2 C420 at 10-bit = 12 B
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeVideoFeatures(
+        Seq(Media(4L, "video/x-yuv4mpeg", p10, 2, 2)).toDS()).collect()
+    }
   }
 }
