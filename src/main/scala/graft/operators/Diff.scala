@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff: classify every key of two table versions as
+  * added / removed / changed / unchanged — the audit step between a
+  * pipeline's runs (what did yesterday's rebuild actually touch?)
+  * and the input to incremental downstream refresh.
+  *
+  * Plan at 100 TB: one hash shuffle per side on the key columns into
+  * a full-outer sort-merge join; payloads ride as ONE struct column
+  * per side, compared with null-safe struct equality (`<=>`) — no
+  * per-column join conditions, no second pass. Output carries the
+  * keys + status (+ both payload structs for changed-row inspection);
+  * counts-by-status is then a cheap partial agg.
+  */
+object Diff {
+
+  /** Full-outer diff of `oldDf` vs `newDf` on `keyCols`: emits one
+    * row per key present in either side, with `status` in
+    * added|removed|changed|unchanged and the two payload structs.
+    * Schemas must match (same columns, any order). */
+  def snapshot(oldDf: DataFrame, newDf: DataFrame,
+    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshot diff needs at least one key")
+    require(oldDf.columns.sorted.toSeq == newDf.columns.sorted.toSeq,
+      s"schemas differ — old [${oldDf.columns.mkString(", ")}] vs " +
+        s"new [${newDf.columns.mkString(", ")}]")
+    keyCols.foreach(k => require(oldDf.columns.contains(k),
+      s"key column $k not in schema"))
+    val payload = oldDf.columns.filterNot(keyCols.contains).toSeq
+    require(payload.nonEmpty, "all columns are keys — nothing to diff")
+    Seq("_old_p", "_new_p", "status").foreach(c =>
+      require(!oldDf.columns.contains(c),
+        s"column $c collides with the diff's output columns"))
+    def pack(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        struct(payload.map(col): _*).as(as): _*)
+    val joined = pack(oldDf, "_old_p")
+      .join(pack(newDf, "_new_p"), keyCols, "full_outer")
+    val status: Column =
+      when(col("_old_p").isNull, lit("added"))
+        .when(col("_new_p").isNull, lit("removed"))
+        .when(col("_old_p") <=> col("_new_p"), lit("unchanged"))
+        .otherwise(lit("changed"))
+    joined.select(keyCols.map(col) :+ status.as("status") :+
+      col("_old_p").as("old_payload") :+
+      col("_new_p").as("new_payload"): _*)
+  }
+
+  /** Status → row count, the one-line audit summary. */
+  def summary(oldDf: DataFrame, newDf: DataFrame,
+    keyCols: Seq[String]): DataFrame =
+    snapshot(oldDf, newDf, keyCols)
+      .groupBy(col("status")).agg(count(lit(1)).as("cnt"))
+}

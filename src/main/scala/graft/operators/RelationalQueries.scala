@@ -651,6 +651,25 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Snapshot diff (Diff.summary): old = orders; new = the same
+    // mutation as u1 (%10 keys repriced, %97 keys inserted at a
+    // shifted id). The oracle encodes the expected classification
+    // directly — changed/unchanged from the %10 test, added from the
+    // %97 count — independent of the full-outer-join machinery.
+    "u2_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val newer = orders
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(10)) === 0,
+            col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      Diff.summary(orders, newer, Seq("o_orderkey"))
+        .orderBy("status")
+    }),
+
     // One-pass exact table profile (Profiling.summary): per-column
     // null/distinct/min/max in long format — the ingest-time data-
     // quality summary. Exact distinct counts cost an Expand (documented
@@ -1006,6 +1025,13 @@ object RelationalQueries {
         | sum(floor(price * 100 + 0.5)::BIGINT)::BIGINT AS sum_price_e2,
         | sum(version)::BIGINT AS sum_version
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u2_snapshot_diff" ->
+      """SELECT status, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'changed'
+        |              ELSE 'unchanged' END AS status FROM orders
+        |  UNION ALL
+        |  SELECT 'added' FROM orders WHERE o_orderkey % 97 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s8_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,

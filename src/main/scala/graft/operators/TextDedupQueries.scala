@@ -378,6 +378,15 @@ object TextDedupQueries {
         .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         .orderBy("lang")),
 
+    // Deterministic global shuffle into training shards: (shard, pos)
+    // are content hashes of doc_id — a uniform permutation that is
+    // identical across runs/partitionings/retries and replayable by
+    // the oracle, unlike orderBy(rand()).
+    "x9_shuffle_shards" -> ((s, dir) =>
+      Shards.assign(docs(s, dir), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos", "doc_id")),
+
     // Transitive dedup GROUPS: connected components over the LSH
     // candidate pairs (min-label propagation, one shuffle per round,
     // rounds = component diameter) — the closure d7's single-pass rule
@@ -437,6 +446,13 @@ object TextDedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x9_shuffle_shards" -> """
+      |SELECT doc_id,
+      | ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      |  % 8 AS shard,
+      | ('0x' || substr(md5('pos:' || doc_id::VARCHAR), 1, 15))::BIGINT
+      |  % 1000000000000000 AS pos
+      |FROM documents ORDER BY shard, pos, doc_id""".stripMargin,
     "x6_hash_sample" -> """
       |SELECT doc_id, lang FROM documents
       |WHERE ('0x' || substr(md5(':' || doc_id::VARCHAR), 1, 15))::BIGINT

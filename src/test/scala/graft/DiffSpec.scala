@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Diff
+import org.apache.spark.sql.functions._
+
+class DiffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val oldDf = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+    .toDF("k", "name", "price")
+
+  test("classifies added/removed/changed/unchanged") {
+    val newDf = Seq(
+      (1L, "a", 10.0),   // unchanged
+      (2L, "b", 99.0),   // changed (price)
+      (4L, "x", 40.0),   // changed (name)
+      (5L, "e", 50.0))   // added; key 3 removed
+      .toDF("k", "name", "price")
+    val out = Diff.snapshot(oldDf, newDf, Seq("k"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "changed", 5L -> "added"))
+    val sum = Diff.summary(oldDf, newDf, Seq("k"))
+      .as[(String, Long)].collect().toMap
+    assert(sum == Map("unchanged" -> 1L, "changed" -> 2L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
+  test("null payloads compare null-safely") {
+    val a = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("k", "v")
+    val b = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "v")
+    val out = Diff.snapshot(a, b, Seq("k"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+
+  test("payload structs ride along for changed-row inspection") {
+    val newDf = oldDf.withColumn("price",
+      when(col("k") === 2, 99.0).otherwise(col("price")))
+    val changed = Diff.snapshot(oldDf, newDf, Seq("k"))
+      .filter(col("status") === "changed")
+      .select(col("k"), col("old_payload.price"),
+        col("new_payload.price")).collect()
+    assert(changed.length == 1)
+    assert(changed.head.getDouble(1) == 20.0)
+    assert(changed.head.getDouble(2) == 99.0)
+  }
+
+  test("mismatched schemas and key-only frames are rejected") {
+    intercept[IllegalArgumentException](
+      Diff.snapshot(oldDf, oldDf.drop("price"), Seq("k")))
+    intercept[IllegalArgumentException](
+      Diff.snapshot(oldDf.select("k"), oldDf.select("k"), Seq("k")))
+  }
+}
