@@ -387,6 +387,14 @@ object TextDedupQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos", "doc_id")),
 
+    // TF-IDF keyword extraction: top-3 terms per document. idf is
+    // quantized to int64 the moment it leaves the one transcendental
+    // (ln agrees bit-for-bit on these rational inputs); everything
+    // after is integer arithmetic, so rank order is engine-free.
+    "x10_tfidf_top" -> ((s, dir) =>
+      TfIdf.topTerms(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rnk")),
+
     // Transitive dedup GROUPS: connected components over the LSH
     // candidate pairs (min-label propagation, one shuffle per round,
     // rounds = component diameter) — the closure d7's single-pass rule
@@ -446,6 +454,23 @@ object TextDedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x10_tfidf_top" -> """
+      |WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    t -> t <> '')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+      |       FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM tf),
+      |s AS (
+      |  SELECT doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * CAST(floor((ln((n_docs + 1) / (df + 1)) + 1)
+      |      * 1000000 + 0.5) AS BIGINT) AS score_e6
+      |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score_e6 DESC, term ASC) AS rnk FROM s)
+      |SELECT doc_id, term, tf, df, score_e6, rnk FROM r
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "x9_shuffle_shards" -> """
       |SELECT doc_id,
       | ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.TfIdf
+import org.apache.spark.sql.functions._
+
+class TfIdfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+
+  test("scores match the hand-computed smoothed tf-idf") {
+    // N=2; df: a=1, b=2, c=1
+    // idf_e6(a)=idf_e6(c)=floor((ln(3/2)+1)*1e6+0.5)=1405465
+    // idf_e6(b)=floor((ln(3/3)+1)*1e6+0.5)=1000000
+    val out = TfIdf.scores(corpus, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "score_e6")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out == Map(
+      (1L, "a") -> ((2L, 1L, 2810930L)),
+      (1L, "b") -> ((1L, 2L, 1000000L)),
+      (2L, "b") -> ((1L, 2L, 1000000L)),
+      (2L, "c") -> ((1L, 1L, 1405465L))))
+  }
+
+  test("topTerms ranks by score desc then term asc, k bounds rows") {
+    val top1 = TfIdf.topTerms(corpus, "doc_id", "text", 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top1 == Map(1L -> "a", 2L -> "c"))
+    // doc 2 tie-break at k=2: only b remains after c
+    val top2 = TfIdf.topTerms(corpus, "doc_id", "text", 2)
+      .filter(col("doc_id") === 2L)
+      .orderBy("rnk").select("term").as[String].collect().toSeq
+    assert(top2 == Seq("c", "b"))
+  }
+
+  test("empty tokens vanish; output column collisions are rejected") {
+    val blanky = Seq((1L, "  x   y  ")).toDF("doc_id", "text")
+    val terms = TfIdf.scores(blanky, "doc_id", "text")
+      .select("term").as[String].collect().toSet
+    assert(terms == Set("x", "y"))
+    intercept[IllegalArgumentException](
+      TfIdf.scores(corpus.withColumn("tf", lit(1)), "doc_id", "text"))
+  }
+}
