@@ -112,19 +112,34 @@ object Ledger {
     * bloom of done keys first — rows the bloom rejects are DEFINITELY
     * pending and skip the join entirely; only might-contain rows
     * (done ∪ false positives, rate `fpp`) go through the exact
-    * anti-join. Result is exactly `pending` (the bloom only prunes). */
+    * anti-join. Result is exactly `pending` (the bloom only prunes).
+    *
+    * Routed through BloomJoin.antiJoin: the filter is BUILT
+    * distributively (per-partition word bitmaps, ≤ numBits/64 rows to
+    * the driver) and PROBED by the native codegen'd expression — no
+    * driver-side sketch aggregation, no per-row UDF boxing. The work
+    * key is cast to string first so the probe hashes exactly what the
+    * exact join compares (ledger keys are strings; hashing a LONG 5
+    * and joining a STRING "5" would silently mis-route done rows into
+    * "definitely pending"). */
   def pendingBloom(work: DataFrame, ledgerDir: String, keyCol: String,
     fpp: Double = 0.01): DataFrame = {
-    val spark = work.sparkSession
-    val done = doneKeys(spark, ledgerDir)
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    require(!work.columns.contains("_ledger_key"),
+      "column _ledger_key collides with the bloom pre-pass")
+    val done = doneKeys(work.sparkSession, ledgerDir)
     val n = math.max(done.count(), 1L)
-    val bloom = done.stat.bloomFilter(col("key"), n, fpp)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val might = udf((k: String) => k != null && bc.value.mightContain(k))
-    val definitelyPending = work.filter(!might(col(keyCol)))
-    val suspect = work.filter(might(col(keyCol)))
-      .join(done.withColumnRenamed("key", keyCol), Seq(keyCol),
-        "left_anti")
-    definitelyPending.union(suspect)
+    // standard sizing: m = -n·ln(fpp)/ln²2 (rounded up to words),
+    // k = (m/n)·ln2
+    val ln2 = math.log(2)
+    val rawBits = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
+    val numBits = math.min(1L << 30, ((rawBits + 63) / 64) * 64).toInt
+    val numHashes = math.max(1,
+      math.round(numBits.toDouble / n * ln2).toInt.min(16))
+    val tagged = work.withColumn("_ledger_key",
+      col(keyCol).cast("string"))
+    graft.operators.BloomJoin.antiJoin(tagged, done,
+      "_ledger_key", "key", numBits, numHashes)
+      .drop("_ledger_key")
   }
 }

@@ -44,6 +44,18 @@ class LedgerSpec extends SparkTestBase {
     assert(exact.length == 50)
   }
 
+  test("pendingBloom handles non-string work keys (probe casts)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ledger").toString + "/lbl"
+    val work = (1L to 100L).toDF("wid") // LONG keys
+    Ledger.record(spark, dir, (1 to 80).map(_.toString)) // string ledger
+    val exact = Ledger.pending(work, dir, "wid")
+      .as[Long].collect().sorted
+    val bloomed = Ledger.pendingBloom(work, dir, "wid")
+      .as[Long].collect().sorted
+    assert(bloomed.toSeq == exact.toSeq && exact.length == 20)
+  }
+
   test("appends across 'runs' accumulate (kill/restart no-dup model)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ledger").toString + "/l3"
