@@ -117,29 +117,35 @@ object Ledger {
     * Routed through BloomJoin.antiJoin: the filter is BUILT
     * distributively (per-partition word bitmaps, ≤ numBits/64 rows to
     * the driver) and PROBED by the native codegen'd expression — no
-    * driver-side sketch aggregation, no per-row UDF boxing. The work
-    * key is cast to string first so the probe hashes exactly what the
-    * exact join compares (ledger keys are strings; hashing a LONG 5
-    * and joining a STRING "5" would silently mis-route done rows into
-    * "definitely pending"). */
+    * driver-side sketch aggregation, no per-row UDF boxing. The DONE
+    * keys are cast to the WORK key's type first — the same direction
+    * ANSI coercion takes in pending()'s join (string → numeric), so
+    * both entry points compare (and here: hash) identical values; a
+    * string-side cast of the work key would let a DOUBLE 5.0 vs
+    * ledger "5" agree in pending() but miss here. */
   def pendingBloom(work: DataFrame, ledgerDir: String, keyCol: String,
     fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    require(!work.columns.contains("_ledger_key"),
-      "column _ledger_key collides with the bloom pre-pass")
+    require(!work.columns.contains("_ledger_done_key"),
+      "column _ledger_done_key collides with the bloom pre-pass")
     val done = doneKeys(work.sparkSession, ledgerDir)
+      .select(col("key").cast(work.schema(keyCol).dataType)
+        .as("_ledger_done_key"))
     val n = math.max(done.count(), 1L)
     // standard sizing: m = -n·ln(fpp)/ln²2 (rounded up to words),
     // k = (m/n)·ln2
     val ln2 = math.log(2)
     val rawBits = math.ceil(-n * math.log(fpp) / (ln2 * ln2)).toLong
     val numBits = math.min(1L << 30, ((rawBits + 63) / 64) * 64).toInt
+    if (numBits < rawBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Ledger.pendingBloom: requested fpp=$fpp needs $rawBits bits " +
+          s"for $n done keys but the filter is capped at $numBits — " +
+          "realized fpp will be higher; the pre-pass prunes less and " +
+          "more rows pay the exact anti-join")
     val numHashes = math.max(1,
       math.round(numBits.toDouble / n * ln2).toInt.min(16))
-    val tagged = work.withColumn("_ledger_key",
-      col(keyCol).cast("string"))
-    graft.operators.BloomJoin.antiJoin(tagged, done,
-      "_ledger_key", "key", numBits, numHashes)
-      .drop("_ledger_key")
+    graft.operators.BloomJoin.antiJoin(work, done,
+      keyCol, "_ledger_done_key", numBits, numHashes)
   }
 }

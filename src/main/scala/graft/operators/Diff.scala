@@ -37,14 +37,23 @@ object Diff {
     def pack(df: DataFrame, as: String): DataFrame =
       df.select(keyCols.map(col) :+
         struct(payload.map(col): _*).as(as): _*)
-    val joined = pack(oldDf, "_old_p")
-      .join(pack(newDf, "_new_p"), keyCols, "full_outer")
+    // null-SAFE key join (<=>): a key that is NULL in both snapshots
+    // is the same key — a plain equi-join would report it as one
+    // 'removed' plus one 'added'. (Keys must still be unique per
+    // side; duplicates multiply matches, as in any keyed join.)
+    val o = pack(oldDf, "_old_p").as("_go")
+    val n = pack(newDf, "_new_p").as("_gn")
+    val cond = keyCols.map(k =>
+      col(s"_go.$k") <=> col(s"_gn.$k")).reduce(_ && _)
+    val joined = o.join(n, cond, "full_outer")
     val status: Column =
       when(col("_old_p").isNull, lit("added"))
         .when(col("_new_p").isNull, lit("removed"))
         .when(col("_old_p") <=> col("_new_p"), lit("unchanged"))
         .otherwise(lit("changed"))
-    joined.select(keyCols.map(col) :+ status.as("status") :+
+    joined.select(keyCols.map(k =>
+      coalesce(col(s"_go.$k"), col(s"_gn.$k")).as(k)) :+
+      status.as("status") :+
       col("_old_p").as("old_payload") :+
       col("_new_p").as("new_payload"): _*)
   }

@@ -47,7 +47,12 @@ object Shards {
   def write(df: DataFrame, keyCol: String, nShards: Int,
     path: String): Unit =
     assign(df, keyCol, nShards)
-      .repartition(nShards, col("shard"))
+      // RANGE partition, not hash: murmur(shard) % n collides for
+      // small n (balls-in-bins), packing 2-3 shards into one task
+      // while others sit idle; range placement over the 0..n-1 id is
+      // near-identity, and equal shard ids still land in ONE task →
+      // still exactly one file per shard directory
+      .repartitionByRange(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"), col(keyCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -61,9 +61,19 @@ object Layout {
   def scaleToBucket(c: Column, minV: Long, maxV: Long, bits: Int)
     : Column = {
     require(maxV >= minV, s"max $maxV < min $minV")
-    val span = maxV - minV + 1L
-    require(span <= (Long.MaxValue >> bits),
-      s"column span $span × 2^$bits overflows a long — lower bits")
+    // subtractExact: maxV−minV itself wraps for ranges wider than
+    // half the long space (e.g. signed-hash columns), and a wrapped-
+    // negative span would sail through the width guard below
+    val diff =
+      try math.subtractExact(maxV, minV)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"column range [$minV, $maxV] spans more than 2^63 — " +
+            "pre-bucket it (e.g. shift to unsigned) before z-ordering")
+      }
+    require(diff <= (Long.MaxValue >> bits) - 1,
+      s"column span ${diff + 1} × 2^$bits overflows a long — lower bits")
+    val span = diff + 1L
     coalesce(
       call_function("div",
         (c.cast("long") - lit(minV)) * lit(1L << bits), lit(span)),

@@ -27,6 +27,18 @@ class DiffSpec extends SparkTestBase {
       "removed" -> 1L, "added" -> 1L))
   }
 
+  test("null keys match null-safely instead of splitting add+remove") {
+    val a = Seq((Option.empty[Long], "x"), (Some(1L), "y"))
+      .toDF("k", "v")
+    val b = Seq((Option.empty[Long], "x"), (Some(1L), "z"))
+      .toDF("k", "v")
+    val out = Diff.snapshot(a, b, Seq("k"))
+      .select("k", "status").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        r.getString(1)).toMap
+    assert(out == Map(-1L -> "unchanged", 1L -> "changed"))
+  }
+
   test("null payloads compare null-safely") {
     val a = Seq((1L, Option.empty[String]), (2L, Some("x")))
       .toDF("k", "v")
