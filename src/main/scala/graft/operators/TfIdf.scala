@@ -35,12 +35,21 @@ object TfIdf {
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} collide with tf-idf " +
         "output columns — rename before scoring")
-    val tf = df
+    // persisted + tracked: tf feeds three consumers (the join left,
+    // df, and N). Unpersisted, each would re-run the tokenize +
+    // corpus shuffle — column pruning makes the three subtrees
+    // canonically different, so Spark's exchange reuse does NOT kick
+    // in (verified on the physical plan: three parquet scans). One
+    // materialization = one corpus pass. Release via
+    // Broadcasting.releaseAll() when done (same contract as
+    // ConnectedComponents).
+    val tf = Broadcasting.track(df
       .select(col(idCol),
         explode(expr(s"filter(split($textCol, ' '), t -> t <> '')"))
           .as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist())
     val docFreq = Broadcasting.maybeBroadcast(
       tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val n = tf.agg(count_distinct(col(idCol)).as("n_docs"))
