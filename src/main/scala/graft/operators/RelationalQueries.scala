@@ -119,6 +119,20 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first)
     }),
 
+    // Cube completes the grouping-set family (a9 is rollup): all four
+    // (flag, status) granularities in ONE Expand pass, grouping_id
+    // disambiguating which cell a row belongs to (PostgreSQL bitmask
+    // semantics, first cube column = high bit — same as DuckDB's
+    // GROUPING()).
+    "a15_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
     // Lag/lead neighbors over a unique total order per group.
     "w5_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -741,6 +755,12 @@ object RelationalQueries {
         | sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "a15_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        | count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "w5_lag_lead" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | lag(l_quantity) OVER w AS prev_qty,
