@@ -485,8 +485,16 @@ object Rdf {
     * collision probability at ~(4e6)^2 / 2^129 ≈ 1e-26: negligible at
     * any plausible scale. */
   private[ttl] def fileTag(f: String): String = {
+    // canonicalize before hashing: input_file_name() spells a local
+    // file "file:///tmp/x" while Hadoop's Path.toString spells it
+    // "file:/tmp/x" — hashing the raw string would give the SAME
+    // document different bnode tags depending on which API loaded it.
+    // (scheme, authority, path) from the parsed URI is spelling-free.
+    val uri = new org.apache.hadoop.fs.Path(f).toUri
+    val canon = s"${Option(uri.getScheme).getOrElse("")}://" +
+      s"${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.update(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md.digest().take(16).map(b => f"$b%02x").mkString
   }
 
@@ -501,6 +509,25 @@ object Rdf {
         val tag = fileTag(f)
         parseOne(content).map(relabel(_, tag))
       }
+  }
+
+  /** One document's content → triples, bnodes relabeled with the
+    * per-file tag (the same document-scoping rule `load` applies).
+    * Shared with the DataSource V2 connector (RdfDataSource). */
+  private[graft] def parseDocument(fileName: String, content: String,
+    format: String): Seq[Triple] = {
+    val parse: String => Seq[Triple] = format.toLowerCase match {
+      case "turtle" | "ttl" | "n3" => TurtleParser.parse _
+      case "nt" | "ntriples" | "n-triples" =>
+        c => c.linesIterator.flatMap(Turtle.parseLine).toSeq
+      case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" => RdfXml.parse _
+      case "json-ld" | "jsonld" => JsonLd.parse _
+      case other => throw new IllegalArgumentException(
+        s"unsupported RDF format '$other' " +
+          "(turtle|ttl|n3|nt|xml|json-ld)")
+    }
+    val tag = fileTag(fileName)
+    parse(content).map(relabel(_, tag))
   }
 
   def load(spark: SparkSession, path: String, format: String = "turtle")
