@@ -32,8 +32,14 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum("l_quantity").as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          // integer cents per row then an associative integer sum —
+          // order-free (a rounded double sum hinges on partial-agg
+          // order at the cent boundary); avg is safe as-is: one
+          // division of an exact integer-valued sum
+          sum(floor(col("l_extendedprice") * 100 + 0.5))
+            .as("sum_base_e2"),
+          sum(floor(col("l_extendedprice") *
+            (lit(1) - col("l_discount")) * 100 + 0.5)).as("sum_disc_e2"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -61,7 +67,9 @@ object RelationalQueries {
     "a5_event_totals" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+        // see q1: per-row cents keep the double sum order-free
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 100 + 0.5)).as("total_value_e2"))
         .orderBy("event_type")
     }),
 
@@ -716,8 +724,10 @@ object RelationalQueries {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        | sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT
+        |  AS sum_base_e2,
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |  ::BIGINT)::BIGINT AS sum_disc_e2,
         | round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -730,7 +740,8 @@ object RelationalQueries {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "a5_event_totals" ->
       """SELECT event_type, count(*) AS cnt,
-        | round(sum(value), 2) AS total_value
+        | sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT
+        |  AS total_value_e2
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a6_batch_count" ->
       """WITH g AS (SELECT l_orderkey, count(*) AS n_lines FROM lineitem
