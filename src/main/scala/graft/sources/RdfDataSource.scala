@@ -33,11 +33,13 @@ import graft.ttl.Rdf
   * identical per-file bnode tags. `.gz` payloads are inflated inline.
   *
   * Column pruning is pushed down (SupportsPushDownRequiredColumns):
-  * `select(s)` materializes one UTF8String per triple, not four —
-  * visible as ReadSchema in the scan node. Predicate pushdown is
-  * deliberately absent: every useful RDF predicate (prefix matching,
-  * joins on subject) is cheaper post-parse than re-parsing documents
-  * per filter, and parse cost dominates at any scale.
+  * `select(s)` materializes one UTF8String per triple, not four.
+  * Filters on `src_file` are pushed down too (equality, IN,
+  * prefix/contains/suffix) — they prune WHOLE DOCUMENTS at planning
+  * time, before any byte is read, the connector analog of partition
+  * pruning. Predicates on s/p/o stay post-scan deliberately: they
+  * can't skip a document without parsing it, so pushing them buys
+  * nothing and hides work from Catalyst.
   *
   * At 100 TB the unit of parallelism is the file — the same layout the
   * reference's corpus has (millions of per-image documents), so the
@@ -65,6 +67,32 @@ object RdfDataSource {
   private[sources] val Extensions =
     Seq("ttl", "turtle", "n3", "nt", "xml", "rdf", "jsonld", "json-ld")
 
+  /** A src_file filter as a file-name predicate, or None when the
+    * filter isn't decidable from the name alone (wrong column,
+    * unsupported shape). Conjunctions (And) recurse; Or/Not stay with
+    * Catalyst — sound pruning only ever REMOVES files the predicate
+    * provably rejects. */
+  private[sources] def toFilePredicate(
+    f: org.apache.spark.sql.sources.Filter)
+    : Option[String => Boolean] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo("src_file", v: String) => Some(_ == v)
+      case In("src_file", vs) =>
+        val set = vs.collect { case s: String => s }.toSet
+        if (set.size == vs.length) Some(set.contains) else None
+      case StringStartsWith("src_file", p) => Some(_.startsWith(p))
+      case StringEndsWith("src_file", s) => Some(_.endsWith(s))
+      case StringContains("src_file", s) => Some(_.contains(s))
+      case And(l, r) =>
+        (toFilePredicate(l), toFilePredicate(r)) match {
+          case (Some(a), Some(b)) => Some(f => a(f) && b(f))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Format from an explicit option or the file's extension. */
   private[sources] def formatOf(file: String, opt: Option[String])
     : String = opt.getOrElse {
@@ -91,23 +119,41 @@ private[sources] class RdfTable(props: Map[String, String])
 }
 
 private[sources] class RdfScanBuilder(props: Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = RdfDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve OUR field order (Spark passes its required subset)
     required = StructType(RdfDataSource.Schema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
+  /** Accept only src_file predicates we can decide from the file NAME
+    * alone; everything else stays with Catalyst (returned as
+    * residual). Accepted filters also remain residual — file-name
+    * evaluation is exact, but leaving them post-scan is free and
+    * keeps the contract simple. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(RdfDataSource.toFilePredicate(_).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan = {
     val path = props.getOrElse("path", throw new IllegalArgumentException(
       "RdfDataSource needs a path: spark.read.format(...).load(path)"))
-    new RdfScan(path, props.get("rdfformat"), required)
+    new RdfScan(path, props.get("rdfformat"), required,
+      pushed.flatMap(RdfDataSource.toFilePredicate(_)))
   }
 }
 
 private[sources] class RdfScan(path: String, format: Option[String],
-  required: StructType) extends Scan with Batch {
+  required: StructType,
+  filePredicates: Array[String => Boolean] = Array.empty)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -132,7 +178,11 @@ private[sources] class RdfScan(path: String, format: Option[String],
     require(files.nonEmpty,
       s"RdfDataSource: no RDF files under $path " +
         s"(extensions: ${RdfDataSource.Extensions.mkString(", ")})")
-    files.map(f =>
+    // file-level pruning: drop whole documents the pushed src_file
+    // predicates reject — an empty result is legitimate here (unlike
+    // an empty listing above)
+    val kept = files.filter(f => filePredicates.forall(p => p(f)))
+    kept.map(f =>
       RdfFilePartition(f, RdfDataSource.formatOf(f, format))
         : InputPartition)
   }

@@ -88,6 +88,26 @@ class RdfDataSourceSpec extends SparkTestBase {
     assert(files.length == 1 && files.head.endsWith("g1.ttl"))
   }
 
+  test("src_file filters prune whole documents at planning time") {
+    val dir = freshDir()
+    writeFile(dir, "g1.ttl", Rdf.serialize(g1, "nt"))
+    writeFile(dir, "g2.ttl", Rdf.serialize(g2, "nt"))
+    val filtered = spark.read.format(Fmt).load(dir)
+      .filter(col("src_file").endsWith("g1.ttl"))
+    // pruning is visible as partition count: only g1 is planned
+    assert(filtered.rdd.getNumPartitions == 1)
+    assert(filtered.count() == 3)
+    // predicates NOT decidable from the name stay post-scan, sound
+    val onS = spark.read.format(Fmt).load(dir)
+      .filter(col("s") === "<http://x/c>")
+    assert(onS.rdd.getNumPartitions == 2) // no bogus pruning
+    assert(onS.count() == 1)
+    // a predicate rejecting every file yields an empty frame, not an
+    // error
+    assert(spark.read.format(Fmt).load(dir)
+      .filter(col("src_file").endsWith("nope.ttl")).count() == 0)
+  }
+
   test("unknown extensions and empty dirs fail loudly") {
     val dir = freshDir()
     writeFile(dir, "g1.txt", "not rdf")
