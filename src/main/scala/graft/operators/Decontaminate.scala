@@ -29,9 +29,15 @@ object Decontaminate {
   private def gramHashes(df: DataFrame, idCol: String, textCol: String,
     n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
+    // total expression: the join on `gh` infers isnotnull over this
+    // subtree and may evaluate it BEFORE the row filter below —
+    // sequence(1, stop < 1) DESCENDS through 0 and blows up slice(),
+    // so short docs must take the empty-array branch explicitly
+    // (same hazard class as SpanDedup; found live there)
     val grams =
-      s"""array_distinct(transform(sequence(1, size(w) - ${n - 1}),
-         |  i -> concat_ws(' ', slice(w, i, $n))))""".stripMargin
+      s"""if(size(w) < $n, array(),
+         | array_distinct(transform(sequence(1, size(w) - ${n - 1}),
+         |  i -> concat_ws(' ', slice(w, i, $n)))))""".stripMargin
     df.withColumn("w", expr(s"filter(split($textCol, ' '), t -> t <> '')"))
       .filter(size(col("w")) >= n)
       .select(col(idCol), explode(expr(grams)).as("gram"))

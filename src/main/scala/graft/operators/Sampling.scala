@@ -63,4 +63,43 @@ object Sampling {
     }
     df.filter(checkedUniform(col(keyCol), salt) < threshold)
   }
+
+  /** Per-group keep thresholds for √-temperature source mixing
+    * (α = 0.5 in the p_s ∝ N_s^α mixing family): each group keeps
+    * `floor(Granularity · sqrt(N_min / N_g))` ppm, so the EXPECTED
+    * kept count is √(N_min·N_g) — large sources are flattened toward
+    * the smallest one without equalizing outright (α = 0 would be
+    * uniform, α = 1 the natural mix). α is pinned to 0.5 because
+    * `sqrt` is IEEE-correctly-rounded in every engine while `pow(x,
+    * α)` is not — the thresholds replay bit-identically in any
+    * oracle; other temperatures = compute rates outside and use
+    * `stratifiedByHash`. Output: (groupCol, n_rows, keep_e6), one
+    * row per group. */
+  def temperatureThresholds(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"))
+    // global min rides in as a 1-row cross join (Catalyst broadcasts
+    // a single-row side on its own — no forced hint needed)
+    val nMin = counts.agg(min(col("n_rows")).as("n_min"))
+    counts.crossJoin(nMin)
+      .select(col(groupCol), col("n_rows"),
+        floor(lit(Granularity) *
+          sqrt(col("n_min").cast("double") / col("n_rows").cast("double")))
+          .cast("long").as("keep_e6"))
+  }
+
+  /** √-temperature mix applied: keep rows whose key hashes under the
+    * group's threshold. The threshold side has one row per group
+    * (source/language cardinality — small by construction); the join
+    * back is size-gated broadcast via AQE, the filter itself is the
+    * same narrow content-hash predicate as `byHash`. Null keys throw
+    * — see `checkedUniform`. */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+    salt: String = "temp"): DataFrame = {
+    val thr = temperatureThresholds(df, groupCol)
+      .select(col(groupCol), col("keep_e6"))
+    df.join(thr, Seq(groupCol))
+      .filter(checkedUniform(col(keyCol), salt) < col("keep_e6"))
+      .drop("keep_e6")
+  }
 }

@@ -26,11 +26,16 @@ object TextDedupQueries {
   /** Whitespace tokens, empties dropped (F-class token counting). */
   private val tokensSql = "filter(split(text, ' '), t -> t <> '')"
 
-  /** Distinct word 3-gram shingles over the raw token array `w`. */
+  /** Distinct word 3-gram shingles over the raw token array `w`.
+    * Total: short docs take the empty branch even if the optimizer
+    * evaluates this ahead of the `size(w) >= 3` row filter (inferred
+    * isnotnull constraints can do that — sequence(1, stop < 1)
+    * descends through 0 and element_at(w, 0) throws under ANSI). */
   private val shinglesSql =
-    """array_distinct(transform(sequence(1, size(w) - 2),
+    """if(size(w) < 3, array(),
+      | array_distinct(transform(sequence(1, size(w) - 2),
       |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
-      |              element_at(w, i + 2))))""".stripMargin
+      |              element_at(w, i + 2)))))""".stripMargin
 
   /** 60-bit stable shingle hash folded into the minhash prime field.
     * md5-prefix keeps Spark and DuckDB bit-identical (both hash UTF-8).
@@ -58,6 +63,13 @@ object TextDedupQueries {
     * bucket past the cap; accepted. */
   val DfCap = 20
 
+  /** x12's probe query + BM25 params (defaults of `Bm25.topDocs`);
+    * shared between the engine call and the oracle so the
+    * interpolated double literals are character-identical. */
+  private val Bm25Terms = Seq("hash", "join", "stream", "window")
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+
   /** Per-doc shingle frame: doc_id, source, n (#shingles), sh (array). */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -72,31 +84,41 @@ object TextDedupQueries {
     * — zero shuffle (vs. explode → groupBy(min), which moves one row
     * per shingle). The stacked projection keeps the md5 hash array
     * from being inlined 8× (CollapseProject skips non-cheap exprs). */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSigSrc(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingled(s, dir)
       .withColumn("hs", expr(s"transform(sh, x -> ${shingleHash("x")})"))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       expr(s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % $P))")
         .as(s"mh$i")
     }
-    hashed.select(col("doc_id") +: mins: _*)
+    hashed.select(col("doc_id") +: col("source") +: mins: _*)
   }
+
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigSrc(s, dir).drop("source")
+
+  /** The 4-band × 2-key LSH banding of a minhash signature frame
+    * (shared by d4/d9): one row per (doc, band) with the band's two
+    * minhash values as the bucket key. */
+  private def lshBands(sig: DataFrame, extraCols: Column*): DataFrame =
+    sig.select(col("doc_id") +: extraCols :+ expr(
+      """explode(array(
+        | struct(0 as band, mh0 as k1, mh1 as k2),
+        | struct(1 as band, mh2 as k1, mh3 as k2),
+        | struct(2 as band, mh4 as k1, mh5 as k2),
+        | struct(3 as band, mh6 as k1, mh7 as k2)))""".stripMargin)
+      .as("b"): _*)
+      .withColumn("band", col("b.band"))
+      .withColumn("k1", col("b.k1"))
+      .withColumn("k2", col("b.k2"))
+      .drop("b")
 
   /** LSH candidate pairs (the d4 plan, reusable): 4 bands × 2 minhash
     * keys, band-bucket grouping, in-bucket pair generation — never a
     * self-join, never pairs². */
   private def lshCandidatePairs(s: SparkSession, dir: String)
     : DataFrame = {
-    val sig = minhashSig(s, dir)
-    val bands = sig.select(col("doc_id"), expr(
-      """explode(array(
-        | struct(0 as band, mh0 as k1, mh1 as k2),
-        | struct(1 as band, mh2 as k1, mh3 as k2),
-        | struct(2 as band, mh4 as k1, mh5 as k2),
-        | struct(3 as band, mh6 as k1, mh7 as k2)))""".stripMargin)
-      .as("b"))
-      .select(col("doc_id"), col("b.band").as("band"),
-        col("b.k1").as("k1"), col("b.k2").as("k2"))
+    val bands = lshBands(minhashSig(s, dir))
     bands.groupBy(col("band"), col("k1"), col("k2"))
       .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
       .filter(size(col("xs")) >= 2)
@@ -113,9 +135,10 @@ object TextDedupQueries {
     * small by construction (docs-per-shingle / band collisions), so
     * the quadratic is local and bounded. */
   private def bucketPairs(xs: String): String =
-    s"""flatten(transform(sequence(1, size($xs) - 1),
-       | i -> transform(slice($xs, i + 1, size($xs) - i),
-       |   y -> named_struct('a', element_at($xs, i), 'b', y))))"""
+    s"""if(size($xs) < 2, array(),
+       | flatten(transform(sequence(1, size($xs) - 1),
+       |  i -> transform(slice($xs, i + 1, size($xs) - i),
+       |    y -> named_struct('a', element_at($xs, i), 'b', y)))))"""
       .stripMargin
 
   /** Shared oracle CTE prefix for token/shingle queries. */
@@ -140,6 +163,13 @@ object TextDedupQueries {
       |${perms.zipWithIndex.map { case ((a, b), i) =>
           s"  min((h * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
       |FROM hx GROUP BY 1)""".stripMargin
+  private val oracleMinhashSrc = oracleShingled + s""",
+      |hx AS (SELECT doc_id, source,
+      |  ${oracleShingleHash("unnest(shingles)")} AS h FROM sh),
+      |sig AS (SELECT doc_id, source,
+      |${perms.zipWithIndex.map { case ((a, b), i) =>
+          s"  min((h * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
+      |FROM hx GROUP BY 1, 2)""".stripMargin
 
   /** d2 as a reusable operator: n-gram (3-shingle) Jaccard near-dup
     * pairs over a (doc_id, source, text) frame.
@@ -168,9 +198,10 @@ object TextDedupQueries {
       .withColumn("w", expr(tokensSql))
       .filter(size(col("w")) >= 3)
       .withColumn("hs", expr(
-        """array_distinct(transform(sequence(1, size(w) - 2),
-          | i -> xxhash64(concat(element_at(w, i), ' ',
-          |   element_at(w, i + 1), ' ', element_at(w, i + 2)))))"""
+        """if(size(w) < 3, array(),
+          | array_distinct(transform(sequence(1, size(w) - 2),
+          |  i -> xxhash64(concat(element_at(w, i), ' ',
+          |    element_at(w, i + 1), ' ', element_at(w, i + 2))))))"""
           .stripMargin))
       .select(col("doc_id"), col("source"),
         size(col("hs")).cast("long").as("n"),
@@ -426,6 +457,60 @@ object TextDedupQueries {
         .orderBy("source")
     }),
 
+    // Cross-corpus NEAR-dup decontamination: which corpus documents
+    // are MinHash-LSH near-duplicates of the benchmark set (source =
+    // src0)? The fuzzy complement of c2's exact n-gram decontamination
+    // — catches lightly-edited benchmark copies exact grams miss.
+    // Plan: one signature pass, banded both sides, then a plain
+    // equi-JOIN corpus-bands ⋈ bench-bands on (band, k1, k2) — the
+    // bench side is the small build side (benchmarks are thousands of
+    // docs, the corpus billions), so this broadcasts/AQE-plans like
+    // any fact⋈dim join; per-bucket fan-out is bounded by band-value
+    // collisions exactly as in d4.
+    "d9_cross_neardup" -> ((s, dir) => {
+      val sig = minhashSigSrc(s, dir)
+      val bands = lshBands(sig, col("source"))
+      val corpus = bands.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("band"), col("k1"), col("k2"))
+      val bench = bands.filter(col("source") === "src0")
+        .select(col("doc_id").as("bench_id"), col("band"), col("k1"),
+          col("k2"))
+      corpus.join(bench, Seq("band", "k1", "k2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact-span (20-token window) cross-doc duplication: the
+    // distributed stand-in for suffix-array exact-substring dedup.
+    // Inverted index on span hashes — B docs sharing a span cost B
+    // index rows, never B²/2 pairs (SpanDedup).
+    "d10_span_dedup" -> ((s, dir) =>
+      SpanDedup.dupSpanCounts(docs(s, dir), "doc_id", "text", 20)
+        .orderBy("doc_id")),
+
+    // √-temperature source mixing: per-source keep rates flatten the
+    // natural mix toward the smallest source (expected kept count =
+    // √(N_min·N_s)); thresholds and the kept set are pure content
+    // hashes, bit-replayed by the oracle.
+    "x11_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val thr = Sampling.temperatureThresholds(d, "source")
+      val kept = Sampling.temperatureMix(d, "doc_id", "source")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      thr.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_rows"), col("keep_e6"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
+    // BM25 ranked retrieval: global top-10 documents for a 4-term
+    // probe query (Bm25.topDocs — TakeOrdered, per-term e4
+    // quantization before the integer per-doc sum).
+    "x12_bm25_topk" -> ((s, dir) =>
+      Bm25.topDocs(docs(s, dir), "doc_id", "text", Bm25Terms, 10)),
+
     // Canonical text normalization (cleaning stage): strip
     // non-alphanumerics, collapse runs of spaces, trim, lowercase —
     // the usual pre-dedup/pre-tokenize canonical form. Pure
@@ -535,6 +620,78 @@ object TextDedupQueries {
       | lower(trim(regexp_replace(regexp_replace(text,
       |   '[^a-zA-Z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm
       |FROM documents ORDER BY doc_id""".stripMargin,
+    // engine joins on xxhash64(band keys are longs already); the
+    // cross-side band join replays with raw minhash values — exact
+    "d9_cross_neardup" -> (oracleMinhashSrc + """,
+      |bands AS (
+      | SELECT doc_id, source, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, source, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, source, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, source, 3, mh6, mh7 FROM sig)
+      |SELECT c.doc_id, count(*) AS n_hits,
+      | count(DISTINCT b.doc_id) AS n_bench_docs
+      |FROM bands c JOIN bands b ON c.band = b.band AND c.k1 = b.k1
+      | AND c.k2 = b.k2
+      |WHERE c.source <> 'src0' AND b.source = 'src0'
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // engine hashes each 20-token window to xxhash64; the oracle
+    // joins raw window strings — identical short of a 2^-64 collision
+    "d10_span_dedup" -> (oracleToks + """,
+      |wins AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(w) - 18),
+      |    i -> array_to_string(list_slice(w, i, i + 19), ' '))) AS ws
+      | FROM toks WHERE len(w) >= 20),
+      |e AS (SELECT doc_id, len(ws)::BIGINT AS n_spans,
+      |       unnest(ws) AS win FROM wins),
+      |shared AS (SELECT win FROM e GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT doc_id, max(n_spans) AS n_spans,
+      | count(*) AS n_dup_spans
+      |FROM e JOIN shared USING (win)
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // the double constants are interpolated from the SAME Scala
+    // expressions the operator embeds (k1+1, 1−b, …): both engines
+    // parse the identical shortest-round-trip decimal, so the float
+    // chains match bit-for-bit before the e4 floor
+    "x12_bm25_topk" -> s"""
+      |WITH base AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), t -> t <> '') AS w
+      | FROM documents),
+      |b2 AS (SELECT doc_id, w, len(w)::BIGINT AS dl FROM base
+      |       WHERE len(w) > 0),
+      |stats AS (SELECT count(*)::BIGINT AS n_docs,
+      |          sum(dl)::BIGINT AS sum_dl FROM b2),
+      |pt AS (SELECT doc_id, dl, t.term,
+      |  len(list_filter(w, x -> x = t.term))::BIGINT AS tf
+      | FROM b2 CROSS JOIN (SELECT unnest(
+      |   [${Bm25Terms.map(t => s"'$t'").mkString(", ")}]) AS term) t),
+      |ptf AS (SELECT * FROM pt WHERE tf > 0),
+      |dfq AS (SELECT term, count(*)::BIGINT AS df FROM ptf GROUP BY 1),
+      |sc AS (SELECT doc_id,
+      |  CAST(floor(
+      |    ln(1.0 + ((n_docs - df)::DOUBLE + 0.5) / (df::DOUBLE + 0.5))
+      |    * (tf::DOUBLE * ${BmK1 + 1.0})
+      |    / (tf::DOUBLE + $BmK1 * (${1.0 - BmB} + $BmB * dl::DOUBLE
+      |       / (sum_dl::DOUBLE / n_docs::DOUBLE)))
+      |    * 10000.0 + 0.5) AS BIGINT) AS tscore_e4
+      |  FROM ptf JOIN dfq USING (term) CROSS JOIN stats)
+      |SELECT doc_id, sum(tscore_e4)::BIGINT AS score_e4
+      |FROM sc GROUP BY 1
+      |ORDER BY score_e4 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "x11_temperature_mix" -> """
+      |WITH c AS (SELECT source, count(*) AS n_rows FROM documents
+      |           GROUP BY 1),
+      |m AS (SELECT min(n_rows) AS n_min FROM c),
+      |t AS (SELECT source, n_rows,
+      |  CAST(floor(1000000 * sqrt(n_min::DOUBLE / n_rows::DOUBLE))
+      |    AS BIGINT) AS keep_e6 FROM c, m),
+      |k AS (SELECT d.source, count(*) AS n_kept
+      |      FROM documents d JOIN t USING (source)
+      |      WHERE ('0x' || substr(md5('temp:' || d.doc_id::VARCHAR),
+      |        1, 15))::BIGINT % 1000000 < t.keep_e6
+      |      GROUP BY 1)
+      |SELECT t.source, t.n_rows, t.keep_e6,
+      | coalesce(k.n_kept, 0::BIGINT) AS n_kept
+      |FROM t LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
     "w7_pack_bins" -> (oracleToks + """,
       |t AS (SELECT doc_id, source, len(w)::BIGINT AS n_tok FROM toks),
       |o AS (SELECT doc_id, source, n_tok,

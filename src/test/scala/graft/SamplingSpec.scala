@@ -86,6 +86,27 @@ class SamplingSpec extends SparkTestBase {
       .count() == 2L)
   }
 
+  test("temperature mix: thresholds follow sqrt(n_min/n), smallest keeps all") {
+    val df = (Seq.fill(400)("a") ++ Seq.fill(100)("b"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val thr = Sampling.temperatureThresholds(df, "s")
+      .orderBy("s").as[(String, Long, Long)].collect().toSeq
+    // sqrt(100/400) = 0.5 exactly; the smallest source keeps 100%
+    assert(thr == Seq(("a", 400L, 500000L), ("b", 100L, 1000000L)))
+    val kept = Sampling.temperatureMix(df, "id", "s")
+    val bySrc = kept.groupBy("s").count().orderBy("s")
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("b") == 100L, "smallest source must be kept whole")
+    // expected kept for a = sqrt(400*100) = 200; content-hash draw is
+    // binomial around it
+    assert(math.abs(bySrc("a") - 200L) < 60, s"a kept ${bySrc("a")}")
+    // deterministic: repartitioning draws the identical set
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(df.repartition(13), "id", "s")
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "temperature mix changed under repartitioning")
+  }
+
   test("composes with Structured Streaming: stream sample == batch sample") {
     // a stateless deterministic filter needs no watermark or state —
     // the same operator call works on a streaming frame unchanged
