@@ -641,11 +641,10 @@ object TextDedupQueries {
       |  list_distinct(list_transform(range(1, len(w) - 18),
       |    i -> array_to_string(list_slice(w, i, i + 19), ' '))) AS ws
       | FROM toks WHERE len(w) >= 20),
-      |e AS (SELECT doc_id, len(ws)::BIGINT AS n_spans,
-      |       unnest(ws) AS win FROM wins),
-      |shared AS (SELECT win FROM e GROUP BY 1 HAVING count(*) >= 2)
-      |SELECT doc_id, max(n_spans) AS n_spans,
-      | count(*) AS n_dup_spans
+      |e AS (SELECT doc_id, unnest(ws) AS win FROM wins),
+      |shared AS (SELECT win FROM e GROUP BY 1
+      |           HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, count(*) AS n_dup_spans
       |FROM e JOIN shared USING (win)
       |GROUP BY 1 ORDER BY 1""".stripMargin),
     // the double constants are interpolated from the SAME Scala
