@@ -24,10 +24,15 @@ object Bench {
         System.err.println(s"[bench] unknown query: $n (skipped)"))
       args.toSeq.filter(known)
     } else known.toSeq.sorted
-    // warmup: one full pass (count) per query, untimed
+    // warmup: one full pass (count) per query, untimed. Caches that
+    // operators persist internally (TfIdf, SpanDedup, d2…) are
+    // released after every pass: a timed pass must pay its own cache
+    // build, and 100+ queries of accumulated caches would otherwise
+    // squeeze execution memory for the rest of the run.
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      finally graft.operators.Broadcasting.releaseAll()
     }
     // min of two timed passes: local[N] run-to-run variance is ±20%,
     // and min-of-k reports the plan's cost rather than scheduler
@@ -40,7 +45,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
-      }
+      } finally graft.operators.Broadcasting.releaseAll()
     }
     val results = names.map { name =>
       name -> (timeOne(name), timeOne(name)) match {

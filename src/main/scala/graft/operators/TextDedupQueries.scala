@@ -194,7 +194,14 @@ object TextDedupQueries {
   def ngramJaccardPairs(docsDf: DataFrame, dfCap: Int,
     minJaccE4: Long = 200L): DataFrame = {
     require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
-    val ex = docsDf
+    // persisted BEFORE the explode (Broadcasting.track registry —
+    // releaseAll() reclaims): with the expensive shingle array in the
+    // generator child, InferFiltersFromGenerate clones it into
+    // size/isnotnull predicates that re-hash every document 2× more
+    // per row (and re-tokenize 6×) — measured 5× on this query. The
+    // cache materializes the array once; the inferred filter then
+    // reads cached values instead of re-deriving them.
+    val hashed = Broadcasting.track(docsDf
       .withColumn("w", expr(tokensSql))
       .filter(size(col("w")) >= 3)
       .withColumn("hs", expr(
@@ -204,8 +211,10 @@ object TextDedupQueries {
           |    element_at(w, i + 1), ' ', element_at(w, i + 2))))))"""
           .stripMargin))
       .select(col("doc_id"), col("source"),
-        size(col("hs")).cast("long").as("n"),
-        explode(col("hs")).as("sh_h"))
+        size(col("hs")).cast("long").as("n"), col("hs"))
+      .persist())
+    val ex = hashed.select(col("doc_id"), col("source"), col("n"),
+      explode(col("hs")).as("sh_h"))
     val buckets = ex.groupBy(col("source"), col("sh_h"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
         .as("xs"))
