@@ -108,7 +108,17 @@ object CurationQueries {
     // pass (O(words) per doc, zero shuffles).
     "c4_repetition" -> ((s, dir) =>
       Repetition.stats(docs(s, dir), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // The END-TO-END curation pipeline: lang → quality → decontam →
+    // exact dedup → LSH near-dup, per-stage (n_docs, n_tokens)
+    // summary. The oracle replays every stage's predicate over the
+    // progressively filtered set — the strongest composition check in
+    // the suite.
+    "c6_curation_pipeline" -> ((s, dir) => {
+      val (_, summary) = CurationPipeline.run(docs(s, dir))
+      summary.orderBy("stage")
+    })
   )
 
   private val oracleToks =
@@ -174,6 +184,87 @@ object CurationQueries {
       |  FROM s2)
       |SELECT doc_id, n_email, n_ssn, n_phone, t3 AS pii_redacted
       |FROM s3 ORDER BY doc_id""".stripMargin),
+    "c6_curation_pipeline" -> {
+      val P = MinHashLsh.P
+      val mins = MinHashLsh.perms.zipWithIndex.map { case ((a, b), i) =>
+        s"  min((h * $a + $b) % $P) AS mh$i" }.mkString(",\n")
+      s"""
+      |WITH ctoks AS (
+      |  SELECT doc_id, source, text,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS w
+      |  FROM documents WHERE source <> 'src0'),
+      |sigs AS (
+      |  SELECT doc_id, source, text, w, len(w)::BIGINT AS n_tok,
+      |    len(list_filter(w, t -> t IN ('the', 'a'))) AS s_en,
+      |    len(list_filter(w, t -> t IN ('el', 'la'))) AS s_es,
+      |    len(list_filter(w, t -> t IN ('der', 'die'))) AS s_de,
+      |    len(list_filter(w, t -> t IN ('le', 'les'))) AS s_fr,
+      |    len(list_filter(w, t -> t IN ('的'))) AS s_zh
+      |  FROM ctoks),
+      |base AS (
+      |  SELECT doc_id, source, text, w, n_tok,
+      |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+      |     WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+      |      AND s_en >= s_zh THEN 'en'
+      |     WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |     WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |     WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
+      |    CASE WHEN n_tok = 0 THEN 0 ELSE CAST(floor((
+      |        0.5 * len(list_distinct(w)) / n_tok
+      |      + 0.3 * (1.0 - len(list_filter(w, t -> t IN ('the', 'a')))
+      |               / CAST(n_tok AS DOUBLE))
+      |      + 0.2 * least(1.0, n_tok / 100.0)) * 10000 + 0.5) AS BIGINT)
+      |    END AS score_e4
+      |  FROM sigs),
+      |k1 AS (SELECT * FROM base WHERE predicted IN ('en')),
+      |k2 AS (SELECT * FROM k1 WHERE score_e4 >= 6000),
+      |bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+      |         range(1, len(w) - 2),
+      |         i -> array_to_string(list_slice(w, i, i + 3), ' ')))) AS g
+      |       FROM (SELECT list_filter(string_split(text, ' '),
+      |               t -> t <> '') AS w
+      |             FROM documents WHERE source = 'src0')
+      |       WHERE len(w) >= 4),
+      |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(w) - 2),
+      |         i -> array_to_string(list_slice(w, i, i + 3), ' ')))) AS g
+      |       FROM k2 WHERE len(w) >= 4),
+      |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+      |k3 AS (SELECT * FROM k2
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      |reps AS (SELECT min(doc_id) AS doc_id FROM k3
+      |         GROUP BY sha256(text)),
+      |k4 AS (SELECT * FROM k3
+      |       WHERE doc_id IN (SELECT doc_id FROM reps)),
+      |sh4 AS (SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      |  FROM k4 WHERE len(w) >= 3),
+      |hx4 AS (SELECT doc_id,
+      |    ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % $P AS h
+      |  FROM sh4),
+      |sig4 AS (SELECT doc_id,
+      |$mins
+      |  FROM hx4 GROUP BY 1),
+      |bands4 AS (
+      |  SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig4
+      |  UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig4
+      |  UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig4
+      |  UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig4),
+      |losers AS (SELECT DISTINCT b.doc_id FROM bands4 a JOIN bands4 b
+      |  ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+      |  AND a.doc_id < b.doc_id),
+      |k5 AS (SELECT * FROM k4
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+      |SELECT 0::BIGINT AS stage, count(*)::BIGINT AS n_docs,
+      |  coalesce(sum(n_tok), 0)::BIGINT AS n_tokens FROM base
+      |UNION ALL SELECT 1, count(*), coalesce(sum(n_tok), 0)::BIGINT FROM k1
+      |UNION ALL SELECT 2, count(*), coalesce(sum(n_tok), 0)::BIGINT FROM k2
+      |UNION ALL SELECT 3, count(*), coalesce(sum(n_tok), 0)::BIGINT FROM k3
+      |UNION ALL SELECT 4, count(*), coalesce(sum(n_tok), 0)::BIGINT FROM k4
+      |UNION ALL SELECT 5, count(*), coalesce(sum(n_tok), 0)::BIGINT FROM k5
+      |ORDER BY stage""".stripMargin
+    },
     "c4_repetition" -> (oracleToks + """,
       |t AS (SELECT doc_id, w FROM toks WHERE len(w) > 0),
       |dup AS (SELECT doc_id, len(w)::BIGINT AS n_words,

@@ -24,33 +24,14 @@ object TextDedupQueries {
     Tables.load(s, dir, "documents")
 
   /** Whitespace tokens, empties dropped (F-class token counting). */
-  private val tokensSql = "filter(split(text, ' '), t -> t <> '')"
+  private val tokensSql = MinHashLsh.tokensSql("text")
 
-  /** Distinct word 3-gram shingles over the raw token array `w`.
-    * Total: short docs take the empty branch even if the optimizer
-    * evaluates this ahead of the `size(w) >= 3` row filter (inferred
-    * isnotnull constraints can do that — sequence(1, stop < 1)
-    * descends through 0 and element_at(w, 0) throws under ANSI). */
-  private val shinglesSql =
-    """if(size(w) < 3, array(),
-      | array_distinct(transform(sequence(1, size(w) - 2),
-      |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
-      |              element_at(w, i + 2)))))""".stripMargin
-
-  /** 60-bit stable shingle hash folded into the minhash prime field.
-    * md5-prefix keeps Spark and DuckDB bit-identical (both hash UTF-8).
-    */
-  private val P = 1000000007L
-  private def shingleHash(c: String) =
-    s"cast(conv(substr(md5($c), 1, 15), 16, 10) as bigint) % $P"
-
-  /** 8 universal-hash permutations (a*h+b) % P for minhash; a,b < 2^27
-    * so a*h < 2^57 never overflows int64 under ANSI mode. */
-  private val perms: Seq[(Long, Long)] = Seq(
-    (73856093L, 19349663L), (83492791L, 29474327L),
-    (15485863L, 32452843L), (49979687L, 67867967L),
-    (23456789L, 98765431L), (54321893L, 12345701L),
-    (28657L, 514229L), (433494437L, 39916801L))
+  /** MinHash machinery lives in the reusable `MinHashLsh` operator;
+    * the aliases below keep this file's queries and ORACLE strings on
+    * the exact constants the operator embeds. */
+  private val P = MinHashLsh.P
+  private def shingleHash(c: String) = MinHashLsh.md5Hash(c)
+  private val perms = MinHashLsh.perms
 
   /** d2's default stop-shingle ceiling: shingles appearing in more
     * than DfCap docs of a source are dropped from the inverted index
@@ -70,76 +51,10 @@ object TextDedupQueries {
   private val BmK1 = 1.2
   private val BmB = 0.75
 
-  /** Per-doc shingle frame: doc_id, source, n (#shingles), sh (array). */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("w", expr(tokensSql))
-      .filter(size(col("w")) >= 3)
-      .withColumn("sh", expr(shinglesSql))
-      .select(col("doc_id"), col("source"),
-        size(col("sh")).cast("long").as("n"), col("sh"))
+  private def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    MinHashLsh.candidatePairs(docs(s, dir), "doc_id", "text")
 
-  /** Per-doc minhash signature mh0..mh7, fused into a single narrow
-    * map: hash the shingle array once per doc, then 8 array_min folds
-    * — zero shuffle (vs. explode → groupBy(min), which moves one row
-    * per shingle). The stacked projection keeps the md5 hash array
-    * from being inlined 8× (CollapseProject skips non-cheap exprs). */
-  private def minhashSigSrc(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingled(s, dir)
-      .withColumn("hs", expr(s"transform(sh, x -> ${shingleHash("x")})"))
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % $P))")
-        .as(s"mh$i")
-    }
-    hashed.select(col("doc_id") +: col("source") +: mins: _*)
-  }
-
-  private def minhashSig(s: SparkSession, dir: String): DataFrame =
-    minhashSigSrc(s, dir).drop("source")
-
-  /** The 4-band × 2-key LSH banding of a minhash signature frame
-    * (shared by d4/d9): one row per (doc, band) with the band's two
-    * minhash values as the bucket key. */
-  private def lshBands(sig: DataFrame, extraCols: Column*): DataFrame =
-    sig.select(col("doc_id") +: extraCols :+ expr(
-      """explode(array(
-        | struct(0 as band, mh0 as k1, mh1 as k2),
-        | struct(1 as band, mh2 as k1, mh3 as k2),
-        | struct(2 as band, mh4 as k1, mh5 as k2),
-        | struct(3 as band, mh6 as k1, mh7 as k2)))""".stripMargin)
-      .as("b"): _*)
-      .withColumn("band", col("b.band"))
-      .withColumn("k1", col("b.k1"))
-      .withColumn("k2", col("b.k2"))
-      .drop("b")
-
-  /** LSH candidate pairs (the d4 plan, reusable): 4 bands × 2 minhash
-    * keys, band-bucket grouping, in-bucket pair generation — never a
-    * self-join, never pairs². */
-  private def lshCandidatePairs(s: SparkSession, dir: String)
-    : DataFrame = {
-    val bands = lshBands(minhashSig(s, dir))
-    bands.groupBy(col("band"), col("k1"), col("k2"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
-      .filter(size(col("xs")) >= 2)
-      .select(explode(expr(bucketPairs("xs"))).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared_bands"))
-  }
-
-  /** Ordered (a,b) pairs from a sorted in-bucket array — turns the
-    * classic inverted-index SELF-JOIN into group + generate, so the
-    * upstream pipeline (tokenize/shingle/hash) runs ONCE instead of
-    * once per join side, and one shuffle disappears. Buckets are
-    * small by construction (docs-per-shingle / band collisions), so
-    * the quadratic is local and bounded. */
-  private def bucketPairs(xs: String): String =
-    s"""if(size($xs) < 2, array(),
-       | flatten(transform(sequence(1, size($xs) - 1),
-       |  i -> transform(slice($xs, i + 1, size($xs) - i),
-       |    y -> named_struct('a', element_at($xs, i), 'b', y)))))"""
-      .stripMargin
+  private def bucketPairs(xs: String): String = MinHashLsh.bucketPairs(xs)
 
   /** Shared oracle CTE prefix for token/shingle queries. */
   private val oracleToks =
@@ -335,7 +250,8 @@ object TextDedupQueries {
 
     // MinHash signatures (8 perms over 60-bit shingle hashes).
     "d3_minhash_sig" -> ((s, dir) =>
-      minhashSig(s, dir).orderBy("doc_id")),
+      MinHashLsh.signatures(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // LSH banding over the minhash signature: 4 bands × 2 rows; candidate
     // pairs = docs colliding in ≥1 band. At 100 TB this is THE dedup
@@ -477,8 +393,9 @@ object TextDedupQueries {
     // any fact⋈dim join; per-bucket fan-out is bounded by band-value
     // collisions exactly as in d4.
     "d9_cross_neardup" -> ((s, dir) => {
-      val sig = minhashSigSrc(s, dir)
-      val bands = lshBands(sig, col("source"))
+      val sig = MinHashLsh.signatures(docs(s, dir), "doc_id", "text",
+        carry = Seq("source"))
+      val bands = MinHashLsh.bands(sig, "doc_id", carry = Seq("source"))
       val corpus = bands.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("band"), col("k1"), col("k2"))
       val bench = bands.filter(col("source") === "src0")
