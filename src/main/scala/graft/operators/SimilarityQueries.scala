@@ -144,6 +144,42 @@ object SimilarityQueries {
     "v3_cos_neardup" -> ((s, dir) =>
       cosNearDupPairs(s, emb(s, dir), blocks = 8)),
 
+    // Semantic dedup (the SemDeDup shape): embedding near-dup pairs
+    // from hyperplane-LSH band buckets, exact-cosine verified, then
+    // the keep-lowest drop rule — output is each dropped vector with
+    // its triggering-pair count. Bucket-group + in-bucket pair
+    // generation (the d4 pattern), never an all-pairs join; with 8
+    // planes the band space is 16 values (toy density for the sf
+    // corpus) — production raises the plane count so bucket sizes
+    // stay bounded as the corpus grows, same knob as d4's bands.
+    "v7_semantic_dedup" -> ((s, dir) => {
+      withGraftFns(s)
+      val banded = signatures(s, dir).select(col("vec_id"), expr(
+        """explode(array(struct(0 as bi, band0 as bv),
+          |               struct(1 as bi, band1 as bv)))""".stripMargin)
+        .as("b"))
+        .select(col("vec_id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      val pairs = banded.groupBy(col("bi"), col("bv"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
+        .select(col("p.a").as("va"), col("p.b").as("vb"))
+        .distinct()
+      val e = withNorm(emb(s, dir))
+      pairs
+        .join(e.select(col("vec_id").as("va"), col("embedding").as("pe"),
+          col("nrm").as("pn")), Seq("va"))
+        .join(e.select(col("vec_id").as("vb"), col("embedding").as("ne"),
+          col("nrm").as("nn")), Seq("vb"))
+        .withColumn("cos_e6", expr(
+          "cast(floor(graft_dot(pe, ne) / (pn * nn) * 1000000 + 0.5) as bigint)"))
+        .filter(col("cos_e6") >= 400000L)
+        .groupBy(col("vb"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("vb").as("vec_id"), col("n_pairs"))
+        .orderBy("vec_id")
+    }),
+
     // Per-label embedding centroids (class prototypes for a training
     // mix). Elements are integer-scaled BEFORE summing, so the
     // cross-row float sum is order-free and exact in both engines;
@@ -304,6 +340,19 @@ object SimilarityQueries {
       |WHERE CAST(floor(${oDot("a.embedding", "b.embedding")}
       |  / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) >= 400000
       |ORDER BY vec_a, vec_b""".stripMargin),
+    "v7_semantic_dedup" -> (s"""WITH $oPlanes,
+      |$oSig,
+      |nv AS (SELECT vec_id, embedding, $oNorm AS nrm FROM embeddings),
+      |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      | FROM sig a JOIN sig b
+      |  ON (a.band0 = b.band0 OR a.band1 = b.band1)
+      |  AND a.vec_id < b.vec_id),
+      |sc AS (SELECT va, vb,
+      |  CAST(floor(${oDot("a.embedding", "b.embedding")}
+      |   / (a.nrm * b.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      | FROM cand JOIN nv a ON va = a.vec_id JOIN nv b ON vb = b.vec_id)
+      |SELECT vb AS vec_id, count(*) AS n_pairs FROM sc
+      |WHERE cos_e6 >= 400000 GROUP BY 1 ORDER BY 1""".stripMargin),
     "v5_label_centroids" -> """
       |WITH e AS (
       |  SELECT label, unnest(embedding) AS v,
