@@ -440,6 +440,32 @@ object TextDedupQueries {
     "x12_bm25_topk" -> ((s, dir) =>
       Bm25.topDocs(docs(s, dir), "doc_id", "text", Bm25Terms, 10)),
 
+    // Unigram language-model log-probability (the perplexity-proxy
+    // quality signal, CCNet-style): avg per-token ln p(term) under
+    // the corpus's own unigram model. The transcendental is quantized
+    // per DISTINCT term count the moment it is computed (TfIdf's
+    // contract); per-doc sums are pure int64. One corpus shuffle for
+    // the vocabulary counts (persisted — it feeds the total and the
+    // join-back), a size-gated vocabulary join, one per-doc agg.
+    "x13_lm_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(expr(tokensSql)).as("term"))
+      val tf = Broadcasting.track(
+        toks.groupBy(col("term")).agg(count(lit(1)).as("cnt")).persist())
+      val total = tf.agg(sum(col("cnt")).as("total"))
+      toks.join(Broadcasting.maybeBroadcast(tf), "term")
+        .crossJoin(total)
+        .withColumn("lp_e6",
+          floor(log(col("cnt").cast("double") / col("total").cast("double"))
+            * 1000000 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp_e6")).as("sum_lp_e6"))
+        .withColumn("avg_lp_e6",
+          floor(col("sum_lp_e6").cast("double") / col("n_tokens") + 0.5)
+            .cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Canonical text normalization (cleaning stage): strip
     // non-alphanumerics, collapse runs of spaces, trim, lowercase —
     // the usual pre-dedup/pre-tokenize canonical form. Pure
@@ -605,6 +631,21 @@ object TextDedupQueries {
       |SELECT doc_id, sum(tscore_e4)::BIGINT AS score_e4
       |FROM sc GROUP BY 1
       |ORDER BY score_e4 DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "x13_lm_logprob" -> """
+      |WITH toks AS (SELECT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |   AS term FROM documents),
+      |tf AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(cnt)::BIGINT AS total FROM tf),
+      |sc AS (SELECT doc_id,
+      |  CAST(floor(ln(cnt::DOUBLE / total::DOUBLE) * 1000000 + 0.5)
+      |    AS BIGINT) AS lp_e6
+      | FROM toks JOIN tf USING (term) CROSS JOIN tot)
+      |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      | sum(lp_e6)::BIGINT AS sum_lp_e6,
+      | CAST(floor(sum(lp_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
+      |  AS avg_lp_e6
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "x11_temperature_mix" -> """
       |WITH c AS (SELECT source, count(*) AS n_rows FROM documents
       |           GROUP BY 1),
