@@ -6,6 +6,12 @@ import org.apache.spark.sql.SparkSession
   * untimed warmup pass first — local[N] single-JVM timings are otherwise
   * dominated by JIT/codegen/classload warmup of whichever query happens
   * to run first, not by the plan being measured.
+  *
+  * Every pass is wall-budgeted (`Budget.run`): a query that breaches
+  * reports -1 and the suite moves on, so one pathological plan can
+  * never starve the whole harness (round-7 failure mode). A warmup
+  * breach also skips that query's timed passes — rerunning a known-DNF
+  * query twice more would spend 3x the budget for zero signal.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -24,33 +30,41 @@ object Bench {
         System.err.println(s"[bench] unknown query: $n (skipped)"))
       args.toSeq.filter(known)
     } else known.toSeq.sorted
+    // first pass pays codegen + classload + cache builds → 2x budget
+    val warmupBudget = Budget.DefaultSec * 2
     // warmup: one full pass (count) per query, untimed. Caches that
     // operators persist internally (TfIdf, SpanDedup, d2…) are
     // released after every pass: a timed pass must pay its own cache
     // build, and 100+ queries of accumulated caches would otherwise
     // squeeze execution memory for the rest of the run.
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      finally graft.operators.Broadcasting.releaseAll()
-    }
+    def onePass(name: String, budgetSec: Int): Budget.Result[Long] =
+      try Budget.run(spark, name, budgetSec) {
+        SparkEntry.queries(name)(spark, sfDir).count()
+      } finally graft.operators.Broadcasting.releaseAll()
     // min of two timed passes: local[N] run-to-run variance is ±20%,
     // and min-of-k reports the plan's cost rather than scheduler
-    // noise. A failing query reports -1, never its time-to-exception.
-    def timeOne(name: String): Option[Double] = {
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).count()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        None
-      } finally graft.operators.Broadcasting.releaseAll()
-    }
+    // noise. A failing/timed-out query reports -1, never a partial time.
     val results = names.map { name =>
-      name -> (timeOne(name), timeOne(name)) match {
-        case (n, (Some(a), Some(b))) => n -> math.min(a, b)
-        case (n, _) => n -> -1.0
+      onePass(name, warmupBudget) match {
+        case Budget.TimedOut =>
+          System.err.println(s"[bench] $name TIMEOUT in warmup (${warmupBudget}s)")
+          name -> -1.0
+        case Budget.Failed(e) =>
+          System.err.println(s"[bench] $name FAILED in warmup: $e")
+          name -> -1.0
+        case Budget.Done(_, _) =>
+          val times = (1 to 2).flatMap { _ =>
+            onePass(name, Budget.DefaultSec) match {
+              case Budget.Done(_, sec) => Some(sec)
+              case Budget.TimedOut =>
+                System.err.println(s"[bench] $name TIMEOUT (${Budget.DefaultSec}s)")
+                None
+              case Budget.Failed(e) =>
+                System.err.println(s"[bench] $name FAILED: $e")
+                None
+            }
+          }
+          name -> (if (times.nonEmpty) times.min else -1.0)
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -2,7 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query is wall-budgeted (`Budget.run`): a breach loses THAT
+  * query's correctness entry, not the whole round's — round 7 shipped
+  * an empty CORRECTNESS json because the unbudgeted harness was
+  * globally killed mid-suite. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -16,11 +21,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val r = try Budget.run(spark, name, Budget.DefaultSec * 2) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
       } finally graft.operators.Broadcasting.releaseAll()
+      r match {
+        case Budget.Done(_, sec) =>
+          System.err.println(f"[verify] $name ok (${sec}%.1fs)")
+        case Budget.TimedOut =>
+          System.err.println(s"[verify] $name TIMEOUT (${Budget.DefaultSec * 2}s)")
+        case Budget.Failed(e) =>
+          System.err.println(s"[verify] $name failed: $e")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

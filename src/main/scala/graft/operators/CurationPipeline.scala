@@ -22,10 +22,26 @@ import org.apache.spark.sql.functions._
   * and caveats as d7; route through ConnectedComponents when group
   * closure matters.
   *
-  * Stage frames are persisted (`Broadcasting.track` registry — call
-  * `Broadcasting.releaseAll()` when done): each feeds both its
-  * successor and the stage summary, and unpersisted each consumer
-  * would recompute the whole prefix of the pipeline.
+  * Plan shape (the round-7 rework): stages 1–4 are SURVIVAL FLAGS on
+  * ONE frame, not five progressively filtered frames. Language and
+  * quality are pure column predicates; decontamination is a left
+  * join against the (small) contaminated-id set; exact dedup is a
+  * conditional min window over sha256(text) — `min(CASE WHEN s3 THEN
+  * doc_id END) OVER (PARTITION BY h)`, one shuffle, no groupBy+semi
+  * join pair. The per-stage summary is then a SINGLE conditional
+  * aggregation over that frame (stack-unpivoted to 6 rows) instead
+  * of a 6-branch union that re-scanned every stage. Nothing runs at
+  * query-construction time: the previous version's count-gated
+  * broadcasts executed the full decontamination subtree twice before
+  * the caller's first action — minutes of eager work that made the
+  * whole harness time out; broadcast decisions now belong to AQE,
+  * which sees actual shuffle sizes at runtime.
+  *
+  * Two frames are persisted (`Broadcasting.track` registry — call
+  * `Broadcasting.releaseAll()` when done): `base` (feeds both the
+  * contamination subtree and the flagged frame) and `flagged` (feeds
+  * the LSH subtree, the summary, and the survivor output). Both have
+  * ≥2 consumers; everything else is single-consumer and stays lazy.
   *
   * Every predicate is a pure function of row content (scores,
   * hashes) — no RNG, no partition dependence — so the survivor set
@@ -68,10 +84,10 @@ object CurationPipeline {
       .filter(col("source") =!= cfg.benchmarkSource)
       .withColumn("w", expr(MinHashLsh.tokensSql("text")))
       .withColumn("n_tok", size(col("w")).cast("long"))
-    // language + quality signals in ONE narrow pass over the corpus;
-    // score is if-guarded so a 0-token doc (always 'und', dropped at
-    // stage 1) cannot divide by zero wherever the optimizer floats
-    // the expression
+    // language + quality signals + stage-1/2 flags in ONE narrow pass
+    // over the corpus; score is if-guarded so a 0-token doc (always
+    // 'und', dropped at stage 1) cannot divide by zero wherever the
+    // optimizer floats the expression
     val base = keep(corpus
       .withColumn("s_en", expr("size(filter(w, t -> t IN ('the', 'a')))"))
       .withColumn("s_es", expr("size(filter(w, t -> t IN ('el', 'la')))"))
@@ -86,33 +102,60 @@ object CurationPipeline {
           |          / cast(n_tok as double))
           | + 0.2 * least(1.0, n_tok / 100.0)) * 10000 + 0.5) as bigint))"""
           .stripMargin))
+      .withColumn("s1", col("predicted").isInCollection(cfg.langs))
+      .withColumn("s2", col("s1") && col("score_e4") >= cfg.minScoreE4)
       .select(col("doc_id"), col("source"), col("text"), col("n_tok"),
-        col("predicted"), col("score_e4")))
+        col("s1"), col("s2")))
 
-    // k1/k2 are narrow filters over the CACHED base — re-running them
-    // per consumer is a cache scan, so they are not persisted
-    val k1 = base.filter(col("predicted").isInCollection(cfg.langs))
-    val k2 = k1.filter(col("score_e4") >= cfg.minScoreE4)
     val bench = docs.filter(col("source") === cfg.benchmarkSource)
       .select(col("doc_id"), col("text"))
-    val k3 = keep(Decontaminate.clean(k2, bench, "doc_id", "text",
-      cfg.decontamN))
-    val reps = k3.groupBy(sha2(col("text"), 256).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val k4 = keep(k3.join(reps, Seq("doc_id"), "left_semi"))
-    val losers = MinHashLsh.candidatePairs(k4, "doc_id", "text")
-      .select(col("doc_b").as("doc_id")).distinct()
-    val k5 = keep(k4.join(losers, Seq("doc_id"), "left_anti"))
+    // contaminated ids among stage-2 survivors — small by nature
+    // (that is the point of the check); the left join below is AQE
+    // broadcast-converted at runtime
+    val bad = Decontaminate.hits(base.filter(col("s2")), bench,
+      "doc_id", "text", cfg.decontamN)
+      .select(col("doc_id"), lit(true).as("contam"))
+    // stage 3 (decontam) as a flag, then stage 4 (exact dedup) as a
+    // conditional-min window: among same-sha256 docs that survived
+    // stage 3, the lowest doc_id wins — one shuffle, no join
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h"))
+    val flagged = keep(base
+      .join(bad, Seq("doc_id"), "left")
+      .withColumn("s3", col("s2") && col("contam").isNull)
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("s4", col("s3") &&
+        col("doc_id") ===
+          min(when(col("s3"), col("doc_id"))).over(byHash))
+      .select(col("doc_id"), col("source"), col("text"), col("n_tok"),
+        col("s1"), col("s2"), col("s3"), col("s4")))
 
-    def stat(stage: Int, f: DataFrame): DataFrame =
-      f.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"))
-        .select(lit(stage.toLong).as("stage"), col("n_docs"),
-          col("n_tokens"))
-    val summary = Seq(base, k1, k2, k3, k4, k5).zipWithIndex
-      .map { case (f, i) => stat(i, f) }
-      .reduce(_ unionByName _)
-    (k5.select("doc_id", "source", "text", "n_tok"), summary)
+    // stage 5: LSH keep-lowest over stage-4 survivors; losers is a
+    // small distinct-id set consumed by both the summary and the
+    // survivor output, so it is persisted too
+    val losers = keep(
+      MinHashLsh.candidatePairs(flagged.filter(col("s4")),
+        "doc_id", "text")
+        .select(col("doc_b").as("doc_id"), lit(true).as("loser"))
+        .distinct())
+    val fin = flagged.join(losers, Seq("doc_id"), "left")
+      .withColumn("s5", col("s4") && col("loser").isNull)
+
+    // per-stage summary in ONE conditional aggregation, unpivoted to
+    // (stage, n_docs, n_tokens) — no 6-branch union re-scanning
+    val stages = Seq(
+      ("d0", "t0", lit(true)), ("d1", "t1", col("s1")),
+      ("d2", "t2", col("s2")), ("d3", "t3", col("s3")),
+      ("d4", "t4", col("s4")), ("d5", "t5", col("s5")))
+    val aggs = stages.flatMap { case (d, t, p) => Seq(
+      count(when(p, 1)).as(d),
+      coalesce(sum(when(p, col("n_tok"))), lit(0L)).as(t)) }
+    val stackSql = stages.zipWithIndex
+      .map { case ((d, t, _), i) => s"bigint($i), $d, $t" }
+      .mkString(s"stack(${stages.size}, ", ", ",
+        ") as (stage, n_docs, n_tokens)")
+    val summary = fin.agg(aggs.head, aggs.tail: _*).selectExpr(stackSql)
+    (fin.filter(col("s5"))
+      .select("doc_id", "source", "text", "n_tok"), summary)
   }
 }

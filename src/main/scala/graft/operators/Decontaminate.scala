@@ -48,14 +48,19 @@ object Decontaminate {
     * corpus doc sharing at least one n-gram with the benchmark.
     * n_hits counts DISTINCT shared n-grams.
     *
-    * The benchmark gram set is a DERIVED frame (explode + distinct),
-    * whose Catalyst byte estimate lies — the broadcast is gated by an
-    * actual row count (`maybeBroadcastByCount`), which also persists
-    * it; call `Broadcasting.releaseAll()` (or unpersist) when done. */
+    * The benchmark gram set is a DERIVED frame (explode + distinct)
+    * whose Catalyst byte estimate lies, so no broadcast hint is
+    * forced here: the distinct is a shuffle stage, and AQE sees its
+    * ACTUAL output size at runtime and converts the join to a
+    * broadcast-hash join when the gram set is genuinely small — the
+    * same decision an eager count-probe would make, without running
+    * the subtree at query-CONSTRUCTION time (the round-7 harness
+    * killer: every probe executed the full tokenize→gram→distinct
+    * pipeline before the caller's own action even started). */
   def hits(corpus: DataFrame, benchmark: DataFrame, idCol: String,
     textCol: String, n: Int): DataFrame = {
-    val benchGrams = Broadcasting.maybeBroadcastByCount(
-      gramHashes(benchmark, idCol, textCol, n).select("gh").distinct())
+    val benchGrams = gramHashes(benchmark, idCol, textCol, n)
+      .select("gh").distinct()
     gramHashes(corpus, idCol, textCol, n)
       .join(benchGrams, "gh")
       .groupBy(col(idCol))
@@ -64,12 +69,12 @@ object Decontaminate {
 
   /** The clean corpus: every document with zero benchmark overlap.
     * Contaminated ids are tiny relative to the corpus (that is the
-    * point of the check) — the anti join broadcasts them, count-gated
-    * like `hits` (same release contract). */
+    * point of the check); they come out of `hits`' aggregation, so
+    * AQE broadcast-converts the anti join at runtime — again no
+    * eager probe, the whole thing stays one lazy plan. */
   def clean(corpus: DataFrame, benchmark: DataFrame, idCol: String,
     textCol: String, n: Int): DataFrame = {
-    val bad = Broadcasting.maybeBroadcastByCount(
-      hits(corpus, benchmark, idCol, textCol, n).select(idCol))
+    val bad = hits(corpus, benchmark, idCol, textCol, n).select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 }
