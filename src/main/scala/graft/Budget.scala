@@ -14,8 +14,11 @@ import java.util.concurrent.CountDownLatch
   *
   * Cancellation is two-pronged, because a breach can be stuck in two
   * different places:
-  *  - running Spark jobs → `cancelJobGroup` (tasks are interrupted:
-  *    the group is set with interruptOnCancel = true);
+  *  - Spark jobs → `cancelJobGroupAndFutureJobs` (running tasks are
+  *    interrupted — the group is set with interruptOnCancel = true —
+  *    AND any job the abandoned thread submits later dies on arrival;
+  *    plain cancelJobGroup let zombie threads keep launching jobs and
+  *    their shuffles starved every later query in the round-8 shakeout);
   *  - driver-side planning/codegen (no job yet) → thread interrupt.
   * The worker thread is a daemon: if it ignores both (Janino mid-
   * compile does not poll interrupts), it is abandoned — it burns one
@@ -61,7 +64,8 @@ object Budget {
     t.start()
     val finished = done.await(budgetSec.toLong, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) {
-      try spark.sparkContext.cancelJobGroup(group) catch { case _: Throwable => () }
+      try spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+      catch { case _: Throwable => () }
       t.interrupt()
       // brief grace for the cancel to unwind the thread; then abandon
       done.await(5, java.util.concurrent.TimeUnit.SECONDS)

@@ -65,7 +65,12 @@ object Examples {
     graft.pipelines.HashRepairJob.run(spark, rdfTree, hashJson, outDir)
   }
 
-  /** MIGRATION §4b: rdflib load_graph/serialize_graph equivalents. */
+  /** MIGRATION §4b: rdflib load_graph/serialize_graph equivalents.
+    *
+    * TEST/DEMO ONLY — `collect()`s every triple to the driver, the
+    * faithful analog of rdflib's in-memory `serialize()`. For
+    * corpus-scale graphs use the distributed sinks (TtlFileSink /
+    * RdfDataSource) instead of this round-trip. */
   def rdfRoundTrip(spark: SparkSession, inPath: String, inFormat: String,
     outFormat: String): String = {
     import graft.ttl.Rdf

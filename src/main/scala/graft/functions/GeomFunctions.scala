@@ -121,6 +121,23 @@ object GeomFunctions {
   /** Point count of the outer ring. */
   def stNumPoints(geom: Column): Column = size(outerRing(geom)).cast("long")
 
+  /** F18 `.geom_type` accessor (`get_geometry_type`,
+    * mongo-etl/utils/geometry.py:176-191): the reference parses the
+    * GeoJSON `type` field via shapely's `shape()` — case-insensitive
+    * in, canonical CamelCase out — and returns None when extraction
+    * fails. Mirrored here as a when-chain over the seven GeoJSON
+    * types (not a map literal: `element_at` on a missing map key
+    * throws under ANSI mode, and `try_element_at` broke whole-stage
+    * codegen once already — see MongoMarksPipeline.markSide). */
+  def stGeometryType(declared: Column): Column = {
+    val t = lower(trim(declared))
+    Seq("Point", "MultiPoint", "LineString", "MultiLineString",
+      "Polygon", "MultiPolygon", "GeometryCollection")
+      .foldLeft(lit(null).cast("string")) { (acc, name) =>
+        when(t === name.toLowerCase, lit(name)).otherwise(acc)
+      }
+  }
+
   /** F19: WKT with null fallback (`safe_geometry_to_wkt`,
     * mongo-etl/utils/geometry.py:245-260). */
   def safeWkt(wkt: Column): Column = coalesce(wkt, lit("POINT EMPTY"))

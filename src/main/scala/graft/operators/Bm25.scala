@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * term) BEFORE the per-doc sum, which is then pure int64 — float
   * addition order never touches a result.
   *
+  * Residual transcendental risk (same caveat as TfIdf): `ln` is not
+  * guaranteed correctly rounded by either java.lang.Math or DuckDB's
+  * libm, so a 1-ulp divergence landing exactly on a
+  * floor(x·1e4 + 0.5) boundary could flip the quantized score on
+  * some corpus/platform. Observed bit-identical on this corpus;
+  * compare `tscore_e4` with ±1 tolerance instead of hash-exact if a
+  * port ever hits a boundary case.
+  *
   * Plan shape at 100 TB: query terms are a LITERAL array — the
   * corpus × terms expansion is a narrow explode (|q| rows per doc,
   * no shuffle), tf is an in-array count (no tokenize-explode

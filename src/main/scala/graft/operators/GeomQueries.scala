@@ -101,6 +101,22 @@ object GeomQueries {
         .select(col("p_partkey"),
           wktDenormalized(col("norm_geom"), lit(1000.0), lit(2000.0))
             .as("wkt"))
+        .orderBy("p_partkey")),
+
+    // F18 `.geom_type`: canonical CamelCase from a declared GeoJSON
+    // type, case-insensitively; unknown types → null (the reference's
+    // extraction-failure → None path). Input casing is deliberately
+    // mixed to exercise the normalization.
+    "g6_geom_type" -> ((s, dir) =>
+      part50(s, dir)
+        .withColumn("raw", expr(
+          """case cast(p_partkey % 6 as int)
+            | when 0 then 'Polygon' when 1 then 'POINT'
+            | when 2 then 'lineString' when 3 then 'MULTIPOLYGON'
+            | when 4 then 'geometrycollection' else 'banana' end"""
+            .stripMargin))
+        .select(col("p_partkey"), col("raw"),
+          stGeometryType(col("raw")).as("geom_type"))
         .orderBy("p_partkey"))
   )
 
@@ -135,6 +151,17 @@ object GeomQueries {
       |  (x0 + w) / 10.0 * 1000, (y0 + h) / 7.0 * 2000,
       |  x0 / 10.0 * 1000, (y0 + h) / 7.0 * 2000,
       |  x0 / 10.0 * 1000, y0 / 7.0 * 2000) AS wkt
+      |FROM g ORDER BY p_partkey""".stripMargin),
+    "g6_geom_type" -> (oracleBase + """
+      |SELECT p_partkey,
+      | CASE p_partkey % 6
+      |  WHEN 0 THEN 'Polygon' WHEN 1 THEN 'POINT'
+      |  WHEN 2 THEN 'lineString' WHEN 3 THEN 'MULTIPOLYGON'
+      |  WHEN 4 THEN 'geometrycollection' ELSE 'banana' END AS raw,
+      | CASE p_partkey % 6
+      |  WHEN 0 THEN 'Polygon' WHEN 1 THEN 'Point'
+      |  WHEN 2 THEN 'LineString' WHEN 3 THEN 'MultiPolygon'
+      |  WHEN 4 THEN 'GeometryCollection' ELSE NULL END AS geom_type
       |FROM g ORDER BY p_partkey""".stripMargin)
   )
 }

@@ -71,8 +71,13 @@ object IvfIndex {
     * per-dimension avg with posexplode + partial aggs). */
   def buildCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     registered(emb.sparkSession)
+    // partitionBy(lit(1)): same single-partition rank over the ≤k-row
+    // init frame, but an explicit partition spec — the bare
+    // Window.orderBy form spams "No Partition Defined" warnings into
+    // every bench log and reads like a scale bug during triage
     var centroids = localize(emb.orderBy("vec_id").limit(k)
-      .select(row_number().over(Window.orderBy(col("vec_id")))
+      .select(row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("vec_id")))
         .as("cluster_id"), col("embedding").as("centroid")))
     var i = 0
     while (i < iters) {

@@ -280,11 +280,8 @@ object TextDedupQueries {
     "d4_lsh_pairs" -> ((s, dir) =>
       lshCandidatePairs(s, dir).orderBy("doc_a", "doc_b")),
 
-    // SimHash: 16-bit sign-aggregate fingerprint per doc. The bit-b
-    // balance over tokens is Σ(±1) = 2·Σbit_b − n, so all 16 bits
-    // reduce in ONE groupBy(doc) with 16 sum columns + a count —
-    // no 16× bit-position explode, no second shuffle (was 4.3M rows
-    // through two aggregations at sf0.1; now 270k through one).
+    // SimHash: 16-bit sign-aggregate fingerprint per doc; plan shape
+    // and its rationale live on `simhashSig` (shared with d6).
     "d5_simhash_sig" -> ((s, dir) =>
       simhashSig(docs(s, dir), withSource = false).orderBy("doc_id")),
 
@@ -437,13 +434,19 @@ object TextDedupQueries {
     // probe query (Bm25.topDocs — TakeOrdered, per-term e4
     // quantization before the integer per-doc sum).
     "x12_bm25_topk" -> ((s, dir) =>
-      Bm25.topDocs(docs(s, dir), "doc_id", "text", Bm25Terms, 10)),
+      // k1/b passed explicitly: the oracle interpolates the local
+      // BmK1/BmB copies, so the two sides must pin the same constants
+      // even if Bm25's defaults ever change
+      Bm25.topDocs(docs(s, dir), "doc_id", "text", Bm25Terms, 10,
+        k1 = BmK1, b = BmB)),
 
     // Unigram language-model log-probability (the perplexity-proxy
     // quality signal, CCNet-style): avg per-token ln p(term) under
     // the corpus's own unigram model. The transcendental is quantized
     // per DISTINCT term count the moment it is computed (TfIdf's
-    // contract); per-doc sums are pure int64. One corpus shuffle for
+    // contract); per-doc sums are pure int64. Same residual ln
+    // caveat as Bm25: a 1-ulp divergence on a floor boundary could
+    // flip lp_e6 on some platform — observed bit-identical here. One corpus shuffle for
     // the vocabulary counts (persisted — it feeds the total and the
     // join-back), a size-gated vocabulary join, one per-doc agg.
     "x13_lm_logprob" -> ((s, dir) => {

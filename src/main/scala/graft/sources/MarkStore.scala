@@ -71,6 +71,7 @@ object MarkStores {
       String, Map[String, String] => MarkStore]()
 
   register("jsonl", opts => new JsonlMarkStore(opts))
+  register("socket", opts => new SocketMarkStore(opts))
 
   def register(format: String,
     factory: Map[String, String] => MarkStore): Unit =
