@@ -22,6 +22,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sort-based shuffle writer, never bypass-merge: bypass creates
+      // numPartitions files PER MAP TASK (32x32 per shuffle) and this
+      // container's FS is slow at file creates — measured 40% of x10's
+      // steady-state pass in DiskBlockObjectWriter.open/initialize.
+      // Also the production shape: real clusters run >200 partitions,
+      // where bypass never engages anyway.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val known = SparkEntry.queries.keySet

@@ -26,6 +26,12 @@ object GraftSession {
         sys.env.contains("SPARK_MASTER_URL")) builder
       else builder.master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)
+        // sort-based shuffle writer even at few partitions: the
+        // bypass-merge writer creates numPartitions files per map
+        // task, which crawls on slow local filesystems; >200-partition
+        // production clusters never engage bypass anyway (local-mode
+        // only — an external --master keeps the cluster's own setting)
+        .config("spark.shuffle.sort.bypassMergeThreshold", "0")
     val spark = withMaster.getOrCreate()
     // runtime confs set unconditionally — getOrCreate may have
     // returned a pre-existing session whose builder configs were

@@ -13,6 +13,8 @@ object Probe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench: 1 shuffle file per map task, not numPartitions
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // in-process stack sampler (attach/SIGQUIT are blocked in the
@@ -28,9 +30,13 @@ object Probe {
             if (th.getState == Thread.State.RUNNABLE &&
               (th.getName.startsWith("Executor task launch") ||
                th.getName.contains("budget") || th.getName == "main")) {
-              frames.take(24).find { f =>
+              frames.take(48).find { f =>
                 val c = f.getClassName
                 c.startsWith("org.apache.spark.sql.catalyst") ||
+                c.startsWith("org.apache.spark.sql.execution") ||
+                c.startsWith("org.apache.spark.storage") ||
+                c.startsWith("org.apache.spark.shuffle") ||
+                c.startsWith("org.apache.spark.util.collection") ||
                 c.startsWith("org.codehaus") ||
                 c.startsWith("graft") ||
                 c.contains("codegen") || c.contains("Janino")
