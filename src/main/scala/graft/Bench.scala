@@ -29,6 +29,13 @@ object Bench {
       // Also the production shape: real clusters run >200 partitions,
       // where bypass never engages anyway.
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // ContextCleaner only deletes shuffle/broadcast files when a GC
+      // collects their weak references; with an 8g heap and tiny SF
+      // data a full GC may never happen, so block files pile up until
+      // mid-suite queries crawl (measured: g4 47s -> 0.6s, j10 DNF ->
+      // 1.2s once the cleaner runs on a 45s cadence vs the 30min
+      // default)
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val known = SparkEntry.queries.keySet

@@ -32,6 +32,11 @@ object GraftSession {
         // production clusters never engage bypass anyway (local-mode
         // only — an external --master keeps the cluster's own setting)
         .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+        // ContextCleaner needs GCs to reclaim shuffle/broadcast files;
+        // long-lived local sessions otherwise accumulate block files
+        // until queries crawl (the 30min default assumes cluster-sized
+        // heaps that GC on their own)
+        .config("spark.cleaner.periodicGC.interval", "45s")
     val spark = withMaster.getOrCreate()
     // runtime confs set unconditionally — getOrCreate may have
     // returned a pre-existing session whose builder configs were

@@ -15,6 +15,9 @@ object Probe {
       .config("spark.ui.enabled", "false")
       // see Bench: 1 shuffle file per map task, not numPartitions
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // see Bench: frequent GC keeps the ContextCleaner deleting
+      // shuffle/broadcast files across a long probe session
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // in-process stack sampler (attach/SIGQUIT are blocked in the

@@ -19,6 +19,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // see Bench: 1 shuffle file per map task, not numPartitions
       .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      // see Bench: frequent GC keeps the ContextCleaner deleting
+      // shuffle/broadcast files across a 110-query run
+      .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
