@@ -15,16 +15,31 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which the vectorized parquet
-    * reader rejects; read nanos as long and rebuild a micro-precision
-    * timestamp. Data carries sub-µs fractions, so truncate with integer
-    * division — double division would round-trip int64 nanos (~1.7e18,
-    * > 2^53) through an imprecise double.
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations — TIMESTAMP(NANOS) (read as long), TIMESTAMP_MICROS with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ), or a plain UTC
+    * timestamp — so branch on the schema Spark actually reads instead of
+    * assuming one encoding:
+    *  - LongType: nanos-as-long; rebuild micros with integer division
+    *    (double division would round-trip int64 nanos ~1.7e18 > 2^53
+    *    through an imprecise double).
+    *  - TIMESTAMP_NTZ: cast to session-TZ timestamp. Sessions pin
+    *    spark.sql.session.timeZone=UTC, so the cast preserves the raw
+    *    micros and unix_micros/date_format semantics stay identical to
+    *    the nanos path.
+    *  - TimestampType: use as-is.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet ts: unsupported type $other — extend Tables.loadEvents")
+    }
   }
 }
