@@ -52,6 +52,29 @@ object Broadcasting {
   private val cachedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Depth of `duringConstruction` blocks on this thread. Query
+    * BUILDERS (`SparkEntry.queries` values) must stay lazy — a Spark
+    * job fired while merely constructing a plan multiplies into
+    * len(queries) hidden jobs under the bench/verify harness (the
+    * round-7 `c6_curation_pipeline` DNF was exactly this). Bounded
+    * construction-time collects (bloom vocab, z-order ranges, IVF
+    * centroids) are deliberate and stay legal: only the UNBOUNDED
+    * corpus-sized probe below consults this flag. */
+  private val constructionDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Mark `f` as lazy-plan construction on this thread:
+    * `maybeBroadcastByCount` (a corpus-sized persist + count probe)
+    * throws inside it instead of silently firing jobs.
+    * `SparkEntry.queries` wraps every builder, so any future call
+    * site that reintroduces the eager-construction pathology fails
+    * its FIRST spec/bench run, not a round later in the harness. */
+  def duringConstruction[T](f: => T): T = {
+    constructionDepth.set(constructionDepth.get + 1)
+    try f finally constructionDepth.set(constructionDepth.get - 1)
+  }
+
   /** Row-count gate for frames whose byte ESTIMATE lies (expensive
     * derivations like sha2-over-binaryFile): persists `df`, probes at
     * most `maxRows + 1` rows, and hints only when the frame is
@@ -60,9 +83,16 @@ object Broadcasting {
     * derivation. The persist is tracked: call `releaseAll()` after
     * materializing downstream results (pipeline sinks do) to drop
     * every cache this helper created, or unpersist the returned
-    * frame yourself for finer control. */
+    * frame yourself for finer control.
+    *
+    * Runs a Spark job NOW (the probe): never call while constructing
+    * a lazy plan — enforced via `duringConstruction`. */
   def maybeBroadcastByCount(df: DataFrame,
     maxRows: Long = 1000000L): DataFrame = {
+    require(constructionDepth.get == 0,
+      "maybeBroadcastByCount runs an eager Spark job (persist + count " +
+        "probe) and was called during lazy plan construction — hoist it " +
+        "to execution time or use the stats-gated maybeBroadcast")
     // housekeeping: forget frames the caller already unpersisted
     // manually, so the registry never pins dead plans
     cachedFrames.removeIf(f =>

@@ -265,28 +265,52 @@ object RdfXml {
   }
 }
 
-/** JSON-LD reader/writer for the expanded-style idioms the reference
-  * ecosystem emits: node objects with `@id`/`@type`, `@graph` arrays,
-  * a simple `@context` of term → absolute-IRI strings, `@value` /
-  * `@type` / `@language` literal objects, `@id` reference objects,
-  * nested node objects (blank nodes), and plain string/number/boolean
-  * values. Full JSON-LD context processing (remote contexts, reverse
-  * terms, containers) is out of scope — unsupported keys throw rather
-  * than silently mis-read. */
+/** JSON-LD reader/writer for the idioms the reference ecosystem emits
+  * (rdf_utils.py:285-300 accepts any rdflib-parsable JSON-LD): node
+  * objects with `@id`/`@type`, `@graph` arrays, `@value` / `@type` /
+  * `@language` literal objects, `@id` reference objects, nested node
+  * objects (blank nodes), `@list` collections, and plain
+  * string/number/boolean values.
+  *
+  * `@context` processing covers the inline forms real documents use:
+  *  - term → absolute-IRI strings and prefix:suffix compact IRIs;
+  *  - EXPANDED term definitions `{"@id": …, "@type": "@id"|dtype,
+  *    "@language": …, "@container": "@set"}` with type coercion
+  *    (a coerced plain string becomes an IRI reference or typed
+  *    literal);
+  *  - context-wide `"@vocab"`, `"@base"` (relative-IRI resolution)
+  *    and default `"@language"`;
+  *  - ARRAY-form contexts (merged left→right) and `null` entries
+  *    (term / default-language removal).
+  * Remote context URLs, `@reverse`, and container maps (`@list`/
+  * `@index`/`@language` containers) are out of scope — unsupported
+  * keys throw rather than silently mis-read. */
 object JsonLd {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
   private val XsdInteger = "<http://www.w3.org/2001/XMLSchema#integer>"
 
+  /** A term's definition: target IRI, optional type coercion
+    * ("@id" or an expanded datatype IRI), optional per-term language
+    * (Some(None) = explicit null clearing the context default). */
+  private final case class TermDef(iri: String,
+    coerce: Option[String] = None,
+    lang: Option[Option[String]] = None)
+
+  /** Accumulated context state along one node-object path. */
+  private final case class Ctx(terms: Map[String, TermDef],
+    vocab: Option[String], base: Option[String], lang: Option[String])
+  private object Ctx { val empty = Ctx(Map.empty, None, None, None) }
+
   def parse(content: String): Seq[Triple] = {
     val root = new ObjectMapper().readTree(content)
     val st = new LdState
     root match {
       case a: ArrayNode => a.elements().asScala.foreach(n =>
-        st.nodeObject(n.asInstanceOf[ObjectNode], Map.empty))
+        st.nodeObject(n.asInstanceOf[ObjectNode], Ctx.empty))
       case o: ObjectNode =>
-        val ctx = st.context(o)
+        val ctx = st.context(o, Ctx.empty)
         Option(o.get("@graph")) match {
           case Some(g: ArrayNode) => g.elements().asScala.foreach(n =>
             st.nodeObject(n.asInstanceOf[ObjectNode], ctx))
@@ -305,41 +329,122 @@ object JsonLd {
     private val bnMap = mutable.Map[String, String]()
     private def freshBn(): String = { val l = s"_:b$bnCount"; bnCount += 1; l }
 
-    def context(o: ObjectNode): Map[String, String] =
-      Option(o.get("@context")).map {
-        case c: ObjectNode => c.properties().asScala.map { e =>
-          if (!e.getValue.isTextual)
-            throw new IllegalArgumentException(
-              s"unsupported @context entry for '${e.getKey}' (only " +
-                "term -> IRI-string mappings are supported)")
-          e.getKey -> e.getValue.asText
-        }.toMap
+    /** Merge a node's `@context` (object, array of objects, or null)
+      * into `parent`. */
+    def context(o: ObjectNode, parent: Ctx): Ctx =
+      Option(o.get("@context")).fold(parent)(mergeContext(parent, _))
+
+    private def mergeContext(parent: Ctx, node: JsonNode): Ctx =
+      node match {
+        case a: ArrayNode =>
+          a.elements().asScala.foldLeft(parent)(mergeContext)
+        case _ if node.isNull => Ctx.empty // null context = reset
+        case c: ObjectNode =>
+          c.properties().asScala.foldLeft(parent) { (ctx, e) =>
+            (e.getKey, e.getValue) match {
+              case ("@vocab", v) =>
+                ctx.copy(vocab = if (v.isNull) None else Some(v.asText))
+              case ("@base", v) =>
+                ctx.copy(base = if (v.isNull) None else Some(v.asText))
+              case ("@language", v) =>
+                ctx.copy(lang = if (v.isNull) None else Some(v.asText))
+              case ("@version", _) => ctx // 1.1 marker, no-op here
+              case (k, _) if k.startsWith("@") =>
+                throw new IllegalArgumentException(
+                  s"unsupported @context keyword $k")
+              case (term, v) if v.isNull => // null: remove the term
+                ctx.copy(terms = ctx.terms - term)
+              case (term, v) if v.isTextual =>
+                ctx.copy(terms = ctx.terms +
+                  (term -> TermDef(expandDefIri(v.asText, ctx))))
+              case (term, v: ObjectNode) =>
+                ctx.copy(terms = ctx.terms + (term -> termDef(term, v, ctx)))
+              case (term, v) =>
+                throw new IllegalArgumentException(
+                  s"unsupported @context entry for '$term': $v")
+            }
+          }
+        case _ if node.isTextual =>
+          throw new IllegalArgumentException(
+            s"remote @context URLs are not supported: ${node.asText}")
         case other => throw new IllegalArgumentException(
           s"unsupported @context form: $other")
-      }.getOrElse(Map.empty)
-
-    private def expand(term: String, ctx: Map[String, String]): String =
-      ctx.get(term) match {
-        case Some(iri) => s"<$iri>"
-        case None =>
-          val colon = term.indexOf(':')
-          if (colon > 0 && ctx.contains(term.take(colon)))
-            s"<${ctx(term.take(colon))}${term.drop(colon + 1)}>"
-          else if (term.contains("://") || term.startsWith("urn:"))
-            s"<$term>"
-          else throw new IllegalArgumentException(
-            s"term '$term' not in @context and not an absolute IRI")
       }
 
-    private def subjectTerm(id: String): String =
-      if (id.startsWith("_:"))
-        bnMap.getOrElseUpdate(id, freshBn())
-      else s"<$id>"
+    /** Expanded term definition {"@id":…, "@type":…, "@language":…,
+      * "@container":"@set"}. */
+    private def termDef(term: String, o: ObjectNode, ctx: Ctx): TermDef = {
+      o.properties().asScala.foreach { e =>
+        e.getKey match {
+          case "@id" | "@type" | "@language" => ()
+          case "@container" =>
+            val c = e.getValue.asText
+            if (c != "@set") throw new IllegalArgumentException(
+              s"unsupported @container '$c' for term '$term' " +
+                "(only @set is supported)")
+          case k => throw new IllegalArgumentException(
+            s"unsupported key $k in term definition for '$term'")
+        }
+      }
+      val iri = Option(o.get("@id")).map(n => expandDefIri(n.asText, ctx))
+        .getOrElse(ctx.vocab.map(_ + term).getOrElse(
+          throw new IllegalArgumentException(
+            s"term definition for '$term' has no @id and no @vocab")))
+      val coerce = Option(o.get("@type")).map { t =>
+        if (t.asText == "@id") "@id"
+        else expand(t.asText, ctx) // datatype IRI (term/compact/absolute)
+      }
+      val lang = Option(o.get("@language"))
+        .map(l => if (l.isNull) None else Some(l.asText))
+      TermDef(iri, coerce, lang)
+    }
 
-    def nodeObject(o: ObjectNode, parentCtx: Map[String, String])
-      : String = {
-      val ctx = parentCtx ++ context(o)
-      val subj = Option(o.get("@id")).map(n => subjectTerm(n.asText))
+    /** IRI inside a term DEFINITION: may itself be a term, compact
+      * IRI, or absolute IRI — but never vocab-relative. */
+    private def expandDefIri(s: String, ctx: Ctx): String = {
+      val colon = s.indexOf(':')
+      ctx.terms.get(s).map(_.iri).getOrElse {
+        if (colon > 0 && ctx.terms.contains(s.take(colon)))
+          ctx.terms(s.take(colon)).iri + s.drop(colon + 1)
+        else s
+      }
+    }
+
+    /** Expand a predicate/type position term → "<iri>". */
+    private def expand(term: String, ctx: Ctx): String =
+      ctx.terms.get(term) match {
+        case Some(d) => s"<${d.iri}>"
+        case None =>
+          val colon = term.indexOf(':')
+          if (colon > 0 && ctx.terms.contains(term.take(colon)))
+            s"<${ctx.terms(term.take(colon)).iri}${term.drop(colon + 1)}>"
+          else if (term.contains("://") || term.startsWith("urn:"))
+            s"<$term>"
+          else ctx.vocab match {
+            case Some(v) => s"<$v$term>"
+            case None => throw new IllegalArgumentException(
+              s"term '$term' not in @context and not an absolute IRI")
+          }
+      }
+
+    /** Expand an @id-position reference: blank node, absolute IRI, or
+      * (with @base) a relative IRI resolved against it. */
+    private def subjectTerm(id: String, ctx: Ctx): String =
+      if (id.startsWith("_:")) bnMap.getOrElseUpdate(id, freshBn())
+      else if (id.contains("://") || id.startsWith("urn:")) s"<$id>"
+      else {
+        val colon = id.indexOf(':')
+        if (colon > 0 && ctx.terms.contains(id.take(colon)))
+          s"<${ctx.terms(id.take(colon)).iri}${id.drop(colon + 1)}>"
+        else ctx.base match {
+          case Some(b) => s"<${java.net.URI.create(b).resolve(id)}>"
+          case None => s"<$id>" // pre-@base behavior: trust as-is
+        }
+      }
+
+    def nodeObject(o: ObjectNode, parentCtx: Ctx): String = {
+      val ctx = context(o, parentCtx)
+      val subj = Option(o.get("@id")).map(n => subjectTerm(n.asText, ctx))
         .getOrElse(freshBn())
       o.properties().asScala.foreach { e =>
         (e.getKey, e.getValue) match {
@@ -350,9 +455,10 @@ object JsonLd {
           case (k, _) if k.startsWith("@") =>
             throw new IllegalArgumentException(s"unsupported keyword $k")
           case (k, v) =>
-            val pred = expand(k, ctx)
+            val d = ctx.terms.get(k)
+            val pred = d.map(t => s"<${t.iri}>").getOrElse(expand(k, ctx))
             values(v).foreach(n => out += Triple(subj, pred,
-              objectTerm(n, ctx)))
+              objectTerm(n, ctx, d)))
         }
       }
       subj
@@ -370,8 +476,8 @@ object JsonLd {
     private val RdfNil =
       "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
 
-    private def objectTerm(n: JsonNode, ctx: Map[String, String])
-      : String = n match {
+    private def objectTerm(n: JsonNode, ctx: Ctx,
+      term: Option[TermDef] = None): String = n match {
       case o: ObjectNode if o.has("@list") =>
         // rdflib's JSON-LD spelling of an RDF collection → the same
         // rdf:first/rest chain the Turtle and XML readers build
@@ -405,10 +511,19 @@ object JsonLd {
       case o: ObjectNode if o.has("@id") && o.size() == 1 =>
         // a PURE reference; {@id, …props} carries triples and must go
         // through nodeObject (which also returns the subject term)
-        subjectTerm(o.get("@id").asText)
+        subjectTerm(o.get("@id").asText, ctx)
       case o: ObjectNode => nodeObject(o, ctx) // nested node → bnode
       case v if v.isTextual =>
-        "\"" + TurtleParser.escape(v.asText) + "\""
+        term.flatMap(_.coerce) match {
+          case Some("@id") => subjectTerm(v.asText, ctx) // coerced IRI
+          case Some(dtype) => TurtleParser.canonTyped(v.asText, dtype)
+          case None =>
+            val lit = "\"" + TurtleParser.escape(v.asText) + "\""
+            // per-term @language beats the context default; an explicit
+            // per-term null clears it
+            term.flatMap(_.lang).orElse(ctx.lang.map(Some(_)))
+              .flatten.map(l => lit + "@" + l).getOrElse(lit)
+        }
       case v => v.asText // number / boolean as bare canonical token
     }
   }

@@ -62,6 +62,32 @@ class BroadcastingSpec extends SparkTestBase {
     }
   }
 
+  test("the eager count probe is rejected during lazy plan construction") {
+    val dim = (1 to 10).map(i => (i, s"h$i")).toDF("k", "h")
+    val e = intercept[IllegalArgumentException] {
+      Broadcasting.duringConstruction {
+        Broadcasting.maybeBroadcastByCount(dim, maxRows = 100)
+      }
+    }
+    assert(e.getMessage.contains("eager"))
+    // outside the guard the probe is legal again (depth unwinds)
+    Broadcasting.maybeBroadcastByCount(dim, maxRows = 100)
+    Broadcasting.releaseAll()
+  }
+
+  test("no SparkEntry query fires a Spark job during plan construction") {
+    // Constructing every query builder under the guard proves no
+    // internal call site reaches the eager probe at construction time
+    // (the round-7 c6 pathology). Bounded collects (bloom/z-order/IVF)
+    // still run — the guard targets only the corpus-sized probe.
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, build) =>
+      val df = build(spark, dir) // wrapper applies duringConstruction
+      assert(df != null, name)
+    }
+    graft.operators.Broadcasting.releaseAll()
+  }
+
   test("releaseAll unpersists every count-gate cache") {
     import org.apache.spark.storage.StorageLevel
     val dim = (1 to 50).map(i => (i, s"h$i")).toDF("k", "h")

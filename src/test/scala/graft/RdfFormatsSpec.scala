@@ -130,6 +130,73 @@ class RdfFormatsSpec extends SparkTestBase {
     }
   }
 
+  test("foreign JSON-LD: remapped @context with expanded term definitions") {
+    // the shape a third-party dataset ships: vocab default, base for
+    // relative ids, array-form context, coercions, per-term language
+    val json =
+      """{
+        |  "@context": [
+        |    {"@vocab": "http://schema.org/",
+        |     "@base": "http://data.example/items/",
+        |     "@language": "en",
+        |     "dc": "http://purl.org/dc/terms/"},
+        |    {"creator": {"@id": "dc:creator", "@type": "@id"},
+        |     "issued": {"@id": "dc:issued",
+        |       "@type": "http://www.w3.org/2001/XMLSchema#date"},
+        |     "notes": {"@id": "dc:description", "@language": null},
+        |     "titre": {"@id": "dc:title", "@language": "fr"}}
+        |  ],
+        |  "@graph": [
+        |    {"@id": "item1", "@type": "Book",
+        |     "name": "The Name",
+        |     "titre": "Le Nom",
+        |     "notes": "no language here",
+        |     "creator": "people/42",
+        |     "issued": "2020-01-02"}
+        |  ]
+        |}""".stripMargin
+    val ts = JsonLd.parse(json).toSet
+    assert(ts.contains(Triple("<http://data.example/items/item1>",
+      TurtleParser.RdfType, "<http://schema.org/Book>")))
+    // @vocab term + context default @language
+    assert(ts.contains(Triple("<http://data.example/items/item1>",
+      "<http://schema.org/name>", "\"The Name\"@en")))
+    // per-term @language override
+    assert(ts.contains(Triple("<http://data.example/items/item1>",
+      "<http://purl.org/dc/terms/title>", "\"Le Nom\"@fr")))
+    // per-term @language: null clears the default
+    assert(ts.contains(Triple("<http://data.example/items/item1>",
+      "<http://purl.org/dc/terms/description>", "\"no language here\"")))
+    // @type: "@id" coercion resolves the string against @base
+    assert(ts.contains(Triple("<http://data.example/items/item1>",
+      "<http://purl.org/dc/terms/creator>",
+      "<http://data.example/items/people/42>")))
+    // datatype coercion
+    assert(ts.contains(Triple("<http://data.example/items/item1>",
+      "<http://purl.org/dc/terms/issued>",
+      "\"2020-01-02\"^^<http://www.w3.org/2001/XMLSchema#date>")))
+  }
+
+  test("JSON-LD context null entries and @set containers") {
+    val json =
+      """{
+        |  "@context": {"@vocab": "http://v.example/",
+        |    "gone": null,
+        |    "tags": {"@id": "http://v.example/tag", "@container": "@set"}},
+        |  "@id": "urn:x",
+        |  "tags": ["a", "b"],
+        |  "gone:suffix": "uses-vocab-not-term"
+        |}""".stripMargin
+    val ts = JsonLd.parse(json).toSet
+    assert(ts.contains(Triple("<urn:x>", "<http://v.example/tag>", "\"a\"")))
+    assert(ts.contains(Triple("<urn:x>", "<http://v.example/tag>", "\"b\"")))
+    // container maps other than @set stay rejected
+    intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@context": {"t": {"@id": "http://v/x",
+        "@container": "@list"}}, "@id": "urn:y", "t": ["a"]}""")
+    }
+  }
+
   test("unsupported JSON-LD keywords fail loudly (no silent mis-reads)") {
     intercept[IllegalArgumentException] {
       JsonLd.parse("""{"@id": "urn:x", "@reverse": {"p": {"@id": "urn:y"}}}""")
