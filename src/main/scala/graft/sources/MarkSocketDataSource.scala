@@ -1,0 +1,301 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipelines.MongoMarksPipeline
+
+/** DataSource V2 connector over the mark-store TCP cursor protocol —
+  * the full production-connector shape (what `mongo-spark` is to
+  * MongoDB) for the reference's primary source
+  * (mongo-etl/mongodb_to_rdf.py:499-515; server-side indexes
+  * build_indexes.sh:18-36):
+  *
+  * {{{
+  *   spark.read.format("graft.sources.MarkSocketDataSource")
+  *     .option("host", h).option("port", p)
+  *     .option("collection", "marks")      // or "analyses"
+  *     .option("partitions", "8")          // id-range splits
+  *     .option("batch.size", "256")        // cursor page size
+  *     .load()
+  *     .filter($"_id" >= "m-010")          // pushed: start_from
+  *     .filter($"provenance.analysis.execution_id".isin("e1"))
+  *                                         // pushed: execution_ids
+  * }}}
+  *
+  * Where `MarkStore`/`SocketMarkStore` prove the WIRE contract behind
+  * an explicit API, this connector hands the same pushdown to CATALYST:
+  * `_id >= x` and `execution_id IN (…)` predicates are recognized in
+  * `pushFilters`, travel in the find request, and are REMOVED from the
+  * residual (server evaluation is exact — both sides compare ids as
+  * binary strings), so `.explain` shows them under PushedFilters and
+  * no re-filtering happens engine-side. Everything else stays residual
+  * with Catalyst. Column pruning keeps only the requested TOP-LEVEL
+  * fields (documents are parsed per line anyway; pruning saves row
+  * width, not wire bytes).
+  *
+  * Execution shape matches the proven store: one driver `splits` call
+  * (the splitVector pattern), then one InputPartition per id range,
+  * each reader paging its own connection in `batch.size` chunks (the
+  * getMore loop). At 4B marks the fan-out scales with partitions and
+  * no document ever materializes outside its range reader.
+  */
+class MarkSocketDataSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap)
+    : StructType =
+    MarkSocketDataSource.schemaFor(
+      options.getOrDefault("collection", "marks"))
+
+  override def getTable(schema: StructType,
+    partitioning: Array[Transform],
+    properties: util.Map[String, String]): Table =
+    new MarkSocketTable(properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object MarkSocketDataSource {
+  private[sources] def schemaFor(collection: String): StructType =
+    collection match {
+      case "marks" => MongoMarksPipeline.markSchema
+      case "analyses" => MongoMarksPipeline.analysisSchema
+      case other => throw new IllegalArgumentException(
+        s"unknown collection '$other' (marks | analyses)")
+    }
+
+  /** Dotted path of the execution-id field per collection (the
+    * server's indexed `execution_id`). Filter column names may arrive
+    * backtick-quoted — compare after stripping. */
+  private[sources] def execIdPath(collection: String): String =
+    collection match {
+      case "marks" => "provenance.analysis.execution_id"
+      case _ => "analysis.execution_id"
+    }
+
+  private[sources] def colName(raw: String): String =
+    raw.replace("`", "")
+
+  /** Split conjunctive filters into (pushable start_from,
+    * pushable execution_ids, residual). Multiple `_id >=` bounds fold
+    * to the max (all must hold); only STRING-typed values push. */
+  private[sources] def splitFilters(collection: String,
+    filters: Array[Filter])
+    : (Option[String], Option[Seq[String]], Array[Filter]) = {
+    val execPath = execIdPath(collection)
+    var startFrom: Option[String] = None
+    var execIds: Option[Seq[String]] = None
+    val residual = filters.filterNot { f =>
+      f match {
+        case GreaterThanOrEqual(c, v: String) if colName(c) == "_id" =>
+          startFrom = Some(startFrom.fold(v)(prev =>
+            if (v > prev) v else prev))
+          true
+        case In(c, vs) if colName(c) == execPath &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+          val ids = vs.collect { case s: String => s }.toSeq
+          // two IN filters on the same column: intersect (conjunction)
+          execIds = Some(execIds.fold(ids)(_.intersect(ids)))
+          true
+        case EqualTo(c, v: String) if colName(c) == execPath =>
+          execIds = Some(execIds.fold(Seq(v))(_.intersect(Seq(v))))
+          true
+        case IsNotNull(c) if colName(c) == "_id" =>
+          // _id is the store's primary key — trivially non-null, so
+          // Catalyst's implicit null guard need not re-run post-scan
+          true
+        case _ => false
+      }
+    }
+    (startFrom, execIds, residual)
+  }
+}
+
+private[sources] class MarkSocketTable(props: Map[String, String])
+  extends Table with SupportsRead {
+  private val collection = props.getOrElse("collection", "marks")
+  override def name(): String =
+    s"marksocket($collection@${props.getOrElse("host", "?")}:${
+      props.getOrElse("port", "?")})"
+  override def schema(): StructType =
+    MarkSocketDataSource.schemaFor(collection)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+    : ScanBuilder =
+    new MarkSocketScanBuilder(props ++ options.asScala)
+}
+
+private[sources] class MarkSocketScanBuilder(props: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private val collection = props.getOrElse("collection", "marks")
+  private val fullSchema = MarkSocketDataSource.schemaFor(collection)
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var startFrom: Option[String] = None
+  private var execIds: Option[Seq[String]] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // top-level pruning with OUR canonical nested types and field order
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sf, ids, residual) =
+      MarkSocketDataSource.splitFilters(collection, filters)
+    startFrom = sf
+    execIds = ids
+    pushed = filters.diff(residual)
+    residual // accepted predicates are exact server-side: not re-run
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    def opt(k: String): String = props.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"MarkSocketDataSource: missing option '$k'"))
+    new MarkSocketScan(opt("host"), opt("port").toInt, collection,
+      props.getOrElse("partitions", "4").toInt,
+      props.getOrElse("batch.size", "256").toInt,
+      required, startFrom, execIds)
+  }
+}
+
+private[sources] class MarkSocketScan(host: String, port: Int,
+  collection: String, nPartitions: Int, batchSize: Int,
+  required: StructType, startFrom: Option[String],
+  execIds: Option[Seq[String]]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val push = Seq(
+      startFrom.map(s => s"start_from=$s"),
+      execIds.map(ids => s"execution_ids=${ids.mkString(",")}"))
+      .flatten.mkString(" ")
+    s"graft-marksocket $collection@$host:$port $push".trim
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // one driver-side call: range boundaries (the splitVector step)
+    val bounds = MarkSocketScan.querySplits(
+      host, port, collection, nPartitions)
+    val ranges = (None +: bounds.map(Option(_)))
+      .zip(bounds.map(Option(_)) :+ None)
+    ranges.map { case (min, max) =>
+      MarkRangePartition(host, port, collection, batchSize,
+        min, max, startFrom, execIds.map(_.toArray)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MarkSocketReaderFactory(required)
+}
+
+private[sources] object MarkSocketScan {
+  import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+  import java.net.Socket
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private[sources] def querySplits(host: String, port: Int,
+    collection: String, nPartitions: Int): Seq[String] = {
+    val req = s"""{"op":"splits","collection":${
+      SocketMarkStore.js(collection)},"n_splits":$nPartitions}"""
+    val sock = new Socket(host, port)
+    try {
+      val out = new PrintWriter(sock.getOutputStream, true)
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, UTF_8))
+      out.println(req)
+      val line = in.readLine()
+      require(line != null, "splits: server closed without replying")
+      val node = new ObjectMapper().readTree(line).get("splits")
+      require(node != null && node.isArray, s"bad splits reply: $line")
+      node.elements().asScala.map(_.asText()).toSeq
+    } finally sock.close()
+  }
+}
+
+private[sources] case class MarkRangePartition(host: String, port: Int,
+  collection: String, batchSize: Int, minId: Option[String],
+  maxId: Option[String], startFrom: Option[String],
+  execIds: Option[Array[String]]) extends InputPartition
+
+private[sources] class MarkSocketReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+    : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[MarkRangePartition]
+    new MarkRangeReader(p, required)
+  }
+}
+
+/** One id-range: a single connection paged in batch.size chunks via
+  * the shared cursor loop, each JSON line converted straight to an
+  * InternalRow of the (pruned) schema. */
+private[sources] class MarkRangeReader(p: MarkRangePartition,
+  required: StructType) extends PartitionReader[InternalRow] {
+
+  private val lines: Iterator[String] = SocketMarkStore.pageRange(
+    p.host, p.port, p.batchSize,
+    after => SocketMarkStore.findRequest(p.collection, p.minId, p.maxId,
+      p.startFrom, p.execIds.map(_.toSeq), after, p.batchSize))
+  private val mapper = new ObjectMapper()
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (lines.hasNext) {
+      current = JsonRows.toRow(mapper.readTree(lines.next()), required)
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** Minimal JSON → InternalRow conversion for the mark/analysis
+  * schemas (strings, integral/floating numerics, booleans, structs,
+  * arrays). PERMISSIVE-style: a missing field or type mismatch yields
+  * null, matching what `spark.read.schema(s).json(ds)` produces for
+  * these documents — `SocketPipelineE2ESpec`/`MarkSocketDataSourceSpec`
+  * pin the parity. */
+private[sources] object JsonRows {
+  def toRow(node: JsonNode, schema: StructType): InternalRow =
+    if (node == null || node.isNull || !node.isObject) null
+    else InternalRow.fromSeq(schema.fields.toSeq.map(f =>
+      value(node.get(f.name), f.dataType)))
+
+  private def value(node: JsonNode, dt: DataType): Any =
+    if (node == null || node.isNull) null
+    else dt match {
+      case StringType =>
+        if (node.isTextual) UTF8String.fromString(node.asText)
+        else if (node.isValueNode) UTF8String.fromString(node.asText)
+        else null
+      case LongType => if (node.canConvertToLong) node.asLong else null
+      case IntegerType => if (node.canConvertToInt) node.asInt else null
+      case DoubleType => if (node.isNumber) node.asDouble else null
+      case FloatType => if (node.isNumber) node.floatValue else null
+      case BooleanType => if (node.isBoolean) node.asBoolean else null
+      case st: StructType => toRow(node, st)
+      case ArrayType(et, _) =>
+        if (!node.isArray) null
+        else new GenericArrayData(
+          node.elements().asScala.map(value(_, et)).toArray)
+      case other => throw new IllegalArgumentException(
+        s"JsonRows: unsupported type $other")
+    }
+}

@@ -10,7 +10,11 @@ import graft.pipelines.MongoMarksPipeline
   * mongodb_to_rdf.py:503-515). The engine ships an offline JSONL
   * implementation; a production connector implements this trait over
   * its own wire protocol and registers under a format name — no
-  * pipeline code changes.
+  * pipeline code changes. The same wire protocol is ALSO exposed as a
+  * DataSource V2 connector (`MarkSocketDataSource`) where Catalyst
+  * plans the pushdown itself — prefer that seam for SQL/DataFrame
+  * users; this trait remains the minimal contract for pipelines that
+  * pass pushdown explicitly.
   *
   * The pushdown parameters mirror exactly what the reference pushes
   * into `find()`:
