@@ -200,6 +200,14 @@ object SimilarityQueries {
             .cast("long"))
         .orderBy("label", "pos")),
 
+    // Distributed k-means (2 Lloyd iterations, k=4, deterministic
+    // lowest-id seeds) — topic balancing / diversity sampling over
+    // corpus embeddings. Integer-exact end-to-end (see KMeans docs),
+    // which is what lets an ITERATIVE algorithm hash-match a DuckDB
+    // oracle. Output: per-cluster centroid rows + member count.
+    "v8_kmeans" -> ((s, dir) =>
+      KMeans.centroidRows(emb(s, dir), k = 4, iters = 2)),
+
     // Symmetric int8 quantization (max-abs per vector → [-127, 127]):
     // the standard 4× memory cut for ANN indexes at scale. maxabs is
     // a left fold from 0.0 (same order as the oracle's list_reduce);
@@ -365,6 +373,45 @@ object SimilarityQueries {
       | CAST(floor(sum(v_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
       |  AS mean_e6
       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "v8_kmeans" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      |  FROM e ORDER BY vec_id LIMIT 4),
+      |d1 AS (
+      |  SELECT e.vec_id, i.c, e.v,
+      |    list_sum(list_transform(range(1, len(e.v) + 1), k ->
+      |      (e.v[k] - i.v[k]) * (e.v[k] - i.v[k]))) AS dist2
+      |  FROM e CROSS JOIN init i),
+      |a1 AS (
+      |  SELECT vec_id, c, v FROM d1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY dist2, c) = 1),
+      |u1 AS (
+      |  SELECT c, pos1 - 1 AS pos,
+      |    CAST(floor(sum(vk)::DOUBLE / count(*) + 0.5) AS BIGINT) AS ce6
+      |  FROM (SELECT c, unnest(v) AS vk,
+      |          unnest(range(1, len(v) + 1)) AS pos1 FROM a1)
+      |  GROUP BY 1, 2),
+      |cent1 AS (SELECT c, list(ce6 ORDER BY pos) AS v FROM u1 GROUP BY c),
+      |d2 AS (
+      |  SELECT e.vec_id, i.c, e.v,
+      |    list_sum(list_transform(range(1, len(e.v) + 1), k ->
+      |      (e.v[k] - i.v[k]) * (e.v[k] - i.v[k]))) AS dist2
+      |  FROM e CROSS JOIN cent1 i),
+      |a2 AS (
+      |  SELECT vec_id, c, v FROM d2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY dist2, c) = 1)
+      |SELECT c, pos1 - 1 AS pos,
+      |  CAST(floor(sum(vk)::DOUBLE / count(*) + 0.5) AS BIGINT) AS mean_e6,
+      |  count(*) AS cnt
+      |FROM (SELECT c, unnest(v) AS vk,
+      |        unnest(range(1, len(v) + 1)) AS pos1 FROM a2)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "v6_int8_quantize" -> """
       |WITH m AS (
       |  SELECT vec_id, embedding,

@@ -468,6 +468,39 @@ object TextDedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-decile curriculum buckets: rank every doc by the x2
+    // quality score (ties broken by doc_id) into 10 equal-count bins,
+    // report per-bin population and score/token stats — the binning a
+    // mixing pipeline feeds its curriculum sampler. ntile's exact
+    // rank semantics pin the oracle; the PRODUCTION spelling at
+    // 100 TB replaces the global sort with quantile CUT POINTS (one
+    // a13-style aggregate, then a narrow map-side binning) — boundary
+    // ties land differently but no global window is needed.
+    "x14_quality_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .filter(size(col("w")) > 0)
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+        .withColumn("stop_cnt",
+          expr("cast(size(filter(w, t -> t IN ('the', 'a'))) as bigint)"))
+        .withColumn("score_e4",
+          expr("""cast(floor((0.5 * n_uniq / n_tokens
+                 | + 0.3 * (1.0 - stop_cnt / cast(n_tokens as double))
+                 | + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5)
+                 | as bigint)""".stripMargin))
+        .withColumn("bucket", ntile(10)
+          .over(Window.partitionBy(lit(1))
+            .orderBy(col("score_e4"), col("doc_id"))).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("score_e4").as("min_score_e4"),
+          max("score_e4").as("max_score_e4"),
+          sum("n_tokens").as("sum_tokens"))
+        .orderBy("bucket")
+    }),
+
     // Canonical text normalization (cleaning stage): strip
     // non-alphanumerics, collapse runs of spaces, trim, lowercase —
     // the usual pre-dedup/pre-tokenize canonical form. Pure
@@ -696,6 +729,23 @@ object TextDedupQueries {
       |  + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
       |  AS score_e4
       |FROM q ORDER BY doc_id""".stripMargin),
+    "x14_quality_buckets" -> (oracleToks + """,
+      |q AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+      |  len(list_distinct(w))::BIGINT AS n_uniq,
+      |  len(list_filter(w, t -> t IN ('the', 'a')))::BIGINT AS stop_cnt
+      | FROM toks WHERE len(w) > 0),
+      |s AS (SELECT doc_id, n_tokens,
+      | CAST(floor((0.5 * n_uniq / n_tokens
+      |  + 0.3 * (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE))
+      |  + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
+      |  AS score_e4
+      | FROM q),
+      |b AS (SELECT doc_id, n_tokens, score_e4,
+      |  ntile(10) OVER (ORDER BY score_e4, doc_id) AS bucket FROM s)
+      |SELECT bucket::BIGINT AS bucket, count(*) AS n_docs,
+      | min(score_e4) AS min_score_e4, max(score_e4) AS max_score_e4,
+      | sum(n_tokens)::BIGINT AS sum_tokens
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
     "x3_lang_id" -> (oracleToks + """,
       |sc AS (SELECT doc_id, lang,
       |  len(list_filter(w, t -> t IN ('the', 'a'))) AS s_en,
