@@ -692,6 +692,33 @@ object RelationalQueries {
         .orderBy("status")
     }),
 
+    // SCD-2 history build (Scd2.intervals): three synthetic snapshot
+    // versions of orders (%10 keys repriced at v2, %7 keys repriced
+    // again at v3), collapsed into per-key validity intervals, then
+    // summarized by (from, to) shape. The oracle derives the interval
+    // census CLOSED-FORM from the key predicates — fully independent
+    // of the window/segment machinery. to_version null (still
+    // current) is coalesced to 0 for a hashable column.
+    "u3_scd2_intervals" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v2price = when(pmod(col("o_orderkey"), lit(10)) === 0,
+        col("o_totalprice") + 1000.0).otherwise(col("o_totalprice"))
+      val v1 = orders.withColumn("version", lit(1L))
+      val v2base = orders.withColumn("o_totalprice", v2price)
+      val v2 = v2base.withColumn("version", lit(2L))
+      val v3 = v2base.withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + 500.0).otherwise(col("o_totalprice")))
+        .withColumn("version", lit(3L))
+      Scd2.intervals(v1.unionByName(v2).unionByName(v3),
+        Seq("o_orderkey"), "version")
+        .groupBy(col("from_version"),
+          coalesce(col("to_version"), lit(0L)).as("to_v"))
+        .agg(count(lit(1)).as("n_intervals"))
+        .orderBy("from_version", "to_v")
+    }),
+
     // One-pass exact table profile (Profiling.summary): per-column
     // null/distinct/min/max in long format — the ingest-time data-
     // quality summary. Exact distinct counts cost an Expand (documented
@@ -1063,6 +1090,26 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT 'added' FROM orders WHERE o_orderkey % 97 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u3_scd2_intervals" ->
+      """WITH c AS (SELECT
+        |  count(*) FILTER (WHERE o_orderkey % 10 <> 0
+        |    AND o_orderkey % 7 <> 0) AS n00,
+        |  count(*) FILTER (WHERE o_orderkey % 10 = 0
+        |    AND o_orderkey % 7 <> 0) AS n10,
+        |  count(*) FILTER (WHERE o_orderkey % 10 <> 0
+        |    AND o_orderkey % 7 = 0) AS n01,
+        |  count(*) FILTER (WHERE o_orderkey % 10 = 0
+        |    AND o_orderkey % 7 = 0) AS n11
+        | FROM orders)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS from_version, 0::BIGINT AS to_v,
+        |    n00::BIGINT AS n_intervals FROM c
+        |  UNION ALL SELECT 1, 1, n10 + n11 FROM c
+        |  UNION ALL SELECT 1, 2, n01 FROM c
+        |  UNION ALL SELECT 2, 0, n10 FROM c
+        |  UNION ALL SELECT 2, 2, n11 FROM c
+        |  UNION ALL SELECT 3, 0, n01 + n11 FROM c)
+        |WHERE n_intervals > 0 ORDER BY from_version, to_v""".stripMargin,
     "s8_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
