@@ -69,4 +69,37 @@ object Quantiles {
       .groupBy(col(groupCol))
       .agg(qs.head, qs.tail: _*)
   }
+
+  /** SCALE-PATH bucketing (the production spelling x14's ntile census
+    * documents): nBuckets−1 approximate cut points from ONE
+    * distributed t-digest aggregation (`percentile_approx` — partial-
+    * combinable, bounded memory), broadcast as a single row, then
+    * every row binned MAP-SIDE by counting cut points below its
+    * value. No global sort, no single-partition window — the whole
+    * plan is one tiny agg + a narrow projection, so it costs the same
+    * at 100 TB as at 100 MB (one corpus scan).
+    *
+    * Semantics vs ntile: ties land together in the LOWER bucket
+    * (value == cut point stays below), so bucket populations are
+    * equal only up to tie mass and t-digest error — the right trade
+    * for curriculum binning, where boundary exactness is meaningless.
+    * Returns `df` + `bucket` (1-based long). */
+  def assignBuckets(df: DataFrame, valCol: String, nBuckets: Int,
+    accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    require(!df.columns.contains("bucket"),
+      "column 'bucket' collides with the output column")
+    require(!df.columns.contains("_cuts"),
+      "column '_cuts' collides with the internal cut-point column")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = df
+      .agg(percentile_approx(col(valCol).cast("double"),
+        typedLit(probs), lit(accuracy)).as("_cuts"))
+    df.crossJoin(broadcast(cuts)) // 1 row: a free broadcast NLJ
+      .withColumn("bucket", expr(
+        s"""1L + size(filter(_cuts,
+           |  c -> c < cast($valCol as double)))""".stripMargin)
+        .cast("long"))
+      .drop("_cuts")
+  }
 }
