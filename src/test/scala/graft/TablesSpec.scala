@@ -38,4 +38,44 @@ class TablesSpec extends SparkTestBase {
       assert(df.schema.forall(f => f.dataType != StringType || f.name.nonEmpty))
     }
   }
+
+  /** Every query + oracle in the suite assumes these EXACT loaded
+    * schemas. Testdata regenerations have silently drifted before
+    * (events.ts: nanos → TIMESTAMP_NTZ broke 7 queries in one round);
+    * this pin turns the next drift into a red sbt test naming the
+    * table, instead of a cascade of downstream analysis errors. If
+    * the driver's testdata legitimately changes, update the DDL here
+    * AND re-run the full oracle compare. */
+  test("loaded schemas match the pinned DDL for every table") {
+    val expected = Map(
+      "region" -> "r_regionkey INT,r_name STRING",
+      "nation" -> "n_nationkey INT,n_name STRING,n_regionkey INT",
+      "customer" -> ("c_custkey BIGINT,c_name STRING,c_nationkey INT," +
+        "c_acctbal DOUBLE,c_mktsegment STRING"),
+      "supplier" -> ("s_suppkey BIGINT,s_name STRING,s_nationkey INT," +
+        "s_acctbal DOUBLE"),
+      "part" -> ("p_partkey BIGINT,p_name STRING,p_brand STRING," +
+        "p_type STRING,p_size INT,p_retailprice DOUBLE"),
+      "orders" -> ("o_orderkey BIGINT,o_custkey BIGINT," +
+        "o_orderstatus STRING,o_totalprice DOUBLE," +
+        "o_orderdate TIMESTAMP_NTZ,o_orderpriority STRING"),
+      "lineitem" -> ("l_orderkey BIGINT,l_partkey BIGINT," +
+        "l_suppkey BIGINT,l_linenumber INT,l_quantity DOUBLE," +
+        "l_extendedprice DOUBLE,l_discount DOUBLE,l_tax DOUBLE," +
+        "l_returnflag STRING,l_linestatus STRING," +
+        "l_shipdate TIMESTAMP_NTZ"),
+      "events" -> ("event_id BIGINT,ts TIMESTAMP,user_id BIGINT," +
+        "event_type STRING,value DOUBLE,props STRING"),
+      "documents" -> ("doc_id BIGINT,text STRING,lang STRING," +
+        "source STRING,n_chars BIGINT"),
+      "embeddings" -> ("vec_id BIGINT,embedding ARRAY<FLOAT>," +
+        "label INT"))
+    Tables.all.foreach { name =>
+      val got = Tables.load(spark, "/root/testdata/sf0.001", name)
+        .schema.toDDL.replace(" NOT NULL", "")
+      assert(got == expected(name),
+        s"TESTDATA DRIFT in $name:\n  got      $got\n  expected ${
+          expected(name)}")
+    }
+  }
 }
