@@ -59,6 +59,20 @@ object Examples {
     }
   }
 
+  /** MIGRATION §3: the DataSource V2 face of the live store —
+    * plain DataFrame filters; Catalyst plans the server-side pushdown
+    * (`_id >=` → start_from, nested execution_id IN → execution_ids)
+    * with zero residual re-evaluation. */
+  def marksViaDsv2(spark: SparkSession, host: String, port: Int,
+    startFrom: String, execIds: Seq[String])
+    : org.apache.spark.sql.DataFrame =
+    spark.read.format("graft.sources.MarkSocketDataSource")
+      .option("host", host).option("port", port.toString)
+      .option("collection", "marks").load()
+      .filter(col("_id") >= startFrom)
+      .filter(col("provenance.analysis.execution_id")
+        .isin(execIds: _*))
+
   /** MIGRATION §4: hash-repair snapshot job. */
   def hashRepair(spark: SparkSession, rdfTree: String,
     hashJson: String, outDir: String): Long = {
