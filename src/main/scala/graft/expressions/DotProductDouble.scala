@@ -112,21 +112,32 @@ case class DotProductDouble(left: Expression, right: Expression)
   * usable via `spark.sql.extensions=graft.expressions.GraftExtensions`.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot",
       (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq",
+      (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1)),
+      "built-in")
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.expressions.GraftExtensions`. */
 class GraftExtensions
   extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-    ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductDouble].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2sq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SquaredL2Long].getName, "graft_l2sq"),
+      (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1))))
+  }
 }

@@ -38,6 +38,7 @@ object KMeans {
   def fitE6(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 1, s"iters must be >= 1: $iters")
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), expr(
       """transform(embedding,
         |  x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
@@ -50,10 +51,11 @@ object KMeans {
         .cast("long") - 1)
       .select(col("c"), col("v").as("cv"), lit(0L).as("cnt"))
     for (_ <- 1 to iters) {
+      // graft_l2sq: codegen'd int64 Σ(a−b)² — the HOF spelling
+      // (aggregate ∘ zip_with) evaluates its lambdas interpreted per
+      // element, and this is the corpus × k hot loop
       val assigned = e.crossJoin(broadcast(cent.select("c", "cv")))
-        .withColumn("dist2", expr(
-          """aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)),
-            |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+        .withColumn("dist2", expr("graft_l2sq(v, cv)"))
         // min over (dist2, c) is the deterministic assignment; v rides
         // along (never compared — (dist2, c) is unique per candidate)
         .groupBy("vec_id")
