@@ -131,7 +131,8 @@ private[sources] class MarkSocketTable(props: Map[String, String])
   override def schema(): StructType =
     MarkSocketDataSource.schemaFor(collection)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
     : ScanBuilder =
     new MarkSocketScanBuilder(props ++ options.asScala)
@@ -167,10 +168,27 @@ private[sources] class MarkSocketScanBuilder(props: Map[String, String])
     def opt(k: String): String = props.getOrElse(k,
       throw new IllegalArgumentException(
         s"MarkSocketDataSource: missing option '$k'"))
+    // Option-level pushdown, the streaming escape hatch: Catalyst
+    // does not push filters into streaming DSv2 scans, so readStream
+    // users state the server-side predicates as reader options (the
+    // same pattern Kafka's startingOffsets takes). Batch filters,
+    // when present, COMPOSE with them (conjunction = tightest bound /
+    // intersection).
+    val optStartFrom = props.get("start.from")
+    val optExecIds = props.get("execution.ids")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    val sf = (startFrom, optStartFrom) match {
+      case (Some(a), Some(b)) => Some(if (a > b) a else b)
+      case (a, b) => a.orElse(b)
+    }
+    val ids = (execIds, optExecIds) match {
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+      case (a, b) => a.orElse(b)
+    }
     new MarkSocketScan(opt("host"), opt("port").toInt, collection,
       props.getOrElse("partitions", "4").toInt,
       props.getOrElse("batch.size", "256").toInt,
-      required, startFrom, execIds)
+      required, sf, ids)
   }
 }
 
@@ -203,12 +221,44 @@ private[sources] class MarkSocketScan(host: String, port: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MarkSocketReaderFactory(required)
+
+  /** Streaming face: the reference's cursor micro-batch loop (T1) as
+    * a real Structured Streaming source. Offsets are the collection's
+    * monotonically-growing `_id` high-water mark — each micro-batch
+    * reads the (last, latest] id window, split into the same
+    * per-range paging partitions as the batch path, so replay after a
+    * checkpoint restart re-reads exactly the same deterministic
+    * window (T2's durable-checkpoint semantics for free). */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MarkSocketMicroBatchStream(host, port, collection, nPartitions,
+      batchSize, required, startFrom, execIds)
 }
 
 private[sources] object MarkSocketScan {
   import java.io.{BufferedReader, InputStreamReader, PrintWriter}
   import java.net.Socket
   import java.nio.charset.StandardCharsets.UTF_8
+
+  /** Driver-side probe: highest `_id` currently in the collection
+    * (the streaming latestOffset; a live Mongo spells it
+    * `find().sort({_id:-1}).limit(1)`). None = empty collection. */
+  private[sources] def queryMaxId(host: String, port: Int,
+    collection: String): Option[String] = {
+    val req = s"""{"op":"max_id","collection":${
+      SocketMarkStore.js(collection)}}"""
+    val sock = new Socket(host, port)
+    try {
+      val out = new PrintWriter(sock.getOutputStream, true)
+      val in = new BufferedReader(
+        new InputStreamReader(sock.getInputStream, UTF_8))
+      out.println(req)
+      val line = in.readLine()
+      require(line != null, "max_id: server closed without replying")
+      val node = new ObjectMapper().readTree(line).get("max_id")
+      if (node == null || node.isNull) None else Some(node.asText())
+    } finally sock.close()
+  }
 
   private[sources] def querySplits(host: String, port: Int,
     collection: String, nPartitions: Int): Seq[String] = {
@@ -232,7 +282,70 @@ private[sources] object MarkSocketScan {
 private[sources] case class MarkRangePartition(host: String, port: Int,
   collection: String, batchSize: Int, minId: Option[String],
   maxId: Option[String], startFrom: Option[String],
-  execIds: Option[Array[String]]) extends InputPartition
+  execIds: Option[Array[String]],
+  afterStart: Option[String] = None) extends InputPartition
+
+/** `_id` high-water-mark offset for the streaming face. `lastId`
+  * None = before everything. */
+private[sources] case class MarkIdOffset(lastId: Option[String])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    s"""{"last_id":${lastId.fold("null")(SocketMarkStore.js)}}"""
+}
+
+private[sources] object MarkIdOffset {
+  def fromJson(json: String): MarkIdOffset = {
+    val node = new ObjectMapper().readTree(json).get("last_id")
+    MarkIdOffset(
+      if (node == null || node.isNull) None else Some(node.asText()))
+  }
+}
+
+private[sources] class MarkSocketMicroBatchStream(host: String,
+  port: Int, collection: String, nPartitions: Int, batchSize: Int,
+  required: StructType, startFrom: Option[String],
+  execIds: Option[Seq[String]])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** Smallest string strictly greater than `s` — turns an inclusive
+    * id bound into the protocol's exclusive `max_id`. */
+  private def successor(s: String): String = s + "\u0000"
+
+  override def initialOffset(): Offset = MarkIdOffset(None)
+
+  override def latestOffset(): Offset =
+    MarkIdOffset(MarkSocketScan.queryMaxId(host, port, collection))
+
+  override def deserializeOffset(json: String): Offset =
+    MarkIdOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+    : Array[InputPartition] = {
+    val s = start.asInstanceOf[MarkIdOffset].lastId
+    val e = end.asInstanceOf[MarkIdOffset].lastId
+    if (e.isEmpty || s == e) return Array.empty
+    val endEx = successor(e.get) // include the high-water id itself
+    // same splitVector step as the batch path; each range clamps to
+    // the (start, end] window via after_id / max_id in the request
+    val bounds = MarkSocketScan.querySplits(
+      host, port, collection, nPartitions)
+    val ranges = (None +: bounds.map(Option(_)))
+      .zip(bounds.map(Option(_)) :+ None)
+    ranges.map { case (min, max) =>
+      val maxEx = max.fold(endEx)(m => if (m < endEx) m else endEx)
+      MarkRangePartition(host, port, collection, batchSize,
+        min, Some(maxEx), startFrom, execIds.map(_.toArray),
+        afterStart = s): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MarkSocketReaderFactory(required)
+
+  override def commit(end: Offset): Unit = () // server holds no cursor state
+  override def stop(): Unit = ()
+}
 
 private[sources] class MarkSocketReaderFactory(required: StructType)
   extends PartitionReaderFactory {
@@ -251,8 +364,13 @@ private[sources] class MarkRangeReader(p: MarkRangePartition,
 
   private val lines: Iterator[String] = SocketMarkStore.pageRange(
     p.host, p.port, p.batchSize,
+    // the cursor's after_id doubles as the streaming window's
+    // exclusive lower bound on the FIRST page (afterStart = the
+    // previous batch's high-water mark); later pages resume from the
+    // last id seen, which is always >= that bound
     after => SocketMarkStore.findRequest(p.collection, p.minId, p.maxId,
-      p.startFrom, p.execIds.map(_.toSeq), after, p.batchSize))
+      p.startFrom, p.execIds.map(_.toSeq),
+      after.orElse(p.afterStart), p.batchSize))
   private val mapper = new ObjectMapper()
   private var current: InternalRow = _
 

@@ -19,11 +19,20 @@ object TcpMarkServer {
 
 final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
   private val om = new ObjectMapper()
-  private val sorted = collections.view.mapValues(_.sortBy(_.id)).toMap
+  @volatile private var sorted =
+    collections.view.mapValues(_.sortBy(_.id)).toMap
   val requests = new ConcurrentLinkedQueue[String]()
   val connections = new AtomicInteger(0)
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
+
+  /** Append documents at runtime (streaming-source tests: new data
+    * arriving between micro-batches). */
+  def add(collection: String, docs: TcpMarkServer.Doc*): Unit =
+    synchronized {
+      sorted = sorted.updated(collection,
+        (sorted.getOrElse(collection, Nil) ++ docs).sortBy(_.id))
+    }
 
   def start(): Int = {
     server = new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
@@ -61,6 +70,12 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
         }
         val docs = sorted.getOrElse(str("collection").getOrElse(""), Nil)
         req.get("op").asText() match {
+          case "max_id" =>
+            // highest _id currently in the collection (the streaming
+            // source's latestOffset probe); null when empty
+            val m = docs.lastOption.map(d =>
+              SocketMarkStoreTestJson.js(d.id)).getOrElse("null")
+            out.println(s"""{"max_id":$m}""")
           case "splits" =>
             val n = req.get("n_splits").asInt()
             // n-1 internal boundaries, evenly spaced over the id order
