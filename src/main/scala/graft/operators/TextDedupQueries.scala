@@ -468,6 +468,46 @@ object TextDedupQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI bigram collocations: the phrase-mining signal a tokenizer /
+    // vocabulary pipeline computes before merging multi-word units.
+    // pmi = ln(N·c_ab / (c_a·c_b)) over corpus-wide counts; both
+    // numerator and denominator are EXACT int64 products (< 2^53, so
+    // their doubles are exact), one IEEE division + ln, quantized e6
+    // at the transcendental (the TfIdf contract). Plan: one corpus
+    // shuffle for bigram counts, one vocabulary aggregate joined back
+    // size-gated, TakeOrdered top-20 — nothing quadratic.
+    "x15_pmi_bigrams" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), expr(tokensSql).as("w"))
+      val bigrams = toks
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, i) as a,
+            |              element_at(w, i + 1) as b))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val unigrams = Broadcasting.maybeBroadcast(
+        toks.select(explode(col("w")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c")))
+      val n = toks.select(explode(col("w")).as("term"))
+        .agg(count(lit(1)).as("n_tokens"))
+      bigrams
+        .join(unigrams.select(col("term").as("a"), col("c").as("c_a")), "a")
+        .join(unigrams.select(col("term").as("b"), col("c").as("c_b")), "b")
+        .crossJoin(n)
+        .filter(col("c_ab") >= 5)
+        .withColumn("pmi_e6",
+          floor(log(
+            (col("c_ab") * col("n_tokens")).cast("double") /
+              (col("c_a") * col("c_b")).cast("double"))
+            * 1000000 + 0.5).cast("long"))
+        .select(col("a"), col("b"), col("c_ab"), col("pmi_e6"))
+        .orderBy(col("pmi_e6").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }),
+
     // Quality-decile curriculum buckets: rank every doc by the x2
     // quality score (ties broken by doc_id) into 10 equal-count bins,
     // report per-bin population and score/token stats — the binning a
@@ -729,6 +769,25 @@ object TextDedupQueries {
       |  + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
       |  AS score_e4
       |FROM q ORDER BY doc_id""".stripMargin),
+    "x15_pmi_bigrams" -> (oracleToks + """,
+      |bg AS (
+      |  SELECT u.a AS a, u.b AS b, count(*) AS c_ab FROM (
+      |    SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> {'a': w[i], 'b': w[i + 1]})) AS u
+      |    FROM toks WHERE len(w) >= 2)
+      |  GROUP BY 1, 2),
+      |ug AS (SELECT unnest(w) AS term FROM toks),
+      |uc AS (SELECT term, count(*) AS c FROM ug GROUP BY 1),
+      |n AS (SELECT count(*) AS n_tokens FROM ug)
+      |SELECT bg.a, bg.b, bg.c_ab,
+      |  CAST(floor(ln((bg.c_ab * n_tokens)::DOUBLE
+      |    / (ca.c * cb.c)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS pmi_e6
+      |FROM bg
+      |JOIN uc ca ON bg.a = ca.term
+      |JOIN uc cb ON bg.b = cb.term
+      |CROSS JOIN n
+      |WHERE bg.c_ab >= 5
+      |ORDER BY pmi_e6 DESC, bg.a ASC, bg.b ASC LIMIT 20""".stripMargin),
     "x14_quality_buckets" -> (oracleToks + """,
       |q AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
       |  len(list_distinct(w))::BIGINT AS n_uniq,
