@@ -508,6 +508,54 @@ object TextDedupQueries {
         .limit(20)
     }),
 
+    // BPE merge induction, 2 rounds: learn the most frequent adjacent
+    // symbol pair over the corpus's words, apply the merge, recount —
+    // tokenizer-vocabulary learning as a distributed query. The merge
+    // application is a replace-last left fold (same lambda in the
+    // DuckDB oracle via list_reduce over singleton lists), pair
+    // selection tie-breaks (cnt desc, a, b) — deterministic end to
+    // end, which is what lets the second ITERATION hash-match too.
+    // Plan per round: one corpus pair-count shuffle + a 1-row
+    // broadcast of the learned merge; TakeOrdered for the top-5
+    // report. Nothing quadratic, nothing driver-side.
+    "x16_bpe_merges" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.DataFrame
+      val s0 = docs(s, dir)
+        .select(explode(expr(tokensSql)).as("word"))
+        .select(expr("filter(split(word, ''), c -> c <> '')").as("s"))
+      def pairCounts(sym: DataFrame): DataFrame = sym
+        .filter(size(col("s")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> struct(element_at(s, i) as a,
+            |              element_at(s, i + 1) as b))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      def top(pc: DataFrame, k: Int): DataFrame = pc
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(k)
+      val p1 = pairCounts(s0)
+      val s1 = s0
+        .crossJoin(broadcast(top(p1, 1)
+          .select(col("a").as("ma"), col("b").as("mb"))))
+        .select(expr(
+          """aggregate(s, cast(array() as array<string>),
+            | (acc, x) -> CASE
+            |   WHEN size(acc) > 0 AND element_at(acc, -1) = ma AND x = mb
+            |   THEN concat(slice(acc, 1, size(acc) - 1),
+            |        array(concat(ma, mb)))
+            |   ELSE concat(acc, array(x)) END)""".stripMargin).as("s"))
+      val w = Window.partitionBy(lit(1)) // 5-row frames post-limit
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      def ranked(pc: DataFrame, round: Int): DataFrame =
+        top(pc, 5).withColumn("round", lit(round.toLong))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+      ranked(p1, 1).unionByName(ranked(pairCounts(s1), 2))
+        .select(col("round"), col("rnk"), col("a"), col("b"), col("cnt"))
+        .orderBy("round", "rnk")
+    }),
+
     // Quality-decile curriculum buckets: rank every doc by the x2
     // quality score (ties broken by doc_id) into 10 equal-count bins,
     // report per-bin population and score/token stats — the binning a
@@ -769,6 +817,38 @@ object TextDedupQueries {
       |  + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
       |  AS score_e4
       |FROM q ORDER BY doc_id""".stripMargin),
+    "x16_bpe_merges" -> (oracleToks + """,
+      |s0 AS (SELECT regexp_extract_all(unnest(w), '.') AS s FROM toks),
+      |p1 AS (
+      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(s)),
+      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
+      |    FROM s0 WHERE len(s) >= 2)
+      |  GROUP BY 1, 2),
+      |b1 AS (SELECT a, b FROM p1
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
+      |s1 AS (
+      |  SELECT list_reduce(list_transform(s0.s, c -> [c]),
+      |    (acc, x) -> CASE
+      |      WHEN len(acc) > 0 AND acc[-1] = b1.a AND x[1] = b1.b
+      |      THEN list_append(acc[1:len(acc)-1], b1.a || b1.b)
+      |      ELSE list_append(acc, x[1]) END) AS s
+      |  FROM s0 CROSS JOIN b1),
+      |p2 AS (
+      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(s)),
+      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
+      |    FROM s1 WHERE len(s) >= 2)
+      |  GROUP BY 1, 2),
+      |r1 AS (SELECT 1::BIGINT AS round,
+      |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk, a, b, cnt
+      | FROM p1 QUALIFY rnk <= 5),
+      |r2 AS (SELECT 2::BIGINT AS round,
+      |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk, a, b, cnt
+      | FROM p2 QUALIFY rnk <= 5)
+      |SELECT round, rnk, a, b, cnt FROM r1
+      |UNION ALL SELECT round, rnk, a, b, cnt FROM r2
+      |ORDER BY round, rnk""".stripMargin),
     "x15_pmi_bigrams" -> (oracleToks + """,
       |bg AS (
       |  SELECT u.a AS a, u.b AS b, count(*) AS c_ab FROM (
