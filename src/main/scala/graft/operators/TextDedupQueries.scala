@@ -510,19 +510,29 @@ object TextDedupQueries {
 
     // BPE merge induction, 2 rounds: learn the most frequent adjacent
     // symbol pair over the corpus's words, apply the merge, recount —
-    // tokenizer-vocabulary learning as a distributed query. The merge
-    // application is a replace-last left fold (same lambda in the
-    // DuckDB oracle via list_reduce over singleton lists), pair
+    // tokenizer-vocabulary learning as a distributed query. Pair
     // selection tie-breaks (cnt desc, a, b) — deterministic end to
     // end, which is what lets the second ITERATION hash-match too.
+    //
+    // Merge application: round 1's learned pair is two SINGLE CHARS,
+    // so the greedy left-to-right merge is spelled as codegen'd
+    // string ops — replace(word, ma||mb, chr(1)) then re-split, the
+    // placeholder mapped back to the merged symbol. For single-char
+    // pairs this is provably identical to the replace-last fold the
+    // DuckDB oracle runs (a merged 2-char symbol can never equal the
+    // single-char left element, so the fold never re-triggers on its
+    // own output), and it cut the round-2 recount from ~4.5s to
+    // sub-second at sf0.1: the interpreted aggregate-HOF fold was
+    // building O(len²) arrays per word.
     // Plan per round: one corpus pair-count shuffle + a 1-row
     // broadcast of the learned merge; TakeOrdered for the top-5
     // report. Nothing quadratic, nothing driver-side.
     "x16_bpe_merges" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.DataFrame
-      val s0 = docs(s, dir)
+      val words = docs(s, dir)
         .select(explode(expr(tokensSql)).as("word"))
+      val s0 = words
         .select(expr("filter(split(word, ''), c -> c <> '')").as("s"))
       def pairCounts(sym: DataFrame): DataFrame = sym
         .filter(size(col("s")) >= 2)
@@ -535,17 +545,20 @@ object TextDedupQueries {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
       def top(pc: DataFrame, k: Int): DataFrame = pc
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(k)
-      val p1 = pairCounts(s0)
-      val s1 = s0
+      // p1 feeds BOTH the learned merge and the round-1 report: persist
+      // the (symbol-vocab²-bounded, tiny) counts so the corpus
+      // pair-explode shuffle runs once, not twice. Tracked for the
+      // harness's releaseAll.
+      val p1 = Broadcasting.track(pairCounts(s0).persist())
+      val s1 = words
         .crossJoin(broadcast(top(p1, 1)
           .select(col("a").as("ma"), col("b").as("mb"))))
         .select(expr(
-          """aggregate(s, cast(array() as array<string>),
-            | (acc, x) -> CASE
-            |   WHEN size(acc) > 0 AND element_at(acc, -1) = ma AND x = mb
-            |   THEN concat(slice(acc, 1, size(acc) - 1),
-            |        array(concat(ma, mb)))
-            |   ELSE concat(acc, array(x)) END)""".stripMargin).as("s"))
+          """transform(
+            |  filter(split(replace(word, concat(ma, mb), chr(1)), ''),
+            |         c -> c <> ''),
+            |  c -> CASE WHEN c = chr(1) THEN concat(ma, mb) ELSE c END)"""
+            .stripMargin).as("s"))
       val w = Window.partitionBy(lit(1)) // 5-row frames post-limit
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
       def ranked(pc: DataFrame, round: Int): DataFrame =
