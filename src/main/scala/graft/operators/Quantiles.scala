@@ -91,14 +91,21 @@ object Quantiles {
       "column 'bucket' collides with the output column")
     require(!df.columns.contains("_cuts"),
       "column '_cuts' collides with the internal cut-point column")
+    require(valCol != "_qcut_v",
+      "column '_qcut_v' collides with the internal lambda variable")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
     val cuts = df
       .agg(percentile_approx(col(valCol).cast("double"),
         typedLit(probs), lit(accuracy)).as("_cuts"))
+    // backtick-quote the interpolated column (`` escapes a literal
+    // backtick) so odd names parse and can never be captured by the
+    // lambda parameter
+    val quoted = "`" + valCol.replace("`", "``") + "`"
     df.crossJoin(broadcast(cuts)) // 1 row: a free broadcast NLJ
       .withColumn("bucket", expr(
         s"""1L + size(filter(_cuts,
-           |  c -> c < cast($valCol as double)))""".stripMargin)
+           |  _qcut_v -> _qcut_v < cast($quoted as double)))"""
+          .stripMargin)
         .cast("long"))
       .drop("_cuts")
   }

@@ -39,8 +39,11 @@ import graft.pipelines.MongoMarksPipeline
   * an explicit API, this connector hands the same pushdown to CATALYST:
   * `_id >= x` and `execution_id IN (…)` predicates are recognized in
   * `pushFilters`, travel in the find request, and are REMOVED from the
-  * residual (server evaluation is exact — both sides compare ids as
-  * binary strings), so `.explain` shows them under PushedFilters and
+  * residual (server evaluation is exact: equality/IN are
+  * ordering-free, and `_id >=` only pushes for all-ASCII bounds,
+  * where Catalyst's UTF-8 and the server's UTF-16 orderings provably
+  * agree — non-ASCII bounds stay residual), so `.explain` shows them
+  * under PushedFilters and
   * no re-filtering happens engine-side. Everything else stays residual
   * with Catalyst. Column pruning keeps only the requested TOP-LEVEL
   * fields (documents are parsed per line anyway; pruning saves row
@@ -87,9 +90,22 @@ object MarkSocketDataSource {
   private[sources] def colName(raw: String): String =
     raw.replace("`", "")
 
+  /** True iff every char is ASCII. An ASCII bound compares identically
+    * under Catalyst's UTF-8 byte order and the server's Java UTF-16
+    * order against ANY string: at the first differing position either
+    * both chars are ASCII (same comparison) or the other side is
+    * non-ASCII — and a non-ASCII char is greater than every ASCII char
+    * in BOTH encodings (UTF-16 unit >= 0x80 > ASCII; UTF-8 lead byte
+    * >= 0xC2 > ASCII byte). A non-ASCII bound has no such guarantee
+    * (UTF-16 surrogates vs UTF-8 4-byte sequences order differently),
+    * so it stays residual and is NOT pushed. */
+  private[sources] def isAscii(s: String): Boolean = s.forall(_ < 0x80)
+
   /** Split conjunctive filters into (pushable start_from,
     * pushable execution_ids, residual). Multiple `_id >=` bounds fold
-    * to the max (all must hold); only STRING-typed values push. */
+    * to the max (all must hold); only STRING-typed all-ASCII values
+    * push (see [[isAscii]] — ordering-dependent pushdown must agree
+    * with the server's collation). */
   private[sources] def splitFilters(collection: String,
     filters: Array[Filter])
     : (Option[String], Option[Seq[String]], Array[Filter]) = {
@@ -98,7 +114,8 @@ object MarkSocketDataSource {
     var execIds: Option[Seq[String]] = None
     val residual = filters.filterNot { f =>
       f match {
-        case GreaterThanOrEqual(c, v: String) if colName(c) == "_id" =>
+        case GreaterThanOrEqual(c, v: String)
+          if colName(c) == "_id" && isAscii(v) =>
           startFrom = Some(startFrom.fold(v)(prev =>
             if (v > prev) v else prev))
           true
@@ -173,7 +190,9 @@ private[sources] class MarkSocketScanBuilder(props: Map[String, String])
     // users state the server-side predicates as reader options (the
     // same pattern Kafka's startingOffsets takes). Batch filters,
     // when present, COMPOSE with them (conjunction = tightest bound /
-    // intersection).
+    // intersection). Unlike pushed filters, the options are a direct
+    // statement of the SERVER-side predicate (Java/UTF-16 ordering by
+    // the wire contract) — nothing re-checks them engine-side.
     val optStartFrom = props.get("start.from")
     val optExecIds = props.get("execution.ids")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
@@ -362,15 +381,16 @@ private[sources] class MarkSocketReaderFactory(required: StructType)
 private[sources] class MarkRangeReader(p: MarkRangePartition,
   required: StructType) extends PartitionReader[InternalRow] {
 
-  private val lines: Iterator[String] = SocketMarkStore.pageRange(
-    p.host, p.port, p.batchSize,
-    // the cursor's after_id doubles as the streaming window's
-    // exclusive lower bound on the FIRST page (afterStart = the
-    // previous batch's high-water mark); later pages resume from the
-    // last id seen, which is always >= that bound
-    after => SocketMarkStore.findRequest(p.collection, p.minId, p.maxId,
-      p.startFrom, p.execIds.map(_.toSeq),
-      after.orElse(p.afterStart), p.batchSize))
+  private val lines: SocketMarkStore.PagedCursor =
+    SocketMarkStore.pageRange(
+      p.host, p.port, p.batchSize,
+      // the cursor's after_id doubles as the streaming window's
+      // exclusive lower bound on the FIRST page (afterStart = the
+      // previous batch's high-water mark); later pages resume from the
+      // last id seen, which is always >= that bound
+      after => SocketMarkStore.findRequest(p.collection, p.minId, p.maxId,
+        p.startFrom, p.execIds.map(_.toSeq),
+        after.orElse(p.afterStart), p.batchSize))
   private val mapper = new ObjectMapper()
   private var current: InternalRow = _
 
@@ -381,7 +401,10 @@ private[sources] class MarkRangeReader(p: MarkRangePartition,
     } else false
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  // Spark calls close() on normal completion AND on early termination
+  // (limit, cancelled/failed task, stream stop) — the one hook that
+  // guarantees the per-partition connection never leaks.
+  override def close(): Unit = lines.close()
 }
 
 /** Minimal JSON → InternalRow conversion for the mark/analysis

@@ -82,8 +82,13 @@ final class SocketMarkStore(options: Map[String, String])
       .repartition(ranges.size)
       .mapPartitions { it =>
         it.flatMap { case (min, max) =>
-          SocketMarkStore.pageRange(h, p, bs,
+          val cursor = SocketMarkStore.pageRange(h, p, bs,
             after => findFor(min, max, after))
+          // a limit/cancel stops consuming mid-range: close the
+          // socket at task end, not only on drain
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => cursor.close()))
+          cursor
         }
       }
   }
@@ -133,47 +138,53 @@ object SocketMarkStore {
       s""""after_id":${jopt(afterId)},"batch_size":$batchSize}"""
   }
 
-  /** One task's whole range as a lazy page-by-page iterator: a single
+  /** One task's whole range as a lazy page-by-page cursor: a single
     * connection, successive `find` requests keyed by the last _id of
     * the previous page (the getMore loop). The socket closes when the
     * iterator drains (a short page ends the cursor) — and document
-    * order within the range is the server's _id order. */
+    * order within the range is the server's _id order. An
+    * early-terminated scan (limit/take, cancelled task, stopped
+    * stream) never drains, so every consumer MUST also `close()` the
+    * returned cursor on task completion; close is idempotent. */
   private[sources] def pageRange(host: String, port: Int,
     batchSize: Int, requestFor: Option[String] => String)
-    : Iterator[String] = {
-    val sock = new Socket(host, port)
-    val out = new PrintWriter(sock.getOutputStream, true)
-    val in = new BufferedReader(
+    : PagedCursor = new PagedCursor(host, port, batchSize, requestFor)
+
+  private[sources] final class PagedCursor(host: String, port: Int,
+    batchSize: Int, requestFor: Option[String] => String)
+    extends Iterator[String] with AutoCloseable {
+    private val sock = new Socket(host, port)
+    private val out = new PrintWriter(sock.getOutputStream, true)
+    private val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, UTF_8))
 
-    def page(after: Option[String]): Seq[String] = {
+    private def page(after: Option[String]): Seq[String] = {
       out.println(requestFor(after))
       Iterator.continually(in.readLine())
         .takeWhile(l => l != null && l.nonEmpty)
         .toVector
     }
 
-    new Iterator[String] {
-      private var buf = page(None)
-      private var i = 0
-      private var done = false
-      private def advance(): Unit =
-        while (!done && i >= buf.length) {
-          if (buf.length < batchSize) { // short page: cursor exhausted
-            done = true; sock.close()
-          } else {
-            val last = lastId(buf.last)
-            buf = page(Some(last)); i = 0
-            if (buf.isEmpty) { done = true; sock.close() }
-          }
+    private var buf = page(None)
+    private var i = 0
+    private var done = false
+    private def advance(): Unit =
+      while (!done && i >= buf.length) {
+        if (buf.length < batchSize) { // short page: cursor exhausted
+          done = true; close()
+        } else {
+          val last = lastId(buf.last)
+          buf = page(Some(last)); i = 0
+          if (buf.isEmpty) { done = true; close() }
         }
-      override def hasNext: Boolean = { advance(); !done && i < buf.length }
-      override def next(): String = {
-        advance()
-        if (done) throw new NoSuchElementException("cursor drained")
-        val l = buf(i); i += 1; l
       }
+    override def hasNext: Boolean = { advance(); !done && i < buf.length }
+    override def next(): String = {
+      advance()
+      if (done) throw new NoSuchElementException("cursor drained")
+      val l = buf(i); i += 1; l
     }
+    override def close(): Unit = if (!sock.isClosed) sock.close()
   }
 
   /** `_id` of a served document line (cursor key). */

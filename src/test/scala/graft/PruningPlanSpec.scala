@@ -26,7 +26,7 @@ class PruningPlanSpec extends SparkTestBase {
     val plan = fact.filter(col("part") === 3)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
-      plan.contains("(part#") || plan.contains("part = 3"),
+      (plan.contains("(part#") || plan.contains("part = 3")),
       s"partition filter not pushed:\n$plan")
     // and it is NOT a post-scan filter on the data
     assert(!plan.contains("PushedFilters: [IsNotNull(part)"),

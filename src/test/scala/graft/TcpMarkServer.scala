@@ -23,6 +23,10 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
     collections.view.mapValues(_.sortBy(_.id)).toMap
   val requests = new ConcurrentLinkedQueue[String]()
   val connections = new AtomicInteger(0)
+  /** Currently-open client connections — lets specs assert that an
+    * early-terminated scan (limit, stopped stream) closed its socket
+    * instead of leaking it. */
+  val active = new AtomicInteger(0)
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
 
@@ -56,6 +60,7 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
   def stop(): Unit = { running = false; if (server != null) server.close() }
 
   private def handle(sock: Socket): Unit = {
+    active.incrementAndGet()
     try {
       val in = new BufferedReader(
         new InputStreamReader(sock.getInputStream, UTF_8))
@@ -104,7 +109,7 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
         line = in.readLine()
       }
     } catch { case _: Throwable => () }
-    finally sock.close()
+    finally { sock.close(); active.decrementAndGet() }
   }
 }
 
