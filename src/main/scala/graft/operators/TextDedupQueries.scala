@@ -508,66 +508,22 @@ object TextDedupQueries {
         .limit(20)
     }),
 
-    // BPE merge induction, 2 rounds: learn the most frequent adjacent
+    // BPE merge induction, 3 rounds: learn the most frequent adjacent
     // symbol pair over the corpus's words, apply the merge, recount —
     // tokenizer-vocabulary learning as a distributed query. Pair
     // selection tie-breaks (cnt desc, a, b) — deterministic end to
-    // end, which is what lets the second ITERATION hash-match too.
-    //
-    // Merge application: round 1's learned pair is two SINGLE CHARS,
-    // so the greedy left-to-right merge is spelled as codegen'd
-    // string ops — replace(word, ma||mb, chr(1)) then re-split, the
-    // placeholder mapped back to the merged symbol. For single-char
-    // pairs this is provably identical to the replace-last fold the
-    // DuckDB oracle runs (a merged 2-char symbol can never equal the
-    // single-char left element, so the fold never re-triggers on its
-    // own output), and it cut the round-2 recount from ~4.5s to
-    // sub-second at sf0.1: the interpreted aggregate-HOF fold was
-    // building O(len²) arrays per word.
-    // Plan per round: one corpus pair-count shuffle + a 1-row
-    // broadcast of the learned merge; TakeOrdered for the top-5
-    // report. Nothing quadratic, nothing driver-side.
-    "x16_bpe_merges" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.DataFrame
-      val words = docs(s, dir)
-        .select(explode(expr(tokensSql)).as("word"))
-      val s0 = words
-        .select(expr("filter(split(word, ''), c -> c <> '')").as("s"))
-      def pairCounts(sym: DataFrame): DataFrame = sym
-        .filter(size(col("s")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(1, size(s) - 1),
-            |  i -> struct(element_at(s, i) as a,
-            |              element_at(s, i + 1) as b))""".stripMargin))
-          .as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
-      def top(pc: DataFrame, k: Int): DataFrame = pc
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(k)
-      // p1 feeds BOTH the learned merge and the round-1 report: persist
-      // the (symbol-vocab²-bounded, tiny) counts so the corpus
-      // pair-explode shuffle runs once, not twice. Tracked for the
-      // harness's releaseAll.
-      val p1 = Broadcasting.track(pairCounts(s0).persist())
-      val s1 = words
-        .crossJoin(broadcast(top(p1, 1)
-          .select(col("a").as("ma"), col("b").as("mb"))))
-        .select(expr(
-          """transform(
-            |  filter(split(replace(word, concat(ma, mb), chr(1)), ''),
-            |         c -> c <> ''),
-            |  c -> CASE WHEN c = chr(1) THEN concat(ma, mb) ELSE c END)"""
-            .stripMargin).as("s"))
-      val w = Window.partitionBy(lit(1)) // 5-row frames post-limit
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-      def ranked(pc: DataFrame, round: Int): DataFrame =
-        top(pc, 5).withColumn("round", lit(round.toLong))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-      ranked(p1, 1).unionByName(ranked(pairCounts(s1), 2))
-        .select(col("round"), col("rnk"), col("a"), col("b"), col("cnt"))
-        .orderBy("round", "rnk")
-    }),
+    // end, which is what lets every ITERATION hash-match too. Round 3
+    // exercises the general MULTI-CHAR merge path: the round-2 pair
+    // may contain round-1's merged symbol, so application must respect
+    // symbol boundaries (BpeMerges' U+0001-boundary encoding + one
+    // codegen'd literal replace — proof in its scaladoc; the DuckDB
+    // oracle runs an independent straight-line fold). The encoded
+    // corpus is built and persisted ONCE; each round is one pair-count
+    // shuffle + a 1-row broadcast + a narrow replace.
+    "x16_bpe_merges" -> ((s, dir) =>
+      BpeMerges.learn(
+        docs(s, dir).select(explode(expr(tokensSql)).as("word")),
+        "word", rounds = 3, topK = 5)),
 
     // Quality-decile curriculum buckets: rank every doc by the x2
     // quality score (ties broken by doc_id) into 10 equal-count bins,
@@ -853,14 +809,33 @@ object TextDedupQueries {
       |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
       |    FROM s1 WHERE len(s) >= 2)
       |  GROUP BY 1, 2),
+      |b2 AS (SELECT a, b FROM p2
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
+      |s2 AS (
+      |  SELECT list_reduce(list_transform(s1.s, c -> [c]),
+      |    (acc, x) -> CASE
+      |      WHEN len(acc) > 0 AND acc[-1] = b2.a AND x[1] = b2.b
+      |      THEN list_append(acc[1:len(acc)-1], b2.a || b2.b)
+      |      ELSE list_append(acc, x[1]) END) AS s
+      |  FROM s1 CROSS JOIN b2),
+      |p3 AS (
+      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(s)),
+      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
+      |    FROM s2 WHERE len(s) >= 2)
+      |  GROUP BY 1, 2),
       |r1 AS (SELECT 1::BIGINT AS round,
       |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk, a, b, cnt
       | FROM p1 QUALIFY rnk <= 5),
       |r2 AS (SELECT 2::BIGINT AS round,
       |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk, a, b, cnt
-      | FROM p2 QUALIFY rnk <= 5)
+      | FROM p2 QUALIFY rnk <= 5),
+      |r3 AS (SELECT 3::BIGINT AS round,
+      |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk, a, b, cnt
+      | FROM p3 QUALIFY rnk <= 5)
       |SELECT round, rnk, a, b, cnt FROM r1
       |UNION ALL SELECT round, rnk, a, b, cnt FROM r2
+      |UNION ALL SELECT round, rnk, a, b, cnt FROM r3
       |ORDER BY round, rnk""".stripMargin),
     "x15_pmi_bigrams" -> (oracleToks + """,
       |bg AS (
