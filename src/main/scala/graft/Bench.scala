@@ -36,7 +36,9 @@ object Bench {
       // The r8 outliers (j6 3.0s, x10 4.7s, x6/x7/x9 1.5-6x vs r6)
       // all vanished on re-run with UNCHANGED plans (j6 0.43s, x10
       // 0.89-1.03s) — run-context (loaded machine / FS debt), not
-      // the sort-writer trade.
+      // the sort-writer trade. Same for r9's x11 0.71s (code
+      // unchanged since r7): isolated r10 Probe steady-state is
+      // 0.34-0.44s across 5 runs.
       // SPARK_GRAFT_BYPASS exists only for that A/B; the driver never
       // sets it.
       .config("spark.shuffle.sort.bypassMergeThreshold",

@@ -95,11 +95,17 @@ object Sampling {
     * same narrow content-hash predicate as `byHash`. Null keys throw
     * — see `checkedUniform`. */
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
-    salt: String = "temp"): DataFrame = {
-    val thr = temperatureThresholds(df, groupCol)
-      .select(col(groupCol), col("keep_e6"))
-    df.join(thr, Seq(groupCol))
+    salt: String = "temp"): DataFrame =
+    temperatureMix(df, keyCol, groupCol,
+      temperatureThresholds(df, groupCol), salt)
+
+  /** As above with PRECOMPUTED thresholds (a `temperatureThresholds`
+    * frame, or any (groupCol, keep_e6) frame) — callers that also
+    * report the thresholds pass them here so the corpus is aggregated
+    * once, not once per use. */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+    thresholds: DataFrame, salt: String): DataFrame =
+    df.join(thresholds.select(col(groupCol), col("keep_e6")), Seq(groupCol))
       .filter(checkedUniform(col(keyCol), salt) < col("keep_e6"))
       .drop("keep_e6")
-  }
 }

@@ -421,8 +421,14 @@ object TextDedupQueries {
     // hashes, bit-replayed by the oracle.
     "x11_temperature_mix" -> ((s, dir) => {
       val d = docs(s, dir)
+      // ONE thresholds frame feeds BOTH the report columns and the mix
+      // filter: the subtrees are plan-identical, so Catalyst's
+      // ReusedExchange dedups the count-per-source aggregate at
+      // runtime — cheaper than persist(), whose cache-materialization
+      // job measured ~2× the whole query (0.34s -> 0.7s isolated)
       val thr = Sampling.temperatureThresholds(d, "source")
-      val kept = Sampling.temperatureMix(d, "doc_id", "source")
+      val kept = Sampling.temperatureMix(d, "doc_id", "source",
+          thr, salt = "temp")
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
       thr.join(kept, Seq("source"), "left")
         .select(col("source"), col("n_rows"), col("keep_e6"),
