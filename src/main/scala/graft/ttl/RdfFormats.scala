@@ -275,16 +275,21 @@ object RdfXml {
   * `@context` processing covers the inline forms real documents use:
   *  - term → absolute-IRI strings and prefix:suffix compact IRIs;
   *  - EXPANDED term definitions `{"@id": …, "@type": "@id"|dtype,
-  *    "@language": …, "@container": "@set"}` with type coercion
-  *    (a coerced plain string becomes an IRI reference or typed
-  *    literal);
+  *    "@language": …, "@container": "@set"|"@list"}` with type
+  *    coercion (a coerced plain string becomes an IRI reference or
+  *    typed literal); a `@list` container wraps the term's values in
+  *    an rdf:first/rest chain exactly like an explicit `@list`;
+  *  - `@reverse` — both the node-object keyword (`"@reverse": {p:
+  *    nodes}` emits (node, p, subject) triples) and reverse TERM
+  *    definitions (`{"@reverse": iri}`; a reverse term used inside
+  *    `@reverse` flips back to forward, per the spec);
   *  - context-wide `"@vocab"`, `"@base"` (relative-IRI resolution)
   *    and default `"@language"`;
   *  - ARRAY-form contexts (merged left→right) and `null` entries
   *    (term / default-language removal).
-  * Remote context URLs, `@reverse`, and container maps (`@list`/
-  * `@index`/`@language` containers) are out of scope — unsupported
-  * keys throw rather than silently mis-read. */
+  * Remote context URLs and `@index`/`@language` container maps are
+  * out of scope — unsupported keys throw rather than silently
+  * mis-read. */
 object JsonLd {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
@@ -293,10 +298,15 @@ object JsonLd {
 
   /** A term's definition: target IRI, optional type coercion
     * ("@id" or an expanded datatype IRI), optional per-term language
-    * (Some(None) = explicit null clearing the context default). */
+    * (Some(None) = explicit null clearing the context default),
+    * optional container ("@set" is a no-op, "@list" wraps values in
+    * an RDF collection), and whether the term is a REVERSE property
+    * (its values become subjects). */
   private final case class TermDef(iri: String,
     coerce: Option[String] = None,
-    lang: Option[Option[String]] = None)
+    lang: Option[Option[String]] = None,
+    container: Option[String] = None,
+    reverse: Boolean = false)
 
   /** Accumulated context state along one node-object path. */
   private final case class Ctx(terms: Map[String, TermDef],
@@ -372,21 +382,32 @@ object JsonLd {
       }
 
     /** Expanded term definition {"@id":…, "@type":…, "@language":…,
-      * "@container":"@set"}. */
+      * "@container":"@set"|"@list", "@reverse":…}. */
     private def termDef(term: String, o: ObjectNode, ctx: Ctx): TermDef = {
       o.properties().asScala.foreach { e =>
         e.getKey match {
-          case "@id" | "@type" | "@language" => ()
+          case "@id" | "@type" | "@language" | "@reverse" => ()
           case "@container" =>
             val c = e.getValue.asText
-            if (c != "@set") throw new IllegalArgumentException(
-              s"unsupported @container '$c' for term '$term' " +
-                "(only @set is supported)")
+            if (c != "@set" && c != "@list")
+              throw new IllegalArgumentException(
+                s"unsupported @container '$c' for term '$term' " +
+                  "(only @set and @list are supported)")
           case k => throw new IllegalArgumentException(
             s"unsupported key $k in term definition for '$term'")
         }
       }
-      val iri = Option(o.get("@id")).map(n => expandDefIri(n.asText, ctx))
+      val rev = Option(o.get("@reverse"))
+      if (rev.isDefined && o.has("@id"))
+        throw new IllegalArgumentException(
+          s"term '$term' has both @id and @reverse")
+      val container = Option(o.get("@container")).map(_.asText)
+      if (rev.isDefined && container.contains("@list"))
+        throw new IllegalArgumentException(
+          s"term '$term': @reverse with @container @list is invalid " +
+            "JSON-LD (lists have no reverse)")
+      val iri = rev.orElse(Option(o.get("@id")))
+        .map(n => expandDefIri(n.asText, ctx))
         .getOrElse(ctx.vocab.map(_ + term).getOrElse(
           throw new IllegalArgumentException(
             s"term definition for '$term' has no @id and no @vocab")))
@@ -396,7 +417,7 @@ object JsonLd {
       }
       val lang = Option(o.get("@language"))
         .map(l => if (l.isNull) None else Some(l.asText))
-      TermDef(iri, coerce, lang)
+      TermDef(iri, coerce, lang, container, rev.isDefined)
     }
 
     /** IRI inside a term DEFINITION: may itself be a term, compact
@@ -452,16 +473,53 @@ object JsonLd {
           case ("@type", v) =>
             values(v).foreach(t => out += Triple(subj,
               TurtleParser.RdfType, expand(t.asText, ctx)))
+          case ("@reverse", ro: ObjectNode) =>
+            // {"@reverse": {p: nodes}} — nodes POINT AT this subject
+            ro.properties().asScala.foreach { re =>
+              val rd = ctx.terms.get(re.getKey)
+              val pred = rd.map(t => s"<${t.iri}>")
+                .getOrElse(expand(re.getKey, ctx))
+              values(re.getValue).foreach { n =>
+                // reverse-of-reverse term flips back to forward
+                if (rd.exists(_.reverse))
+                  out += Triple(subj, pred, objectTerm(n, ctx, rd))
+                else out += Triple(reverseNode(n, ctx), pred, subj)
+              }
+            }
+          case ("@reverse", other) => throw new IllegalArgumentException(
+            s"@reverse must be a map of properties, got $other")
           case (k, _) if k.startsWith("@") =>
             throw new IllegalArgumentException(s"unsupported keyword $k")
           case (k, v) =>
             val d = ctx.terms.get(k)
             val pred = d.map(t => s"<${t.iri}>").getOrElse(expand(k, ctx))
-            values(v).foreach(n => out += Triple(subj, pred,
+            if (d.exists(_.reverse))
+              values(v).foreach(n =>
+                out += Triple(reverseNode(n, ctx), pred, subj))
+            else if (d.exists(_.container.contains("@list")) &&
+              !(v.isObject && v.asInstanceOf[ObjectNode].has("@list")))
+              // a @list-container term's value IS one list (an explicit
+              // {"@list": …} value falls through to objectTerm as-is)
+              out += Triple(subj, pred,
+                listChain(values(v).map(objectTerm(_, ctx, d))))
+            else values(v).foreach(n => out += Triple(subj, pred,
               objectTerm(n, ctx, d)))
         }
       }
       subj
+    }
+
+    /** A value in @reverse position names the SUBJECT of the emitted
+      * triple — node objects and IRI references only; a literal has
+      * no subject position to occupy. */
+    private def reverseNode(n: JsonNode, ctx: Ctx): String = n match {
+      case o: ObjectNode if o.has("@value") || o.has("@list") =>
+        throw new IllegalArgumentException(
+          s"@reverse value must be a node object or IRI reference: $o")
+      case o: ObjectNode => nodeObject(o, ctx)
+      case v if v.isTextual => subjectTerm(v.asText, ctx)
+      case other => throw new IllegalArgumentException(
+        s"@reverse value must be a node object or IRI reference: $other")
     }
 
     private def values(n: JsonNode): Seq[JsonNode] = n match {
@@ -476,22 +534,27 @@ object JsonLd {
     private val RdfNil =
       "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
 
+    /** rdf:first/rest chain for a list's (already-converted) items —
+      * the same collection shape the Turtle and XML readers build.
+      * Returns the head cell (or rdf:nil for the empty list). */
+    private def listChain(items: Seq[String]): String =
+      if (items.isEmpty) RdfNil
+      else {
+        val cells = items.map(_ => freshBn())
+        for (idx <- items.indices) {
+          out += Triple(cells(idx), RdfFirst, items(idx))
+          out += Triple(cells(idx), RdfRest,
+            if (idx + 1 < items.length) cells(idx + 1) else RdfNil)
+        }
+        cells.head
+      }
+
     private def objectTerm(n: JsonNode, ctx: Ctx,
       term: Option[TermDef] = None): String = n match {
       case o: ObjectNode if o.has("@list") =>
-        // rdflib's JSON-LD spelling of an RDF collection → the same
-        // rdf:first/rest chain the Turtle and XML readers build
-        val items = values(o.get("@list")).map(v => objectTerm(v, ctx))
-        if (items.isEmpty) RdfNil
-        else {
-          val cells = items.map(_ => freshBn())
-          for (idx <- items.indices) {
-            out += Triple(cells(idx), RdfFirst, items(idx))
-            out += Triple(cells(idx), RdfRest,
-              if (idx + 1 < items.length) cells(idx + 1) else RdfNil)
-          }
-          cells.head
-        }
+        // rdflib's JSON-LD spelling of an RDF collection; the term's
+        // type/language coercion applies to each ITEM (JSON-LD spec)
+        listChain(values(o.get("@list")).map(v => objectTerm(v, ctx, term)))
       case o: ObjectNode if o.has("@value") =>
         val v = o.get("@value")
         Option(o.get("@type")) match {

@@ -190,20 +190,91 @@ class RdfFormatsSpec extends SparkTestBase {
     val ts = JsonLd.parse(json).toSet
     assert(ts.contains(Triple("<urn:x>", "<http://v.example/tag>", "\"a\"")))
     assert(ts.contains(Triple("<urn:x>", "<http://v.example/tag>", "\"b\"")))
-    // container maps other than @set stay rejected
+    // container maps other than @set / @list stay rejected
     intercept[IllegalArgumentException] {
       JsonLd.parse("""{"@context": {"t": {"@id": "http://v/x",
-        "@container": "@list"}}, "@id": "urn:y", "t": ["a"]}""")
+        "@container": "@index"}}, "@id": "urn:y", "t": {"i": "a"}}""")
     }
   }
 
   test("unsupported JSON-LD keywords fail loudly (no silent mis-reads)") {
     intercept[IllegalArgumentException] {
-      JsonLd.parse("""{"@id": "urn:x", "@reverse": {"p": {"@id": "urn:y"}}}""")
-    }
-    intercept[IllegalArgumentException] {
       JsonLd.parse("""{"@context": "http://remote.ctx/", "@id": "urn:x"}""")
     }
+    // a literal cannot occupy the subject position of a reversed triple
+    intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@id": "urn:x", "@reverse": {"p": "just a string?"}}""")
+    }
+    // @reverse term + @list container is invalid JSON-LD
+    intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@context": {"t": {"@reverse": "http://v/x",
+        "@container": "@list"}}, "@id": "urn:y", "t": ["a"]}""")
+    }
+  }
+
+  test("JSON-LD @reverse keyword and reverse terms emit flipped triples") {
+    // node-object keyword form
+    val ts = JsonLd.parse(
+      """{"@id": "urn:x",
+        |"@reverse": {"http://ex.org/parentOf": [{"@id": "urn:y"},
+        |  {"@id": "urn:z", "http://ex.org/label": "zee"}]}}"""
+        .stripMargin).toSet
+    assert(ts == Set(
+      Triple("<urn:y>", "<http://ex.org/parentOf>", "<urn:x>"),
+      Triple("<urn:z>", "<http://ex.org/parentOf>", "<urn:x>"),
+      Triple("<urn:z>", "<http://ex.org/label>", "\"zee\"")))
+    // reverse TERM definition: values become subjects
+    val ts2 = JsonLd.parse(
+      """{"@context": {"children": {"@reverse": "http://ex.org/parentOf"}},
+        |"@id": "urn:p", "children": ["urn:c1", {"@id": "urn:c2"}]}"""
+        .stripMargin).toSet
+    assert(ts2 == Set(
+      Triple("<urn:c1>", "<http://ex.org/parentOf>", "<urn:p>"),
+      Triple("<urn:c2>", "<http://ex.org/parentOf>", "<urn:p>")))
+    // reverse term used INSIDE @reverse flips back to forward
+    val ts3 = JsonLd.parse(
+      """{"@context": {"children": {"@reverse": "http://ex.org/parentOf"}},
+        |"@id": "urn:p", "@reverse": {"children": {"@id": "urn:q"}}}"""
+        .stripMargin).toSet
+    assert(ts3 == Set(
+      Triple("<urn:p>", "<http://ex.org/parentOf>", "<urn:q>")))
+  }
+
+  test("JSON-LD @list container wraps term values in a collection") {
+    val rdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val ts = JsonLd.parse(
+      """{"@context": {"steps": {"@id": "http://ex.org/steps",
+        |  "@container": "@list", "@type": "@id"}},
+        |"@id": "urn:s", "steps": ["urn:a", "urn:b"]}""".stripMargin)
+      .toSet
+    val head = ts.find(_.p == "<http://ex.org/steps>").get.o
+    // item coercion applies inside the list: IRIs, not strings
+    assert(ts.contains(Triple(head, s"<${rdfNs}first>", "<urn:a>")))
+    val c2 = ts.find(t => t.s == head && t.p == s"<${rdfNs}rest>").get.o
+    assert(ts.contains(Triple(c2, s"<${rdfNs}first>", "<urn:b>")))
+    assert(ts.contains(Triple(c2, s"<${rdfNs}rest>", s"<${rdfNs}nil>")))
+    // a single (non-array) value is a one-element list
+    val one = JsonLd.parse(
+      """{"@context": {"t": {"@id": "http://ex.org/t",
+        |  "@container": "@list"}},
+        |"@id": "urn:u", "t": "only"}""".stripMargin).toSet
+    val h1 = one.find(_.p == "<http://ex.org/t>").get.o
+    assert(one.contains(Triple(h1, s"<${rdfNs}first>", "\"only\"")))
+    assert(one.contains(Triple(h1, s"<${rdfNs}rest>", s"<${rdfNs}nil>")))
+  }
+
+  test("@list + @reverse round-trip through the serializer") {
+    val ts = JsonLd.parse(
+      """{"@context": {"children": {"@reverse": "http://ex.org/parentOf"},
+        |  "steps": {"@id": "http://ex.org/steps", "@container": "@list"}},
+        |"@id": "urn:p", "children": "urn:c",
+        |"steps": ["one", "two"]}""".stripMargin)
+    // triples survive Turtle and N-Triples serialization + reparse
+    // (bnode labels are positional, so compare via the nt round trip)
+    val nt = Rdf.serialize(ts, "nt")
+    assert(TurtleParser.parse(nt).toSet == ts.toSet)
+    val ttl = Rdf.serialize(ts, "turtle")
+    assert(TurtleParser.parse(ttl).toSet == ts.toSet)
   }
 
   test("a JSON-LD reference object carrying properties keeps its triples") {
