@@ -158,11 +158,26 @@ object SocketMarkStore {
     private val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, UTF_8))
 
+    /** One find request → its document lines. The blank end-of-page
+      * line is the protocol's COMPLETION marker: EOF before it means
+      * the connection died mid-page, and silently returning the
+      * truncated page would look exactly like a short (final) page —
+      * the task would "succeed" with missing rows and a streaming
+      * batch would commit an offset it never fully read. Throw
+      * instead: the task fails, the batch's offset stays uncommitted,
+      * and restart re-reads the same window exactly once. */
     private def page(after: Option[String]): Seq[String] = {
       out.println(requestFor(after))
-      Iterator.continually(in.readLine())
-        .takeWhile(l => l != null && l.nonEmpty)
-        .toVector
+      val buf = Vector.newBuilder[String]
+      var line = in.readLine()
+      while (line != null && line.nonEmpty) {
+        buf += line
+        line = in.readLine()
+      }
+      if (line == null) throw new java.io.IOException(
+        "mark store connection severed mid-page (EOF before the " +
+          "end-of-page marker)")
+      buf.result()
     }
 
     private var buf = page(None)

@@ -64,6 +64,54 @@ class MarkSocketStreamSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("server crash mid-batch: restart neither skips nor duplicates") {
+    // the hard T2 case: the server dies AFTER serving part of a page.
+    // The severed page must FAIL the task (not pass as a short final
+    // page), the batch's offset must stay uncommitted, and a restarted
+    // query against a revived server must re-read exactly that window.
+    val docs0 = (1 to 6).map(markDoc)
+    val srv = new TcpMarkServer(Map("marks" -> docs0))
+    val port = srv.start()
+    val ckpt = Files.createTempDirectory("ms_crash_ckpt").toString
+    val out = Files.createTempDirectory("ms_crash_out").toString
+    // reading the stream's own output dir goes through _spark_metadata,
+    // so files from the failed (uncommitted) batch are invisible
+    def seen() = spark.read.parquet(out)
+      .collect().map(_.getString(0)).sorted.toSeq
+    def startQuery() = readStream(port).select("_id")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      val q = startQuery()
+      val crashed = try {
+        q.processAllAvailable()
+        assert(seen() == (1 to 6).map(i => f"m-$i%03d"))
+        // new window arrives, then the server starts dying mid-page
+        srv.add("marks", (7 to 12).map(markDoc): _*)
+        srv.severMidPage = true
+        intercept[Exception] { q.processAllAvailable() }
+        true
+      } finally q.stop()
+      assert(crashed)
+      // nothing of the failed window leaked into committed output
+      assert(seen() == (1 to 6).map(i => f"m-$i%03d"),
+        s"partial batch committed: ${seen()}")
+      srv.stop()
+
+      // server comes back at the SAME address with the same store
+      val srv2 = new TcpMarkServer(Map("marks" -> (1 to 12).map(markDoc)))
+      srv2.start(port)
+      try {
+        val q2 = startQuery()
+        try {
+          q2.processAllAvailable()
+          assert(seen() == (1 to 12).map(i => f"m-$i%03d"),
+            s"restart skipped or duplicated: ${seen()}")
+        } finally q2.stop()
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
+
   test("option-level pushdown crosses the wire in streaming mode") {
     // Catalyst does not push filters into streaming DSv2 scans, so the
     // server-side predicates ride as reader options (the Kafka

@@ -27,6 +27,10 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
     * early-terminated scan (limit, stopped stream) closed its socket
     * instead of leaking it. */
   val active = new AtomicInteger(0)
+  /** When set, every `find` serves at most ONE document and severs
+    * the connection WITHOUT the end-of-page blank line — a server
+    * crash mid-page, for exactly-once restart specs. */
+  @volatile var severMidPage = false
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
 
@@ -38,8 +42,13 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
         (sorted.getOrElse(collection, Nil) ++ docs).sortBy(_.id))
     }
 
-  def start(): Int = {
-    server = new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
+  /** Binds 127.0.0.1:`port` (0 = ephemeral; a fixed port lets a spec
+    * restart a "crashed" server at the address a stream has pinned). */
+  def start(port: Int = 0): Int = {
+    server = new ServerSocket()
+    server.setReuseAddress(true) // rebinding a just-crashed address
+    server.bind(new java.net.InetSocketAddress(
+      InetAddress.getByName("127.0.0.1"), port), 16)
     running = true
     val t = new Thread(() => {
       while (running) {
@@ -103,6 +112,11 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
               .filter(d => execs.forall(_.contains(d.execId)))
               .take(req.get("batch_size").asInt())
               .toVector
+            if (severMidPage) {
+              page.headOption.foreach(d => out.println(d.json))
+              out.flush()
+              throw new java.io.IOException("simulated mid-page crash")
+            }
             page.foreach(d => out.println(d.json))
             out.println() // blank line: end of page
         }
