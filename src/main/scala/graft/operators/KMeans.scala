@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * add integers reproduces the exact same clustering — which is what
   * makes the DuckDB oracle possible for an iterative algorithm.
   * Seeding is deterministic: the k lowest vec_ids are the initial
-  * centroids (a production run would swap in k-means‖ sampling;
-  * determinism is the contract here).
+  * centroids — the oracle's determinism contract. The production
+  * alternative is [[parallelInitE6]] (k-means‖ oversampling,
+  * deterministic given a seed) via `fitE6(init = Some(…))`.
   *
   * Plan shape at 100 TB, per iteration:
   *  - assignment: corpus × k via a BROADCAST of the k centroid arrays
@@ -32,24 +33,32 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Fit and return per-cluster rows (c, cv: Array[Long] e6-centroid,
-    * cnt members). Clusters that lose all members simply drop out
-    * (same as the oracle's GROUP BY). */
-  def fitE6(emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    graft.expressions.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), expr(
+  /** e6 integer quantization of (vec_id, embedding) — shared by the
+    * fit loop and the k-means‖ init. */
+  private def quantizeE6(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(
       """transform(embedding,
         |  x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
         .stripMargin).as("v"))
+
+  /** Fit and return per-cluster rows (c, cv: Array[Long] e6-centroid,
+    * cnt members). Clusters that lose all members simply drop out
+    * (same as the oracle's GROUP BY). `init` overrides the seeding
+    * with a (c, cv, cnt) frame — see [[parallelInitE6]]; the default
+    * stays first-k-by-id, the oracle's determinism contract. */
+  def fitE6(emb: DataFrame, k: Int, iters: Int,
+    init: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    val e = quantizeE6(emb)
     // deterministic seeds: k lowest vec_ids. The global window runs
     // over k rows post-limit — not a scale hazard.
-    var cent: DataFrame = e.orderBy("vec_id").limit(k)
+    var cent: DataFrame = init.getOrElse(e.orderBy("vec_id").limit(k)
       .withColumn("c", row_number()
         .over(Window.partitionBy(lit(1)).orderBy("vec_id"))
         .cast("long") - 1)
-      .select(col("c"), col("v").as("cv"), lit(0L).as("cnt"))
+      .select(col("c"), col("v").as("cv"), lit(0L).as("cnt")))
     for (_ <- 1 to iters) {
       // graft_l2sq: codegen'd int64 Σ(a−b)² — the HOF spelling
       // (aggregate ∘ zip_with) evaluates its lambdas interpreted per
@@ -74,6 +83,96 @@ object KMeans {
           .as("cv"), first("cnt").as("cnt"))
     }
     cent
+  }
+
+  /** k-means‖ seeding (Bahmani et al., VLDB'12) — the PRODUCTION init
+    * the fitE6 scaladoc promises, deterministic given `seed`:
+    *
+    *  - anchor: the lowest vec_id's vector (same anchor as the oracle
+    *    init, so the two inits are comparable);
+    *  - `rounds` oversampling passes, each taking ~2k new candidates
+    *    with inclusion probability ∝ d²(x, C) — spelled as A-ES
+    *    weighted sampling WITHOUT replacement (top-l by ln(u)/d²,
+    *    u = hash-uniform of (vec_id, seed, round)), so the per-round
+    *    candidate count is a HARD bound, not an expectation, and no
+    *    RNG state exists — any executor layout samples identically.
+    *    Per round: one broadcast of the candidate set + one corpus
+    *    min-distance aggregate + a TakeOrdered of l rows.
+    *  - candidate weighting: one pass counting each candidate's
+    *    nearest-assignment share;
+    *  - reduction to k: weighted farthest-first traversal on the
+    *    DRIVER over the candidate set (≤ 1 + 2k·rounds rows — the same
+    *    bounded-by-construction collect as IvfIndex's centroid
+    *    localize), exact BigInt arithmetic, ties to the lowest id.
+    *
+    * Platform note: the only non-integer step is ln(u) in the sample
+    * PRIORITY (the x13/Bm25 residual-ln caveat) — it orders samples
+    * but never reaches an output value. Returns a (c, cv, cnt) frame
+    * for `fitE6(init = …)`; requires a LongType vec_id. */
+  def parallelInitE6(emb: DataFrame, k: Int, rounds: Int = 3,
+    seed: Long = 42L, oversamplePerRound: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val l = if (oversamplePerRound > 0) oversamplePerRound else 2 * k
+    val e = quantizeE6(emb)
+    def candDf(cand: Seq[(Long, Array[Long])]) =
+      broadcast(spark.createDataset(cand).toDF("cid", "cv"))
+    var cand: Vector[(Long, Array[Long])] = e.orderBy("vec_id").limit(1)
+      .collect().toVector
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    require(cand.nonEmpty, "parallelInitE6: empty corpus")
+    for (round <- 1 to rounds) {
+      val minD = e.crossJoin(candDf(cand))
+        .withColumn("d2", expr("graft_l2sq(v, cv)"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.d2").as("d2"), col("m.v").as("v"))
+      val sampled = minD
+        .filter(col("d2") > 0) // an existing candidate re-samples never
+        .withColumn("u",
+          (pmod(xxhash64(col("vec_id"), lit(seed), lit(round)),
+            lit(1000000000L)) + 1).cast("double") / 1e9)
+        .withColumn("priority", log(col("u")) / col("d2").cast("double"))
+        .orderBy(desc("priority"), asc("vec_id"))
+        .limit(l)
+        .select("vec_id", "v")
+        .collect().toVector
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      cand = (cand ++ sampled).distinctBy(_._1).sortBy(_._1)
+    }
+    // candidate weights: nearest-assignment share of the corpus
+    val weights = e.crossJoin(candDf(cand))
+      .withColumn("d2", expr("graft_l2sq(v, cv)"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .groupBy(col("m.cid").as("cid")).agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // weighted farthest-first down to k, exact integer arithmetic
+    val byId = cand.toMap
+    def d2(a: Array[Long], b: Array[Long]): BigInt = {
+      var s = BigInt(0); var i = 0
+      while (i < a.length) {
+        val d = BigInt(a(i) - b(i)); s += d * d; i += 1
+      }
+      s
+    }
+    val ids = cand.map(_._1)
+    var chosen = Vector(
+      ids.maxBy(id => (weights.getOrElse(id, 0L), -id)))
+    while (chosen.length < k && chosen.length < ids.length) {
+      val next = ids.filterNot(chosen.contains).maxBy { id =>
+        val dmin = chosen.map(c => d2(byId(id), byId(c))).min
+        (dmin * BigInt(math.max(weights.getOrElse(id, 0L), 1L)),
+          BigInt(-id))
+      }
+      chosen :+= next
+    }
+    spark.createDataset(chosen.zipWithIndex.map { case (id, i) =>
+      (i.toLong, byId(id), 0L)
+    }).toDF("c", "cv", "cnt")
   }
 
   /** Final centroids unrolled to (c, pos, mean_e6, cnt) rows — the

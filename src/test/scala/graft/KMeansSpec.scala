@@ -45,6 +45,35 @@ class KMeansSpec extends SparkTestBase {
     assert(cnts == Map(0L -> 2L, 1L -> 1L), cnts.toString)
   }
 
+  test("k-means|| init: deterministic, k centers, converges like the default") {
+    def initOnce() = KMeans.parallelInitE6(blobs, k = 2, rounds = 2,
+      seed = 7L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("c")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    // same seed → byte-identical init, twice
+    val i1 = initOnce()
+    assert(rows(i1) == rows(initOnce()))
+    assert(i1.count() == 2)
+    // seeds land one per blob (weighted farthest-first), so the fit
+    // converges to the same optimum as the proven default init
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getSeq[Long](1).toSeq, r.getLong(2))).toSet
+    val viaParallel = sig(KMeans.fitE6(blobs, 2, 2, Some(initOnce())))
+    val viaDefault = sig(KMeans.fitE6(blobs, 2, 2))
+    assert(viaParallel == viaDefault,
+      s"parallel=$viaParallel default=$viaDefault")
+  }
+
+  test("k-means|| handles fewer candidates than k and tiny corpora") {
+    val two = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // k=4 > corpus size: init returns what exists, fit still runs
+    val init = KMeans.parallelInitE6(two, k = 4, rounds = 2, seed = 1L)
+    assert(init.count() == 2)
+    val out = KMeans.fitE6(two, 4, 1, Some(init)).collect()
+    assert(out.map(_.getLong(2)).sum == 2)
+  }
+
   test("iterating changes nothing once assignments are stable") {
     val a = KMeans.centroidRows(blobs, k = 2, iters = 2)
       .collect().map(_.toSeq)
