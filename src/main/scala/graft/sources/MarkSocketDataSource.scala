@@ -29,6 +29,7 @@ import graft.pipelines.MongoMarksPipeline
   *     .option("collection", "marks")      // or "analyses"
   *     .option("partitions", "8")          // id-range splits
   *     .option("batch.size", "256")        // cursor page size
+  *     .option("wire", "bson")             // BSON frames (default jsonl)
   *     .load()
   *     .filter($"_id" >= "m-010")          // pushed: start_from
   *     .filter($"provenance.analysis.execution_id".isin("e1"))
@@ -204,17 +205,21 @@ private[sources] class MarkSocketScanBuilder(props: Map[String, String])
       case (Some(a), Some(b)) => Some(a.intersect(b))
       case (a, b) => a.orElse(b)
     }
+    val wire = props.getOrElse("wire", "jsonl")
+    require(wire == "jsonl" || wire == "bson",
+      s"unknown wire codec '$wire' (jsonl | bson)")
     new MarkSocketScan(opt("host"), opt("port").toInt, collection,
       props.getOrElse("partitions", "4").toInt,
       props.getOrElse("batch.size", "256").toInt,
-      required, sf, ids)
+      required, sf, ids, wire)
   }
 }
 
 private[sources] class MarkSocketScan(host: String, port: Int,
   collection: String, nPartitions: Int, batchSize: Int,
   required: StructType, startFrom: Option[String],
-  execIds: Option[Seq[String]]) extends Scan with Batch {
+  execIds: Option[Seq[String]], wire: String = "jsonl")
+  extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -223,18 +228,21 @@ private[sources] class MarkSocketScan(host: String, port: Int,
       startFrom.map(s => s"start_from=$s"),
       execIds.map(ids => s"execution_ids=${ids.mkString(",")}"))
       .flatten.mkString(" ")
-    s"graft-marksocket $collection@$host:$port $push".trim
+    s"graft-marksocket($wire) $collection@$host:$port $push".trim
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // one driver-side call: range boundaries (the splitVector step)
-    val bounds = MarkSocketScan.querySplits(
-      host, port, collection, nPartitions)
+    val bounds =
+      if (wire == "bson")
+        BsonWire.querySplits(host, port, collection, nPartitions)
+      else MarkSocketScan.querySplits(host, port, collection, nPartitions)
     val ranges = (None +: bounds.map(Option(_)))
       .zip(bounds.map(Option(_)) :+ None)
     ranges.map { case (min, max) =>
       MarkRangePartition(host, port, collection, batchSize,
-        min, max, startFrom, execIds.map(_.toArray)): InputPartition
+        min, max, startFrom, execIds.map(_.toArray),
+        wire = wire): InputPartition
     }.toArray
   }
 
@@ -251,7 +259,7 @@ private[sources] class MarkSocketScan(host: String, port: Int,
   override def toMicroBatchStream(checkpointLocation: String)
     : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MarkSocketMicroBatchStream(host, port, collection, nPartitions,
-      batchSize, required, startFrom, execIds)
+      batchSize, required, startFrom, execIds, wire)
 }
 
 private[sources] object MarkSocketScan {
@@ -302,7 +310,134 @@ private[sources] case class MarkRangePartition(host: String, port: Int,
   collection: String, batchSize: Int, minId: Option[String],
   maxId: Option[String], startFrom: Option[String],
   execIds: Option[Array[String]],
-  afterStart: Option[String] = None) extends InputPartition
+  afterStart: Option[String] = None,
+  wire: String = "jsonl") extends InputPartition
+
+/** A paged range cursor yielding parsed documents — one per wire
+  * codec (JSONL lines, BSON frames). */
+private[sources] trait DocCursor extends Iterator[JsonNode]
+  with AutoCloseable
+
+/** The JSONL wire's cursor: SocketMarkStore's proven line pager with
+  * per-line parsing on top. */
+private[sources] final class JsonlDocCursor(
+  inner: SocketMarkStore.PagedCursor) extends DocCursor {
+  private val mapper = new ObjectMapper()
+  override def hasNext: Boolean = inner.hasNext
+  override def next(): JsonNode = mapper.readTree(inner.next())
+  override def close(): Unit = inner.close()
+}
+
+/** The BSON wire: same splits / find / getMore request shapes as the
+  * JSONL protocol, but every request and document is a BSON frame
+  * (self-length-prefixed) and a page ends with an EMPTY document —
+  * the binary analog of the blank line. EOF before the marker throws
+  * (via `Bson.read`), preserving the exactly-once task-failure
+  * semantics. */
+private[sources] object BsonWire {
+  import java.io.{BufferedInputStream, BufferedOutputStream}
+  import java.net.Socket
+  import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+
+  private val nf = JsonNodeFactory.instance
+
+  private[sources] def findRequest(collection: String,
+    minId: Option[String], maxId: Option[String],
+    startFrom: Option[String], executionIds: Option[Seq[String]],
+    afterId: Option[String], batchSize: Int): ObjectNode = {
+    val o = nf.objectNode()
+    o.put("op", "find").put("collection", collection)
+    def opt(k: String, v: Option[String]): Unit =
+      v.fold[Unit] { o.putNull(k); () } { s => o.put(k, s); () }
+    opt("min_id", minId); opt("max_id", maxId)
+    opt("start_from", startFrom)
+    executionIds match {
+      case Some(ids) =>
+        val a = o.putArray("execution_ids"); ids.foreach(a.add)
+      case None => o.putNull("execution_ids")
+    }
+    opt("after_id", afterId)
+    o.put("batch_size", batchSize)
+    o
+  }
+
+  /** One driver-side request → single-document reply. */
+  private def roundTrip(host: String, port: Int,
+    req: ObjectNode): JsonNode = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      out.write(Bson.encode(req)); out.flush()
+      val reply = Bson.read(new BufferedInputStream(sock.getInputStream))
+      require(reply != null, s"${req.get("op")}: server closed without replying")
+      reply
+    } finally sock.close()
+  }
+
+  private[sources] def querySplits(host: String, port: Int,
+    collection: String, nPartitions: Int): Seq[String] = {
+    val req = nf.objectNode()
+    req.put("op", "splits").put("collection", collection)
+      .put("n_splits", nPartitions)
+    val node = roundTrip(host, port, req).get("splits")
+    require(node != null && node.isArray, s"bad splits reply: $node")
+    node.elements().asScala.map(_.asText()).toSeq
+  }
+
+  private[sources] def queryMaxId(host: String, port: Int,
+    collection: String): Option[String] = {
+    val req = nf.objectNode()
+    req.put("op", "max_id").put("collection", collection)
+    val node = roundTrip(host, port, req).get("max_id")
+    if (node == null || node.isNull) None else Some(node.asText())
+  }
+
+  /** BSON frame pager — the same getMore loop and short-page /
+    * end-of-page discipline as the JSONL `PagedCursor`. */
+  private[sources] final class BsonDocCursor(host: String, port: Int,
+    batchSize: Int, requestFor: Option[String] => ObjectNode)
+    extends DocCursor {
+    private val sock = new Socket(host, port)
+    private val out = new BufferedOutputStream(sock.getOutputStream)
+    private val in = new BufferedInputStream(sock.getInputStream)
+
+    private def page(after: Option[String]): Vector[JsonNode] = {
+      out.write(Bson.encode(requestFor(after))); out.flush()
+      val buf = Vector.newBuilder[JsonNode]
+      var doc = Bson.read(in)
+      if (doc == null) throw new java.io.EOFException(
+        "mark store connection severed before the page")
+      while (doc.size() != 0) { // empty doc = end of page
+        buf += doc
+        doc = Bson.read(in)
+        if (doc == null) throw new java.io.EOFException(
+          "mark store connection severed mid-page")
+      }
+      buf.result()
+    }
+
+    private var buf = page(None)
+    private var i = 0
+    private var done = false
+    private def advance(): Unit =
+      while (!done && i >= buf.length) {
+        if (buf.length < batchSize) { done = true; close() }
+        else {
+          val last = buf.last.get("_id")
+          require(last != null, s"served doc has no _id: ${buf.last}")
+          buf = page(Some(last.asText())); i = 0
+          if (buf.isEmpty) { done = true; close() }
+        }
+      }
+    override def hasNext: Boolean = { advance(); !done && i < buf.length }
+    override def next(): JsonNode = {
+      advance()
+      if (done) throw new NoSuchElementException("cursor drained")
+      val d = buf(i); i += 1; d
+    }
+    override def close(): Unit = if (!sock.isClosed) sock.close()
+  }
+}
 
 /** `_id` high-water-mark offset for the streaming face. `lastId`
   * None = before everything. */
@@ -323,7 +458,7 @@ private[sources] object MarkIdOffset {
 private[sources] class MarkSocketMicroBatchStream(host: String,
   port: Int, collection: String, nPartitions: Int, batchSize: Int,
   required: StructType, startFrom: Option[String],
-  execIds: Option[Seq[String]])
+  execIds: Option[Seq[String]], wire: String = "jsonl")
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -334,7 +469,9 @@ private[sources] class MarkSocketMicroBatchStream(host: String,
   override def initialOffset(): Offset = MarkIdOffset(None)
 
   override def latestOffset(): Offset =
-    MarkIdOffset(MarkSocketScan.queryMaxId(host, port, collection))
+    MarkIdOffset(
+      if (wire == "bson") BsonWire.queryMaxId(host, port, collection)
+      else MarkSocketScan.queryMaxId(host, port, collection))
 
   override def deserializeOffset(json: String): Offset =
     MarkIdOffset.fromJson(json)
@@ -347,15 +484,17 @@ private[sources] class MarkSocketMicroBatchStream(host: String,
     val endEx = successor(e.get) // include the high-water id itself
     // same splitVector step as the batch path; each range clamps to
     // the (start, end] window via after_id / max_id in the request
-    val bounds = MarkSocketScan.querySplits(
-      host, port, collection, nPartitions)
+    val bounds =
+      if (wire == "bson")
+        BsonWire.querySplits(host, port, collection, nPartitions)
+      else MarkSocketScan.querySplits(host, port, collection, nPartitions)
     val ranges = (None +: bounds.map(Option(_)))
       .zip(bounds.map(Option(_)) :+ None)
     ranges.map { case (min, max) =>
       val maxEx = max.fold(endEx)(m => if (m < endEx) m else endEx)
       MarkRangePartition(host, port, collection, batchSize,
         min, Some(maxEx), startFrom, execIds.map(_.toArray),
-        afterStart = s): InputPartition
+        afterStart = s, wire = wire): InputPartition
     }.toArray
   }
 
@@ -381,22 +520,26 @@ private[sources] class MarkSocketReaderFactory(required: StructType)
 private[sources] class MarkRangeReader(p: MarkRangePartition,
   required: StructType) extends PartitionReader[InternalRow] {
 
-  private val lines: SocketMarkStore.PagedCursor =
-    SocketMarkStore.pageRange(
+  // the cursor's after_id doubles as the streaming window's
+  // exclusive lower bound on the FIRST page (afterStart = the
+  // previous batch's high-water mark); later pages resume from the
+  // last id seen, which is always >= that bound
+  private val docs: DocCursor =
+    if (p.wire == "bson")
+      new BsonWire.BsonDocCursor(p.host, p.port, p.batchSize,
+        after => BsonWire.findRequest(p.collection, p.minId, p.maxId,
+          p.startFrom, p.execIds.map(_.toSeq),
+          after.orElse(p.afterStart), p.batchSize))
+    else new JsonlDocCursor(SocketMarkStore.pageRange(
       p.host, p.port, p.batchSize,
-      // the cursor's after_id doubles as the streaming window's
-      // exclusive lower bound on the FIRST page (afterStart = the
-      // previous batch's high-water mark); later pages resume from the
-      // last id seen, which is always >= that bound
       after => SocketMarkStore.findRequest(p.collection, p.minId, p.maxId,
         p.startFrom, p.execIds.map(_.toSeq),
-        after.orElse(p.afterStart), p.batchSize))
-  private val mapper = new ObjectMapper()
+        after.orElse(p.afterStart), p.batchSize)))
   private var current: InternalRow = _
 
   override def next(): Boolean =
-    if (lines.hasNext) {
-      current = JsonRows.toRow(mapper.readTree(lines.next()), required)
+    if (docs.hasNext) {
+      current = JsonRows.toRow(docs.next(), required)
       true
     } else false
 
@@ -404,7 +547,7 @@ private[sources] class MarkRangeReader(p: MarkRangePartition,
   // Spark calls close() on normal completion AND on early termination
   // (limit, cancelled/failed task, stream stop) — the one hook that
   // guarantees the per-partition connection never leaks.
-  override def close(): Unit = lines.close()
+  override def close(): Unit = docs.close()
 }
 
 /** Minimal JSON → InternalRow conversion for the mark/analysis
