@@ -132,4 +132,29 @@ object BpeMerges {
       .select(col("round"), col("rnk"), col("a"), col("b"), col("cnt"))
       .orderBy("round", "rnk")
   }
+
+  /** TOKENIZE with the learned vocabulary: the word-type dictionary
+    * after `nMerges` greedy merges, as a LAZY (enc, wcnt) frame —
+    * learning and application in one plan (chain `symbols(col("enc"))`
+    * to read the token arrays; weight per-instance stats by `wcnt`).
+    * Merge selection replays learn()'s exact tie-break, so
+    * applied(n) is the corpus state learn() sees at round n+1. */
+  def applied(words: DataFrame, wordCol: String,
+    nMerges: Int): DataFrame = {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    def top1(pc: DataFrame): DataFrame = pc
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc).limit(1)
+    var enc = Broadcasting.track(words
+        .groupBy(col(wordCol)).agg(count(lit(1)).as("wcnt"))
+        .persist())
+      .select(encode(col(wordCol)).as("enc"), col("wcnt"))
+    for (_ <- 1 to nMerges) {
+      val pc = Broadcasting.track(pairCounts(enc).persist())
+      enc = enc.crossJoin(broadcast(top1(pc)
+          .select(col("a").as("ma"), col("b").as("mb"))))
+        .select(applyMerge(col("enc"), col("ma"), col("mb")).as("enc"),
+          col("wcnt"))
+    }
+    enc
+  }
 }

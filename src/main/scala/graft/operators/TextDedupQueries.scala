@@ -107,6 +107,52 @@ object TextDedupQueries {
           s"  min((h * $a + $b) % $P) AS mh$i" }.mkString(",\n")}
       |FROM hx GROUP BY 1, 2)""".stripMargin
 
+  /** Shared BPE-induction oracle CTEs (appended to `oracleToks`):
+    * char split s0, three rounds of pair counts p1–p3 with the
+    * learned merges b1/b2 applied via the straight-line list_reduce
+    * fold (s1, s2) — x16 reports from p1–p3, x17 tokenizes one merge
+    * further. The fold is deliberately a DIFFERENT algorithm than the
+    * engine's boundary-encoded replace, so the two sides verify each
+    * other. */
+  private val oracleBpeChain = """,
+      |s0 AS (SELECT regexp_extract_all(unnest(w), '.') AS s FROM toks),
+      |p1 AS (
+      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(s)),
+      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
+      |    FROM s0 WHERE len(s) >= 2)
+      |  GROUP BY 1, 2),
+      |b1 AS (SELECT a, b FROM p1
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
+      |s1 AS (
+      |  SELECT list_reduce(list_transform(s0.s, c -> [c]),
+      |    (acc, x) -> CASE
+      |      WHEN len(acc) > 0 AND acc[-1] = b1.a AND x[1] = b1.b
+      |      THEN list_append(acc[1:len(acc)-1], b1.a || b1.b)
+      |      ELSE list_append(acc, x[1]) END) AS s
+      |  FROM s0 CROSS JOIN b1),
+      |p2 AS (
+      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(s)),
+      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
+      |    FROM s1 WHERE len(s) >= 2)
+      |  GROUP BY 1, 2),
+      |b2 AS (SELECT a, b FROM p2
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
+      |s2 AS (
+      |  SELECT list_reduce(list_transform(s1.s, c -> [c]),
+      |    (acc, x) -> CASE
+      |      WHEN len(acc) > 0 AND acc[-1] = b2.a AND x[1] = b2.b
+      |      THEN list_append(acc[1:len(acc)-1], b2.a || b2.b)
+      |      ELSE list_append(acc, x[1]) END) AS s
+      |  FROM s1 CROSS JOIN b2),
+      |p3 AS (
+      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
+      |    SELECT unnest(list_transform(range(1, len(s)),
+      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
+      |    FROM s2 WHERE len(s) >= 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** d2 as a reusable operator: n-gram (3-shingle) Jaccard near-dup
     * pairs over a (doc_id, source, text) frame.
     *
@@ -531,6 +577,24 @@ object TextDedupQueries {
         docs(s, dir).select(explode(expr(tokensSql)).as("word")),
         "word", rounds = 3, topK = 5)),
 
+    // BPE tokenizer APPLICATION with the vocab x16 just learned:
+    // corpus stats after 3 greedy merges — train and apply in one
+    // engine. Per-instance totals come from weighting the word-TYPE
+    // dictionary by frequency (identical totals, Zipf-bounded work);
+    // the oracle replays the merges with its independent fold.
+    "x17_bpe_tokenize" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(expr(tokensSql)).as("word"))
+      val sym = BpeMerges.applied(words, "word", nMerges = 3)
+        .select(BpeMerges.symbols(col("enc")).as("s"), col("wcnt"))
+      val stats = sym.agg(
+        sum(col("wcnt")).as("n_words"),
+        sum(size(col("s")).cast("long") * col("wcnt")).as("n_symbols"))
+      val vocab = sym.select(explode(col("s")).as("t"))
+        .agg(countDistinct(col("t")).as("n_vocab"))
+      stats.crossJoin(vocab)
+    }),
+
     // Quality-decile curriculum buckets: rank every doc by the x2
     // quality score (ties broken by doc_id) into 10 equal-count bins,
     // report per-bin population and score/token stats — the binning a
@@ -792,44 +856,7 @@ object TextDedupQueries {
       |  + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
       |  AS score_e4
       |FROM q ORDER BY doc_id""".stripMargin),
-    "x16_bpe_merges" -> (oracleToks + """,
-      |s0 AS (SELECT regexp_extract_all(unnest(w), '.') AS s FROM toks),
-      |p1 AS (
-      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
-      |    SELECT unnest(list_transform(range(1, len(s)),
-      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
-      |    FROM s0 WHERE len(s) >= 2)
-      |  GROUP BY 1, 2),
-      |b1 AS (SELECT a, b FROM p1
-      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
-      |s1 AS (
-      |  SELECT list_reduce(list_transform(s0.s, c -> [c]),
-      |    (acc, x) -> CASE
-      |      WHEN len(acc) > 0 AND acc[-1] = b1.a AND x[1] = b1.b
-      |      THEN list_append(acc[1:len(acc)-1], b1.a || b1.b)
-      |      ELSE list_append(acc, x[1]) END) AS s
-      |  FROM s0 CROSS JOIN b1),
-      |p2 AS (
-      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
-      |    SELECT unnest(list_transform(range(1, len(s)),
-      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
-      |    FROM s1 WHERE len(s) >= 2)
-      |  GROUP BY 1, 2),
-      |b2 AS (SELECT a, b FROM p2
-      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
-      |s2 AS (
-      |  SELECT list_reduce(list_transform(s1.s, c -> [c]),
-      |    (acc, x) -> CASE
-      |      WHEN len(acc) > 0 AND acc[-1] = b2.a AND x[1] = b2.b
-      |      THEN list_append(acc[1:len(acc)-1], b2.a || b2.b)
-      |      ELSE list_append(acc, x[1]) END) AS s
-      |  FROM s1 CROSS JOIN b2),
-      |p3 AS (
-      |  SELECT u.a AS a, u.b AS b, count(*) AS cnt FROM (
-      |    SELECT unnest(list_transform(range(1, len(s)),
-      |      i -> {'a': s[i], 'b': s[i + 1]})) AS u
-      |    FROM s2 WHERE len(s) >= 2)
-      |  GROUP BY 1, 2),
+    "x16_bpe_merges" -> (oracleToks + oracleBpeChain + """,
       |r1 AS (SELECT 1::BIGINT AS round,
       |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk, a, b, cnt
       | FROM p1 QUALIFY rnk <= 5),
@@ -843,6 +870,22 @@ object TextDedupQueries {
       |UNION ALL SELECT round, rnk, a, b, cnt FROM r2
       |UNION ALL SELECT round, rnk, a, b, cnt FROM r3
       |ORDER BY round, rnk""".stripMargin),
+    "x17_bpe_tokenize" -> (oracleToks + oracleBpeChain + """,
+      |b3 AS (SELECT a, b FROM p3
+      |  QUALIFY row_number() OVER (ORDER BY cnt DESC, a, b) = 1),
+      |s3 AS (
+      |  SELECT list_reduce(list_transform(s2.s, c -> [c]),
+      |    (acc, x) -> CASE
+      |      WHEN len(acc) > 0 AND acc[-1] = b3.a AND x[1] = b3.b
+      |      THEN list_append(acc[1:len(acc)-1], b3.a || b3.b)
+      |      ELSE list_append(acc, x[1]) END) AS s
+      |  FROM s2 CROSS JOIN b3),
+      |st AS (SELECT count(*)::BIGINT AS n_words,
+      |  sum(len(s))::BIGINT AS n_symbols FROM s3),
+      |v AS (SELECT count(DISTINCT u)::BIGINT AS n_vocab
+      |  FROM (SELECT unnest(s) AS u FROM s3))
+      |SELECT n_words, n_symbols, n_vocab FROM st CROSS JOIN v"""
+      .stripMargin),
     "x15_pmi_bigrams" -> (oracleToks + """,
       |bg AS (
       |  SELECT u.a AS a, u.b AS b, count(*) AS c_ab FROM (

@@ -105,6 +105,36 @@ class BpeMergesSpec extends SparkTestBase {
         s"word '$w' chain $chain")
   }
 
+  test("applied() tokenizes with the learned vocab like the reference") {
+    import spark.implicits._
+    val words = Seq.fill(30)("then") ++ Seq.fill(20)("the") ++
+      Seq.fill(12)("thin") ++ Seq.fill(7)("net") ++ Seq("a", "thethe")
+    // reference: learn 3 merges straight-line, apply them, count
+    var syms = words.map(_.toVector.map(_.toString))
+    for (_ <- 1 to 3) {
+      val counts = syms.flatMap(s => s.zip(s.drop(1)))
+        .groupBy(identity).map { case (p, xs) => (p, xs.size.toLong) }
+      val (a, b) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+      syms = syms.map(greedy(_, a, b))
+    }
+    val wantWords = syms.size.toLong
+    val wantSymbols = syms.map(_.size.toLong).sum
+    val wantVocab = syms.flatten.distinct.size.toLong
+    val got = graft.operators.BpeMerges
+      .applied(words.toDF("word"), "word", nMerges = 3)
+      .select(graft.operators.BpeMerges.symbols(col("enc")).as("s"),
+        col("wcnt"))
+    val stats = got.agg(sum(col("wcnt")), sum(size(col("s")).cast("long")
+      * col("wcnt"))).collect().head
+    assert(stats.getLong(0) == wantWords)
+    assert(stats.getLong(1) == wantSymbols)
+    val vocab = got.select(explode(col("s")).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    assert(vocab == wantVocab)
+    graft.operators.Broadcasting.releaseAll()
+  }
+
   test("4-round learn() on a corpus matches the straight-line inducer") {
     import spark.implicits._
     // skewed corpus: forces round-2+ pairs to contain merged symbols

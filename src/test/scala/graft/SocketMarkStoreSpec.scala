@@ -36,6 +36,24 @@ class SocketMarkStoreSpec extends SparkTestBase {
     Map("host" -> "127.0.0.1", "port" -> port.toString,
       "partitions" -> "3", "batch.size" -> "4") ++ extra
 
+  test("a severed connection mid-page fails the read, never truncates") {
+    withServer { (srv, port) =>
+      srv.severMidPage = true
+      val store = MarkStores("socket", opts(port))
+      // the task must THROW (a truncated page is indistinguishable
+      // from a short final page only if the end-of-page marker is
+      // ignored) — a silent partial read here would be data loss
+      val ex = intercept[Exception] {
+        store.marks(spark).select("_id").collect()
+      }
+      def hasEof(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[java.io.IOException] ||
+          Option(t.getMessage).exists(_.contains("severed")) ||
+          hasEof(t.getCause))
+      assert(hasEof(ex), s"expected severed-page IOException, got $ex")
+    }
+  }
+
   test("full read: schema'd rows over per-partition connections") {
     withServer { (srv, port) =>
       val store = MarkStores("socket", opts(port))
