@@ -275,10 +275,13 @@ object RdfXml {
   * `@context` processing covers the inline forms real documents use:
   *  - term → absolute-IRI strings and prefix:suffix compact IRIs;
   *  - EXPANDED term definitions `{"@id": …, "@type": "@id"|dtype,
-  *    "@language": …, "@container": "@set"|"@list"}` with type
-  *    coercion (a coerced plain string becomes an IRI reference or
-  *    typed literal); a `@list` container wraps the term's values in
-  *    an rdf:first/rest chain exactly like an explicit `@list`;
+  *    "@language": …, "@container": "@set"|"@list"|"@language"|
+  *    "@index"}` with type coercion (a coerced plain string becomes
+  *    an IRI reference or typed literal); a `@list` container wraps
+  *    the term's values in an rdf:first/rest chain exactly like an
+  *    explicit `@list`; a `@language` container reads a language map
+  *    (key = tag, `@none` = untagged); an `@index` container drops
+  *    its keys (no RDF meaning) and processes the values;
   *  - `@reverse` — both the node-object keyword (`"@reverse": {p:
   *    nodes}` emits (node, p, subject) triples) and reverse TERM
   *    definitions (`{"@reverse": iri}`; a reverse term used inside
@@ -287,9 +290,8 @@ object RdfXml {
   *    and default `"@language"`;
   *  - ARRAY-form contexts (merged left→right) and `null` entries
   *    (term / default-language removal).
-  * Remote context URLs and `@index`/`@language` container maps are
-  * out of scope — unsupported keys throw rather than silently
-  * mis-read. */
+  * Remote context URLs are out of scope (zero-egress: nothing here
+  * fetches) — unsupported keys throw rather than silently mis-read. */
 object JsonLd {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
@@ -389,10 +391,10 @@ object JsonLd {
           case "@id" | "@type" | "@language" | "@reverse" => ()
           case "@container" =>
             val c = e.getValue.asText
-            if (c != "@set" && c != "@list")
+            if (!Set("@set", "@list", "@language", "@index").contains(c))
               throw new IllegalArgumentException(
                 s"unsupported @container '$c' for term '$term' " +
-                  "(only @set and @list are supported)")
+                  "(@set, @list, @language, @index are supported)")
           case k => throw new IllegalArgumentException(
             s"unsupported key $k in term definition for '$term'")
         }
@@ -402,10 +404,15 @@ object JsonLd {
         throw new IllegalArgumentException(
           s"term '$term' has both @id and @reverse")
       val container = Option(o.get("@container")).map(_.asText)
-      if (rev.isDefined && container.contains("@list"))
+      if (rev.isDefined &&
+        container.exists(c => c == "@list" || c == "@language"))
         throw new IllegalArgumentException(
-          s"term '$term': @reverse with @container @list is invalid " +
-            "JSON-LD (lists have no reverse)")
+          s"term '$term': @reverse with @container ${container.get} " +
+            "is invalid JSON-LD")
+      if (container.contains("@language") && o.has("@type"))
+        throw new IllegalArgumentException(
+          s"term '$term': @container @language cannot combine with " +
+            "@type coercion (language-tagged strings carry no datatype)")
       val iri = rev.orElse(Option(o.get("@id")))
         .map(n => expandDefIri(n.asText, ctx))
         .getOrElse(ctx.vocab.map(_ + term).getOrElse(
@@ -502,6 +509,33 @@ object JsonLd {
               // {"@list": …} value falls through to objectTerm as-is)
               out += Triple(subj, pred,
                 listChain(values(v).map(objectTerm(_, ctx, d))))
+            else if (d.exists(_.container.contains("@language")) &&
+              v.isObject)
+              // language map: key = language tag ("@none" = no tag),
+              // values = plain strings → language-tagged literals
+              v.asInstanceOf[ObjectNode].properties().asScala
+                .foreach { le =>
+                  values(le.getValue).foreach { n =>
+                    if (!n.isTextual) throw new IllegalArgumentException(
+                      s"language-map value for '$k'/${le.getKey} " +
+                        s"must be a string: $n")
+                    val lit = "\"" + TurtleParser.escape(n.asText) + "\""
+                    out += Triple(subj, pred,
+                      if (le.getKey == "@none") lit
+                      else lit + "@" + le.getKey)
+                  }
+                }
+            else if (d.exists(_.container.contains("@index")) &&
+              v.isObject && !v.asInstanceOf[ObjectNode].has("@value") &&
+              !v.asInstanceOf[ObjectNode].has("@id") &&
+              !v.asInstanceOf[ObjectNode].has("@list"))
+              // index map: keys carry NO RDF meaning (JSON-LD drops
+              // @index on expansion); values process normally
+              v.asInstanceOf[ObjectNode].properties().asScala
+                .foreach { ie =>
+                  values(ie.getValue).foreach(n =>
+                    out += Triple(subj, pred, objectTerm(n, ctx, d)))
+                }
             else values(v).foreach(n => out += Triple(subj, pred,
               objectTerm(n, ctx, d)))
         }

@@ -190,10 +190,46 @@ class RdfFormatsSpec extends SparkTestBase {
     val ts = JsonLd.parse(json).toSet
     assert(ts.contains(Triple("<urn:x>", "<http://v.example/tag>", "\"a\"")))
     assert(ts.contains(Triple("<urn:x>", "<http://v.example/tag>", "\"b\"")))
-    // container maps other than @set / @list stay rejected
+    // unknown container maps stay rejected
     intercept[IllegalArgumentException] {
       JsonLd.parse("""{"@context": {"t": {"@id": "http://v/x",
-        "@container": "@index"}}, "@id": "urn:y", "t": {"i": "a"}}""")
+        "@container": "@graph"}}, "@id": "urn:y", "t": {"i": "a"}}""")
+    }
+  }
+
+  test("JSON-LD @language and @index container maps") {
+    // language map → language-tagged literals; @none = untagged
+    val ts = JsonLd.parse(
+      """{"@context": {"label": {"@id": "http://ex.org/label",
+        |  "@container": "@language"}},
+        |"@id": "urn:s",
+        |"label": {"en": "cat", "de": ["Katze", "Kater"],
+        |  "@none": "plain"}}""".stripMargin).toSet
+    assert(ts == Set(
+      Triple("<urn:s>", "<http://ex.org/label>", "\"cat\"@en"),
+      Triple("<urn:s>", "<http://ex.org/label>", "\"Katze\"@de"),
+      Triple("<urn:s>", "<http://ex.org/label>", "\"Kater\"@de"),
+      Triple("<urn:s>", "<http://ex.org/label>", "\"plain\"")))
+    // a non-string language-map value throws
+    intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@context": {"l": {"@id": "http://v/l",
+        "@container": "@language"}}, "@id": "urn:x", "l": {"en": 3}}""")
+    }
+    // index map: keys dropped, values (incl. coerced) processed
+    val ti = JsonLd.parse(
+      """{"@context": {"post": {"@id": "http://ex.org/post",
+        |  "@container": "@index", "@type": "@id"}},
+        |"@id": "urn:b",
+        |"post": {"2024": "urn:p1", "2025": ["urn:p2", "urn:p3"]}}"""
+        .stripMargin).toSet
+    assert(ti == Set(
+      Triple("<urn:b>", "<http://ex.org/post>", "<urn:p1>"),
+      Triple("<urn:b>", "<http://ex.org/post>", "<urn:p2>"),
+      Triple("<urn:b>", "<http://ex.org/post>", "<urn:p3>")))
+    // @language container cannot combine with @type coercion
+    intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@context": {"l": {"@id": "http://v/l",
+        "@container": "@language", "@type": "@id"}}, "@id": "urn:x"}""")
     }
   }
 
