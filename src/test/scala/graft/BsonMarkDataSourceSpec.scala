@@ -91,6 +91,20 @@ class BsonMarkDataSourceSpec extends SparkTestBase {
     }
   }
 
+  test("a severed BSON frame mid-page fails the read, never truncates") {
+    withServer { (srv, port) =>
+      srv.severMidPage = true
+      val ex = intercept[Exception] {
+        read(port).select("_id").collect()
+      }
+      def hasEof(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[java.io.EOFException] ||
+          Option(t.getMessage).exists(_.contains("severed")) ||
+          hasEof(t.getCause))
+      assert(hasEof(ex), s"expected severed-page EOFException, got $ex")
+    }
+  }
+
   test("streaming face works over the BSON wire") {
     val srv = new TcpBsonMarkServer(Map("marks" -> (1 to 6).map(markDoc)))
     val port = srv.start()

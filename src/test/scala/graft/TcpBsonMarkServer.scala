@@ -19,6 +19,9 @@ final class TcpBsonMarkServer(
   private val om = new ObjectMapper()
   private val sorted = collections.view.mapValues(_.sortBy(_.id)).toMap
   val requests = new ConcurrentLinkedQueue[String]()
+  /** When set, every `find` serves at most ONE document and severs
+    * the connection WITHOUT the end-of-page empty document. */
+  @volatile var severMidPage = false
   @volatile private var server: ServerSocket = _
   @volatile private var running = false
 
@@ -86,6 +89,12 @@ final class TcpBsonMarkServer(
               .filter(d => execs.forall(_.contains(d.execId)))
               .take(req.get("batch_size").asInt())
               .toVector
+            if (severMidPage) {
+              page.headOption.foreach(d =>
+                out.write(Bson.encode(om.readTree(d.json))))
+              out.flush()
+              throw new java.io.IOException("simulated mid-page crash")
+            }
             page.foreach(d =>
               out.write(Bson.encode(om.readTree(d.json))))
             out.write(EmptyDoc) // empty doc: end of page
