@@ -206,8 +206,8 @@ private[sources] class MarkSocketScanBuilder(props: Map[String, String])
       case (a, b) => a.orElse(b)
     }
     val wire = props.getOrElse("wire", "jsonl")
-    require(wire == "jsonl" || wire == "bson",
-      s"unknown wire codec '$wire' (jsonl | bson)")
+    require(Set("jsonl", "bson", "mongo").contains(wire),
+      s"unknown wire codec '$wire' (jsonl | bson | mongo)")
     new MarkSocketScan(opt("host"), opt("port").toInt, collection,
       props.getOrElse("partitions", "4").toInt,
       props.getOrElse("batch.size", "256").toInt,
@@ -232,11 +232,16 @@ private[sources] class MarkSocketScan(host: String, port: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // one driver-side call: range boundaries (the splitVector step)
-    val bounds =
-      if (wire == "bson")
+    // one driver-side call: range boundaries (the splitVector step —
+    // on the mongo wire, literally the splitVector command)
+    val bounds = wire match {
+      case "bson" =>
         BsonWire.querySplits(host, port, collection, nPartitions)
-      else MarkSocketScan.querySplits(host, port, collection, nPartitions)
+      case "mongo" =>
+        MongoWire.querySplits(host, port, collection, nPartitions)
+      case _ =>
+        MarkSocketScan.querySplits(host, port, collection, nPartitions)
+    }
     val ranges = (None +: bounds.map(Option(_)))
       .zip(bounds.map(Option(_)) :+ None)
     ranges.map { case (min, max) =>
@@ -469,9 +474,11 @@ private[sources] class MarkSocketMicroBatchStream(host: String,
   override def initialOffset(): Offset = MarkIdOffset(None)
 
   override def latestOffset(): Offset =
-    MarkIdOffset(
-      if (wire == "bson") BsonWire.queryMaxId(host, port, collection)
-      else MarkSocketScan.queryMaxId(host, port, collection))
+    MarkIdOffset(wire match {
+      case "bson" => BsonWire.queryMaxId(host, port, collection)
+      case "mongo" => MongoWire.queryMaxId(host, port, collection)
+      case _ => MarkSocketScan.queryMaxId(host, port, collection)
+    })
 
   override def deserializeOffset(json: String): Offset =
     MarkIdOffset.fromJson(json)
@@ -484,10 +491,14 @@ private[sources] class MarkSocketMicroBatchStream(host: String,
     val endEx = successor(e.get) // include the high-water id itself
     // same splitVector step as the batch path; each range clamps to
     // the (start, end] window via after_id / max_id in the request
-    val bounds =
-      if (wire == "bson")
+    val bounds = wire match {
+      case "bson" =>
         BsonWire.querySplits(host, port, collection, nPartitions)
-      else MarkSocketScan.querySplits(host, port, collection, nPartitions)
+      case "mongo" =>
+        MongoWire.querySplits(host, port, collection, nPartitions)
+      case _ =>
+        MarkSocketScan.querySplits(host, port, collection, nPartitions)
+    }
     val ranges = (None +: bounds.map(Option(_)))
       .zip(bounds.map(Option(_)) :+ None)
     ranges.map { case (min, max) =>
@@ -524,17 +535,25 @@ private[sources] class MarkRangeReader(p: MarkRangePartition,
   // exclusive lower bound on the FIRST page (afterStart = the
   // previous batch's high-water mark); later pages resume from the
   // last id seen, which is always >= that bound
-  private val docs: DocCursor =
-    if (p.wire == "bson")
+  private val docs: DocCursor = p.wire match {
+    case "bson" =>
       new BsonWire.BsonDocCursor(p.host, p.port, p.batchSize,
         after => BsonWire.findRequest(p.collection, p.minId, p.maxId,
           p.startFrom, p.execIds.map(_.toSeq),
           after.orElse(p.afterStart), p.batchSize))
-    else new JsonlDocCursor(SocketMarkStore.pageRange(
-      p.host, p.port, p.batchSize,
-      after => SocketMarkStore.findRequest(p.collection, p.minId, p.maxId,
-        p.startFrom, p.execIds.map(_.toSeq),
-        after.orElse(p.afterStart), p.batchSize)))
+    case "mongo" =>
+      // server-side cursor: continuation is the cursor itself, so
+      // only the streaming window's lower bound enters the filter
+      new MongoWire.MongoDocCursor(p.host, p.port, p.collection,
+        p.batchSize, MongoWire.filterDoc(p.minId, p.maxId,
+          p.startFrom, p.execIds.map(_.toSeq), p.afterStart))
+    case _ =>
+      new JsonlDocCursor(SocketMarkStore.pageRange(
+        p.host, p.port, p.batchSize,
+        after => SocketMarkStore.findRequest(p.collection, p.minId,
+          p.maxId, p.startFrom, p.execIds.map(_.toSeq),
+          after.orElse(p.afterStart), p.batchSize)))
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean =

@@ -1,0 +1,139 @@
+package graft
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.JsonNodeFactory
+
+import graft.sources.MongoWire
+
+import scala.jdk.CollectionConverters._
+
+/** In-test OP_MSG server: find / getMore with real SERVER-SIDE
+  * cursors, splitVector, filter documents with `_id` $gte/$gt/$lt and
+  * the dotted execution-id $in — the observable behavior of a MongoDB
+  * node for the commands the connector issues. Records decoded
+  * command bodies (as JSON text) for pushdown assertions. */
+final class TcpMongoServer(
+  collections: Map[String, Seq[TcpMarkServer.Doc]]) {
+  private val om = new ObjectMapper()
+  private val nf = JsonNodeFactory.instance
+  private val sorted = collections.view.mapValues(_.sortBy(_.id)).toMap
+  val requests = new ConcurrentLinkedQueue[String]()
+  private val nextCursor = new AtomicLong(1000L)
+  @volatile private var server: ServerSocket = _
+  @volatile private var running = false
+
+  def start(): Int = {
+    server = new ServerSocket(0, 16, InetAddress.getByName("127.0.0.1"))
+    running = true
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val h = new Thread(() => handle(sock), "tcp-mongo-conn")
+          h.setDaemon(true)
+          h.start()
+        } catch { case _: Throwable => () }
+      }
+    }, "tcp-mongo-accept")
+    t.setDaemon(true)
+    t.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = { running = false; if (server != null) server.close() }
+
+  private def matches(d: TcpMarkServer.Doc, filter: JsonNode): Boolean = {
+    if (filter == null || !filter.isObject) return true
+    filter.properties().asScala.forall { e =>
+      e.getKey match {
+        case "_id" =>
+          val c = e.getValue
+          Option(c.get("$gte")).forall(v => d.id >= v.asText) &&
+            Option(c.get("$gt")).forall(v => d.id > v.asText) &&
+            Option(c.get("$lt")).forall(v => d.id < v.asText)
+        case "provenance.analysis.execution_id" |
+          "analysis.execution_id" =>
+          Option(e.getValue.get("$in")).forall(_.elements().asScala
+            .exists(_.asText == d.execId))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported filter $other")
+      }
+    }
+  }
+
+  private def handle(sock: Socket): Unit = {
+    // cursors are per-connection session state, like a real mongod
+    val cursors = scala.collection.mutable.Map[Long, Vector[JsonNode]]()
+    try {
+      val in = new BufferedInputStream(sock.getInputStream)
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      var msg = MongoWire.readMsg(in)
+      while (msg != null) {
+        val (reqId, _, body) = msg
+        requests.add(body.toString)
+        val reply = nf.objectNode()
+        def cursorReply(id: Long, batch: Vector[JsonNode],
+          key: String): Unit = {
+          val cur = nf.objectNode()
+          cur.put("id", id)
+          val arr = cur.putArray(key)
+          batch.foreach(arr.add)
+          reply.set[JsonNode]("cursor", cur)
+          ()
+        }
+        if (body.has("find")) {
+          val coll = body.get("find").asText
+          val docs = sorted.getOrElse(coll, Nil)
+            .filter(matches(_, body.get("filter")))
+          val desc = Option(body.get("sort"))
+            .exists(s => Option(s.get("_id")).exists(_.asInt == -1))
+          val ordered0 = if (desc) docs.reverse else docs
+          val limited = Option(body.get("limit"))
+            .map(l => ordered0.take(l.asInt)).getOrElse(ordered0)
+          val batchSize = Option(body.get("batchSize"))
+            .map(_.asInt).getOrElse(101)
+          val nodes = limited.map(d => om.readTree(d.json)).toVector
+          val (first, rest) = nodes.splitAt(batchSize)
+          val id = if (rest.isEmpty) 0L else {
+            val cid = nextCursor.getAndIncrement()
+            cursors(cid) = rest
+            cid
+          }
+          cursorReply(id, first, "firstBatch")
+        } else if (body.has("getMore")) {
+          val cid = body.get("getMore").asLong
+          val batchSize = Option(body.get("batchSize"))
+            .map(_.asInt).getOrElse(101)
+          val rest = cursors.getOrElse(cid, Vector.empty)
+          val (batch, remaining) = rest.splitAt(batchSize)
+          if (remaining.isEmpty) cursors.remove(cid)
+          else cursors(cid) = remaining
+          cursorReply(if (remaining.isEmpty) 0L else cid, batch,
+            "nextBatch")
+        } else if (body.has("splitVector")) {
+          val coll = body.get("splitVector").asText
+          val docs = sorted.getOrElse(coll, Nil)
+          val n = body.get("maxChunks").asInt
+          val keys = reply.putArray("splitKeys")
+          if (docs.nonEmpty && n > 1)
+            (1 until n).map(i => docs(i * docs.size / n).id).distinct
+              .foreach(id => keys.add(nf.objectNode().put("_id", id)))
+        } else {
+          reply.put("ok", 0.0)
+          reply.put("errmsg",
+            s"no such command: ${body.fieldNames().asScala.toSeq}")
+        }
+        if (!reply.has("ok")) reply.put("ok", 1.0)
+        out.write(MongoWire.encodeMsg(reqId + 10000, reqId, reply))
+        out.flush()
+        msg = MongoWire.readMsg(in)
+      }
+    } catch { case _: Throwable => () }
+    finally sock.close()
+  }
+}
