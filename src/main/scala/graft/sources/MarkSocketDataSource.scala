@@ -543,10 +543,13 @@ private[sources] class MarkRangeReader(p: MarkRangePartition,
           after.orElse(p.afterStart), p.batchSize))
     case "mongo" =>
       // server-side cursor: continuation is the cursor itself, so
-      // only the streaming window's lower bound enters the filter
+      // only the streaming window's lower bound enters the filter.
+      // The pruned schema doubles as the find PROJECTION (mongo
+      // includes _id regardless, like the real server).
       new MongoWire.MongoDocCursor(p.host, p.port, p.collection,
         p.batchSize, MongoWire.filterDoc(p.minId, p.maxId,
-          p.startFrom, p.execIds.map(_.toSeq), p.afterStart))
+          p.startFrom, p.execIds.map(_.toSeq), p.afterStart),
+        projection = required.fieldNames.toSeq)
     case _ =>
       new JsonlDocCursor(SocketMarkStore.pageRange(
         p.host, p.port, p.batchSize,

@@ -162,9 +162,12 @@ object MongoWire {
 
   /** One id-range over a server-side cursor: find opens it, getMore
     * drains it, cursor id 0 ends it. One connection per partition
-    * (the cursor lives on that connection's session). */
+    * (the cursor lives on that connection's session). `projection`
+    * (top-level field names) travels IN the find command — on this
+    * wire column pruning saves wire bytes, not just row width. */
   private[sources] final class MongoDocCursor(host: String, port: Int,
-    collection: String, batchSize: Int, filter: ObjectNode)
+    collection: String, batchSize: Int, filter: ObjectNode,
+    projection: Seq[String] = Nil)
     extends DocCursor {
     private val sock = new Socket(host, port)
     private val out = new BufferedOutputStream(sock.getOutputStream)
@@ -183,6 +186,11 @@ object MongoWire {
       cmd.put("find", collection)
       cmd.set[JsonNode]("filter", filter)
       cmd.set[JsonNode]("sort", nf.objectNode().put("_id", 1))
+      if (projection.nonEmpty) {
+        val p = nf.objectNode()
+        projection.foreach(f => p.put(f, 1))
+        cmd.set[JsonNode]("projection", p)
+      }
       cmd.put("batchSize", batchSize)
       val cur = roundTrip(cmd).get("cursor")
       cursorId = cur.get("id").asLong

@@ -67,6 +67,23 @@ class MongoWireDataSourceSpec extends SparkTestBase {
     }
   }
 
+  test("column pruning travels as a find projection document") {
+    withServer { (srv, port) =>
+      val df = read(port).select("_id")
+      val scanSchema = df.queryExecution.executedPlan.collectLeaves()
+        .head.schema
+      assert(scanSchema.fieldNames.toSeq == Seq("_id"))
+      assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+        marks.map(_.id))
+      // the wire request itself carries the projection - on this wire
+      // pruning saves bytes on the socket, not just row width
+      assert(srv.requests.asScala.exists(
+        _.contains(""""projection":{"_id":1}""")),
+        s"projection missing: ${srv.requests.asScala
+          .filter(_.contains("find")).take(3)}")
+    }
+  }
+
   test("streaming over the mongo wire: max-id probe + windowed batches") {
     val srv = new TcpMongoServer(Map("marks" -> (1 to 6).map(markDoc)))
     val port = srv.start()

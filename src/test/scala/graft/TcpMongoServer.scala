@@ -97,7 +97,20 @@ final class TcpMongoServer(
             .map(l => ordered0.take(l.asInt)).getOrElse(ordered0)
           val batchSize = Option(body.get("batchSize"))
             .map(_.asInt).getOrElse(101)
-          val nodes = limited.map(d => om.readTree(d.json)).toVector
+          // inclusion projection: keep listed top-level fields; _id
+          // rides along unless explicitly excluded (mongod default)
+          val proj = Option(body.get("projection"))
+            .map(_.properties().asScala.map(_.getKey).toSet + "_id")
+          val nodes = limited.map { d =>
+            val node = om.readTree(d.json)
+            proj.fold(node) { keep =>
+              val o = node.asInstanceOf[
+                com.fasterxml.jackson.databind.node.ObjectNode]
+              o.properties().asScala.map(_.getKey).toSeq
+                .filterNot(keep).foreach(o.remove)
+              o
+            }
+          }.toVector
           val (first, rest) = nodes.splitAt(batchSize)
           val id = if (rest.isEmpty) 0L else {
             val cid = nextCursor.getAndIncrement()
