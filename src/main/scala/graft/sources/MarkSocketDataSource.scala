@@ -421,7 +421,11 @@ private[sources] object BsonWire {
       buf.result()
     }
 
-    private var buf = page(None)
+    // construction-failure path must not leak the socket (see
+    // PagedCursor: close() is only guaranteed for a BUILT reader)
+    private var buf =
+      try page(None)
+      catch { case t: Throwable => close(); throw t }
     private var i = 0
     private var done = false
     private def advance(): Unit =

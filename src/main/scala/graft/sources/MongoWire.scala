@@ -181,21 +181,24 @@ object MongoWire {
     }
 
     private var cursorId: Long = 0L
-    private var buf: Vector[JsonNode] = {
-      val cmd = nf.objectNode()
-      cmd.put("find", collection)
-      cmd.set[JsonNode]("filter", filter)
-      cmd.set[JsonNode]("sort", nf.objectNode().put("_id", 1))
-      if (projection.nonEmpty) {
-        val p = nf.objectNode()
-        projection.foreach(f => p.put(f, 1))
-        cmd.set[JsonNode]("projection", p)
-      }
-      cmd.put("batchSize", batchSize)
-      val cur = roundTrip(cmd).get("cursor")
-      cursorId = cur.get("id").asLong
-      cur.get("firstBatch").elements().asScala.toVector
-    }
+    // construction-failure path must not leak the socket (see
+    // PagedCursor: close() is only guaranteed for a BUILT reader)
+    private var buf: Vector[JsonNode] =
+      try {
+        val cmd = nf.objectNode()
+        cmd.put("find", collection)
+        cmd.set[JsonNode]("filter", filter)
+        cmd.set[JsonNode]("sort", nf.objectNode().put("_id", 1))
+        if (projection.nonEmpty) {
+          val p = nf.objectNode()
+          projection.foreach(f => p.put(f, 1))
+          cmd.set[JsonNode]("projection", p)
+        }
+        cmd.put("batchSize", batchSize)
+        val cur = roundTrip(cmd).get("cursor")
+        cursorId = cur.get("id").asLong
+        cur.get("firstBatch").elements().asScala.toVector
+      } catch { case t: Throwable => close(); throw t }
     private var i = 0
     private var done = false
 

@@ -180,7 +180,12 @@ object SocketMarkStore {
       buf.result()
     }
 
-    private var buf = page(None)
+    // the first page is fetched at construction; if IT fails there is
+    // no drained/close()-able cursor yet, so release the socket here
+    // or the failed task leaks its connection
+    private var buf =
+      try page(None)
+      catch { case t: Throwable => close(); throw t }
     private var i = 0
     private var done = false
     private def advance(): Unit =

@@ -51,6 +51,13 @@ class SocketMarkStoreSpec extends SparkTestBase {
           Option(t.getMessage).exists(_.contains("severed")) ||
           hasEof(t.getCause))
       assert(hasEof(ex), s"expected severed-page IOException, got $ex")
+      // and the FAILED tasks released their sockets (the
+      // construction/first-page failure path must close too)
+      val deadline = System.currentTimeMillis() + 5000
+      while (srv.active.get() > 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(srv.active.get() == 0,
+        s"${srv.active.get()} connections leaked after failed read")
     }
   }
 
