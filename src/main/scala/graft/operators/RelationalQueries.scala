@@ -586,6 +586,16 @@ object RelationalQueries {
       KmvSketch.distinctEstimate(t(s, dir, "lineitem"),
         "l_suppkey", 64)),
 
+    // HyperLogLog registers over order keys: max-rho per 2^8
+    // registers — one narrow pass + a 256-row shuffle at ANY corpus
+    // size, and the register CONTENTS are oracle-exact (shared md5
+    // arithmetic + integer bit-length rho). The float estimator is
+    // driver-side over ≤256 rows (Hll.estimate, spec'd).
+    "a16_hll_registers" -> ((s, dir) =>
+      Hll.registers(t(s, dir, "lineitem")
+          .select(col("l_orderkey").cast("string").as("k")), "k")
+        .orderBy("register")),
+
     // TPC-H Q3 shape: fact ⋈ two filtered dimensions. The customer
     // side shrinks to one segment (~20% of an already-small table) and
     // the orders filter prunes before either join — Catalyst's
@@ -1035,6 +1045,17 @@ object RelationalQueries {
         |    greatest(kth, 1) + 0.5) AS BIGINT) END AS est_distinct,
         | seen::BIGINT AS k_seen
         |FROM a""".stripMargin,
+    "a16_hll_registers" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5('hll:' ||
+        |      l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT h % 256 AS register, h // 256 AS w FROM h),
+        |x AS (SELECT register,
+        |  CASE WHEN w = 0 THEN 53 ELSE 53 - length(format('{:b}', w))
+        |  END AS rho FROM r)
+        |SELECT register::BIGINT AS register, max(rho)::BIGINT AS max_rho
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     // Per-row integer cents (floor(x*100+0.5) replayed exactly), then
     // an integer sum — order-free on both engines, unlike a rounded
     // double sum whose cent-boundary behavior hinges on partial-agg
