@@ -23,7 +23,7 @@ object SparkEntry {
     (RelationalQueries.queries ++ TextDedupQueries.queries ++
       SimilarityQueries.queries ++ GeomQueries.queries ++
       EventTimeQueries.queries ++ MultimodalQueries.queries ++
-      CurationQueries.queries)
+      CurationQueries.queries ++ LinkageQueries.queries)
       .map { case (name, build) =>
         name -> ((s: SparkSession, dir: String) =>
           Broadcasting.duringConstruction(build(s, dir)))
@@ -33,5 +33,5 @@ object SparkEntry {
     RelationalQueries.oracle ++ TextDedupQueries.oracle ++
       SimilarityQueries.oracle ++ GeomQueries.oracle ++
       EventTimeQueries.oracle ++ MultimodalQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++ LinkageQueries.oracle
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Oracle-checked coverage for the record-linkage / graph-analysis /
+  * learned-scoring family: exact fuzzy joins (FuzzyJoin), entity
+  * resolution over fuzzy-match graphs (FuzzyJoin ∘
+  * ConnectedComponents), link-graph ranking (PageRank) and a trained
+  * document-quality classifier (Perceptron).
+  *
+  * Conventions shared with the other query modules: every float-ish
+  * quantity leaves as a scaled integer, every aggregate is aliased
+  * identically on both engines, every query orders by a unique key.
+  */
+object LinkageQueries {
+
+  private def cust(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "customer")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact edit-distance-≤1 self-join on customer names via
+    // 1-deletion-neighborhood blocking (FastSS) + thresholded
+    // levenshtein verify. The engine never forms the n² cross join;
+    // the oracle IS the n² cross join — lossless blocking is the
+    // claim under test. Pairs are canonical by key order (custkey),
+    // emitted as (least, greatest) name.
+    "j13_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.edLeq1SelfJoin(cust(s, dir), "c_custkey", "c_name")
+        .select(least(col("key_a"), col("key_b")).as("name_a"),
+          greatest(col("key_a"), col("key_b")).as("name_b"))
+        .orderBy("name_a", "name_b")),
+
+    // Entity resolution: fuzzy-match pairs → connected components →
+    // per-customer entity id (min custkey of the component;
+    // unmatched customers are their own entity) + entity size. The
+    // d8 composition applied to record linkage instead of dedup.
+    "n2_entity_groups" -> ((s, dir) => {
+      val c = cust(s, dir)
+      val pairs = FuzzyJoin.edLeq1SelfJoin(c, "c_custkey", "c_name")
+      val comp = ConnectedComponents.minLabel(pairs, "id_a", "id_b")
+      val assigned = c
+        .join(comp, c("c_custkey") === comp("id"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("comp"), col("c_custkey")).as("entity"))
+      val sizes = assigned.groupBy("entity")
+        .agg(count(lit(1)).as("group_size"))
+      assigned.join(sizes, "entity")
+        .select(col("c_custkey"), col("entity"), col("group_size"))
+        .orderBy("c_custkey")
+    }),
+
+    // PageRank over the part co-purchase graph (parts sharing an
+    // order are linked) — 3 damped iterations, integer-exact e12
+    // ranks. The edge build is a self-join on the order key: the
+    // pair blowup is bounded by order size, never by the table.
+    "n1_pagerank" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+      PageRank.ranksE12(edges, "src", "dst", iters = 3)
+        .select(col("id").as("part_id"), col("rank_e12"))
+        .orderBy("part_id")
+    }),
+
+    // Trained quality classifier: 2 full-batch perceptron rounds
+    // over integer document features, then confusion counts of the
+    // learned weights — TRAINING is oracle-checked, not just
+    // inference (integer-exact, like v8_kmeans). The label is a
+    // length threshold, so the fit is genuinely learnable and the
+    // confusion matrix is non-trivial.
+    "x18_perceptron_quality" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(
+        when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"),
+        lit(1L).as("bias"),
+        expr(s"size(${MinHashLsh.tokensSql("text")})")
+          .cast("long").as("toks"),
+        col("n_chars").cast("long").as("chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+      val featureCols = Seq("bias", "toks", "chars", "en")
+      val w = Perceptron.fit(d, featureCols, "y", rounds = 2)
+      Perceptron.confusion(d, featureCols, "y", w)
+    })
+  )
+
+  /** One unrolled PageRank iteration as a DuckDB CTE pair: sI
+    * (inflow per destination) + rI (teleport + inflow, left-joined
+    * so isolated-in-degree nodes keep the teleport term). */
+  private def prIter(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""s$i AS (
+       | SELECT e.dst AS id,
+       |  sum((85 * $prev.r) // (100 * od.outdeg))::BIGINT AS inflow
+       | FROM e JOIN $prev ON e.src = $prev.id
+       |  JOIN od ON e.src = od.src GROUP BY 1),
+       |r$i AS (
+       | SELECT n.id,
+       |  (15 * 1000000000000) // (100 * nn.n)
+       |   + coalesce(s$i.inflow, 0) AS r
+       | FROM nodes n CROSS JOIN nn
+       |  LEFT JOIN s$i ON n.id = s$i.id)""".stripMargin
+  }
+
+  private val fuzzyPairsSql =
+    """SELECT a.c_custkey AS id_a, a.c_name AS name_a,
+      |  b.c_custkey AS id_b, b.c_name AS name_b
+      | FROM customer a, customer b
+      | WHERE a.c_custkey < b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j13_fuzzy_join" -> s"""
+      |WITH cand AS ($fuzzyPairsSql)
+      |SELECT least(name_a, name_b) AS name_a,
+      | greatest(name_a, name_b) AS name_b
+      |FROM cand ORDER BY 1, 2""".stripMargin,
+
+    "n2_entity_groups" -> s"""
+      |WITH RECURSIVE cand AS ($fuzzyPairsSql),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+      |          UNION ALL SELECT id_b, id_a FROM cand),
+      |cc(id, comp) AS (
+      | SELECT a, a FROM edges
+      | UNION
+      | SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+      |assign AS (SELECT id, min(comp) AS comp FROM cc GROUP BY 1),
+      |ent AS (
+      | SELECT c.c_custkey, coalesce(a.comp, c.c_custkey) AS entity
+      | FROM customer c LEFT JOIN assign a ON c.c_custkey = a.id),
+      |sizes AS (SELECT entity, count(*) AS group_size FROM ent
+      |          GROUP BY 1)
+      |SELECT e.c_custkey, e.entity, s.group_size
+      |FROM ent e JOIN sizes s ON e.entity = s.entity
+      |ORDER BY 1""".stripMargin,
+
+    "n1_pagerank" -> s"""
+      |WITH e AS (
+      | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey
+      | WHERE a.l_partkey <> b.l_partkey),
+      |nodes AS (SELECT DISTINCT src AS id FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT id, 1000000000000 // n AS r
+      |       FROM nodes CROSS JOIN nn),
+      |${prIter(1)},
+      |${prIter(2)},
+      |${prIter(3)}
+      |SELECT id AS part_id, r AS rank_e12 FROM r3
+      |ORDER BY 1""".stripMargin,
+
+    // Round 1 from w = 0 is folded into direct sums: zero weights
+    // give zero margins, the ≤ 0 test keeps every row, so
+    // w1 = Σ y·x exactly.
+    "x18_perceptron_quality" -> """
+      |WITH f AS (
+      | SELECT CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END
+      |   AS BIGINT) AS y,
+      |  1::BIGINT AS bias,
+      |  len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |   ::BIGINT AS toks,
+      |  n_chars::BIGINT AS chars,
+      |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+      |   AS en
+      | FROM documents),
+      |w1 AS (
+      | SELECT sum(y * bias)::BIGINT AS w_bias,
+      |  sum(y * toks)::BIGINT AS w_toks,
+      |  sum(y * chars)::BIGINT AS w_chars,
+      |  sum(y * en)::BIGINT AS w_en
+      | FROM f),
+      |u2 AS (
+      | SELECT coalesce(sum(y * bias), 0)::BIGINT AS d_bias,
+      |  coalesce(sum(y * toks), 0)::BIGINT AS d_toks,
+      |  coalesce(sum(y * chars), 0)::BIGINT AS d_chars,
+      |  coalesce(sum(y * en), 0)::BIGINT AS d_en
+      | FROM f CROSS JOIN w1
+      | WHERE y * (w_bias * bias + w_toks * toks
+      |            + w_chars * chars + w_en * en) <= 0),
+      |w2 AS (
+      | SELECT w_bias + d_bias AS w_bias, w_toks + d_toks AS w_toks,
+      |  w_chars + d_chars AS w_chars, w_en + d_en AS w_en
+      | FROM w1 CROSS JOIN u2),
+      |p AS (
+      | SELECT y, CASE WHEN w_bias * bias + w_toks * toks
+      |   + w_chars * chars + w_en * en > 0 THEN 1 ELSE -1 END
+      |   AS pred
+      | FROM f CROSS JOIN w2),
+      |cf AS (
+      | SELECT
+      |  sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+      |   ::BIGINT AS tp,
+      |  sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END)
+      |   ::BIGINT AS fp,
+      |  sum(CASE WHEN pred = -1 AND y = -1 THEN 1 ELSE 0 END)
+      |   ::BIGINT AS tn,
+      |  sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END)
+      |   ::BIGINT AS fn
+      | FROM p)
+      |SELECT w_bias, w_toks, w_chars, w_en, tp, fp, tn, fn
+      |FROM w2 CROSS JOIN cf""".stripMargin
+  )
+}

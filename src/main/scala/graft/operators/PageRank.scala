@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge list — the web-graph quality
+  * signal a large-scale corpus-curation pipeline uses to weight
+  * crawled sources (OPIC / Common-Crawl-style harmonic ranking is the
+  * same join-aggregate shape).
+  *
+  * INTEGER-EXACT by construction, like `KMeans.fitE6`: ranks are
+  * int64 at e12 scale and every per-iteration term is integer floor
+  * arithmetic —
+  *
+  *   rank0(v)   = 1e12 div N
+  *   rank_t+1(v) = ((100-d)·1e12) div (100·N)
+  *               + Σ_{u→v} (d·rank_t(u)) div (100·outdeg(u))
+  *
+  * with d the damping percentage (85 = the classic 0.85). Exactness
+  * is what lets an ITERATIVE graph algorithm hash-match a DuckDB
+  * oracle of unrolled CTEs; the cost is that per-iteration floor
+  * truncation leaks ≤1e-12·outdeg of mass per node — irrelevant for
+  * ranking, and identical on both engines.
+  *
+  * Plan shape (per iteration): one hash join rank⋈edges on `src`
+  * (both sides hash-partitioned on the same key, so AQE can reuse the
+  * exchange), one aggregate on `dst`, one left join back to the node
+  * set for isolated-in-degree nodes. The node count enters as a
+  * 1-row aggregate frame joined via broadcast — never a driver-side
+  * collect, so plan construction stays fully lazy.
+  *
+  * At 100 TB: the edge list is the big frame; it is persisted once
+  * (tracked via `Broadcasting.track` → `releaseAll()`) and every
+  * iteration shuffles only (id, rank) pairs — 16 bytes per node, not
+  * the corpus. Lineage grows linearly with `iters`; past ~10 rounds
+  * checkpoint the rank frame per round (same localization note as
+  * `IvfIndex`). Dangling nodes (out-degree 0) never appear by
+  * construction when the edge set is symmetric; for general directed
+  * graphs their mass is dropped (the standard simplification) —
+  * documented rather than redistributed.
+  */
+object PageRank {
+
+  /** Edges (srcCol, dstCol) with integral node ids; duplicates are
+    * collapsed. Returns (id: long, rank_e12: long) for every node
+    * that appears as a source (for symmetric edge sets: every node).
+    */
+  def ranksE12(edges: DataFrame, srcCol: String, dstCol: String,
+    iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    val e = Broadcasting.track(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .persist())
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id")).distinct()
+    // 1-row frame: the teleport denominator. Broadcast-joined below,
+    // so N never touches the driver and the plan stays lazy.
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("id"),
+        expr("1000000000000L div n_nodes").as("rank_e12"))
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"),
+          expr(s"($dampingPct * rank_e12) div (100 * outdeg)")
+            .as("contrib"))
+        .groupBy("id")
+        .agg(sum("contrib").as("inflow"))
+      ranks = nodes
+        .join(inflow, Seq("id"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("id"),
+          (expr(s"((100 - $dampingPct) * 1000000000000L)" +
+            " div (100 * n_nodes)") +
+            coalesce(col("inflow"), lit(0L))).as("rank_e12"))
+    }
+    ranks
+  }
+}
