@@ -76,6 +76,35 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — view→click attribution: each
+    * click pairs with the SAME user's views from the preceding
+    * `maxDelay` window (view_ts ∈ [click_ts − maxDelay, click_ts]).
+    * This is the streaming face of j9_asof_join's backward scan,
+    * except it keeps EVERY qualifying view, not just the latest.
+    *
+    * Both inputs carry watermarks and the join condition bounds
+    * event-time distance from both directions — the two things Spark
+    * needs to compute a state-eviction horizon; without either, join
+    * state grows forever. State partitions by user_id (the equi-key),
+    * so at 1000 executors this scales like any keyed shuffle.
+    */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+    maxDelay: String = "30 minutes", watermark: String = "1 hour")
+    : DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+      col("ts").as("view_ts"), col("user_id").as("v_user"))
+      .withWatermark("view_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("ts").as("click_ts"), col("user_id").as("c_user"))
+      .withWatermark("click_ts", watermark)
+    v.join(c, expr(
+      s"""v_user = c_user
+         |AND view_ts >= click_ts - interval $maxDelay
+         |AND view_ts <= click_ts""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("view_id"), col("click_ts"), col("view_ts"))
+  }
+
   /** File-source stream over a directory of events parquet (schema must
     * be supplied for streaming reads). */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {

@@ -86,4 +86,35 @@ class EventStreamsSpec extends SparkTestBase {
         Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("stream-stream attribution join bounds matches by user and time") {
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.attributionJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        ev(10, "2026-01-01 10:00:00", 1, "view"),  // in window
+        ev(11, "2026-01-01 09:00:00", 1, "view"),  // too old
+        ev(12, "2026-01-01 10:30:00", 1, "view"),  // AFTER the click
+        ev(13, "2026-01-01 10:05:00", 2, "view"))  // other user
+      clicks.addData(
+        ev(20, "2026-01-01 10:15:00", 1, "click"))
+      q.processAllAvailable()
+      // advance both watermarks past the join horizon so the joined
+      // rows are emitted in append mode
+      views.addData(ev(14, "2026-01-01 13:00:00", 9, "view"))
+      clicks.addData(ev(21, "2026-01-01 13:00:00", 9, "click"))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .collect().map(r => (r.getAs[Long]("click_id"),
+          r.getAs[Long]("view_id"))).toSet
+      // click 20 matches ONLY view 10; the 13:00 pair also self-joins
+      assert(got.contains((20L, 10L)))
+      assert(!got.contains((20L, 11L)) && !got.contains((20L, 12L))
+        && !got.contains((20L, 13L)))
+    } finally q.stop()
+  }
 }
