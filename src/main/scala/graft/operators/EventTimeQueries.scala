@@ -82,6 +82,31 @@ object EventTimeQueries {
           floor(col("v") * lit(10000d) + lit(0.5d)).cast("long")
             .as("v_e4"))
         .orderBy("event_id")
+    }),
+
+    // Funnel-path mining: each user's first three event types in
+    // time order, joined into a '>'-separated path, counted per
+    // distinct path — the onboarding-funnel census. Plan: ONE
+    // shuffle on user_id for the row_number window, then the path
+    // frame is user-cardinality-sized and the final agg is over at
+    // most |types|^3 paths. collect_list order is pinned by sorting
+    // the (rn, type) structs — never relied on shuffle order.
+    "t4_funnel_paths" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"),
+            col("event_type").as("t")))),
+          x => x("t")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("path")
     })
   )
 
@@ -124,6 +149,16 @@ object EventTimeQueries {
       | CAST(floor(r.v * 10000 + 0.5) AS BIGINT) AS v_e4
       |FROM l ASOF LEFT JOIN r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
-      |ORDER BY event_id""".stripMargin
+      |ORDER BY event_id""".stripMargin,
+    "t4_funnel_paths" -> """
+      |WITH ranked AS (SELECT user_id, event_type,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS rn
+      | FROM events),
+      |p AS (SELECT user_id,
+      |  string_agg(event_type, '>' ORDER BY rn) AS path
+      | FROM ranked WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

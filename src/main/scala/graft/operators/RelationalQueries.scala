@@ -153,6 +153,34 @@ object RelationalQueries {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
+    // Rolling time-RANGE window: each order's trailing-90-day spend
+    // for the same customer (the feature-engineering staple — rolling
+    // user activity). rangeBetween over integer epoch DAYS, so the
+    // frame bound is exact and tie handling (all peers of an equal
+    // order date share the frame) matches ANSI RANGE semantics in
+    // both engines; integer cents keep the windowed sums exact. The
+    // per-order frame is then folded to a per-priority census so the
+    // result stays small. Plan at scale: ONE hash shuffle on
+    // o_custkey for the window sort — per-customer state only, never
+    // a global sort.
+    "w8_rolling_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-90, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("price_e2"))
+        .withColumn("roll_e2", sum("price_e2").over(w))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("roll_e2").as("sum_roll_e2"),
+          max("roll_e2").as("max_roll_e2"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Pivot (wide conditional aggregation) with an explicit value list
     // so the schema is static; missing combos coalesced to 0.
     "p14_pivot" -> ((s, dir) => {
@@ -729,6 +757,47 @@ object RelationalQueries {
         .orderBy("from_version", "to_v")
     }),
 
+    // Incremental aggregate maintenance (IncrementalAgg.maintain):
+    // the stored per-priority count/sum summary is refreshed from a
+    // signed changelog ONLY — repriced keys (%10) as a -1/+1 pair in
+    // place, moved keys (%13, not %10) as -1 in the old priority and
+    // +1 in '1-URGENT', deleted keys (%89, not %10/%13) as -1,
+    // inserted shifted keys (%97) as +1. The base corpus never
+    // re-aggregates (spec-asserted on the physical plan). The oracle
+    // aggregates the EXPECTED post-change corpus directly — fully
+    // independent of the delta machinery. Integer cents keep the
+    // signed replay exact.
+    "u4_incremental_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("price_e2"))
+      val is10 = pmod(col("o_orderkey"), lit(10)) === 0
+      val is13 = pmod(col("o_orderkey"), lit(13)) === 0 && !is10
+      val is89 = pmod(col("o_orderkey"), lit(89)) === 0 &&
+        !is10 && !is13
+      val summary = IncrementalAgg.aggregate(orders,
+        Seq("o_orderpriority"), Seq("price_e2"))
+      val repricedOld = orders.filter(is10)
+      val repricedNew = repricedOld
+        .withColumn("price_e2", col("price_e2") + 100000L)
+      val movedOld = orders.filter(is13)
+      val movedNew = movedOld
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+      val deleted = orders.filter(is89)
+      val inserted = orders
+        .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      val delta = IncrementalAgg.signedDelta(
+        deletes = repricedOld.unionByName(movedOld)
+          .unionByName(deleted),
+        inserts = repricedNew.unionByName(movedNew)
+          .unionByName(inserted))
+      IncrementalAgg.maintain(summary, delta,
+        Seq("o_orderpriority"), Seq("price_e2"))
+        .orderBy("o_orderpriority")
+    }),
+
     // One-pass exact table profile (Profiling.summary): per-column
     // null/distinct/min/max in long format — the ingest-time data-
     // quality summary. Exact distinct counts cost an Expand (documented
@@ -817,6 +886,18 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY l_suppkey
         | ORDER BY l_orderkey, l_linenumber)
         |ORDER BY 1, 2, 3""".stripMargin,
+    "w8_rolling_spend" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01',
+        |      o_orderdate::DATE)
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS roll
+        | FROM orders)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        | sum(roll)::BIGINT AS sum_roll_e2,
+        | max(roll)::BIGINT AS max_roll_e2
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "p14_pivot" ->
       """SELECT l_returnflag,
         | count(*) FILTER (l_linestatus = 'F') AS "F",
@@ -1131,6 +1212,26 @@ object RelationalQueries {
         |  UNION ALL SELECT 2, 2, n11 FROM c
         |  UNION ALL SELECT 3, 0, n01 + n11 FROM c)
         |WHERE n_intervals > 0 ORDER BY from_version, to_v""".stripMargin,
+    // Aggregates the EXPECTED post-change corpus directly: repriced
+    // %10 keys (+1000.00), %13-not-%10 keys moved to '1-URGENT',
+    // %89-not-%10/%13 keys removed, %97 keys duplicated at shifted
+    // ids with original values — never touches the signed-changelog
+    // machinery the engine maintains through.
+    "u4_incremental_agg" ->
+      """WITH v2 AS (
+        |  SELECT CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0
+        |           THEN '1-URGENT' ELSE o_orderpriority END AS g,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT +
+        |      CASE WHEN o_orderkey % 10 = 0 THEN 100000 ELSE 0 END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 89 = 0 AND o_orderkey % 10 <> 0
+        |             AND o_orderkey % 13 <> 0)
+        |  UNION ALL
+        |  SELECT o_orderpriority, floor(o_totalprice * 100 + 0.5)::BIGINT
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT g AS o_orderpriority, count(*)::BIGINT AS cnt,
+        |  sum(p)::BIGINT AS sum_price_e2
+        |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "s8_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
