@@ -614,6 +614,22 @@ object RelationalQueries {
       KmvSketch.distinctEstimate(t(s, dir, "lineitem"),
         "l_suppkey", 64)),
 
+    // KMV set operations (KmvSketch.setOps): union and intersection
+    // cardinality of two customer segments (1995 vs 1996 buyers)
+    // from their k=64 sketches — the reason segment sketches are
+    // stored at all: any pair's overlap from 2·64 longs, no corpus
+    // rescan. Power-of-two k keeps the ratio estimator's float
+    // arithmetic bit-exact across engines (see setOps doc), so the
+    // ESTIMATES are oracle-exact, like a11/a12/a16.
+    "a17_kmv_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a95 = o.filter(year(col("o_orderdate")) === 1995)
+        .select("o_custkey")
+      val b96 = o.filter(year(col("o_orderdate")) === 1996)
+        .select("o_custkey")
+      KmvSketch.setOps(a95, "o_custkey", b96, "o_custkey", 64)
+    }),
+
     // HyperLogLog registers over order keys: max-rho per 2^8
     // registers — one narrow pass + a 256-row shuffle at ANY corpus
     // size, and the register CONTENTS are oracle-exact (shared md5
@@ -1126,6 +1142,40 @@ object RelationalQueries {
         |    greatest(kth, 1) + 0.5) AS BIGINT) END AS est_distinct,
         | seen::BIGINT AS k_seen
         |FROM a""".stripMargin,
+    // Replays the full sketch pipeline — per-segment top-64 hash
+    // sets, merged union sketch, membership ratio — in SQL; the
+    // estimator arithmetic matches setOps bit-for-bit (power-of-two
+    // k, shared md5 hash).
+    "a17_kmv_setops" ->
+      """WITH a AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv:' ||
+        |      o_custkey::VARCHAR), 1, 15))::BIGINT
+        |    % 1152921504606846976 AS h
+        |  FROM orders WHERE year(o_orderdate) = 1995),
+        |ka AS (SELECT h FROM a ORDER BY h LIMIT 64),
+        |b AS (
+        |  SELECT DISTINCT ('0x' || substr(md5('kmv:' ||
+        |      o_custkey::VARCHAR), 1, 15))::BIGINT
+        |    % 1152921504606846976 AS h
+        |  FROM orders WHERE year(o_orderdate) = 1996),
+        |kb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+        |u AS (SELECT DISTINCT h FROM
+        |  (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |  ORDER BY h LIMIT 64),
+        |st AS (SELECT count(*) AS seen, max(h) AS kth,
+        |  count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+        |    AND h IN (SELECT h FROM kb)) AS n_both
+        | FROM u),
+        |e AS (SELECT seen, n_both,
+        |  CASE WHEN seen < 64 THEN seen
+        |    ELSE CAST(floor(63.0 * 1152921504606846976.0 /
+        |      greatest(kth, 1) + 0.5) AS BIGINT) END AS est_union
+        | FROM st)
+        |SELECT est_union,
+        | CAST(floor(n_both::DOUBLE * est_union /
+        |   greatest(seen, 1) + 0.5) AS BIGINT) AS est_inter,
+        | n_both::BIGINT AS k_both, seen::BIGINT AS union_seen
+        |FROM e""".stripMargin,
     "a16_hll_registers" ->
       """WITH h AS (
         |  SELECT ('0x' || substr(md5('hll:' ||

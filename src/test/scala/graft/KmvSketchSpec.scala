@@ -39,6 +39,44 @@ class KmvSketchSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("setOps is exact below k (the sketch IS the hash set)") {
+    val a = (1 to 30).toDF("k")   // A = 1..30
+    val b = (21 to 50).toDF("k")  // B = 21..50, |A∩B| = 10, |A∪B| = 50
+    val r = KmvSketch.setOps(a, "k", b, "k", 64).head()
+    assert(r.getLong(0) == 50L, s"union: $r")
+    assert(r.getLong(1) == 10L, s"inter: $r")
+    assert(r.getLong(2) == 10L)  // k_both
+    assert(r.getLong(3) == 50L)  // union_seen
+  }
+
+  test("setOps estimates land in the error band at scale") {
+    // |A| = 20k, |B| = 20k, overlap 10k → union 30k, inter 10k
+    val a = spark.range(0, 20000).select(col("id").as("k"))
+    val b = spark.range(10000, 30000).select(col("id").as("k"))
+    val r = KmvSketch.setOps(a, "k", b, "k", 256).head()
+    val (u, i) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(u - 30000) / 30000 < 0.19, s"union $u")
+    // the ratio estimator compounds union error with binomial rho
+    // noise at k=256 — allow a wider band for the intersection
+    assert(math.abs(i - 10000) / 10000 < 0.35, s"inter $i")
+  }
+
+  test("setOps is deterministic and partitioning-invariant") {
+    val a = spark.range(5000).select(col("id").as("k"))
+    val b = spark.range(2500, 7500).select(col("id").as("k"))
+    val r1 = KmvSketch.setOps(a, "k", b, "k", 64).head()
+    val r2 = KmvSketch.setOps(a.repartition(13), "k",
+      b.repartition(7), "k", 64).head()
+    assert(r1 == r2)
+  }
+
+  test("setOps rejects a non-power-of-two k") {
+    val df = (1 to 10).toDF("k")
+    intercept[IllegalArgumentException] {
+      KmvSketch.setOps(df, "k", df, "k", 100)
+    }
+  }
+
   test("plan: partial distinct before the shuffle, global TakeOrdered") {
     val df = spark.range(1000).select(col("id").as("k"))
     val plan = KmvSketch.distinctEstimate(df, "k", 64)
