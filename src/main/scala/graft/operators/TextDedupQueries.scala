@@ -404,6 +404,43 @@ object TextDedupQueries {
         .select(col("id").as("doc_id"), col("comp"), col("group_size"))
         .orderBy("doc_id")),
 
+    // Leakage-safe train/val split: the split unit is the near-dup
+    // GROUP, not the document — a doc and its lightly-edited twin
+    // must land on the same side, or the val set leaks into
+    // training. Each doc's representative = its LSH connected
+    // component (singletons are their own); the split is a stable
+    // content hash of the REP, so adding/removing docs never
+    // reshuffles unrelated assignments. Output: per-split doc/group
+    // census + the cross-split near-dup pair count, which is 0 BY
+    // CONSTRUCTION (group members share a rep share a split) — kept
+    // in the result as the leakage checksum the oracle replays.
+    "x19_leakage_split" -> ((s, dir) => {
+      val pairs = Broadcasting.track(
+        lshCandidatePairs(s, dir).persist())
+      val comp = ConnectedComponents.dedupGroups(
+        pairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp"))
+      val split = docs(s, dir).select("doc_id")
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("rep"))
+        .withColumn("split",
+          when(StableHash.md5Mod("split", col("rep"), 100) < 90,
+            lit("train")).otherwise(lit("val")))
+      val crossCnt = pairs
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("sa")), Seq("doc_a"))
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("sb")), Seq("doc_b"))
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_cross_pairs"))
+      split.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_groups"))
+        .crossJoin(crossCnt)
+        .orderBy("split")
+    }),
+
     // End-to-end dedup APPLICATION: what a pipeline actually ships.
     // Exact groups collapse to their min-doc_id representative; LSH
     // candidate pairs then drop each pair's higher id (single-pass
@@ -715,6 +752,40 @@ object TextDedupQueries {
       |SELECT id AS doc_id, a.comp, group_size
       |FROM assign a JOIN sizes s ON a.comp = s.comp
       |ORDER BY doc_id""".stripMargin),
+    // d8's recursive-CTE component machinery + the stable rep-hash
+    // split; the checksum column must replay to 0 in both engines
+    "x19_leakage_split" -> (oracleMinhash.replaceFirst(
+      "WITH ", "WITH RECURSIVE ") + """,
+      |bands AS (
+      | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1
+      |  AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |cc(id, comp) AS (
+      | SELECT a, a FROM edges
+      | UNION
+      | SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+      |assign AS (SELECT id, min(comp) AS comp FROM cc GROUP BY 1),
+      |rep AS (SELECT d.doc_id, coalesce(a.comp, d.doc_id) AS rep
+      |        FROM documents d LEFT JOIN assign a ON d.doc_id = a.id),
+      |sp AS (SELECT doc_id, rep,
+      |  CASE WHEN ('0x' || substr(md5('split:' || rep::VARCHAR),
+      |    1, 15))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END
+      |    AS split FROM rep),
+      |cx AS (SELECT count(*) FILTER (WHERE sa.split <> sb.split)
+      |    AS n_cross_pairs
+      |  FROM pairs p JOIN sp sa ON p.doc_a = sa.doc_id
+      |               JOIN sp sb ON p.doc_b = sb.doc_id)
+      |SELECT split, count(*) AS n_docs,
+      | count(DISTINCT rep) AS n_groups, n_cross_pairs
+      |FROM sp CROSS JOIN cx GROUP BY 1, n_cross_pairs
+      |ORDER BY 1""".stripMargin),
     "d7_dedup_apply" -> (oracleMinhash + """,
       |bands AS (
       | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
