@@ -121,6 +121,34 @@ object GeomFunctions {
   /** Point count of the outer ring. */
   def stNumPoints(geom: Column): Column = size(outerRing(geom)).cast("long")
 
+  /** Even-odd ray cast: is (px, py) strictly inside the outer ring?
+    * Works for ANY simple polygon (convex or concave; holes are
+    * ignored — outer ring only, like the rest of the family). The
+    * ring is closed defensively; a horizontal ray to +x toggles on
+    * each edge whose y-span straddles py and whose crossing lies
+    * right of px. Points exactly ON an edge are
+    * numerically ambiguous (shared-edge floats) — callers wanting
+    * boundary semantics should offset test points off the lattice.
+    * A narrow codegen'd HOF fold over the edge list: zero shuffle,
+    * pipelines inside the scan like stArea/stPerimeter. */
+  def stContains(geom: Column, px: Column, py: Column): Column = {
+    val r = close_ring(outerRing(geom))
+    val crossings = aggregate(
+      idx(size(r) - 1),
+      lit(0),
+      (acc, i) => {
+        val x1 = element_at(element_at(r, i), 1)
+        val y1 = element_at(element_at(r, i), 2)
+        val x2 = element_at(element_at(r, i + 1), 1)
+        val y2 = element_at(element_at(r, i + 1), 2)
+        val straddles = (y1 <= py && y2 > py) || (y2 <= py && y1 > py)
+        val crossesRight =
+          px < x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+        acc + when(straddles && crossesRight, 1).otherwise(0)
+      })
+    crossings % 2 === 1
+  }
+
   /** F18 `.geom_type` accessor (`get_geometry_type`,
     * mongo-etl/utils/geometry.py:176-191): the reference parses the
     * GeoJSON `type` field via shapely's `shape()` — case-insensitive

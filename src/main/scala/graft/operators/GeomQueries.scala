@@ -103,6 +103,43 @@ object GeomQueries {
             .as("wkt"))
         .orderBy("p_partkey")),
 
+    // Spatial point-in-polygon JOIN via grid binning — the scale
+    // pattern for "which marks fall inside which regions": polygons
+    // explode to the 2.0-unit grid cells their envelope covers (a
+    // bounded fan-out), points key to their single cell, and the
+    // equi-join on (cx, cy) replaces the quadratic cross join; the
+    // exact even-odd ray cast (stContains) then verifies candidates
+    // — inverted-index + verify, same shape as LSH/d10. Points sit
+    // at half-integer offsets so no test point lies on a polygon
+    // edge (boundary floats are ambiguous). The oracle never sees
+    // the grid: rectangles make containment a CLOSED-FORM strict
+    // bbox test, independently derived — while the engine runs the
+    // general concave-capable ray cast (concavity itself is pinned
+    // by GeomFunctionsSpec).
+    "g7_grid_pip_join" -> ((s, dir) => {
+      val cell = 2.0
+      val polyCells = part50(s, dir)
+        .withColumn("geom", closedGeom)
+        .select(col("p_partkey"), col("geom"), col("y0"), col("h"),
+          explode(expr(s"sequence(cast(floor(x0 / $cell) as int), " +
+            s"cast(floor((x0 + w) / $cell) as int))")).as("cx"))
+        .select(col("p_partkey"), col("geom"), col("cx"),
+          explode(expr(s"sequence(cast(floor(y0 / $cell) as int), " +
+            s"cast(floor((y0 + h) / $cell) as int))")).as("cy"))
+      val pts = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") < 2000)
+        .select(col("c_custkey"),
+          (col("c_custkey") % 12 + 0.5).cast("double").as("px"),
+          (col("c_custkey") % 9 + 0.5).cast("double").as("py"))
+        .withColumn("cx", floor(col("px") / cell).cast("int"))
+        .withColumn("cy", floor(col("py") / cell).cast("int"))
+      polyCells.join(pts, Seq("cx", "cy"))
+        .filter(stContains(col("geom"), col("px"), col("py")))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_pts"))
+        .orderBy("p_partkey")
+    }),
+
     // F18 `.geom_type`: canonical CamelCase from a declared GeoJSON
     // type, case-insensitively; unknown types → null (the reference's
     // extraction-failure → None path). Input casing is deliberately
@@ -162,6 +199,16 @@ object GeomQueries {
       |  WHEN 0 THEN 'Polygon' WHEN 1 THEN 'Point'
       |  WHEN 2 THEN 'LineString' WHEN 3 THEN 'MultiPolygon'
       |  WHEN 4 THEN 'GeometryCollection' ELSE NULL END AS geom_type
-      |FROM g ORDER BY p_partkey""".stripMargin)
+      |FROM g ORDER BY p_partkey""".stripMargin),
+    // closed-form strict bbox containment over the brute cross join —
+    // no grid, no ray cast: fully independent of the engine plan
+    "g7_grid_pip_join" -> (oracleBase + """,
+      |pts AS (SELECT c_custkey,
+      |  (c_custkey % 12) + 0.5 AS px, (c_custkey % 9) + 0.5 AS py
+      | FROM customer WHERE c_custkey < 2000)
+      |SELECT p_partkey, count(*) AS n_pts
+      |FROM g JOIN pts ON px > x0 AND px < x0 + w
+      |  AND py > y0 AND py < y0 + h
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -32,6 +32,32 @@ class GeomFunctionsSpec extends SparkTestBase {
     assert(one(stArea(g)) == 6.0)
   }
 
+  test("stContains: rectangle, inside/outside/edge-adjacent") {
+    val g = polygonFromColonString(lit("[0:0:4:0:4:3:0:3]"))
+    assert(one(stContains(g, lit(2.0), lit(1.5))) == true)
+    assert(one(stContains(g, lit(5.0), lit(1.5))) == false)
+    assert(one(stContains(g, lit(-0.5), lit(1.5))) == false)
+    assert(one(stContains(g, lit(2.0), lit(3.5))) == false)
+  }
+
+  test("stContains: concave L-shape excludes the notch (not a bbox test)") {
+    // L: (0,0)-(4,0)-(4,2)-(2,2)-(2,4)-(0,4); notch = [2,4]x[2,4]
+    val L = expr(
+      """array(array(array(0d,0d), array(4d,0d), array(4d,2d),
+        |  array(2d,2d), array(2d,4d), array(0d,4d)))""".stripMargin)
+    assert(one(stContains(L, lit(1.0), lit(1.0))) == true)   // in leg
+    assert(one(stContains(L, lit(3.0), lit(1.0))) == true)   // in foot
+    assert(one(stContains(L, lit(3.0), lit(3.0))) == false)  // in notch
+    assert(one(stContains(L, lit(1.0), lit(3.5))) == true)   // upper leg
+  }
+
+  test("stContains closes an open ring defensively") {
+    val open = expr(
+      "array(array(array(0d,0d), array(4d,0d), array(2d,3d)))")
+    assert(one(stContains(open, lit(2.0), lit(1.0))) == true)
+    assert(one(stContains(open, lit(0.2), lit(2.5))) == false)
+  }
+
   test("envelope spans all rings") {
     val g = polygonFromColonString(lit("[1:2:7:2:7:9:1:9]"))
     val env = one(stEnvelope(g)).asInstanceOf[org.apache.spark.sql.Row]
