@@ -63,4 +63,29 @@ object Diff {
     keyCols: Seq[String]): DataFrame =
     snapshot(oldDf, newDf, keyCols)
       .groupBy(col("status")).agg(count(lit(1)).as("cnt"))
+
+  /** Derive IncrementalAgg's signed changelog from two snapshots —
+    * the CDC bridge: removed/changed keys emit their OLD row at
+    * `_op = -1`, added/changed keys their NEW row at `_op = +1`,
+    * unchanged keys emit nothing. Feeding the result to
+    * `IncrementalAgg.maintain` (or `StreamingSummary.applyBatch`)
+    * refreshes any stored count/sum summary to the new snapshot's
+    * state without hand-building deltas — and the changelog itself
+    * is diff-sized, so downstream cost tracks what actually changed,
+    * not the table. */
+  def toChangelog(oldDf: DataFrame, newDf: DataFrame,
+    keyCols: Seq[String]): DataFrame = {
+    val payload = oldDf.columns.filterNot(keyCols.contains).toSeq
+    val s = snapshot(oldDf, newDf, keyCols)
+      .filter(col("status") =!= "unchanged")
+    val dels = s.filter(col("status").isin("removed", "changed"))
+      .select(keyCols.map(col) ++
+        payload.map(p => col(s"old_payload.$p").as(p)) :+
+        lit(-1L).as("_op"): _*)
+    val ins = s.filter(col("status").isin("added", "changed"))
+      .select(keyCols.map(col) ++
+        payload.map(p => col(s"new_payload.$p").as(p)) :+
+        lit(1L).as("_op"): _*)
+    dels.unionByName(ins)
+  }
 }

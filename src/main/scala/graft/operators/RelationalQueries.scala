@@ -814,6 +814,35 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // CDC-maintained aggregate (Diff.toChangelog ∘
+    // IncrementalAgg.maintain): where u4 hand-builds the signed
+    // changelog, u5 DERIVES it from two snapshots — the full
+    // snapshot-diff → delta → summary-refresh loop a warehouse runs
+    // nightly. Mutation: %10 keys repriced, %89-not-%10 keys
+    // removed, %97 keys inserted at shifted ids. The oracle
+    // aggregates the expected v2 corpus directly.
+    "u5_cdc_maintain" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("price_e2"))
+      val is10 = pmod(col("o_orderkey"), lit(10)) === 0
+      val is89 = pmod(col("o_orderkey"), lit(89)) === 0 && !is10
+      val v2 = base.filter(!is89)
+        .withColumn("price_e2",
+          when(is10, col("price_e2") + 100000L)
+            .otherwise(col("price_e2")))
+        .unionByName(base
+          .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      val summary = IncrementalAgg.aggregate(base,
+        Seq("o_orderstatus"), Seq("price_e2"))
+      val delta = Diff.toChangelog(base, v2, Seq("o_orderkey"))
+      IncrementalAgg.maintain(summary, delta,
+        Seq("o_orderstatus"), Seq("price_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
     // One-pass exact table profile (Profiling.summary): per-column
     // null/distinct/min/max in long format — the ingest-time data-
     // quality summary. Exact distinct counts cost an Expand (documented
@@ -1280,6 +1309,21 @@ object RelationalQueries {
         |  SELECT o_orderpriority, floor(o_totalprice * 100 + 0.5)::BIGINT
         |  FROM orders WHERE o_orderkey % 97 = 0)
         |SELECT g AS o_orderpriority, count(*)::BIGINT AS cnt,
+        |  sum(p)::BIGINT AS sum_price_e2
+        |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Aggregates the expected post-change corpus directly, never the
+    // diff/changelog machinery the engine routes through.
+    "u5_cdc_maintain" ->
+      """WITH v2 AS (
+        |  SELECT o_orderstatus,
+        |    floor(o_totalprice * 100 + 0.5)::BIGINT +
+        |      CASE WHEN o_orderkey % 10 = 0 THEN 100000 ELSE 0 END AS p
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 89 = 0 AND o_orderkey % 10 <> 0)
+        |  UNION ALL
+        |  SELECT o_orderstatus, floor(o_totalprice * 100 + 0.5)::BIGINT
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, count(*)::BIGINT AS cnt,
         |  sum(p)::BIGINT AS sum_price_e2
         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "s8_profile" ->

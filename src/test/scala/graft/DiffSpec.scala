@@ -61,6 +61,39 @@ class DiffSpec extends SparkTestBase {
     assert(changed.head.getDouble(2) == 99.0)
   }
 
+  test("toChangelog + maintain refreshes a summary to the new snapshot") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("price_e2"))
+    val is5 = pmod(col("o_orderkey"), lit(5)) === 0
+    val is7 = pmod(col("o_orderkey"), lit(7)) === 0 && !is5
+    val v2 = orders.filter(!is7)
+      .withColumn("price_e2",
+        when(is5, col("price_e2") + 1L).otherwise(col("price_e2")))
+    val summary = graft.operators.IncrementalAgg.aggregate(orders,
+      Seq("o_orderstatus"), Seq("price_e2"))
+    val maintained = graft.operators.IncrementalAgg.maintain(summary,
+      Diff.toChangelog(orders, v2, Seq("o_orderkey")),
+      Seq("o_orderstatus"), Seq("price_e2"))
+    val direct = graft.operators.IncrementalAgg.aggregate(v2,
+      Seq("o_orderstatus"), Seq("price_e2"))
+    assert(maintained.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("toChangelog is diff-sized: removed + added + 2*changed rows") {
+    val newDf = oldDf
+      .filter(col("k") =!= 1)                              // remove 1
+      .withColumn("price",
+        when(col("k") === 2, 99.0).otherwise(col("price"))) // change 2
+      .unionByName(Seq((5L, "e", 50.0)).toDF("k", "name", "price"))
+    val log = Diff.toChangelog(oldDf, newDf, Seq("k"))
+    assert(log.count() == 4) // -1(k=1), -1/+1(k=2), +1(k=5)
+    val ops = log.select("k", "_op").as[(Long, Long)].collect().toSet
+    assert(ops == Set((1L, -1L), (2L, -1L), (2L, 1L), (5L, 1L)))
+  }
+
   test("mismatched schemas and key-only frames are rejected") {
     intercept[IllegalArgumentException](
       Diff.snapshot(oldDf, oldDf.drop("price"), Seq("k")))
