@@ -1,0 +1,41 @@
+package graft
+
+/** Physical-plan guards for the round-10 query additions: the shapes
+  * that make them scale must survive optimizer/AQE changes. */
+class NewQueryPlanSpec extends SparkTestBase {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("g7 spatial join is the grid equi-join, never a cross join") {
+    val p = plan("g7_grid_pip_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j13 fuzzy self-join never forms the n² cross join") {
+    val p = plan("j13_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("w8 rolling window is partitioned by customer (no global sort window)") {
+    val p = plan("w8_rolling_spend")
+    assert(p.contains("Window"), p)
+    // a Window with an empty partition spec would be a single-task
+    // global sort; the customer key must appear in the window's
+    // partition clause
+    assert(p.contains("partitionBy") || // plan string variants
+      "windowspecdefinition\\(o_custkey".r.findFirstIn(p.toLowerCase)
+        .isDefined, p)
+  }
+
+  test("t4 funnel census carries one user-keyed window shuffle") {
+    val p = plan("t4_funnel_paths")
+    assert("windowspecdefinition\\(user_id".r
+      .findFirstIn(p.toLowerCase).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
