@@ -87,9 +87,16 @@ object EventStreams {
     * needs to compute a state-eviction horizon; without either, join
     * state grows forever. State partitions by user_id (the equi-key),
     * so at 1000 executors this scales like any keyed shuffle.
-    */
+    *
+    * `joinType = "leftOuter"` additionally emits every UNMATCHED click
+    * (view columns null) once the watermark passes its join horizon —
+    * the "un-attributed conversion" stream a funnel monitor needs;
+    * Spark only allows the outer face because both watermarks and the
+    * two-sided time bound are present. Clicks are the left side so
+    * the preserved rows are the conversions, not the views. */
   def attributionJoin(views: DataFrame, clicks: DataFrame,
-    maxDelay: String = "30 minutes", watermark: String = "1 hour")
+    maxDelay: String = "30 minutes", watermark: String = "1 hour",
+    joinType: String = "inner")
     : DataFrame = {
     val v = views.select(col("event_id").as("view_id"),
       col("ts").as("view_ts"), col("user_id").as("v_user"))
@@ -97,10 +104,10 @@ object EventStreams {
     val c = clicks.select(col("event_id").as("click_id"),
       col("ts").as("click_ts"), col("user_id").as("c_user"))
       .withWatermark("click_ts", watermark)
-    v.join(c, expr(
+    c.join(v, expr(
       s"""v_user = c_user
          |AND view_ts >= click_ts - interval $maxDelay
-         |AND view_ts <= click_ts""".stripMargin))
+         |AND view_ts <= click_ts""".stripMargin), joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("view_id"), col("click_ts"), col("view_ts"))
   }

@@ -117,4 +117,32 @@ class EventStreamsSpec extends SparkTestBase {
         && !got.contains((20L, 13L)))
     } finally q.stop()
   }
+
+  test("leftOuter attribution emits unmatched clicks after the horizon") {
+    implicit val sql = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.attributionJoin(views.toDF(), clicks.toDF(),
+      joinType = "leftOuter")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(ev(10, "2026-01-01 10:00:00", 1, "view"))
+      clicks.addData(
+        ev(20, "2026-01-01 10:15:00", 1, "click"),  // attributed
+        ev(21, "2026-01-01 10:15:00", 2, "click"))  // no view → null
+      q.processAllAvailable()
+      // push both watermarks far past click 21's join horizon so the
+      // outer row is released from state
+      views.addData(ev(14, "2026-01-01 15:00:00", 9, "view"))
+      clicks.addData(ev(22, "2026-01-01 15:00:00", 9, "click"))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .collect().map(r => (r.getAs[Long]("click_id"),
+          Option(r.getAs[Any]("view_id")))).toSet
+      assert(got.contains((20L, Some(10L))), s"got $got")
+      assert(got.contains((21L, None)),
+        s"unmatched click not emitted with null view: $got")
+    } finally q.stop()
+  }
 }
