@@ -121,6 +121,10 @@ object GraftFunctions {
       "graft_l2sq",
       (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1)),
       "built-in")
+    // idempotent: extraOptimizations is tiny, guard by identity
+    if (!spark.experimental.extraOptimizations.contains(BoundLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BoundLevenshtein
   }
 }
 
@@ -139,5 +143,6 @@ class GraftExtensions
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SquaredL2Long].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => BoundLevenshtein)
   }
 }
