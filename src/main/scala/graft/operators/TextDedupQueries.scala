@@ -557,6 +557,52 @@ object TextDedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM log-probability with add-1 smoothing — the
+    // next-order perplexity-proxy above x13's unigram score (a much
+    // sharper fluency filter: word-ORDER now matters). Per doc:
+    // Σ ln((c_ab + 1) / (c_a + V)) over adjacent token pairs, counts
+    // corpus-wide, V = vocabulary size. Numerator/denominator are
+    // exact int64s (< 2^53 ⇒ exact doubles), one IEEE division + ln
+    // quantized e6 at the transcendental (the TfIdf contract), then
+    // pure integer sums. Plan: one corpus shuffle for bigram counts,
+    // one for unigrams, both joined back size-gated; docs shorter
+    // than 2 tokens have no bigram and drop in both engines.
+    "x20_bigram_lm" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), expr(tokensSql).as("w"))
+      val pairs = toks
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, i) as a,
+            |              element_at(w, i + 1) as b))""".stripMargin))
+          .as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+      val bc = Broadcasting.track(pairs
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .persist())
+      val uc = Broadcasting.track(toks
+        .select(explode(col("w")).as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("c_a"))
+        .persist())
+      val vocab = uc.agg(count(lit(1)).as("vocab"))
+      pairs
+        .join(Broadcasting.maybeBroadcast(bc), Seq("a", "b"))
+        .join(Broadcasting.maybeBroadcast(uc), Seq("a"))
+        .crossJoin(vocab)
+        .withColumn("lp_e6",
+          floor(log((col("c_ab") + 1).cast("double") /
+            (col("c_a") + col("vocab")).cast("double"))
+            * 1000000 + 0.5).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp_e6")).as("sum_lp_e6"))
+        .withColumn("avg_lp_e6",
+          floor(col("sum_lp_e6").cast("double") / col("n_bigrams") + 0.5)
+            .cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // PMI bigram collocations: the phrase-mining signal a tokenizer /
     // vocabulary pipeline computes before merging multi-word units.
     // pmi = ln(N·c_ab / (c_a·c_b)) over corpus-wide counts; both
@@ -879,6 +925,28 @@ object TextDedupQueries {
       | CAST(floor(sum(lp_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
       |  AS avg_lp_e6
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same quantize-at-the-transcendental contract as x13/x15; the
+    // bigram explode and both count joins replay verbatim
+    "x20_bigram_lm" -> (oracleToks + """,
+      |uni AS (SELECT unnest(w) AS a FROM toks),
+      |uc AS (SELECT a, count(*)::BIGINT AS c_a FROM uni GROUP BY 1),
+      |v AS (SELECT count(*)::BIGINT AS vocab FROM uc),
+      |pp AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(w)),
+      |    i -> struct_pack(a := w[i], b := w[i+1]))) AS p
+      | FROM toks WHERE len(w) >= 2),
+      |pb AS (SELECT doc_id, p.a AS a, p.b AS b FROM pp),
+      |bc AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM pb
+      |       GROUP BY 1, 2),
+      |sc AS (SELECT doc_id,
+      |  CAST(floor(ln((c_ab + 1)::DOUBLE / (c_a + vocab)::DOUBLE)
+      |    * 1000000 + 0.5) AS BIGINT) AS lp_e6
+      | FROM pb JOIN bc USING (a, b) JOIN uc USING (a) CROSS JOIN v)
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      | sum(lp_e6)::BIGINT AS sum_lp_e6,
+      | CAST(floor(sum(lp_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
+      |  AS avg_lp_e6
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
     "x11_temperature_mix" -> """
       |WITH c AS (SELECT source, count(*) AS n_rows FROM documents
       |           GROUP BY 1),
