@@ -67,6 +67,36 @@ object LinkageQueries {
         .orderBy("part_id")
     }),
 
+    // Exact triangle count of the part co-purchase graph — graph
+    // cohesion (the clustering-coefficient numerator). Edges carry a
+    // SUPPORT threshold (pair co-purchased in ≥ 2 distinct orders) —
+    // the standard sparsification for co-occurrence graphs, and a
+    // real necessity: unthresholded, sf0.1's graph has 1.2M edges of
+    // which all but ~3.5k are single-co-occurrence noise, and wedge
+    // work is Σdeg². The engine then runs degree-oriented wedge
+    // generation (out-degree O(√m) at any skew, each triangle found
+    // once at its lowest-ranked vertex); the oracle is the plain
+    // 3-way edge join over canonical u<v edges — orientation-free,
+    // so the lossless-orientation claim is what's under test.
+    "n3_triangles" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairInst = li.as("a")
+        .join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("l_orderkey"),
+          col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val e = Broadcasting.track(pairInst
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"))
+        .persist())
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(Triangles.count(e, "u", "v"))
+    }),
+
     // Trained quality classifier: 2 full-batch perceptron rounds
     // over integer document features, then confusion counts of the
     // learned weights — TRAINING is oracle-checked, not just
@@ -153,6 +183,23 @@ object LinkageQueries {
       |${prIter(3)}
       |SELECT id AS part_id, r AS rank_e12 FROM r3
       |ORDER BY 1""".stripMargin,
+
+    // plain 3-way edge join over canonical u<v edges, no
+    // orientation — independent of the engine's wedge machinery
+    "n3_triangles" -> """
+      |WITH pi AS (
+      | SELECT DISTINCT a.l_orderkey AS o,
+      |  a.l_partkey AS u, b.l_partkey AS v
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT u, v FROM pi GROUP BY u, v
+      |      HAVING count(*) >= 2),
+      |t AS (SELECT count(*)::BIGINT AS n_triangles
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |c AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+      |SELECT n_edges, n_triangles FROM c CROSS JOIN t""".stripMargin,
 
     // Round 1 from w = 0 is folded into direct sums: zero weights
     // give zero margins, the ≤ 0 test keeps every row, so

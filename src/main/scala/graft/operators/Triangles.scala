@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting — the graph-cohesion primitive behind
+  * clustering coefficients and community strength.
+  *
+  * The naive spelling (3-way edge self-join) explodes on hubs: a
+  * degree-d node contributes d²/2 wedges. The standard fix (degree
+  * orientation / "compact-forward"): orient every undirected edge
+  * from its lower-(degree, id) endpoint to the higher one — then
+  * every out-degree is O(√m) for ANY degree distribution, wedges
+  * are generated only at each triangle's lowest-ranked vertex, and
+  * each triangle is found exactly once. Work is Σ outdeg² ≤ O(m^1.5),
+  * the join-based optimum, hub-proof at 100 TB.
+  *
+  * Mechanics: the (degree, id) rank is packed into one orderable
+  * int64 — `(deg << 32) | id` — so orientation and the wedge-side
+  * ordering are single long comparisons on the shuffle key.
+  * Requires ids in [0, 2^32) and degrees < 2^31 (checked).
+  */
+object Triangles {
+
+  /** One row: n_triangles. `edges` must be CANONICAL undirected
+    * edges — u < v, no duplicates, no self-loops (distinct() them
+    * first; duplicate edges would multiply counts). */
+  def count(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).cast("long").as("u"),
+      col(vCol).cast("long").as("v"))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("d"))
+    val guard = (n: org.apache.spark.sql.Column) =>
+      when(n < 0 || n >= (1L << 32), raise_error(
+        lit("Triangles: node ids must fit in [0, 2^32) for the " +
+          "packed (deg, id) rank — re-index the graph first")))
+        .otherwise(n)
+    val keyed = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val ku = shiftleft(col("du"), 32) + guard(col("u"))
+    val kv = shiftleft(col("dv"), 32) + guard(col("v"))
+    // oriented adjacency, used three times (two wedge sides + the
+    // closing-edge probe) — persist instead of recomputing the
+    // degree join per use
+    val adj = Broadcasting.track(keyed.select(
+      when(ku < kv, col("u")).otherwise(col("v")).as("s"),
+      when(ku < kv, col("v")).otherwise(col("u")).as("t"),
+      when(ku < kv, kv).otherwise(ku).as("kt"))
+      .persist())
+    val wedges = adj.as("x")
+      .join(adj.as("y"),
+        col("x.s") === col("y.s") && col("x.kt") < col("y.kt"))
+      .select(col("x.t").as("s"), col("y.t").as("t"))
+    wedges.join(adj.select(col("s"), col("t")), Seq("s", "t"))
+      .agg(org.apache.spark.sql.functions.count(lit(1))
+        .as("n_triangles"))
+  }
+}
