@@ -107,6 +107,38 @@ object EventTimeQueries {
         .groupBy(col("path"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("path")
+    }),
+
+    // Resample + forward-fill: each user's event stream regularized
+    // onto a dense hourly grid between their first and last events —
+    // missing hours appear with cnt 0 and the last observed hourly
+    // value carried forward (the gap-filling step before any
+    // fixed-step time-series model). Values quantize to integer e4
+    // per EVENT before summing, so hourly sums are order-free. The
+    // grid generation is per-user sequence() — no driver range, no
+    // global calendar table; the ffill is a per-user running
+    // last-non-null window (one keyed shuffle).
+    "t5_resample_ffill" -> ((s, dir) => {
+      val hourly = ev(s, dir)
+        .filter(col("user_id") < 10)
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 10000 + 0.5).cast("long"))
+            .as("v_e4"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min("h").as("mn"), max("h").as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"),
+          expr("interval 1 hour"))).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hs"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          last(col("v_e4"), ignoreNulls = true).over(w)
+            .as("v_ffill_e4"))
+        .orderBy("user_id", "hs")
     })
   )
 
@@ -159,6 +191,29 @@ object EventTimeQueries {
       |  string_agg(event_type, '>' ORDER BY rn) AS path
       | FROM ranked WHERE rn <= 3 GROUP BY user_id)
       |SELECT path, count(*) AS n_users
-      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t5_resample_ffill" -> """
+      |WITH hourly AS (SELECT user_id,
+      |  time_bucket(INTERVAL '1 hour', ts) AS h,
+      |  count(*) AS cnt,
+      |  sum(CAST(floor(value * 10000 + 0.5) AS BIGINT))::BIGINT
+      |   AS v_e4
+      | FROM events WHERE user_id < 10 GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(h) AS mn, max(h) AS mx
+      |      FROM hourly GROUP BY 1),
+      |grid AS (SELECT user_id,
+      |  unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+      | FROM b),
+      |f AS (SELECT g.user_id, g.h,
+      |  coalesce(hourly.cnt, 0)::BIGINT AS cnt,
+      |  last_value(hourly.v_e4 IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |   AS v_ffill_e4
+      | FROM grid g LEFT JOIN hourly
+      |  ON g.user_id = hourly.user_id AND g.h = hourly.h)
+      |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hs,
+      | cnt, v_ffill_e4
+      |FROM f ORDER BY 1, 2""".stripMargin
   )
 }
