@@ -154,6 +154,44 @@ object Multimodal {
     ImageFeatures(m.media_id, w, h, sum, max)
   }
 
+  /** REAL nearest-neighbor resize: decode → subsample → re-encode
+    * PNG, all inside the task (payloads never shuffle). Top-left
+    * convention, stated because NN conventions differ: target pixel
+    * (x, y) samples source (x·factor, y·factor); output dims are
+    * ceil(w/f) × ceil(h/f). Deterministic, so downstream stats stay
+    * oracle-checkable (m5). The stub `resizeStub` remains for media
+    * types without a JDK codec. */
+  def resizeImageNearest(media: Dataset[Media], factor: Int)
+    : Dataset[Media] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    media.mapPartitions { it =>
+      it.map { m =>
+        require(m.media_type.startsWith("image/"),
+          s"media_id=${m.media_id}: ${m.media_type} has no image decoder")
+        val img = ImageIO.read(new ByteArrayInputStream(m.content))
+        require(img != null, s"media_id=${m.media_id}: undecodable image")
+        val nw = (img.getWidth + factor - 1) / factor
+        val nh = (img.getHeight + factor - 1) / factor
+        val out = new BufferedImage(nw, nh, BufferedImage.TYPE_BYTE_GRAY)
+        val src = img.getRaster
+        val dst = out.getRaster
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        Media(m.media_id, m.media_type, bos.toByteArray, nw, nh)
+      }
+    }
+  }
+
   /** Image feature extraction: real ImageIO decode per row, batched
     * per partition (one reader context per task). Payloads stay in
     * the scan stage — only the small feature rows move. */

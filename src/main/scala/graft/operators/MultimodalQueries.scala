@@ -39,6 +39,24 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
+    // REAL resize: encode → decode → nearest-neighbor ×2 downsample
+    // → re-encode → decode again, all with genuine PNG bytes. The
+    // resized raster's pixels are the source pixels at even (row,
+    // col) — exact integer functions of the text under the stated
+    // top-left convention — so DuckDB verifies the whole
+    // decode-resize-encode-decode chain closed-form.
+    "m5_image_resize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      Multimodal.decodeImageFeatures(
+        Multimodal.resizeImageNearest(
+          Multimodal.imagesFromDocuments(docs, width = 16), factor = 2))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("px_sum"), col("px_max"))
+        .orderBy("media_id")
+    }),
+
     // REAL audio decode: each doc's text bytes become the samples of
     // a genuine 16-bit PCM mono WAV, decoded back with
     // javax.sound.sampled (container parse + full PCM read). The
@@ -95,6 +113,28 @@ object MultimodalQueries {
       |    i -> ascii(substr(text, i, 1)))), (a, b) -> a + b) AS px_sum,
       | CAST(list_max(list_transform(range(1, len(text) + 1),
       |    i -> ascii(substr(text, i, 1)))) AS INTEGER) AS px_max
+      |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin,
+
+    // resized (r, c) samples the source at (2r, 2c): source index
+    // 32r + 2c into the 16-wide zero-padded raster — a char code
+    // when < len, else padding 0. height = ceil(ceil(len/16) / 2),
+    // width = 8; padding never wins the max (ASCII > 0, len > 0 ⇒
+    // pixel (0,0) is a real char).
+    "m5_image_resize" -> """
+      |SELECT doc_id AS media_id, 8 AS width,
+      | CAST(ceil(ceil(len(text) / 16.0) / 2.0) AS INTEGER) AS height,
+      | list_reduce(list_prepend(0::BIGINT, list_transform(
+      |   range(0, 8 * CAST(ceil(ceil(len(text) / 16.0) / 2.0)
+      |     AS BIGINT)),
+      |   p -> CASE WHEN 32 * (p // 8) + 2 * (p % 8) < len(text)
+      |     THEN ascii(substr(text, 32 * (p // 8) + 2 * (p % 8) + 1, 1))
+      |     ELSE 0 END)), (a, b) -> a + b) AS px_sum,
+      | CAST(list_max(list_transform(
+      |   range(0, 8 * CAST(ceil(ceil(len(text) / 16.0) / 2.0)
+      |     AS BIGINT)),
+      |   p -> CASE WHEN 32 * (p // 8) + 2 * (p % 8) < len(text)
+      |     THEN ascii(substr(text, 32 * (p // 8) + 2 * (p % 8) + 1, 1))
+      |     ELSE 0 END)) AS INTEGER) AS px_max
       |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin,
 
     // sample i = (ascii_i − 128) << 8; documents are ASCII (< 128), so
