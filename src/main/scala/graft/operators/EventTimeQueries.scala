@@ -84,6 +84,25 @@ object EventTimeQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of join — j9's mirror: each view enriched with the
+    // NEXT click value at-or-after it for the same user ("time to
+    // next conversion"). Same union-scan plan, opposite direction;
+    // oracle = DuckDB's native ASOF with the <= inequality.
+    "j14_asof_forward" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val views = e
+        .filter(col("event_type") === "view" && col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
+      AsofJoin.forward(views, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"),
+          floor(col("v") * lit(10000d) + lit(0.5d)).cast("long")
+            .as("v_e4"))
+        .orderBy("event_id")
+    }),
+
     // Funnel-path mining: each user's first three event types in
     // time order, joined into a '>'-separated path, counted per
     // distinct path — the onboarding-funnel census. Plan: ONE
@@ -181,6 +200,17 @@ object EventTimeQueries {
       | CAST(floor(r.v * 10000 + 0.5) AS BIGINT) AS v_e4
       |FROM l ASOF LEFT JOIN r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id""".stripMargin,
+    "j14_asof_forward" -> """
+      |WITH l AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'view' AND user_id < 50),
+      |r AS (SELECT user_id, ts, max(value) AS v FROM events
+      |  WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id,
+      | strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS t,
+      | CAST(floor(r.v * 10000 + 0.5) AS BIGINT) AS v_e4
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY event_id""".stripMargin,
     "t4_funnel_paths" -> """
       |WITH ranked AS (SELECT user_id, event_type,

@@ -87,6 +87,23 @@ object MultimodalQueries {
         .select(col("media_id"), col("width"), col("height"),
           col("n_frames"), col("luma_sum"), col("luma_max"))
         .orderBy("media_id")
+    }),
+    // REAL frame sampling: every 2nd frame of each genuine Y4M
+    // stream, one feature row per sampled frame (the training-data
+    // "frame subsample" stage). Each 8×8 mono frame covers a 64-byte
+    // slice of the text, so per-frame luma stats are exact integer
+    // functions of that slice and DuckDB replays the sampling
+    // closed-form.
+    "m6_frame_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+      Multimodal.sampleVideoFrames(
+        Multimodal.videosFromDocuments(docs, width = 8, height = 8),
+        stride = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_no"), col("luma_sum"),
+          col("luma_max"))
+        .orderBy("media_id", "frame_no")
     })
   )
 
@@ -150,6 +167,24 @@ object MultimodalQueries {
       | CAST(256 * (128 - list_min(list_transform(range(1, len(text) + 1),
       |    i -> ascii(substr(text, i, 1))))) AS INTEGER) AS amp_max
       |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin,
+
+    // frame f covers text bytes [64f, 64f+64); the last frame is
+    // zero-padded (padding adds nothing, never wins the max since
+    // ASCII > 0 and every sampled frame contains ≥ 1 real char)
+    "m6_frame_sample" -> """
+      |WITH f AS (SELECT doc_id, text,
+      |  unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT)))
+      |   AS fr
+      | FROM documents WHERE len(text) > 0)
+      |SELECT doc_id AS media_id, fr::INTEGER AS frame_no,
+      | list_reduce(list_prepend(0::BIGINT, list_transform(
+      |   range(64 * fr + 1, least(64 * fr + 64, len(text)) + 1),
+      |   i -> ascii(substr(text, i, 1)))), (a, b) -> a + b)
+      |  AS luma_sum,
+      | CAST(list_max(list_transform(
+      |   range(64 * fr + 1, least(64 * fr + 64, len(text)) + 1),
+      |   i -> ascii(substr(text, i, 1)))) AS INTEGER) AS luma_max
+      |FROM f WHERE fr % 2 = 0 ORDER BY 1, 2""".stripMargin,
 
     // 8×8 mono frames: n_frames = ceil(len/64); padding zeros add
     // nothing to the luma sum and never win the max (ASCII > 0).
