@@ -174,7 +174,35 @@ object TextDedupQueries {
     * blowup. The d3/d4 MinHash-LSH path is the production route at
     * 100 TB either way. */
   def ngramJaccardPairs(docsDf: DataFrame, dfCap: Int,
-    minJaccE4: Long = 200L): DataFrame = {
+    minJaccE4: Long = 200L): DataFrame =
+    sharedShingleCounts(docsDf, dfCap)
+      .withColumn("jacc_e4", expr(
+        "cast(floor(shared * 10000.0 / (na + nb - shared) + 0.5) as bigint)"))
+      .filter(col("jacc_e4") >= minJaccE4)
+      .select("doc_a", "doc_b", "shared", "jacc_e4")
+      .orderBy("doc_a", "doc_b")
+
+  /** Asymmetric CONTAINMENT pairs: shared / min(|A|, |B|) — how much
+    * of the SMALLER document's shingle set the pair shares. Catches
+    * snippet reuse and near-supersets that symmetric Jaccard dilutes
+    * away (a 50-shingle doc fully embedded in a 5000-shingle doc has
+    * jacc ≈ 0.01 but containment = 1.0). Same inverted-index
+    * machinery, same dfCap trade as [[ngramJaccardPairs]]. */
+  def ngramContainmentPairs(docsDf: DataFrame, dfCap: Int,
+    minContE4: Long = 5000L): DataFrame =
+    sharedShingleCounts(docsDf, dfCap)
+      .withColumn("cont_e4", expr(
+        "cast(floor(shared * 10000.0 / least(na, nb) + 0.5) as bigint)"))
+      .filter(col("cont_e4") >= minContE4)
+      .select("doc_a", "doc_b", "shared", "cont_e4")
+      .orderBy("doc_a", "doc_b")
+
+  /** Candidate pairs with shared-shingle counts — the common core of
+    * the Jaccard and containment faces: (doc_a, doc_b, shared, na,
+    * nb) for every same-source pair colliding on ≥ 1 sub-cap
+    * shingle bucket. */
+  private def sharedShingleCounts(docsDf: DataFrame, dfCap: Int)
+    : DataFrame = {
     require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
     // persisted BEFORE the explode (Broadcasting.track registry —
     // releaseAll() reclaims): with the expensive shingle array in the
@@ -208,11 +236,6 @@ object TextDedupQueries {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"), max("na").as("na"),
         max("nb").as("nb"))
-      .withColumn("jacc_e4", expr(
-        "cast(floor(shared * 10000.0 / (na + nb - shared) + 0.5) as bigint)"))
-      .filter(col("jacc_e4") >= minJaccE4)
-      .select("doc_a", "doc_b", "shared", "jacc_e4")
-      .orderBy("doc_a", "doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -314,6 +337,14 @@ object TextDedupQueries {
     // per-key fan-out is bounded by docs-per-shingle (dfCap).
     "d2_ngram_jaccard" -> ((s, dir) =>
       ngramJaccardPairs(docs(s, dir), dfCap = DfCap)),
+
+    // Asymmetric containment: shared / min(|A|,|B|) over the same
+    // shingle inverted index as d2 — catches a small doc embedded in
+    // a big one, which symmetric Jaccard dilutes below any usable
+    // threshold (the snippet-reuse / quote-farm signal).
+    "d11_containment" -> ((s, dir) =>
+      ngramContainmentPairs(docs(s, dir), dfCap = DfCap,
+        minContE4 = 2000L)),
 
     // MinHash signatures (8 perms over 60-bit shingle hashes).
     "d3_minhash_sig" -> ((s, dir) =>
@@ -1109,6 +1140,25 @@ object TextDedupQueries {
       |FROM pairs
       |WHERE CAST(floor(shared * 10000.0 / (na + nb - shared) + 0.5)
       |  AS BIGINT) >= 200
+      |ORDER BY doc_a, doc_b""".stripMargin),
+    "d11_containment" -> (oracleShingled + s""",
+      |ex AS (SELECT doc_id, source, len(shingles)::BIGINT AS n,
+      |        unnest(shingles) AS shingle FROM sh),
+      |exk AS (SELECT * FROM (
+      |  SELECT ex.*, count(*) OVER (PARTITION BY source, shingle) AS df
+      |  FROM ex) WHERE df <= $DfCap),
+      |pairs AS (
+      | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  count(*) AS shared, max(a.n) AS na, max(b.n) AS nb
+      | FROM exk a JOIN exk b ON a.shingle = b.shingle
+      |  AND a.source = b.source AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, shared,
+      | CAST(floor(shared * 10000.0 / least(na, nb) + 0.5) AS BIGINT)
+      |  AS cont_e4
+      |FROM pairs
+      |WHERE CAST(floor(shared * 10000.0 / least(na, nb) + 0.5)
+      |  AS BIGINT) >= 2000
       |ORDER BY doc_a, doc_b""".stripMargin),
     "d3_minhash_sig" -> (oracleMinhash + """
       |SELECT * FROM sig ORDER BY doc_id""".stripMargin),

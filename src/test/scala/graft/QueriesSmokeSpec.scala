@@ -7,7 +7,8 @@ package graft
 class QueriesSmokeSpec extends SparkTestBase {
   private val sf = "/root/testdata/sf0.001"
   private val mayBeEmpty = Set("d2_ngram_jaccard", "d4_lsh_pairs",
-    "d6_simhash_pairs", "v3_cos_neardup", "j7_missing_flag")
+    "d6_simhash_pairs", "d11_containment", "v3_cos_neardup",
+    "j7_missing_flag")
 
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
