@@ -50,6 +50,36 @@ object Sampling {
       lit(math.round(rate * Granularity)))
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-Res): each row gets priority u^(1/w)
+    * with u uniform — the k highest priorities are a weighted
+    * sample. Here u derives from the key's md5 over a 2^60 domain
+    * (no RNG), and the rank key is the monotone-equivalent
+    * ln(u)/w, quantized e9 — every arithmetic step after ln is an
+    * IEEE-specified operation (division by a power of two, one
+    * correctly-rounded divide and multiply), so priorities replay
+    * bit-identically in any md5-capable engine, like the rest of
+    * the StableHash family. Ties (only possible at equal quantized
+    * priority) break by key.
+    *
+    * Plan: narrow priority map + TakeOrdered(k) — per-partition
+    * heaps, no global sort; retry/partitioning-invariant because
+    * nothing is random. Weights must be positive. */
+  def weightedPriority(df: DataFrame, keyCol: String,
+    weightCol: String, k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val m = 1L << 60
+    val u = (StableHash.md5Mod(salt, col(keyCol), m) + lit(1L))
+      .cast("double") / lit(m.toDouble)
+    val guardedW = when(col(weightCol).isNull || col(weightCol) <= 0,
+      raise_error(lit("Sampling: weights must be positive non-null")))
+      .otherwise(col(weightCol))
+    df.withColumn("pri_e9",
+      floor(log(u) / guardedW * lit(1e9) + lit(0.5d)).cast("long"))
+      .orderBy(col("pri_e9").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Per-stratum rates (class-balanced downsampling): rows whose
     * stratum is absent from `rates` are DROPPED — an explicit mix
     * spec, not a passthrough. Null keys throw — see `checkedUniform`. */

@@ -634,6 +634,18 @@ object TextDedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-Res
+    // with md5-derived u, no RNG): the 100 docs with highest
+    // u^(1/n_chars) priority — long docs proportionally more likely,
+    // yet the "random" draw replays bit-identically across engines,
+    // runs, and stage retries (the data-mixing sampler you can
+    // actually reproduce). TakeOrdered top-k, no global sort.
+    "x22_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedPriority(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)
+        .orderBy("doc_id")),
+
     // PMI bigram collocations: the phrase-mining signal a tokenizer /
     // vocabulary pipeline computes before merging multi-word units.
     // pmi = ln(N·c_ab / (c_a·c_b)) over corpus-wide counts; both
@@ -956,6 +968,19 @@ object TextDedupQueries {
       | CAST(floor(sum(lp_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
       |  AS avg_lp_e6
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // md5 → (0,1] uniform → ln/w, every post-ln step IEEE-specified;
+    // top-100 by (pri DESC, doc_id) replays as a plain ORDER/LIMIT
+    "x22_weighted_sample" -> """
+      |WITH p AS (SELECT doc_id, n_chars,
+      |  CAST(floor(ln(
+      |    (('0x' || substr(md5('wsample:' || doc_id::VARCHAR),
+      |      1, 15))::BIGINT % 1152921504606846976 + 1)::DOUBLE
+      |    / 1152921504606846976.0) / n_chars
+      |   * 1000000000.0 + 0.5) AS BIGINT) AS pri_e9
+      | FROM documents)
+      |SELECT doc_id, n_chars, pri_e9 FROM p
+      |ORDER BY pri_e9 DESC, doc_id LIMIT 100""".stripMargin,
+
     // same quantize-at-the-transcendental contract as x13/x15; the
     // bigram explode and both count joins replay verbatim
     "x20_bigram_lm" -> (oracleToks + """,

@@ -129,4 +129,33 @@ class SamplingSpec extends SparkTestBase {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("weightedPriority: deterministic, partitioning-invariant top-k") {
+    val df = (1L to 2000L).map(i => (i, 1L + i % 50)).toDF("id", "w")
+    val a = Sampling.weightedPriority(df, "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedPriority(df.repartition(17), "id", "w", 50)
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.size == 50)
+  }
+
+  test("weightedPriority favors heavy rows (A-Res inclusion scales with w)") {
+    // two strata: weight 100 vs weight 1, equal counts — the heavy
+    // stratum must dominate the sample
+    val df = ((1L to 1000L).map(i => (i, 100L)) ++
+      (1001L to 2000L).map(i => (i, 1L))).toDF("id", "w")
+    val kept = Sampling.weightedPriority(df, "id", "w", 200)
+      .select("id").as[Long].collect()
+    val heavy = kept.count(_ <= 1000)
+    assert(heavy > 180, s"only $heavy/200 from the heavy stratum")
+  }
+
+  test("weightedPriority rejects non-positive and null weights") {
+    val df = Seq((1L, 0L)).toDF("id", "w")
+    val ex = intercept[Exception] {
+      Sampling.weightedPriority(df, "id", "w", 1).collect()
+    }
+    assert(ex.getMessage.contains("positive") ||
+      Option(ex.getCause).exists(_.getMessage.contains("positive")))
+  }
 }
