@@ -862,6 +862,31 @@ object RelationalQueries {
         "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
         .orderBy("l_returnflag")),
 
+    // IQR outlier census (robust data-quality gate): per event type,
+    // rows beyond the Tukey fences q1 − 1.5·IQR / q3 + 1.5·IQR of
+    // the e4-quantized value. Quartiles come from Quantiles.perGroup
+    // (rank-interpolate, quantized to integers at scaleDigits = 0),
+    // so fence arithmetic is exact on both engines; the event value
+    // distribution is heavy-tailed enough that ~5% of rows genuinely
+    // breach the fences. Plan: the quantile pass prunes to O(1) rows
+    // per group pre-shuffle; the census is one corpus-side join
+    // against a 5-row broadcast.
+    "a18_iqr_outliers" -> ((s, dir) => {
+      val b = t(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("v_e4"))
+      val q = Quantiles.perGroup(b, "event_type", "v_e4",
+        Seq(("q1", 0.25), ("q3", 0.75)), scaleDigits = 0)
+      val iqr = col("q3_e0") - col("q1_e0")
+      b.join(q, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(
+            col("v_e4") < col("q1_e0") - lit(1.5) * iqr ||
+              col("v_e4") > col("q3_e0") + lit(1.5) * iqr, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Fixed-width histogram: floor(price / width) binning — the
     // profiling staple; pure hash agg with map-side combine.
     "a14_histogram" -> ((s, dir) =>
@@ -1382,6 +1407,34 @@ object RelationalQueries {
         |    ELSE lo75 + ((n1-1)*0.75 - floor((n1-1)*0.75)) * (hi75 - lo75)
         |    END) * 100.0 + 0.5) AS BIGINT) AS p75_e2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // a13's rank-interpolate machinery for the quartiles (quantized
+    // *1.0 to integers, matching perGroup scaleDigits = 0), then the
+    // Tukey-fence census over the same base rows
+    "a18_iqr_outliers" ->
+      """WITH b AS (SELECT event_type AS g,
+        |  floor(value * 10000 + 0.5)::BIGINT AS v FROM events),
+        |r AS (SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS n FROM b),
+        |a AS (SELECT g, max(n) AS n1,
+        |  max(CASE WHEN rn = floor((n-1)*0.25) + 1 THEN v END) AS lo1,
+        |  max(CASE WHEN rn = floor((n-1)*0.25) + 2 THEN v END) AS hi1,
+        |  max(CASE WHEN rn = floor((n-1)*0.75) + 1 THEN v END) AS lo3,
+        |  max(CASE WHEN rn = floor((n-1)*0.75) + 2 THEN v END) AS hi3
+        | FROM r GROUP BY g),
+        |qq AS (SELECT g,
+        |  CAST(floor((CASE WHEN hi1 IS NULL THEN lo1
+        |    ELSE lo1 + ((n1-1)*0.25 - floor((n1-1)*0.25)) * (hi1 - lo1)
+        |    END) * 1.0 + 0.5) AS BIGINT) AS q1,
+        |  CAST(floor((CASE WHEN hi3 IS NULL THEN lo3
+        |    ELSE lo3 + ((n1-1)*0.75 - floor((n1-1)*0.75)) * (hi3 - lo3)
+        |    END) * 1.0 + 0.5) AS BIGINT) AS q3
+        | FROM a)
+        |SELECT b.g AS event_type, count(*) AS cnt,
+        | count(*) FILTER (WHERE v < q1 - 1.5 * (q3 - q1)
+        |   OR v > q3 + 1.5 * (q3 - q1))::BIGINT AS n_outliers
+        |FROM b JOIN qq ON b.g = qq.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "a14_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
         | count(*) AS cnt
