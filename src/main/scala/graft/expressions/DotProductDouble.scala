@@ -125,6 +125,7 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(BoundLevenshtein))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BoundLevenshtein
+    graft.plans.GroupedTopK.ensureRegistered(spark)
   }
 }
 
@@ -144,5 +145,6 @@ class GraftExtensions
         classOf[SquaredL2Long].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => BoundLevenshtein)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.plans.GroupedTopK
 import graft.sources.Layout
 
 /** Relational operator coverage for SURVEY.md §2, re-expressed over the
@@ -862,6 +863,23 @@ object RelationalQueries {
         "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
         .orderBy("l_returnflag")),
 
+    // Grouped top-k through the CUSTOM physical operator
+    // (graft.plans.GroupedTopK — logical node + planner strategy +
+    // two-phase heap exec): top-3 orders by price per priority. The
+    // rank value is price·1e8 + key so ties cannot reach the k
+    // boundary (the operator's determinism contract); the oracle is
+    // the window row_number spelling the operator exists to beat —
+    // same rows, no full per-group sort in the engine plan
+    // (plan-asserted in GroupedTopKSpec).
+    "w9_grouped_topk" -> ((s, dir) => {
+      val b = t(s, dir, "orders").select(
+        col("o_orderpriority"),
+        (floor(col("o_totalprice") * 100 + 0.5).cast("long") *
+          100000000L + col("o_orderkey")).as("rank_v"))
+      GroupedTopK.topK(b, Seq("o_orderpriority"), "rank_v", 3)
+        .orderBy("o_orderpriority", "rank_v")
+    }),
+
     // IQR outlier census (robust data-quality gate): per event type,
     // rows beyond the Tukey fences q1 − 1.5·IQR / q3 + 1.5·IQR of
     // the e4-quantized value. Quartiles come from Quantiles.perGroup
@@ -1407,6 +1425,16 @@ object RelationalQueries {
         |    ELSE lo75 + ((n1-1)*0.75 - floor((n1-1)*0.75)) * (hi75 - lo75)
         |    END) * 100.0 + 0.5) AS BIGINT) AS p75_e2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "w9_grouped_topk" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |  floor(o_totalprice * 100 + 0.5)::BIGINT * 100000000
+        |    + o_orderkey AS rank_v
+        | FROM orders),
+        |r AS (SELECT o_orderpriority, rank_v,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY rank_v DESC) AS rn FROM b)
+        |SELECT o_orderpriority, rank_v FROM r WHERE rn <= 3
+        |ORDER BY 1, 2""".stripMargin,
     // a13's rank-interpolate machinery for the quartiles (quantized
     // *1.0 to integers, matching perGroup scaleDigits = 0), then the
     // Tukey-fence census over the same base rows

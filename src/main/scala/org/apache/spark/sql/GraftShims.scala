@@ -15,4 +15,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a hand-built logical plan — the entry point a
+    * custom LogicalPlan node (graft.plans.GroupedTopKPlan) needs;
+    * `Dataset.ofRows` is `private[sql]` in the classic backend. */
+  def ofRows(spark: SparkSession,
+    plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    : DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,79 @@
+package graft
+
+import graft.plans.GroupedTopK
+import org.apache.spark.sql.functions._
+
+class GroupedTopKSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def windowRef(k: Int): Set[(String, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.load(spark, sf, "orders").select(
+      col("o_orderpriority"),
+      (floor(col("o_totalprice") * 100 + 0.5).cast("long") *
+        100000000L + col("o_orderkey")).as("rank_v"))
+    b.withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("rank_v").desc)))
+      .filter(col("rn") <= k)
+      .select("o_orderpriority", "rank_v")
+      .as[(String, Long)].collect().toSet
+  }
+
+  private def opRows(k: Int, parts: Int = 0): Set[(String, Long)] = {
+    val base = Tables.load(spark, sf, "orders").select(
+      col("o_orderpriority"),
+      (floor(col("o_totalprice") * 100 + 0.5).cast("long") *
+        100000000L + col("o_orderkey")).as("rank_v"))
+    val df = if (parts > 0) base.repartition(parts) else base
+    GroupedTopK.topK(df, Seq("o_orderpriority"), "rank_v", k)
+      .select("o_orderpriority", "rank_v")
+      .as[(String, Long)].collect().toSet
+  }
+
+  test("matches the window row_number spelling exactly") {
+    assert(opRows(3) == windowRef(3))
+    assert(opRows(1) == windowRef(1))
+  }
+
+  test("partitioning-invariant") {
+    assert(opRows(5, parts = 13) == windowRef(5))
+  }
+
+  test("k beyond the group size returns the whole group") {
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v")
+    val out = GroupedTopK.topK(tiny, Seq("g"), "v", 10)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 1L), ("a", 2L), ("b", 7L)))
+  }
+
+  test("ascending keeps the smallest k") {
+    val tiny = Seq(("a", 3L), ("a", 1L), ("a", 2L), ("b", 9L))
+      .toDF("g", "v")
+    val out = GroupedTopK.topK(tiny, Seq("g"), "v", 2,
+      descending = false)
+      .as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 1L), ("a", 2L), ("b", 9L)))
+  }
+
+  test("null order values never displace real ones") {
+    val tiny = Seq(("a", Some(5L)), ("a", None), ("a", Some(7L)),
+      ("a", Some(1L))).toDF("g", "v")
+    val out = GroupedTopK.topK(tiny, Seq("g"), "v", 2)
+      .select("v").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(out == Set(Some(7L), Some(5L)), s"got $out")
+  }
+
+  test("plan: two heap phases around one exchange, no Window, no full Sort") {
+    val base = Tables.load(spark, sf, "orders").select(
+      col("o_orderpriority"), col("o_orderkey"))
+    val p = GroupedTopK.topK(base, Seq("o_orderpriority"),
+      "o_orderkey", 3).queryExecution.executedPlan.toString
+    assert(p.contains("GroupedTopK"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("sort "), p)
+  }
+}
