@@ -701,6 +701,49 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): pure scan-side
+    // filter + global agg — ALL three predicates must reach the
+    // parquet scan as PushedFilters; revenue quantizes e4 per row
+    // before the integer sum (ep·disc is one IEEE product, identical
+    // both engines).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1995-01-01" &&
+          col("l_shipdate") < "1996-01-01" &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") *
+          10000 + 0.5).cast("long")).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))),
+
+    // TPC-H Q10 shape (returned-item customer ranking): fact filter
+    // → 3 dim joins → per-customer revenue → top 20. The big side is
+    // lineitem(returnflag = 'R'); customer/nation broadcast, and the
+    // final top-20 is a TakeOrdered, never a global sort. Revenue in
+    // integer cents; ties broken by c_custkey in both engines.
+    "q10_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100 + 0.5).cast("long")
+          .as("rev_e2"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1995-07-01")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum("rev_e2").as("revenue_e2"))
+        .orderBy(col("revenue_e2").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Latest-wins upsert (Upsert.latestWins): base snapshot + a
     // changelog batch (modified totalprice for keys %10, inserted new
     // keys for %97), merged by the argmax-without-a-Window plan. The
@@ -1288,6 +1331,28 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        | sum(floor(l_extendedprice * l_discount * 10000 + 0.5)
+        |   ::BIGINT)::BIGINT AS revenue_e4,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   ::BIGINT)::BIGINT AS revenue_e2
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= '1995-01-01'
+        |  AND o_orderdate < '1995-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e2 DESC, c_custkey LIMIT 20""".stripMargin,
     // Encodes the EXPECTED post-merge state directly (CASE + UNION
     // ALL), independent of the merge machinery: %10 keys carry the
     // update (price+1000, version 2), %97 keys add a shifted-key
