@@ -153,6 +153,23 @@ object GroupedTopK {
       groupCols.map(attr), attr(orderCol), descending, k, analyzed))
   }
 
+  /** [[topK]] plus a 1-based `rnk` column. The ranking window runs
+    * AFTER the heap pruning, over at most groups × k surviving rows
+    * — so the full-corpus sort the plain window spelling pays never
+    * happens; only the survivors sort. Same tie contract as topK. */
+  def rankedTopK(df: DataFrame, groupCols: Seq[String],
+    orderCol: String, k: Int, descending: Boolean = true,
+    rankCol: String = "rnk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    require(!df.columns.contains(rankCol),
+      s"column $rankCol collides with the rank output")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(if (descending) col(orderCol).desc else col(orderCol).asc)
+    topK(df, groupCols, orderCol, k, descending)
+      .withColumn(rankCol, row_number().over(w).cast("long"))
+  }
+
   def ensureRegistered(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
       spark.experimental.extraStrategies =

@@ -67,6 +67,54 @@ class GroupedTopKSpec extends SparkTestBase {
     assert(out == Set(Some(7L), Some(5L)), s"got $out")
   }
 
+  test("rankedTopK matches the full window spelling including ranks") {
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.load(spark, sf, "orders").select(
+      col("o_orderpriority"),
+      (floor(col("o_totalprice") * 100 + 0.5).cast("long") *
+        100000000L + col("o_orderkey")).as("rank_v"))
+    val ref = b.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("rank_v").desc)).cast("long"))
+      .filter(col("rnk") <= 4)
+      .select("o_orderpriority", "rank_v", "rnk")
+      .as[(String, Long, Long)].collect().toSet
+    val got = GroupedTopK.rankedTopK(b, Seq("o_orderpriority"),
+      "rank_v", 4)
+      .select("o_orderpriority", "rank_v", "rnk")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("random corpora match the window reference") {
+    import org.scalacheck.Gen
+    var seed = org.scalacheck.rng.Seed(808L)
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 6)
+        v <- Gen.choose(-1000L, 1000L)
+      } yield (g, v))
+      k <- Gen.choose(1, 6)
+    } yield (rows.zipWithIndex.map { case ((g, v), i) =>
+      // unique order value: v·1000 + i, so ties never straddle k
+      (g, v * 1000L + i)
+    }, k)
+    (0 until 8).foreach { _ =>
+      val (rows, k) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val df = rows.toDF("g", "v").repartition(5)
+      val got = GroupedTopK.topK(df, Seq("g"), "v", k)
+        .as[(Int, Long)].collect().toSet
+      // .toSeq first: flatMap on a Map would rebuild a Map and
+      // dedup the (g, v) tuples by g
+      val ref = rows.groupBy(_._1).toSeq.flatMap { case (_, vs) =>
+        vs.sortBy(-_._2).take(k)
+      }.toSet
+      assert(got == ref, s"k=$k rows=${rows.size}")
+    }
+  }
+
   test("plan: two heap phases around one exchange, no Window, no full Sort") {
     val base = Tables.load(spark, sf, "orders").select(
       col("o_orderpriority"), col("o_orderkey"))
