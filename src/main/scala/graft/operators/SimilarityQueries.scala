@@ -77,11 +77,18 @@ object SimilarityQueries {
         "cast(floor(dot / (pn * nn) * 1000000 + 0.5) as bigint)"))
 
   private def topK(df: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos_e6").desc, col("nbr_id").asc)
-    df.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("probe_id", "rnk", "nbr_id", "cos_e6")
+    // grouped top-k through the custom heap operator instead of a
+    // row_number window: per-probe candidate lists are corpus-sized,
+    // and the window spelling SORTS each in full — the heap keeps k.
+    // (cos desc, nbr asc) composes into one unique int64 rank so
+    // ties cannot straddle the k boundary: cos_e6 ∈ [−1e6, 1e6]
+    // (<< 32 is safe), nbr ids are < 2^32 non-negative.
+    val ranked = graft.plans.GroupedTopK.rankedTopK(
+      df.withColumn("rank_v",
+        col("cos_e6") * lit(1L << 32) +
+          (lit(0xFFFFFFFFL) - col("nbr_id"))),
+      Seq("probe_id"), "rank_v", k)
+    ranked.select("probe_id", "rnk", "nbr_id", "cos_e6")
       .orderBy("probe_id", "rnk")
   }
 
