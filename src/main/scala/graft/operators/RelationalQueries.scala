@@ -906,6 +906,28 @@ object RelationalQueries {
         "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
         .orderBy("l_returnflag")),
 
+    // Declarative expectations (Expectations.check): six contract
+    // rules over lineitem counted in ONE corpus pass (every rule
+    // folds into the same aggregate — never N scans). Five hold on
+    // the generated data; the deliberately-tight quantity ≤ 45 rule
+    // genuinely breaches, so the report's fail path is exercised,
+    // and a NULL predicate counts as a violation by design.
+    "p17_expectations" -> ((s, dir) =>
+      Expectations.check(t(s, dir, "lineitem"), Seq(
+        Expectations.Rule("quantity_in_range",
+          col("l_quantity").between(1, 50)),
+        Expectations.Rule("quantity_tight",
+          col("l_quantity") <= 45),
+        Expectations.Rule("price_positive",
+          col("l_extendedprice") > 0),
+        Expectations.Rule("shipdate_present",
+          col("l_shipdate").isNotNull),
+        Expectations.Rule("discount_in_range",
+          col("l_discount").between(0.0, 0.1)),
+        Expectations.Rule("returnflag_domain",
+          col("l_returnflag").isin("A", "N", "R"))))
+        .orderBy("rule")),
+
     // Grouped top-k through the CUSTOM physical operator
     // (graft.plans.GroupedTopK — logical node + planner strategy +
     // two-phase heap exec): top-3 orders by price per priority. The
@@ -1490,6 +1512,29 @@ object RelationalQueries {
         |    ELSE lo75 + ((n1-1)*0.75 - floor((n1-1)*0.75)) * (hi75 - lo75)
         |    END) * 100.0 + 0.5) AS BIGINT) AS p75_e2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "p17_expectations" ->
+      """WITH c AS (SELECT count(*) AS n,
+        |  count(*) FILTER (WHERE NOT coalesce(
+        |    l_quantity BETWEEN 1 AND 50, false)) AS v1,
+        |  count(*) FILTER (WHERE NOT coalesce(
+        |    l_quantity <= 45, false)) AS v2,
+        |  count(*) FILTER (WHERE NOT coalesce(
+        |    l_extendedprice > 0, false)) AS v3,
+        |  count(*) FILTER (WHERE l_shipdate IS NULL) AS v4,
+        |  count(*) FILTER (WHERE NOT coalesce(
+        |    l_discount BETWEEN 0.0 AND 0.1, false)) AS v5,
+        |  count(*) FILTER (WHERE NOT coalesce(
+        |    l_returnflag IN ('A', 'N', 'R'), false)) AS v6
+        | FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'quantity_in_range' AS rule, n AS n_rows,
+        |    v1::BIGINT AS n_violations, v1 = 0 AS pass FROM c
+        |  UNION ALL SELECT 'quantity_tight', n, v2, v2 = 0 FROM c
+        |  UNION ALL SELECT 'price_positive', n, v3, v3 = 0 FROM c
+        |  UNION ALL SELECT 'shipdate_present', n, v4, v4 = 0 FROM c
+        |  UNION ALL SELECT 'discount_in_range', n, v5, v5 = 0 FROM c
+        |  UNION ALL SELECT 'returnflag_domain', n, v6, v6 = 0 FROM c)
+        |ORDER BY rule""".stripMargin,
     "w9_grouped_topk" ->
       """WITH b AS (SELECT o_orderpriority,
         |  floor(o_totalprice * 100 + 0.5)::BIGINT * 100000000
