@@ -906,6 +906,39 @@ object RelationalQueries {
         "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
         .orderBy("l_returnflag")),
 
+    // Interval OVERLAP join via bucket blocking — the 1-D spatial
+    // join (order activity windows × promotion windows): both
+    // interval sets explode to the 64-day buckets they span, the
+    // equi-join on bucket replaces the inequality cross join, and
+    // each qualifying pair is counted EXACTLY once by bucket
+    // ownership (only the bucket containing the overlap's start
+    // emits — no distinct needed). The oracle is the brute
+    // range-condition join the engine never forms. Same
+    // inverted-index shape as g7, one dimension down.
+    "j15_interval_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("a_s"))
+        .withColumn("a_e", col("a_s") + 7)
+      val b = t(s, dir, "part").filter(col("p_partkey") < 50)
+        .select(col("p_partkey"),
+          (lit(9131L) + col("p_partkey") * 45).as("b_s"))
+        .withColumn("b_e", col("b_s") + 30)
+      val aB = a.withColumn("bk", explode(sequence(
+        expr("a_s div 64"), expr("(a_e - 1) div 64"))))
+      val bB = b.withColumn("bk", explode(sequence(
+        expr("b_s div 64"), expr("(b_e - 1) div 64"))))
+      aB.join(bB, Seq("bk"))
+        .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+        .filter(col("bk") === expr("greatest(a_s, b_s) div 64"))
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s"))).as("overlap_days"))
+        .orderBy("p_partkey")
+    }),
+
     // Declarative expectations (Expectations.check): six contract
     // rules over lineitem counted in ONE corpus pass (every rule
     // folds into the same aggregate — never N scans). Five hold on
@@ -1512,6 +1545,22 @@ object RelationalQueries {
         |    ELSE lo75 + ((n1-1)*0.75 - floor((n1-1)*0.75)) * (hi75 - lo75)
         |    END) * 100.0 + 0.5) AS BIGINT) AS p75_e2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // brute range-condition join — no buckets, no ownership trick
+    "j15_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |    AS a_s,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE) + 7
+        |    AS a_e
+        | FROM orders WHERE o_custkey < 200),
+        |b AS (SELECT p_partkey, 9131 + p_partkey * 45 AS b_s,
+        |  9131 + p_partkey * 45 + 30 AS b_e
+        | FROM part WHERE p_partkey < 50)
+        |SELECT p_partkey, count(*) AS n_overlaps,
+        | sum(least(a_e, b_e) - greatest(a_s, b_s))::BIGINT
+        |  AS overlap_days
+        |FROM b JOIN a ON a_s < b_e AND b_s < a_e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p17_expectations" ->
       """WITH c AS (SELECT count(*) AS n,
         |  count(*) FILTER (WHERE NOT coalesce(
