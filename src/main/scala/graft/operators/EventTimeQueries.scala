@@ -128,6 +128,26 @@ object EventTimeQueries {
         .orderBy("path")
     }),
 
+    // Rolling 7-day distinct users per day (the WAU curve), spelled
+    // as a BOUNDED inverted-index explode — an event on day e
+    // supports the windows ending on e..e+6, so each event emits ≤ 7
+    // (window, user) rows and the count is one partial-distinct agg;
+    // the window-over-sets spelling has no distributable form, and a
+    // per-day range self-join would rescan the corpus per day. Exact
+    // distinct, clamped to the observed day range.
+    "t6_weekly_active" -> ((s, dir) => {
+      val evd = ev(s, dir).select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("d"))
+      val bounds = evd.agg(max("d").as("mx"))
+      evd.crossJoin(bounds)
+        .withColumn("wd", explode(sequence(col("d"),
+          least(col("d") + 6, col("mx")))))
+        .groupBy(col("wd"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("wd")
+    }),
+
     // Resample + forward-fill: each user's event stream regularized
     // onto a dense hourly grid between their first and last events —
     // missing hours appear with cnt 0 and the last observed hourly
@@ -222,6 +242,15 @@ object EventTimeQueries {
       | FROM ranked WHERE rn <= 3 GROUP BY user_id)
       |SELECT path, count(*) AS n_users
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t6_weekly_active" -> """
+      |WITH ev AS (SELECT user_id,
+      |  date_diff('day', DATE '1970-01-01', ts::DATE) AS d
+      | FROM events),
+      |mx AS (SELECT max(d) AS m FROM ev),
+      |w AS (SELECT user_id, unnest(range(d,
+      |  least(d + 6, (SELECT m FROM mx)) + 1)) AS wd FROM ev)
+      |SELECT wd, count(DISTINCT user_id) AS wau
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "t5_resample_ffill" -> """
       |WITH hourly AS (SELECT user_id,
       |  time_bucket(INTERVAL '1 hour', ts) AS h,

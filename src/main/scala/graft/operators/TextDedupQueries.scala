@@ -634,6 +634,33 @@ object TextDedupQueries {
         .orderBy("doc_id")
     }),
 
+    // N-gram novelty: per doc, the fraction of its distinct
+    // 3-shingles seen NOWHERE else in the corpus — the
+    // novelty-vs-boilerplate signal (memorization risk scoring,
+    // template detection: low novelty = near-duplicate or
+    // boilerplate-heavy). One shingle-df aggregate + join-back; the
+    // df frame is vocabulary-sized. Shingles compare as xxhash64
+    // (the d2/d10 2^-64 trade, oracle uses raw strings).
+    "x23_ngram_novelty" -> ((s, dir) => {
+      val ex = docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(w) - 2),
+            |  i -> xxhash64(concat(element_at(w, i), ' ',
+            |    element_at(w, i + 1), ' ', element_at(w, i + 2)))))"""
+            .stripMargin)).as("sh_h"))
+      val dfc = ex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
+      ex.join(dfc, Seq("sh_h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_e4",
+          floor(col("n_unique") * 10000.0 / col("n_shingles") + 0.5)
+            .cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic weighted sampling (Efraimidis–Spirakis A-Res
     // with md5-derived u, no RNG): the 100 docs with highest
     // u^(1/n_chars) priority — long docs proportionally more likely,
@@ -968,6 +995,15 @@ object TextDedupQueries {
       | CAST(floor(sum(lp_e6)::DOUBLE / count(*) + 0.5) AS BIGINT)
       |  AS avg_lp_e6
       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // global shingle df over raw strings (engine joins xxhash64)
+    "x23_ngram_novelty" -> (oracleShingled + """,
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY 1)
+      |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+      | sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+      | CAST(floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+      |   * 10000.0 / count(*) + 0.5) AS BIGINT) AS novelty_e4
+      |FROM ex JOIN dfc USING (s) GROUP BY 1 ORDER BY 1""".stripMargin),
     // md5 → (0,1] uniform → ln/w, every post-ln step IEEE-specified;
     // top-100 by (pri DESC, doc_id) replays as a plain ORDER/LIMIT
     "x22_weighted_sample" -> """
