@@ -906,6 +906,25 @@ object RelationalQueries {
         "l_quantity", Seq(("p25", 0.25), ("p50", 0.5), ("p75", 0.75)))
         .orderBy("l_returnflag")),
 
+    // Referential-integrity census: fact rows whose FK matches no
+    // dimension row — the warehouse orphan check (Expectations'
+    // cross-table face). Orphans are synthesized (%101 keys shifted
+    // out of the orders key space) so the census is non-trivial;
+    // plan = one unforced left-anti join (AQE owns broadcast-vs-
+    // shuffle, the Ledger.pending contract). The oracle derives the
+    // expected counts CLOSED-FORM from the key predicate — no anti
+    // join at all.
+    "p18_ref_integrity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+        .unionByName(t(s, dir, "lineitem")
+          .filter(pmod(col("l_orderkey"), lit(101)) === 0)
+          .select((col("l_orderkey") + 50000000L).as("l_orderkey")))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("l_orderkey")).as("n_orphan_keys"))
+    }),
+
     // Interval OVERLAP join via bucket blocking — the 1-D spatial
     // join (order activity windows × promotion windows): both
     // interval sets explode to the 64-day buckets they span, the
@@ -1545,6 +1564,12 @@ object RelationalQueries {
         |    ELSE lo75 + ((n1-1)*0.75 - floor((n1-1)*0.75)) * (hi75 - lo75)
         |    END) * 100.0 + 0.5) AS BIGINT) AS p75_e2
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // closed-form from the key predicate: only the shifted %101
+    // copies are orphaned, every original lineitem has its order
+    "p18_ref_integrity" ->
+      """SELECT count(*) AS n_orphans,
+        | count(DISTINCT l_orderkey) AS n_orphan_keys
+        |FROM lineitem WHERE l_orderkey % 101 = 0""".stripMargin,
     // brute range-condition join — no buckets, no ownership trick
     "j15_interval_overlap" ->
       """WITH a AS (SELECT o_orderkey,
