@@ -92,43 +92,67 @@ object SimilarityQueries {
       .orderBy("probe_id", "rnk")
   }
 
+  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    withGraftFns(s)
+    val e = withNorm(emb(s, dir))
+    val p = e.select(col("vec_id").as("probe_id"),
+      col("embedding").as("pe"), col("nrm").as("pn"))
+      .filter(col("probe_id") < 10)
+    val c = e.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("ne"), col("nrm").as("nn"))
+    topK(scorePairs(broadcast(p).join(c, col("probe_id") =!= col("nbr_id"))), 3)
+  }
+
+  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    withGraftFns(s)
+    val sig = signatures(s, dir)
+    val probes = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("band0").as("pb0"),
+        col("band1").as("pb1"))
+    val cands = sig.select(col("vec_id").as("nbr_id"), col("band0"),
+      col("band1"))
+    val c0 = broadcast(probes).join(cands, col("pb0") === col("band0"))
+      .select("probe_id", "nbr_id")
+    val c1 = broadcast(probes).join(cands, col("pb1") === col("band1"))
+      .select("probe_id", "nbr_id")
+    val pairs = c0.union(c1).filter(col("probe_id") =!= col("nbr_id"))
+      .distinct()
+    val e = withNorm(emb(s, dir))
+    val scored = scorePairs(pairs
+      .join(e.select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe"), col("nrm").as("pn")), Seq("probe_id"))
+      .join(e.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("ne"), col("nrm").as("nn")), Seq("nbr_id")))
+    topK(scored, 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force exact top-3 cosine for probe set vec_id < 10: broadcast
     // nested-loop of the tiny probe side against the full corpus.
-    "v1_knn_brute" -> ((s, dir) => {
-      withGraftFns(s)
-      val e = withNorm(emb(s, dir))
-      val p = e.select(col("vec_id").as("probe_id"),
-        col("embedding").as("pe"), col("nrm").as("pn"))
-        .filter(col("probe_id") < 10)
-      val c = e.select(col("vec_id").as("nbr_id"),
-        col("embedding").as("ne"), col("nrm").as("nn"))
-      topK(scorePairs(broadcast(p).join(c, col("probe_id") =!= col("nbr_id"))), 3)
-    }),
+    "v1_knn_brute" -> ((s, dir) => knnBrute(s, dir)),
 
     // LSH-bucketed ANN: candidates share ≥1 signature band with the
     // probe; exact cosine re-rank on candidates only.
-    "v2_knn_lsh" -> ((s, dir) => {
-      withGraftFns(s)
-      val sig = signatures(s, dir)
-      val probes = sig.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("band0").as("pb0"),
-          col("band1").as("pb1"))
-      val cands = sig.select(col("vec_id").as("nbr_id"), col("band0"),
-        col("band1"))
-      val c0 = broadcast(probes).join(cands, col("pb0") === col("band0"))
-        .select("probe_id", "nbr_id")
-      val c1 = broadcast(probes).join(cands, col("pb1") === col("band1"))
-        .select("probe_id", "nbr_id")
-      val pairs = c0.union(c1).filter(col("probe_id") =!= col("nbr_id"))
-        .distinct()
-      val e = withNorm(emb(s, dir))
-      val scored = scorePairs(pairs
-        .join(e.select(col("vec_id").as("probe_id"),
-          col("embedding").as("pe"), col("nrm").as("pn")), Seq("probe_id"))
-        .join(e.select(col("vec_id").as("nbr_id"),
-          col("embedding").as("ne"), col("nrm").as("nn")), Seq("nbr_id")))
-      topK(scored, 3)
+    "v2_knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
+
+    // ANN EVALUATION: recall@3 of the LSH index against the brute
+    // ground truth, per probe — the eval harness every ANN rollout
+    // needs, as a first-class oracle-checked query (both pipelines
+    // recompute here; production persists the ground-truth set).
+    "v9_ann_recall" -> ((s, dir) => {
+      val b = knnBrute(s, dir).select(col("probe_id"), col("nbr_id"))
+      val l = knnLsh(s, dir).select(col("probe_id").as("lp"),
+        col("nbr_id").as("lnbr"))
+      val hits = b.join(l, col("probe_id") === col("lp") &&
+          col("nbr_id") === col("lnbr"))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+      b.select("probe_id").distinct()
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          floor(coalesce(col("n_hits"), lit(0L)) * 10000.0 / 3 + 0.5)
+            .cast("long").as("recall_e4"))
+        .orderBy("probe_id")
     }),
 
     // IVF index end-to-end with exhaustive probing (nProbe = k): the
@@ -338,6 +362,41 @@ object SimilarityQueries {
       |  ORDER BY cos_e6 DESC, nbr_id) AS rnk FROM sc)
       |SELECT probe_id, rnk, nbr_id, cos_e6 FROM rk WHERE rnk <= 3
       |ORDER BY probe_id, rnk""".stripMargin),
+    // both pipelines replayed in one WITH; recall joins their top-3s
+    "v9_ann_recall" -> (s"""WITH $oPlanes,
+      |$oSig,
+      |nv AS (SELECT vec_id, embedding, $oNorm AS nrm FROM embeddings),
+      |bsc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
+      |  CAST(floor(${oDot("p.embedding", "c.embedding")}
+      |   / (p.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      | FROM nv p JOIN nv c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      |btk AS (SELECT probe_id, nbr_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |   ORDER BY cos_e6 DESC, nbr_id) AS rnk FROM bsc)
+      | WHERE rnk <= 3),
+      |cand AS (
+      | SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS nbr_id
+      | FROM sig p JOIN sig c
+      |  ON (p.band0 = c.band0 OR p.band1 = c.band1)
+      | WHERE p.vec_id < 10 AND p.vec_id <> c.vec_id),
+      |lsc AS (SELECT cand.probe_id, cand.nbr_id,
+      |  CAST(floor(${oDot("p.embedding", "c.embedding")}
+      |   / (p.nrm * c.nrm) * 1000000 + 0.5) AS BIGINT) AS cos_e6
+      | FROM cand JOIN nv p ON cand.probe_id = p.vec_id
+      |  JOIN nv c ON cand.nbr_id = c.vec_id),
+      |ltk AS (SELECT probe_id, nbr_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |   ORDER BY cos_e6 DESC, nbr_id) AS rnk FROM lsc)
+      | WHERE rnk <= 3),
+      |j AS (SELECT b.probe_id, count(*) AS n_hits
+      | FROM btk b JOIN ltk l ON b.probe_id = l.probe_id
+      |  AND b.nbr_id = l.nbr_id GROUP BY 1)
+      |SELECT p.probe_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+      | CAST(floor(coalesce(n_hits, 0) * 10000.0 / 3 + 0.5) AS BIGINT)
+      |  AS recall_e4
+      |FROM (SELECT DISTINCT probe_id FROM btk) p
+      |LEFT JOIN j ON p.probe_id = j.probe_id
+      |ORDER BY 1""".stripMargin),
     "v4_knn_ivf" -> (oNormCte + s""",
       |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS nbr_id,
       |  CAST(floor(${oDot("p.embedding", "c.embedding")}
