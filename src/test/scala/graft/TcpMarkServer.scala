@@ -47,8 +47,27 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
   def start(port: Int = 0): Int = {
     server = new ServerSocket()
     server.setReuseAddress(true) // rebinding a just-crashed address
-    server.bind(new java.net.InetSocketAddress(
-      InetAddress.getByName("127.0.0.1"), port), 16)
+    // a fixed-port rebind can race the previous server's close (the
+    // old socket lingers briefly even with SO_REUSEADDR when its
+    // accept loop is mid-teardown) — retry briefly instead of
+    // failing the restart spec on scheduler timing
+    var attempts = 0
+    var bound = false
+    while (!bound) {
+      try {
+        server.bind(new java.net.InetSocketAddress(
+          InetAddress.getByName("127.0.0.1"), port), 16)
+        bound = true
+      } catch {
+        case e: java.net.BindException if port != 0 && attempts < 50 =>
+          attempts += 1
+          Thread.sleep(100)
+          server.close()
+          server = new ServerSocket()
+          server.setReuseAddress(true)
+        case e: Throwable => throw e
+      }
+    }
     running = true
     val t = new Thread(() => {
       while (running) {
