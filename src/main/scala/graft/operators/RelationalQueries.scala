@@ -436,6 +436,39 @@ object RelationalQueries {
       c.distinct().except(o.distinct()).orderBy("custkey")
     }),
 
+    // BAG difference (EXCEPT ALL): multiplicity-aware reconciliation
+    // — a key appearing 5 times in the fact and 3 times in the
+    // reference survives twice, where set EXCEPT (e2) would erase
+    // it. Spark's exceptAll plans this as count-tag + generate; the
+    // census aggregates the surviving multiset so the result stays
+    // small and ordered.
+    "e4_except_all" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val sup = t(s, dir, "supplier")
+        .select(explode(sequence(lit(1), lit(100)))
+          .as("_i"), col("s_suppkey").as("k"))
+        .select(col("k"))
+      li.exceptAll(sup)
+        .groupBy(col("k")).agg(count(lit(1)).as("surviving"))
+        .orderBy("k")
+    }),
+
+    // Per-group MODE: the most frequent value, ties to the HIGHEST
+    // value (a deterministic contract — arg_max tie order is
+    // undefined in most engines, so the tie-break is explicit on
+    // both sides). Two hash aggs: value counts, then the a1-style
+    // argmax-of-struct — no window, no sort of the corpus.
+    "a20_mode" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("cnt"), col("l_quantity"))).as("m"))
+        .select(col("l_returnflag"),
+          col("m.l_quantity").as("mode_qty"),
+          col("m.cnt").as("mode_cnt"))
+        .orderBy("l_returnflag")),
+
     // SURVEY E-class: intersection (shared keys across two sets).
     "e3_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
@@ -1243,6 +1276,20 @@ object RelationalQueries {
         |  WHEN o_totalprice > 100000 THEN 'mid'
         |  ELSE 'small' END AS bucket
         |FROM orders WHERE o_orderkey < 100 ORDER BY 1""".stripMargin,
+    "e4_except_all" ->
+      """WITH sup AS (SELECT s_suppkey AS k FROM supplier, range(100)),
+        |d AS (SELECT l_suppkey AS k FROM lineitem
+        |      EXCEPT ALL SELECT k FROM sup)
+        |SELECT k, count(*) AS surviving FROM d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a20_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY cnt DESC, l_quantity DESC) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty,
+        | cnt::BIGINT AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
     "f8_sha2" ->
       """SELECT c_custkey, sha256(c_name) AS id_hash FROM customer
         |WHERE c_custkey < 20 ORDER BY 1""".stripMargin,
