@@ -35,24 +35,25 @@ object TfIdf {
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} collide with tf-idf " +
         "output columns — rename before scoring")
-    // persisted + tracked: tf feeds three consumers (the join left,
-    // df, and N). Unpersisted, each would re-run the tokenize +
-    // corpus shuffle — column pruning makes the three subtrees
-    // canonically different, so Spark's exchange reuse does NOT kick
-    // in (verified on the physical plan: three parquet scans). One
-    // materialization = one corpus pass. Release via
-    // Broadcasting.releaseAll() when done (same contract as
-    // ConnectedComponents).
-    val tf = Broadcasting.track(df
-      .select(col(idCol),
-        explode(expr(s"filter(split($textCol, ' '), t -> t <> '')"))
-          .as("term"))
+    val tokensExpr = s"filter(split($textCol, ' '), t -> t <> '')"
+    val tf = df
+      .select(col(idCol), explode(expr(tokensExpr)).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist())
     val docFreq = Broadcasting.maybeBroadcast(
       tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
-    val n = tf.agg(count_distinct(col(idCol)).as("n_docs"))
+    // n_docs = docs with ≥ 1 token, exactly the docs holding a tf
+    // row — computed MAP-ONLY from the source instead of a third
+    // aggregation over tf. tf then has two consumers (join left +
+    // df); column pruning makes their subtrees canonically different
+    // so exchange reuse can't kick in, and the r9-r10 persist()
+    // spelling paid a columnar cache encode+decode of the whole tf
+    // frame that the bench sampler measured as the query's hottest
+    // path — pricier than re-running the tokenize map + one extra
+    // map-side-combined shuffle, at bench scale and at 100 TB (where
+    // a corpus-sized cache also competes with execution memory).
+    val n = df.agg(
+      count(when(size(expr(tokensExpr)) > 0, 1)).as("n_docs"))
     tf.join(docFreq, "term")
       .crossJoin(n)
       .withColumn("idf_e6",
@@ -64,15 +65,29 @@ object TfIdf {
 
   /** Top-`k` terms per document by score, ties broken by term asc —
     * integer comparisons end to end, so the ranking is deterministic
-    * on any engine. One additional shuffle (window by doc). */
+    * on any engine.
+    *
+    * Routed through the custom grouped-top-k heap operator
+    * ([[graft.plans.GroupedTopK]]) rather than the row_number window
+    * spelling: the window sorts every (doc, term) row of the corpus;
+    * the heap keeps k rows per doc with no full sort, and the rank
+    * window afterwards runs over ≤ docs × k SURVIVORS (its exchange
+    * is elided — the heap final phase already clustered by doc). The
+    * heap's order value is `struct(-score_e6, term)` ascending, the
+    * exact (score desc, term asc) total order — (doc, term) is
+    * unique, so the k-boundary is never an arbitrary tie. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int)
     : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_e6").desc, col("term").asc)
-    scores(df, idCol, textCol)
+    val scored = scores(df, idCol, textCol)
+      .withColumn("_ord",
+        struct((-col("score_e6")).as("ns"), col("term").as("t")))
+    graft.plans.GroupedTopK
+      .topK(scored, Seq(idCol), "_ord", k, descending = false)
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+      .drop("_ord")
   }
 }

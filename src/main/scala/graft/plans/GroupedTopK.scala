@@ -2,6 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -10,6 +11,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.util.collection.GraftSorterShim
 
 /** Grouped top-k as a CUSTOM physical operator — the architecture
   * rung where Spark's built-ins genuinely can't express the plan:
@@ -26,9 +30,30 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *        → [GroupedTopKExec final]     per-group merge, exact top-k
   *
   * Work is O(n log k) with no full sort anywhere; the shuffle volume
-  * is partitions × groups × k rows instead of n. Memory is k rows ×
-  * live groups per task (no spill path — for extreme group
-  * cardinality per partition fall back to the window spelling).
+  * is partitions × groups × k rows instead of n.
+  *
+  * Memory is BOUNDED even at extreme group cardinality, via the
+  * live-group cap `spark.graft.topk.maxLiveGroups` (default 262144
+  * groups per task; at most cap × k retained rows):
+  *  - the PARTIAL phase flushes its heaps to output and restarts
+  *    when the cap trips — correct because a partition-wide top-k
+  *    row is top-k in every chunk that contains it, so the union of
+  *    per-chunk survivors still covers the exact answer (metric:
+  *    `capFlushes`);
+  *  - the FINAL phase (which must be exact, so it cannot flush)
+  *    degrades to sort-based eviction: accumulated heap entries plus
+  *    the rest of the task's input are handed to Spark's spill-capable
+  *    ExternalSorter keyed by (group, order value), and the top-k per
+  *    group is then evicted from the group-sorted stream with O(k)
+  *    state (metric: `sortFallbacks`). Same discipline as hash
+  *    aggregate falling back to sort aggregation.
+  *
+  * Order values are only retained as copies (or as views into rows
+  * this operator itself copied): `eval` on a reused scan row returns
+  * UTF8String/struct/array VIEWS into the row's backing buffer, which
+  * the scan overwrites on the next row — so admission comparisons use
+  * the transient value, but anything enqueued is re-evaluated against
+  * the operator's own stable copy of the row.
   *
   * Pieces: [[GroupedTopKPlan]] (logical node), [[GroupedTopKStrategy]]
   * (planner: logical → partial/final pair; Spark inserts the
@@ -40,7 +65,8 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Determinism contract: ties at the k-boundary of `orderExpr` are
   * broken arbitrarily — pass a UNIQUE order value (e.g. value·C +
-  * id) for reproducible results, as the w9 oracle query does.
+  * id, or a struct with a unique trailing field) for reproducible
+  * results, as the w9 oracle query does.
   */
 case class GroupedTopKPlan(groupExprs: Seq[Attribute],
   orderExpr: Attribute, descending: Boolean, k: Int,
@@ -65,7 +91,8 @@ object GroupedTopKStrategy extends SparkStrategy {
 
 /** One heap pass. `partial = true` runs on the child's partitioning
   * (map-side pruning); `partial = false` demands co-location by
-  * group and emits the exact per-group top-k. */
+  * group and emits the exact per-group top-k. See the class doc for
+  * the live-group cap / bounded-memory contract. */
 case class GroupedTopKExec(groupExprs: Seq[Attribute],
   orderExpr: Attribute, descending: Boolean, k: Int,
   child: SparkPlan, partial: Boolean) extends UnaryExecNode {
@@ -78,12 +105,25 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
   override protected def withNewChildInternal(newChild: SparkPlan)
     : GroupedTopKExec = copy(child = newChild)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "capFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial heap flushes (live-group cap)"),
+    "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
+      "final tasks degraded to sort-based eviction"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupSeq = groupExprs
     val orderE: Expression = orderExpr
     val outSchema = child.output
     val desc = descending
     val kk = k
+    val isPartial = partial
+    val maxLiveGroups = SQLConf.get.getConfString(
+      GroupedTopK.MaxLiveGroupsKey, "262144").toInt
+    require(maxLiveGroups >= 1,
+      s"${GroupedTopK.MaxLiveGroupsKey} must be >= 1, got $maxLiveGroups")
+    val capFlushes = longMetric("capFlushes")
+    val sortFallbacks = longMetric("sortFallbacks")
     val fn = (iter: Iterator[InternalRow]) => {
       val groupProj = UnsafeProjection.create(groupSeq, outSchema)
       // an AttributeReference is Unevaluable until bound to the
@@ -109,7 +149,15 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
         mutable.PriorityQueue[(Any, UnsafeRow)]]
       val toUnsafe = UnsafeProjection.create(
         outSchema.map(_.dataType).toArray)
-      iter.foreach { row =>
+      // Copy first, THEN evaluate the stored order value against the
+      // copy: the value may be a UTF8String/struct/array view into
+      // the row's buffer, and only the copy's buffer is stable.
+      def enqueue(heap: mutable.PriorityQueue[(Any, UnsafeRow)],
+        row: InternalRow): Unit = {
+        val copied = toUnsafe(row).copy()
+        heap.enqueue((boundOrder.eval(copied), copied))
+      }
+      def admit(row: InternalRow): Unit = {
         val key = groupProj(row)
         val heap = heaps.getOrElse(key, null) match {
           case null =>
@@ -118,22 +166,114 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
             h
           case h => h
         }
-        val v = boundOrder.eval(row)
         if (heap.size < kk) {
-          heap.enqueue((v, toUnsafe(row).copy()))
-        } else if (better.compare(v, heap.head._1) > 0) {
-          heap.dequeue()
-          heap.enqueue((v, toUnsafe(row).copy()))
+          enqueue(heap, row)
+        } else {
+          // transient view — compared now, never retained
+          val v = boundOrder.eval(row)
+          if (better.compare(v, heap.head._1) > 0) {
+            heap.dequeue()
+            enqueue(heap, row)
+          }
         }
       }
-      heaps.valuesIterator.flatMap(
-        _.iterator.map(_._2): Iterator[InternalRow])
+      def drain(): Iterator[InternalRow] = {
+        val out = mutable.ArrayBuffer.empty[InternalRow]
+        heaps.valuesIterator.foreach(h => h.iterator.foreach(out += _._2))
+        heaps.clear()
+        out.iterator
+      }
+      // Final-phase fallback: hand everything to a spill-capable
+      // sort keyed by (group bytes, order value) with the BEST row
+      // of each group first, then evict all but the first k per
+      // group from the sorted stream.
+      def sortEvict(remaining: Iterator[InternalRow])
+        : Iterator[InternalRow] = {
+        sortFallbacks += 1
+        val keyOrd = new Ordering[(Array[Byte], Any)] {
+          override def compare(a: (Array[Byte], Any),
+            b: (Array[Byte], Any)): Int = {
+            val ka = a._1; val kb = b._1
+            val n = math.min(ka.length, kb.length)
+            var i = 0
+            while (i < n) {
+              val c = (ka(i) & 0xff) - (kb(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            val lc = ka.length - kb.length
+            if (lc != 0) lc else -better.compare(a._2, b._2)
+          }
+        }
+        val ctx = TaskContext.get()
+        val sorter = GraftSorterShim
+          .create[(Array[Byte], Any), UnsafeRow](ctx, keyOrd)
+        if (ctx != null) {
+          ctx.addTaskCompletionListener[Unit](_ => sorter.stop())
+        }
+        val fromHeaps = heaps.iterator.flatMap { case (gk, h) =>
+          val bytes = gk.getBytes
+          h.iterator.map { case (v, r) => ((bytes, v), r) }
+        }
+        val fromInput = remaining.map { row =>
+          val copied = toUnsafe(row).copy()
+          // .copy() before .getBytes: the projection's buffer is
+          // reused, and getBytes may return it un-copied
+          ((groupProj(copied).copy().getBytes,
+            boundOrder.eval(copied)), copied)
+        }
+        sorter.insertAll(fromHeaps ++ fromInput)
+        heaps.clear()
+        var curKey: Array[Byte] = null
+        var emitted = 0
+        sorter.iterator.flatMap { p =>
+          val gk = p._1._1
+          if (curKey == null || !java.util.Arrays.equals(curKey, gk)) {
+            curKey = gk
+            emitted = 0
+          }
+          if (emitted < kk) { emitted += 1; Some(p._2: InternalRow) }
+          else None
+        }
+      }
+      if (isPartial) {
+        // chunked: heaps until the cap trips, flush, restart — the
+        // union of per-chunk survivors covers the exact answer
+        new Iterator[InternalRow] {
+          private var out: Iterator[InternalRow] = Iterator.empty
+          private def refill(): Unit = {
+            while (iter.hasNext && heaps.size <= maxLiveGroups) {
+              admit(iter.next())
+            }
+            if (heaps.size > maxLiveGroups) capFlushes += 1
+            out = drain()
+          }
+          override def hasNext: Boolean = {
+            while (!out.hasNext && iter.hasNext) refill()
+            out.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty")
+            out.next()
+          }
+        }
+      } else {
+        var degraded: Iterator[InternalRow] = null
+        while (iter.hasNext && degraded == null) {
+          admit(iter.next())
+          if (heaps.size > maxLiveGroups) degraded = sortEvict(iter)
+        }
+        if (degraded != null) degraded else drain()
+      }
     }
     child.execute().mapPartitions(fn, preservesPartitioning = true)
   }
 }
 
 object GroupedTopK {
+
+  /** Per-task live-group cap (see class doc). Session conf. */
+  val MaxLiveGroupsKey = "spark.graft.topk.maxLiveGroups"
 
   /** Exact top-k rows per group by `orderCol` (descending by
     * default). Registers the planner strategy on the session if

@@ -115,6 +115,112 @@ class GroupedTopKSpec extends SparkTestBase {
     }
   }
 
+  // ---- non-primitive order values: eval() returns VIEWS into the
+  // scan's reused row buffer; the operator must retain copies ----
+
+  private def stringFrame = spark.range(0, 4000).select(
+    (col("id") % 37).as("g"),
+    concat(lit("s"),
+      lpad(((col("id") * 2654435761L) % 100000).cast("string"), 6, "0"))
+      .as("v"))
+    .repartition(7)
+
+  test("string order column survives row-buffer reuse") {
+    import org.apache.spark.sql.expressions.Window
+    val ref = stringFrame.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 3).select("g", "v")
+      .as[(Long, String)].collect().toSet
+    val got = GroupedTopK.topK(stringFrame, Seq("g"), "v", 3)
+      .select("g", "v").as[(Long, String)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("struct order column: mixed-direction composite (TfIdf shape)") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.range(0, 3000).select(
+      (col("id") % 11).as("g"),
+      ((col("id") * 97) % 50).as("score"),
+      concat(lit("t"), (col("id") % 400).cast("string")).as("term"))
+      .repartition(5)
+      .withColumn("_ord",
+        struct((-col("score")).as("ns"), col("term").as("t")))
+    val ref = base.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rn") <= 4).select("g", "score", "term")
+      .as[(Long, Long, String)].collect().toSet
+    val got = GroupedTopK
+      .topK(base, Seq("g"), "_ord", 4, descending = false)
+      .select("g", "score", "term")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == ref)
+  }
+
+  // ---- live-group cap: bounded memory at extreme group cardinality.
+  // partial phase flushes + restarts; final phase degrades to
+  // spill-capable sort-based eviction. Cap 4 with hundreds of groups
+  // forces BOTH branches; results must stay exact. ----
+
+  private def topkExecs(df: org.apache.spark.sql.DataFrame)
+    : Seq[graft.plans.GroupedTopKExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE hides executed instances inside leaf QueryStageExec
+    // wrappers; descend into them or the metrics read come from
+    // never-executed initial-plan copies
+    def walk(p: SparkPlan): Seq[graft.plans.GroupedTopKExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case g: graft.plans.GroupedTopKExec => Seq(g)
+    }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("live-group cap: both phases degrade, result stays exact") {
+    val cap = GroupedTopK.MaxLiveGroupsKey
+    spark.conf.set(cap, "4")
+    try {
+      val base = spark.range(0, 6000).select(
+        (col("id") % 311).as("g"),
+        when(col("id") % 97 === 0, lit(null).cast("long"))
+          .otherwise((col("id") * 131) % 10000).as("v"))
+        .repartition(6)
+      import org.apache.spark.sql.expressions.Window
+      val ref = base.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g"))
+            .orderBy(col("v").desc_nulls_last)))
+        .filter(col("rn") <= 3).filter(col("v").isNotNull)
+        .select("g", "v").as[(Long, Long)].collect().toSet
+      val df = GroupedTopK.topK(base, Seq("g"), "v", 3)
+      // collect df ITSELF — a derived Dataset would execute its own
+      // plan instances and the metrics read below would see the
+      // never-executed originals
+      val got = df.collect()
+        .filterNot(_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(got == ref)
+      val execs = topkExecs(df)
+      assert(execs.size == 2, df.queryExecution.executedPlan.toString)
+      val partial = execs.find(_.partial).get
+      val fin = execs.find(!_.partial).get
+      assert(partial.metrics("capFlushes").value > 0,
+        "partial phase never hit the cap — test data too small")
+      assert(fin.metrics("sortFallbacks").value > 0,
+        "final phase never degraded to sort-based eviction")
+    } finally spark.conf.unset(cap)
+  }
+
+  test("default cap: neither degrade branch runs on small groups") {
+    val df = GroupedTopK.topK(
+      Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v"),
+      Seq("g"), "v", 2)
+    df.collect()
+    val execs = topkExecs(df)
+    assert(execs.map(_.metrics("capFlushes").value).sum == 0)
+    assert(execs.map(_.metrics("sortFallbacks").value).sum == 0)
+  }
+
   test("plan: two heap phases around one exchange, no Window, no full Sort") {
     val base = Tables.load(spark, sf, "orders").select(
       col("o_orderpriority"), col("o_orderkey"))

@@ -35,6 +35,24 @@ class TfIdfSpec extends SparkTestBase {
     assert(top2 == Seq("c", "b"))
   }
 
+  test("heap-routed topTerms equals the window spelling on documents") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    val ref = TfIdf.scores(docs, "doc_id", "text")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score_e6", "rnk")
+      .collect().map(_.toSeq).toSet
+    graft.operators.Broadcasting.releaseAll()
+    val got = TfIdf.topTerms(docs, "doc_id", "text", 3)
+      .select("doc_id", "term", "tf", "df", "score_e6", "rnk")
+      .collect().map(_.toSeq).toSet
+    graft.operators.Broadcasting.releaseAll()
+    assert(got == ref)
+  }
+
   test("empty tokens vanish; output column collisions are rejected") {
     val blanky = Seq((1L, "  x   y  ")).toDF("doc_id", "text")
     val terms = TfIdf.scores(blanky, "doc_id", "text")
