@@ -52,6 +52,29 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query shuffle-write tally (round-11 ask: make the FS-regime
+    // sensitivity story empirical, not narrative). Sort-based shuffle
+    // writes 1 data + 1 index file per map task with output, so
+    // files = 2 × writing tasks; bytes come straight from task
+    // metrics. Attribution = counter delta around the last timed
+    // pass, after draining the async listener bus.
+    val shuffleTasks = new java.util.concurrent.atomic.AtomicLong()
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null && m.shuffleWriteMetrics.bytesWritten > 0) {
+            shuffleTasks.incrementAndGet()
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def shuffleSnap(): (Long, Long) = {
+      org.apache.spark.GraftListenerShim.flush(spark.sparkContext)
+      (shuffleTasks.get(), shuffleBytes.get())
+    }
     val known = SparkEntry.queries.keySet
     val names = if (args.nonEmpty) {
       args.filterNot(known).foreach(n =>
@@ -72,6 +95,8 @@ object Bench {
     // min of two timed passes: local[N] run-to-run variance is ±20%,
     // and min-of-k reports the plan's cost rather than scheduler
     // noise. A failing/timed-out query reports -1, never a partial time.
+    val shuffleStats =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val results = names.map { name =>
       onePass(name, warmupBudget) match {
         case Budget.TimedOut =>
@@ -82,8 +107,14 @@ object Bench {
           name -> -1.0
         case Budget.Done(_, _) =>
           val times = (1 to 2).flatMap { _ =>
+            val (t0, b0) = shuffleSnap()
             onePass(name, Budget.DefaultSec) match {
-              case Budget.Done(_, sec) => Some(sec)
+              case Budget.Done(_, sec) =>
+                val (t1, b1) = shuffleSnap()
+                // last successful pass wins: shuffle volume is
+                // plan-determined, identical across passes
+                shuffleStats(name) = (2 * (t1 - t0), b1 - b0)
+                Some(sec)
               case Budget.TimedOut =>
                 System.err.println(s"[bench] $name TIMEOUT (${Budget.DefaultSec}s)")
                 None
@@ -97,8 +128,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sh = results.flatMap { case (k, _) =>
+      shuffleStats.get(k).map { case (files, bytes) =>
+        f""""$k":{"files":$files,"mb":${bytes / 1048576.0}%.2f}"""
+      }
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_shuffle":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,12 @@ object Expectations {
     require(rules.nonEmpty, "check needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
+    require(rules.forall(!_.name.contains("`")),
+      "rule names must not contain backticks")
+    // backtick-quote the derived column references: a rule name with
+    // a dot ("price.positive") would otherwise parse as a
+    // nested-field path and fail resolution
+    def vcol(r: Rule) = col(s"`_v_${r.name}`")
     val counts = df.agg(
       count(lit(1)).as("_n"),
       rules.map(r => sum(when(coalesce(r.holds, lit(false)), 0L)
@@ -32,8 +38,8 @@ object Expectations {
     counts.select(explode(array(rules.map(r => struct(
         lit(r.name).as("rule"),
         col("_n").as("n_rows"),
-        coalesce(col(s"_v_${r.name}"), lit(0L)).as("n_violations"),
-        (coalesce(col(s"_v_${r.name}"), lit(0L)) === 0L).as("pass"))): _*))
+        coalesce(vcol(r), lit(0L)).as("n_violations"),
+        (coalesce(vcol(r), lit(0L)) === 0L).as("pass"))): _*))
       .as("r"))
       .select(col("r.rule").as("rule"), col("r.n_rows").as("n_rows"),
         col("r.n_violations").as("n_violations"), col("r.pass").as("pass"))

@@ -55,11 +55,16 @@ object Sampling {
     * with u uniform — the k highest priorities are a weighted
     * sample. Here u derives from the key's md5 over a 2^60 domain
     * (no RNG), and the rank key is the monotone-equivalent
-    * ln(u)/w, quantized e9 — every arithmetic step after ln is an
+    * ln(u)/w, quantized e9. Every arithmetic step after ln is an
     * IEEE-specified operation (division by a power of two, one
-    * correctly-rounded divide and multiply), so priorities replay
-    * bit-identically in any md5-capable engine, like the rest of
-    * the StableHash family. Ties (only possible at equal quantized
+    * correctly-rounded divide and multiply) — but ln itself is NOT
+    * IEEE-required to be correctly rounded, so this carries the
+    * same accepted quantize-at-the-transcendental risk as the
+    * x13/x15 contract: a 1-ulp libm divergence landing exactly on a
+    * floor(x·1e9 + 0.5) boundary could flip one priority and swap
+    * k-boundary membership on another engine (never observed across
+    * JVM/DuckDB on this family's inputs, and within one engine the
+    * result is fully deterministic). Ties (only possible at equal quantized
     * priority) break by key.
     *
     * Plan: narrow priority map + TakeOrdered(k) — per-partition

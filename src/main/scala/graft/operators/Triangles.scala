@@ -36,11 +36,18 @@ object Triangles {
         lit("Triangles: node ids must fit in [0, 2^32) for the " +
           "packed (deg, id) rank — re-index the graph first")))
         .otherwise(n)
+    // degrees share the packed rank's high half: ≥ 2^31 would carry
+    // into the sign bit and silently invert the (deg, id) orientation
+    val degGuard = (d: org.apache.spark.sql.Column) =>
+      when(d >= (1L << 31), raise_error(
+        lit("Triangles: node degree must be < 2^31 for the packed " +
+          "(deg, id) rank")))
+        .otherwise(d)
     val keyed = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
-    val ku = shiftleft(col("du"), 32) + guard(col("u"))
-    val kv = shiftleft(col("dv"), 32) + guard(col("v"))
+    val ku = shiftleft(degGuard(col("du")), 32) + guard(col("u"))
+    val kv = shiftleft(degGuard(col("dv")), 32) + guard(col("v"))
     // oriented adjacency, used three times (two wedge sides + the
     // closing-edge probe) — persist instead of recomputing the
     // degree join per use

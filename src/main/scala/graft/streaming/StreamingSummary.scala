@@ -70,14 +70,49 @@ object StreamingSummary {
       .rename(tmp, p, Options.Rename.OVERWRITE)
   }
 
+  /** Drop generation directories older than `keepFrom` — called
+    * after a successful pointer swing with `keepFrom = gen - 1`, so
+    * an always-on query holds at most the current generation plus
+    * its predecessor (a reader that resolved the old pointer just
+    * before the swing can still finish) instead of growing storage
+    * without bound. */
+  private def gcGenerations(spark: SparkSession, dir: String,
+    keepFrom: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val d = new HPath(dir)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen=")) {
+        scala.util.Try(name.drop(4).toLong).toOption
+          .filter(_ < keepFrom)
+          .foreach(_ => fs.delete(st.getPath, true))
+      }
+    }
+  }
+
   /** One micro-batch's fold: maintain → write next generation →
-    * swing the pointer. Public so the replay guard is testable
-    * without driving a checkpoint-recovery cycle: calling it again
-    * with an already-applied batchId is a no-op. */
+    * swing the pointer → GC superseded generations. Public so the
+    * replay guard is testable without driving a checkpoint-recovery
+    * cycle: calling it again with an already-applied batchId is a
+    * no-op. */
   def applyBatch(batch: DataFrame, batchId: Long, dir: String,
     groupCols: Seq[String], sumCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val cur = current(spark, dir)
+    // Checkpoint recovery re-presents at most the LAST batch id (a
+    // regression of 0 or 1) — a no-op under the replay guard. A
+    // regression LARGER than 1 means the stream was restarted with a
+    // FRESH checkpoint (ids reset to 0) against an existing summary
+    // dir; silently no-opping would drop every delta until the new
+    // ids caught up, so fail loudly instead.
+    cur.filter(_._2 > batchId + 1).foreach { case (_, applied) =>
+      throw new IllegalStateException(
+        s"StreamingSummary: batch id $batchId regressed below the " +
+          s"applied $applied in $dir — the stream restarted with a " +
+          "fresh checkpoint against an existing summary. Keep the " +
+          "checkpoint and summary dirs paired, or start a new summary dir")
+    }
     // replay guard: a checkpoint-recovered batch re-presents the
     // same id; applying it twice would double the delta
     if (!cur.exists(_._2 >= batchId)) {
@@ -88,6 +123,7 @@ object StreamingSummary {
       val gen = cur.map(_._1 + 1).getOrElse(0L)
       next.write.mode("overwrite").parquet(s"$dir/gen=$gen")
       swingPointer(spark, dir, gen, batchId)
+      gcGenerations(spark, dir, gen - 1)
     }
   }
 

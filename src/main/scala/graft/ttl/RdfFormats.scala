@@ -290,8 +290,12 @@ object RdfXml {
   *    and default `"@language"`;
   *  - ARRAY-form contexts (merged left→right) and `null` entries
   *    (term / default-language removal).
-  * Remote context URLs are out of scope (zero-egress: nothing here
-  * fetches) — unsupported keys throw rather than silently mis-read. */
+  * Remote context URLs resolve from a CALLER-SUPPLIED map (url →
+  * context document) — nothing here fetches (zero-egress), unlike
+  * the reference's rdflib path which dereferences them over HTTP
+  * (geosparql-etl U-RDF:285-300). A document naming a URL absent
+  * from the map throws with the URL, rather than silently
+  * mis-reading; unsupported keys likewise throw. */
 object JsonLd {
   import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
@@ -315,9 +319,17 @@ object JsonLd {
     vocab: Option[String], base: Option[String], lang: Option[String])
   private object Ctx { val empty = Ctx(Map.empty, None, None, None) }
 
-  def parse(content: String): Seq[Triple] = {
+  def parse(content: String): Seq[Triple] = parse(content, Map.empty)
+
+  /** Parse with remote `@context` URLs resolved from `remoteContexts`
+    * (url → the context DOCUMENT's JSON, i.e. either a bare context
+    * object/array or a wrapper `{"@context": …}` as served on the
+    * web). Resolution is recursive — a mapped document may itself
+    * name another mapped URL — with cycles detected. */
+  def parse(content: String,
+    remoteContexts: Map[String, String]): Seq[Triple] = {
     val root = new ObjectMapper().readTree(content)
-    val st = new LdState
+    val st = new LdState(remoteContexts)
     root match {
       case a: ArrayNode => a.elements().asScala.foreach(n =>
         st.nodeObject(n.asInstanceOf[ObjectNode], Ctx.empty))
@@ -335,10 +347,12 @@ object JsonLd {
     st.out.toSeq
   }
 
-  private final class LdState {
+  private final class LdState(
+    resolver: Map[String, String] = Map.empty) {
     val out = mutable.ArrayBuffer[Triple]()
     private var bnCount = 0
     private val bnMap = mutable.Map[String, String]()
+    private val loadingCtx = mutable.Set[String]()
     private def freshBn(): String = { val l = s"_:b$bnCount"; bnCount += 1; l }
 
     /** Merge a node's `@context` (object, array of objects, or null)
@@ -377,8 +391,26 @@ object JsonLd {
             }
           }
         case _ if node.isTextual =>
-          throw new IllegalArgumentException(
-            s"remote @context URLs are not supported: ${node.asText}")
+          val url = node.asText
+          val doc = resolver.getOrElse(url,
+            throw new IllegalArgumentException(
+              s"remote @context URL $url is not in the supplied " +
+                "context map — fetch it out of band and pass it via " +
+                "JsonLd.parse(content, remoteContexts) (nothing here " +
+                "performs network access)"))
+          if (!loadingCtx.add(url))
+            throw new IllegalArgumentException(
+              s"cyclic remote @context reference: $url")
+          try {
+            val root = new ObjectMapper().readTree(doc)
+            // a served context document usually wraps the context in
+            // {"@context": …}; accept a bare context object/array too
+            val ctxNode = root match {
+              case o: ObjectNode if o.has("@context") => o.get("@context")
+              case other => other
+            }
+            mergeContext(parent, ctxNode)
+          } finally loadingCtx.remove(url)
         case other => throw new IllegalArgumentException(
           s"unsupported @context form: $other")
       }
@@ -723,13 +755,71 @@ object Rdf {
       }
   }
 
+  /** Scan for syntax that is N3-proper but NOT Turtle — formulas
+    * (`{ … }` as a term), universal variables (`?x`), `@forAll` /
+    * `@forSome` quantifiers, `=>` implication — skipping comments,
+    * IRIs and string literals. Returns the first offending construct.
+    * The engine reads the Turtle SUBSET of N3 (all the reference
+    * itself emits/reads, rdf_utils.py's rdflib "n3" usage); these
+    * constructs have no RDF-triple projection here, and deserve a
+    * named error instead of a generic parse failure. */
+  private def n3OnlySyntax(content: String): Option[String] = {
+    var i = 0
+    val n = content.length
+    def at(s: String) = content.regionMatches(i, s, 0, s.length)
+    while (i < n) {
+      content.charAt(i) match {
+        case '#' =>
+          while (i < n && content.charAt(i) != '\n') i += 1
+        case '<' =>
+          i += 1
+          while (i < n && content.charAt(i) != '>') i += 1
+        case q @ ('"' | '\'') =>
+          val fence = s"$q$q$q"
+          if (at(fence)) {
+            i += 3
+            while (i < n && !at(fence)) {
+              if (content.charAt(i) == '\\') i += 1
+              i += 1
+            }
+            i += 3
+          } else {
+            i += 1
+            while (i < n && content.charAt(i) != q) {
+              if (content.charAt(i) == '\\') i += 1
+              i += 1
+            }
+            i += 1
+          }
+        case '{' => return Some("formula syntax '{ … }'")
+        case '?' => return Some("universal variable '?…'")
+        case '@' if at("@forAll") => return Some("'@forAll'")
+        case '@' if at("@forSome") => return Some("'@forSome'")
+        case '=' if i + 1 < n && content.charAt(i + 1) == '>' =>
+          return Some("'=>' (log:implies)")
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  private def parseN3(content: String): Seq[Triple] = {
+    n3OnlySyntax(content).foreach(what =>
+      throw new IllegalArgumentException(
+        s"N3 $what is unsupported: this engine reads the Turtle " +
+          "subset of N3 only (formulas, variables and quantifiers " +
+          "have no RDF-triple projection)"))
+    TurtleParser.parse(content)
+  }
+
   /** One document's content → triples, bnodes relabeled with the
     * per-file tag (the same document-scoping rule `load` applies).
     * Shared with the DataSource V2 connector (RdfDataSource). */
   private[graft] def parseDocument(fileName: String, content: String,
     format: String): Seq[Triple] = {
     val parse: String => Seq[Triple] = format.toLowerCase match {
-      case "turtle" | "ttl" | "n3" => TurtleParser.parse _
+      case "turtle" | "ttl" => TurtleParser.parse _
+      case "n3" => parseN3 _
       case "nt" | "ntriples" | "n-triples" =>
         c => c.linesIterator.flatMap(Turtle.parseLine).toSeq
       case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" => RdfXml.parse _
@@ -745,8 +835,10 @@ object Rdf {
   def load(spark: SparkSession, path: String, format: String = "turtle")
     : Dataset[Triple] =
     format.toLowerCase match {
-      case "turtle" | "ttl" | "n3" =>
+      case "turtle" | "ttl" =>
         readWholetext(spark, path)(TurtleParser.parse _)
+      case "n3" =>
+        readWholetext(spark, path)(parseN3 _)
       case "nt" | "ntriples" | "n-triples" =>
         Turtle.readNTriples(spark, path)
       case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" =>

@@ -1,0 +1,15 @@
+package org.apache.spark
+
+/** Package-local bridge to `SparkContext.listenerBus`
+  * (`private[spark]`): the bench harness attributes shuffle-write
+  * tallies to individual queries by snapshotting listener counters
+  * between passes, which is only sound after the async bus has
+  * drained the pass's task-end events. */
+object GraftListenerShim {
+
+  /** Block until every queued listener event is dispatched (or the
+    * timeout passes — best-effort, never throws). */
+  def flush(sc: SparkContext, timeoutMillis: Long = 5000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMillis)
+    catch { case _: Throwable => () }
+}

@@ -54,4 +54,18 @@ class ExpectationsSpec extends SparkTestBase {
         Rule("x", col("v") > 0), Rule("x", col("id") > 0)))
     }
   }
+
+  test("rule names with dots resolve (no nested-field misparse)") {
+    val out = Expectations.check(df, Seq(
+        Rule("v.positive", col("v") > 0),
+        Rule("id.in range", col("id") <= 4)))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out == Map("v.positive" -> 2L, "id.in range" -> 0L))
+  }
+
+  test("backticks in rule names are rejected") {
+    intercept[IllegalArgumentException] {
+      Expectations.check(df, Seq(Rule("a`b", col("v") > 0)))
+    }
+  }
 }

@@ -529,4 +529,72 @@ class RdfFormatsSpec extends SparkTestBase {
     assert(ts == Seq(
       Triple("<http://ex.org/doc#frag>", "<http://ex.org/p>", "\"v\"")))
   }
+
+  test("JSON-LD remote @context resolves from a caller-supplied map") {
+    // the served document wraps its context, as real vocab URLs do
+    val served =
+      """{"@context": {"name": "http://xmlns.com/foaf/0.1/name",
+        |  "@language": "en"}}""".stripMargin
+    val doc =
+      """{"@context": "https://example.org/ctx.jsonld",
+        |"@id": "http://ex.org/a", "name": "Ada"}""".stripMargin
+    val ts = JsonLd.parse(doc,
+      Map("https://example.org/ctx.jsonld" -> served))
+    assert(ts == Seq(Triple("<http://ex.org/a>",
+      "<http://xmlns.com/foaf/0.1/name>", "\"Ada\"@en")))
+    // round-trips through the serializer
+    val re = JsonLd.parse(JsonLd.write(ts))
+    assert(re == ts)
+  }
+
+  test("remote @context: recursion works, missing URL and cycles throw") {
+    val inner = """{"@context": {"p": "http://ex.org/p"}}"""
+    // c0 is served as a BARE array context (no {"@context": …}
+    // wrapper): remote URL chained with an inline overlay
+    val outer =
+      """["https://a.example/c1", {"q": "http://ex.org/q"}]"""
+    val doc =
+      """{"@context": "https://a.example/c0",
+        |"@id": "http://ex.org/s", "p": "v", "q": "w"}""".stripMargin
+    val ts = JsonLd.parse(doc, Map(
+      "https://a.example/c0" -> outer,
+      "https://a.example/c1" -> inner))
+    assert(ts.toSet == Set(
+      Triple("<http://ex.org/s>", "<http://ex.org/p>", "\"v\""),
+      Triple("<http://ex.org/s>", "<http://ex.org/q>", "\"w\"")))
+    val missing = intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@context": "https://nope.example/x"}""")
+    }
+    assert(missing.getMessage.contains("https://nope.example/x"))
+    val cyc = intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@context": "https://a.example/self"}""",
+        Map("https://a.example/self" ->
+          """{"@context": "https://a.example/self"}"""))
+    }
+    assert(cyc.getMessage.contains("cyclic"))
+  }
+
+  test("N3 boundary: Turtle-subset parses, formula syntax is named") {
+    val subset =
+      """@prefix ex: <http://ex.org/> .
+        |# a comment with { braces } and ?marks stays a comment
+        |ex:a ex:p "a { literal } with ?chars" .""".stripMargin
+    assert(Rdf.parseDocument("f.n3", subset, "n3") == Seq(
+      Triple("<http://ex.org/a>", "<http://ex.org/p>",
+        "\"a { literal } with ?chars\"")))
+    val formula = intercept[IllegalArgumentException] {
+      Rdf.parseDocument("f.n3",
+        "{ <a> <b> <c> } => { <d> <e> <f> } .", "n3")
+    }
+    assert(formula.getMessage.contains("Turtle subset"), formula.getMessage)
+    val forAll = intercept[IllegalArgumentException] {
+      Rdf.parseDocument("f.n3",
+        "@forAll <http://ex.org/x> .", "n3")
+    }
+    assert(forAll.getMessage.contains("@forAll"))
+    val variable = intercept[IllegalArgumentException] {
+      Rdf.parseDocument("f.n3", "?x <http://ex.org/p> 1 .", "n3")
+    }
+    assert(variable.getMessage.contains("variable"))
+  }
 }

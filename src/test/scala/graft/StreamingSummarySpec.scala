@@ -72,6 +72,40 @@ class StreamingSummarySpec extends SparkTestBase {
     assert(rows == Set(("a", 1L, 7L)))
   }
 
+  test("superseded generations are GC'd: current plus one remain") {
+    val dir = tmp("graft_ssum5")
+    (0 to 3).foreach { i =>
+      StreamingSummary.applyBatch(
+        Seq(Change("a", 1, 1)).toDF(), i.toLong, dir, Seq("g"), Seq("m"))
+    }
+    val gens = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+    assert(gens == Seq("gen=2", "gen=3"), s"got $gens")
+    val (gen, _) = StreamingSummary.current(spark, dir).get
+    val rows = spark.read.parquet(s"$dir/gen=$gen")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(rows == Set(("a", 4L, 4L)))
+  }
+
+  test("batch-id regression beyond replay fails loudly") {
+    val dir = tmp("graft_ssum6")
+    (0 to 2).foreach { i =>
+      StreamingSummary.applyBatch(
+        Seq(Change("a", 1, 1)).toDF(), i.toLong, dir, Seq("g"), Seq("m"))
+    }
+    // fresh-checkpoint restart: ids reset to 0 against applied=2
+    val e = intercept[IllegalStateException] {
+      StreamingSummary.applyBatch(
+        Seq(Change("a", 1, 1)).toDF(), 0L, dir, Seq("g"), Seq("m"))
+    }
+    assert(e.getMessage.contains("fresh checkpoint"))
+    // regression of exactly 1 stays a tolerated stale no-op
+    StreamingSummary.applyBatch(
+      Seq(Change("a", 1, 1)).toDF(), 1L, dir, Seq("g"), Seq("m"))
+    assert(StreamingSummary.current(spark, dir).get == ((2L, 2L)))
+  }
+
   test("empty-store read returns the canonical empty summary schema") {
     val dir = tmp("graft_ssum4")
     val schema = Seq(Change("x", 1, 1)).toDF()
