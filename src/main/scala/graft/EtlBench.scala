@@ -1,5 +1,6 @@
 package graft
 
+import graft.incremental.Ledger
 import graft.pipelines.{MongoMarksPipeline, TtlFileSink}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -7,11 +8,20 @@ import org.apache.spark.sql.functions._
 /** ETL throughput benchmark: synthetic mark documents → batched TTL
   * files, reported as marks/sec — the reference's only runtime metric
   * (mongodb_to_rdf.py:799-821 computes exactly this for its 20-process
-  * pool; ~4B marks total). Args: [nMarks] [nAnalyses] [outDir].
+  * pool; ~4B marks total). Args: [nMarks] [nAnalyses] [outDir]
+  * [ledgerDir].
   *
   * Marks are synthesized deterministically from spark.range — schema
   * identical to MongoMarksPipeline.markSchema, ~5 polygon points per
   * mark, 1k marks per (exec, image) batch like production.
+  *
+  * With a 4th arg the bench runs the INCREMENTAL face at the same
+  * scale (T2/T4 semantics beyond spec size): two full passes sharing
+  * one work ledger keyed by execution_id — run 1 processes every
+  * mark and records its executions; run 2 anti-joins the ledger
+  * first (Ledger.pending, the reference's should_process check,
+  * mongodb_to_rdf.py:149-152) and must find ~0 pending marks. Two
+  * JSON lines are printed, each carrying n_pending.
   */
 object EtlBench {
   def main(args: Array[String]): Unit = {
@@ -59,14 +69,37 @@ object EtlBench {
 
     val hashes = Seq.empty[(String, String)].toDF("slide", "real_hash")
 
-    val t0 = System.nanoTime()
-    val docs = MongoMarksPipeline.documents(marks, analyses, hashes)
-    TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
-    val secs = (System.nanoTime() - t0) / 1e9
-    val rate = nMarks / secs
-    println(s"""{"metric":"etl_marks_per_sec","value":$rate,""" +
-      s""""unit":"marks/sec","n_marks":$nMarks,"secs":$secs,""" +
-      s""""n_analyses":$nAnalyses}""")
+    args.lift(3) match {
+      case None =>
+        val t0 = System.nanoTime()
+        val docs = MongoMarksPipeline.documents(marks, analyses, hashes)
+        TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val rate = nMarks / secs
+        println(s"""{"metric":"etl_marks_per_sec","value":$rate,""" +
+          s""""unit":"marks/sec","n_marks":$nMarks,"secs":$secs,""" +
+          s""""n_analyses":$nAnalyses}""")
+      case Some(ledgerDir) =>
+        Seq(1, 2).foreach { run =>
+          val t0 = System.nanoTime()
+          val work = marks.withColumn("_exec",
+            col("provenance.analysis.execution_id"))
+          val todo = Ledger.pending(work, ledgerDir, "_exec")
+          val nPending = todo.count()
+          if (nPending > 0) {
+            val docs = MongoMarksPipeline.documents(
+              todo.drop("_exec"), analyses, hashes)
+            TtlFileSink.write(docs.select("rel_path", "ttl"),
+              s"$outDir/run$run")
+            Ledger.record(todo.select("_exec").distinct(), ledgerDir,
+              Ledger.Completed, s"etlbench-run$run")
+          }
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(s"""{"metric":"etl_marks_per_sec","value":${nPending / secs},""" +
+            s""""unit":"marks/sec","run":$run,"n_pending":$nPending,""" +
+            s""""secs":$secs,"n_marks":$nMarks,"n_analyses":$nAnalyses}""")
+        }
+    }
     spark.stop()
   }
 }
