@@ -777,6 +777,136 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // TPC-H Q4 shape (priority checking, adapted to this schema's
+    // columns: the commit<receipt lateness predicate becomes
+    // "EXISTS a lineitem shipped after the order date"): a date-
+    // windowed orders scan SEMI-joined against lineitem — the
+    // non-equi part (l_shipdate > o_orderdate) rides the equi-join
+    // as a join-side filter, so no order ever matches twice and no
+    // row explodes. One shuffle pair for the semi-join (orders side
+    // prunes 1 year at the scan), then a tiny priority count.
+    "q4_priority_exists" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > ord("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q7 shape (volume shipping between two nations): the
+    // 6-way tree where lineitem is the only fact — supplier,
+    // orders→customer, and nation×2 all broadcast; the disjunctive
+    // nation pair filter applies post-join (either direction), and
+    // the final (supp_nation, cust_nation, year) aggregate is
+    // 2·years rows. Revenue in per-row integer cents as in q3.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1998-01-01")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("rev_e2"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+      val n1 = nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = nat.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum("rev_e2").as("revenue_e2"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): one month of lineitem
+    // joined to part (broadcast), revenue split by a CASE on p_type.
+    // Both sums are per-row integer cents; the percentage is ONE
+    // IEEE double divide quantized e6 — identical on both engines.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-03-01" &&
+          col("l_shipdate") < "1997-04-01")
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("rev_e2"))
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_e2"))
+            .otherwise(0L)).as("promo_rev_e2"),
+          sum(col("rev_e2")).as("total_rev_e2"))
+        .select(col("promo_rev_e2"), col("total_rev_e2"),
+          floor(col("promo_rev_e2").cast("double") * 1000000
+            / col("total_rev_e2") + 0.5).cast("long")
+            .as("promo_pct_e6"))
+    }),
+
+    // TPC-H Q18 shape (large-volume orders): per-order quantity agg →
+    // HAVING qty > 300 (the filter runs on the AGGREGATED frame, a
+    // tiny fraction of orders) → join back to orders/customer
+    // (broadcast the survivors' side? no — survivors join the big
+    // orders table by key, and customer broadcasts) → top 20 by qty.
+    // l_quantity is integral-valued; the sum casts to long exactly.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("o_totalprice_e2"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(ord, big("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice_e2", "total_qty")
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19 shape (bracketed disjunctive predicates): lineitem ⋈
+    // part with an OR of three (brand, size-range, quantity-range)
+    // conjunctions. The join key is the only equi condition; the
+    // brackets evaluate post-join, and part broadcasts. Exercises
+    // Catalyst's disjunction handling without relying on columns this
+    // schema lacks (shipmode/container).
+    "q19_bracket_predicates" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100 + 0.5).cast("long").as("rev_e2"))
+      val part = t(s, dir, "part")
+        .select("p_partkey", "p_brand", "p_size")
+      val brackets =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .filter(brackets)
+        .agg(sum("rev_e2").as("revenue_e2"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Latest-wins upsert (Upsert.latestWins): base snapshot + a
     // changelog batch (modified totalprice for keys %10, inserted new
     // keys for %97), merged by the argmax-without-a-Window plan. The
@@ -1461,6 +1591,67 @@ object RelationalQueries {
         |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   ::BIGINT)::BIGINT AS revenue_e2
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |    floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      ::BIGINT AS rev_e2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'),
+        |a AS (
+        |  SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev_e2
+        |             ELSE 0 END)::BIGINT AS promo_rev_e2,
+        |         sum(rev_e2)::BIGINT AS total_rev_e2 FROM j)
+        |SELECT promo_rev_e2, total_rev_e2,
+        | CAST(floor(promo_rev_e2::DOUBLE * 1000000 / total_rev_e2
+        |   + 0.5) AS BIGINT) AS promo_pct_e6
+        |FROM a""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        | floor(o_totalprice * 100 + 0.5)::BIGINT AS o_totalprice_e2,
+        | total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q19_bracket_predicates" ->
+      """SELECT
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   ::BIGINT)::BIGINT AS revenue_e2,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30
+        |        AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

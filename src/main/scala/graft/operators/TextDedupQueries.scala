@@ -416,6 +416,35 @@ object TextDedupQueries {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos", "doc_id")),
 
+    // Tokenizer-vocabulary coverage: fix a vocabulary = the top-10
+    // terms by corpus frequency (cnt desc, term asc — a fully
+    // deterministic cutoff), then measure per-language what fraction
+    // of token OCCURRENCES the vocabulary covers — the OOV-rate
+    // check a training pipeline runs before committing to a
+    // tokenizer. Plan at 100 TB: one corpus shuffle for term totals,
+    // TakeOrdered for the cutoff (never a global sort), vocabulary
+    // BROADCAST back over the token stream (no second corpus
+    // shuffle — the per-lang count is a partial agg on lang). The
+    // e6 ratio is one IEEE double divide, identical on both engines.
+    "x21_vocab_coverage" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(expr(tokensSql)).as("term"))
+      val vocab = toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(10)
+        .select(col("term").as("v_term"))
+      toks.join(broadcast(vocab), toks("term") === col("v_term"),
+          "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total_tokens"),
+          count(col("v_term")).as("covered_tokens"))
+        .select(col("lang"), col("total_tokens"), col("covered_tokens"),
+          floor(col("covered_tokens").cast("double") * 1000000
+            / col("total_tokens") + 0.5).cast("long").as("coverage_e6"))
+        .orderBy("lang")
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per document. idf is
     // quantized to int64 the moment it leaves the one transcendental
     // (ln agrees bit-for-bit on these rational inputs); everything
@@ -809,6 +838,22 @@ object TextDedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "x21_vocab_coverage" -> """
+      |WITH toks AS (
+      |  SELECT lang, unnest(list_filter(string_split(text, ' '),
+      |    t -> t <> '')) AS term FROM documents),
+      |tot AS (SELECT term, count(*)::BIGINT AS cnt
+      |        FROM toks GROUP BY 1),
+      |vocab AS (SELECT term FROM tot
+      |          ORDER BY cnt DESC, term LIMIT 10),
+      |c AS (SELECT lang, count(*)::BIGINT AS total_tokens,
+      |        sum(CASE WHEN term IN (SELECT term FROM vocab)
+      |            THEN 1 ELSE 0 END)::BIGINT AS covered_tokens
+      |      FROM toks GROUP BY 1)
+      |SELECT lang, total_tokens, covered_tokens,
+      |  CAST(floor(covered_tokens::DOUBLE * 1000000 / total_tokens
+      |    + 0.5) AS BIGINT) AS coverage_e6
+      |FROM c ORDER BY lang""".stripMargin,
     "x10_tfidf_top" -> """
       |WITH toks AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
