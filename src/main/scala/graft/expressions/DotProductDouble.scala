@@ -122,9 +122,11 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1)),
       "built-in")
     // idempotent: extraOptimizations is tiny, guard by identity
-    if (!spark.experimental.extraOptimizations.contains(BoundLevenshtein))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ BoundLevenshtein
+    Seq(BoundLevenshtein, graft.plans.TopKRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
     graft.plans.GroupedTopK.ensureRegistered(spark)
   }
 }
@@ -145,6 +147,7 @@ class GraftExtensions
         classOf[SquaredL2Long].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => BoundLevenshtein)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

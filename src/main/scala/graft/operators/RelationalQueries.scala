@@ -803,7 +803,9 @@ object RelationalQueries {
     // orders→customer, and nation×2 all broadcast; the disjunctive
     // nation pair filter applies post-join (either direction), and
     // the final (supp_nation, cust_nation, year) aggregate is
-    // 2·years rows. Revenue in per-row integer cents as in q3.
+    // 2·years rows. Revenue in per-row integer cents as in q3. The
+    // 12↔10 pair is populated at every test SF incl. sf0.001 (the
+    // smoke gate requires rows > 0).
     "q7_volume_shipping" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1996-01-01" &&
@@ -825,10 +827,10 @@ object RelationalQueries {
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_12" &&
+            col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" &&
+            col("cust_nation") === "NATION_12"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg(sum("rev_e2").as("revenue_e2"))
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -1611,8 +1613,8 @@ object RelationalQueries {
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q14_promo_revenue" ->
       """WITH j AS (

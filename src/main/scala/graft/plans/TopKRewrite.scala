@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NullsLast, PredicateHelper, SortOrder, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Optimizer rule: the idiomatic grouped-top-k spelling
+  *
+  *   row_number() OVER (PARTITION BY g ORDER BY v) <= k
+  *
+  * sorts EVERY group in full — shuffle + total order over the whole
+  * corpus to keep k rows per group. This rule recognizes the
+  * Filter-over-Window shape and feeds the window PRUNED input
+  * instead: [[GroupedTopKPlan]] (per-partition k-heaps → exchange of
+  * survivors → exact per-group merge) goes under the window, the
+  * window then re-ranks ≤ groups × k surviving rows (its exchange is
+  * elided — the heap's final phase already clustered by the
+  * partition keys), and the original Filter stays on top. Query
+  * results are unchanged; only the plan is. Users keep writing the
+  * window spelling — SQL or DataFrame — and get the heap operator
+  * automatically (the rankedTopK shape, applied by the optimizer).
+  *
+  * Conservative preconditions (anything else is left untouched):
+  *  - the Window computes EXACTLY ONE expression, a bare
+  *    row_number() — pruning under rank()/dense_rank()/aggregates
+  *    would change their inputs;
+  *  - one Filter conjunct is `rn <= k` / `rn < k+1` / `rn = 1`
+  *    (Cast-wrapped rn included — predicate pushdown rewrites the
+  *    common `.cast("long")` alias into exactly that form) with
+  *    constant k in [1, spark.graft.topk.rewriteMaxK (default
+  *    10000)] — the heap holds k rows per live group, so a giant k
+  *    belongs to the sort-based window;
+  *  - partition keys are attributes (nonempty — the global top-k
+  *    case is TakeOrdered's domain already);
+  *  - a single order key, an attribute that is non-nullable or
+  *    ordered NULLS LAST — the heap admits nulls only into unfilled
+  *    slots, which IS nulls-last; rewriting a NULLS FIRST window
+  *    would drop the nulls the window ranks on top.
+  *
+  * Ties at the k-boundary: row_number over equal order values is
+  * arbitrary-per-Spark already; the pruned plan makes an equally
+  * arbitrary choice. Registered via `GraftFunctions.register` /
+  * `spark.sql.extensions=graft.expressions.GraftExtensions`
+  * alongside [[GroupedTopKStrategy]], and convergent: a rewritten
+  * Filter-Window-GroupedTopKPlan tree no longer matches.
+  */
+object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val RewriteMaxKKey = "spark.graft.topk.rewriteMaxK"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) =>
+      rewrite(cond, w).map(p => f.copy(child = p)).getOrElse(f)
+  }
+
+  private def rewrite(cond: Expression, w: Window): Option[Window] = {
+    val maxK = SQLConf.get.getConfString(RewriteMaxKKey, "10000").toLong
+    for {
+      (rnAttr, order) <- soleRowNumber(w)
+      groups <- attributeGroups(w.partitionSpec)
+      ordAttr <- heapSafeOrderKey(order)
+      k <- boundFromFilter(cond, rnAttr)
+      if k >= 1 && k <= maxK && notAlreadyPruned(w.child, groups, k)
+    } yield {
+      // Spark 4's own InsertWindowGroupLimit (sort-based per-partition
+      // group limit) runs BEFORE user rules and may already sit under
+      // the Window; it prunes the same rows the heap does but pays a
+      // full per-partition sort first, so strip it rather than sort
+      // below the heap
+      val base = w.child match {
+        case org.apache.spark.sql.catalyst.plans.logical
+          .WindowGroupLimit(ps, os, _, _, grandchild)
+          if ps == w.partitionSpec && os == w.orderSpec => grandchild
+        case other => other
+      }
+      w.copy(child = GroupedTopKPlan(groups, ordAttr,
+        order.direction == org.apache.spark.sql.catalyst.expressions
+          .Descending, k.toInt, base))
+    }
+  }
+
+  /** The window's single expression, iff a bare row_number: its
+    * output attribute and the spec's single SortOrder. */
+  private def soleRowNumber(w: Window): Option[(Attribute, SortOrder)] =
+    w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(
+          _: org.apache.spark.sql.catalyst.expressions.RowNumber,
+          WindowSpecDefinition(_, Seq(so), _)), _)) =>
+        Some((a.toAttribute, so))
+      case _ => None
+    }
+
+  private def attributeGroups(ps: Seq[Expression]): Option[Seq[Attribute]] = {
+    val attrs = ps.collect { case a: Attribute => a }
+    if (attrs.nonEmpty && attrs.length == ps.length) Some(attrs) else None
+  }
+
+  /** The heap's null contract is NULLS LAST (nulls fill only
+    * unclaimed slots); refuse anything else. */
+  private def heapSafeOrderKey(so: SortOrder): Option[Attribute] =
+    so.child match {
+      case a: Attribute
+        if !a.nullable || so.nullOrdering == NullsLast => Some(a)
+      case _ => None
+    }
+
+  /** k from the first conjunct bounding the row-number attribute. */
+  private def boundFromFilter(cond: Expression, rn: Attribute)
+    : Option[Long] =
+    splitConjunctivePredicates(cond).flatMap {
+      case LessThanOrEqual(RnRef(a), ConstK(k)) if a.semanticEquals(rn) =>
+        Some(k)
+      case LessThan(RnRef(a), ConstK(k)) if a.semanticEquals(rn) =>
+        Some(k - 1)
+      case GreaterThanOrEqual(ConstK(k), RnRef(a)) if a.semanticEquals(rn) =>
+        Some(k)
+      case GreaterThan(ConstK(k), RnRef(a)) if a.semanticEquals(rn) =>
+        Some(k - 1)
+      case EqualTo(RnRef(a), ConstK(1L)) if a.semanticEquals(rn) =>
+        Some(1L)
+      case _ => None
+    }.headOption
+
+  private def notAlreadyPruned(child: LogicalPlan,
+    groups: Seq[Attribute], k: Long): Boolean = child match {
+    case g: GroupedTopKPlan =>
+      !(g.k <= k && g.groupExprs.map(_.exprId) == groups.map(_.exprId))
+    case _ => true
+  }
+
+  /** The rn attribute, possibly under the Cast that predicate
+    * pushdown inlines from a `.cast(...)` projection alias. */
+  private object RnRef {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: Cast => unapply(c.child)
+      case _ => None
+    }
+  }
+
+  private object ConstK {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case _ => None
+    }
+  }
+}

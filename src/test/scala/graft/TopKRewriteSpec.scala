@@ -1,0 +1,137 @@
+package graft
+
+import graft.expressions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The optimizer rewrite: users write the idiomatic
+  * row_number-window-filter spelling and the plan gets the heap
+  * operator automatically. Reference results come from the SAME
+  * query shape evaluated without a Filter node (the rule only fires
+  * on Filter-over-Window), filtered driver-side. */
+class TopKRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  // unique order values (v·1000 + id) so ranks are deterministic
+  private def frame: DataFrame = spark.range(0, 3000).select(
+    (col("id") % 13).as("g"),
+    (((col("id") * 131) % 500) * 1000 + col("id")).as("v"))
+    .repartition(5)
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def ref(k: Int): Set[(Long, Long, Long)] =
+    frame.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .filter(_._3 <= k).toSet
+
+  test("DataFrame window filter is rewritten to the heap operator") {
+    val df = frame.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 3)
+    val p = physical(df)
+    assert(p.contains("GroupedTopK"), p)
+    // Spark's own sort-based WindowGroupLimit must be STRIPPED, not
+    // left sorting underneath the heap
+    assert(!p.contains("WindowGroupLimit"), p)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == ref(3))
+  }
+
+  test("the cast('long') rank spelling rewrites too (pushed-down Cast)") {
+    val df = frame.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc))
+        .cast("long"))
+      .filter(col("rnk") <= 4)
+    assert(physical(df).contains("GroupedTopK"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref(4))
+  }
+
+  test("SQL spelling rewrites: rn <= k inside a subquery") {
+    frame.createOrReplaceTempView("topk_rewrite_t")
+    val df = spark.sql(
+      """SELECT g, v, rn FROM (
+        |  SELECT g, v, row_number() OVER
+        |    (PARTITION BY g ORDER BY v DESC) AS rn
+        |  FROM topk_rewrite_t) WHERE rn <= 2""".stripMargin)
+    assert(physical(df).contains("GroupedTopK"), physical(df))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == ref(2))
+  }
+
+  test("ascending keeps the smallest k; rn = 1 becomes a 1-heap") {
+    // `id % 13` is nullable BY TYPE (mod-by-zero semantics), so bare
+    // .asc defaults to NULLS FIRST and the rule correctly declines;
+    // the heap-safe ascending spelling is explicit NULLS LAST
+    val asc = frame.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc_nulls_last)))
+      .filter(col("rn") < 3) // strict: k = 2
+    assert(physical(asc).contains("GroupedTopK"))
+    val gotAsc = asc.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refAsc = frame.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap(_.sortBy(_._2).take(2)).toSet
+    assert(gotAsc == refAsc)
+    val first = frame.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .filter(col("rn") === 1)
+    assert(physical(first).contains("GroupedTopK"))
+    assert(first.count() == 13)
+  }
+
+  test("guards: nulls-first order and non-row_number windows don't rewrite") {
+    val nullable = spark.range(0, 200).select(
+      (col("id") % 5).as("g"),
+      when(col("id") % 7 === 0, lit(null).cast("long"))
+        .otherwise(col("id")).as("v"))
+    // ascending on a nullable column defaults to NULLS FIRST — the
+    // heap's nulls-last contract would drop the rows the window
+    // ranks on top, so the rule must decline
+    val nf = nullable.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc)))
+      .filter(col("rn") <= 2)
+    assert(!physical(nf).contains("GroupedTopK"), physical(nf))
+    // …but an explicit NULLS LAST is heap-safe
+    val nl = nullable.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc_nulls_last)))
+      .filter(col("rn") <= 2)
+    assert(physical(nl).contains("GroupedTopK"), physical(nl))
+    // rank() is not row_number: pruning would be wrong, must decline
+    val rk = frame.withColumn("rn", rank().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 3)
+    assert(!physical(rk).contains("GroupedTopK"), physical(rk))
+    // global top-k (no partition keys) stays with the window/sort
+    val global = frame.withColumn("rn", row_number().over(
+        Window.orderBy(col("v").desc)))
+      .filter(col("rn") <= 3)
+    assert(!physical(global).contains("GroupedTopK"), physical(global))
+  }
+
+  test("k above rewriteMaxK declines; conjunction with other predicates rewrites") {
+    spark.conf.set(graft.plans.TopKRewrite.RewriteMaxKKey, "3")
+    try {
+      val big = frame.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc)))
+        .filter(col("rn") <= 4)
+      assert(!physical(big).contains("GroupedTopK"))
+    } finally spark.conf.unset(graft.plans.TopKRewrite.RewriteMaxKKey)
+    val conj = frame.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 3 && col("g") =!= 7)
+    assert(physical(conj).contains("GroupedTopK"))
+    val got = conj.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == ref(3).filter(_._1 != 7L))
+  }
+}
