@@ -44,15 +44,31 @@ import org.apache.spark.sql.internal.SQLConf
   * `spark.sql.extensions=graft.expressions.GraftExtensions`
   * alongside [[GroupedTopKStrategy]], and convergent: a rewritten
   * Filter-Window-GroupedTopKPlan tree no longer matches.
+  *
+  * OFF BY DEFAULT (`spark.graft.topk.rewrite.enabled=false`): the
+  * win region depends on GROUP CARDINALITY, which the optimizer
+  * cannot see. Measured A/B (20M rows, top-3 per group, local[32],
+  * min of 3, vs Spark 4's own sort-based WindowGroupLimit —
+  * BASELINE.md r11): 13 groups 0.37s vs 1.11s (heap 3.0× faster),
+  * 1k groups 2.3× faster, 10k groups even, 100k groups 3.0× SLOWER,
+  * 1M groups 1.7× slower — the interpreted hash-heap beats the
+  * codegen'd sort only while live groups per task stay small. A
+  * plan-time rule that can silently triple a per-user/per-doc query
+  * must not be a default; enable it for workloads whose group count
+  * is known to be ≲10⁴ (top-k per category / priority / language),
+  * or call `GroupedTopK.topK` directly where the caller knows.
   */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  val EnabledKey = "spark.graft.topk.rewrite.enabled"
   val RewriteMaxKKey = "spark.graft.topk.rewriteMaxK"
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, w: Window) =>
-      rewrite(cond, w).map(p => f.copy(child = p)).getOrElse(f)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!SQLConf.get.getConfString(EnabledKey, "false").toBoolean) plan
+    else plan.transformUp {
+      case f @ Filter(cond, w: Window) =>
+        rewrite(cond, w).map(p => f.copy(child = p)).getOrElse(f)
+    }
 
   private def rewrite(cond: Expression, w: Window): Option[Window] = {
     val maxK = SQLConf.get.getConfString(RewriteMaxKKey, "10000").toLong

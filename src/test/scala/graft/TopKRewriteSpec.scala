@@ -10,10 +10,22 @@ import org.apache.spark.sql.functions._
   * operator automatically. Reference results come from the SAME
   * query shape evaluated without a Filter node (the rule only fires
   * on Filter-over-Window), filtered driver-side. */
-class TopKRewriteSpec extends SparkTestBase {
+class TopKRewriteSpec extends SparkTestBase
+  with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
   GraftFunctions.register(spark)
+  // opt-in (see TopKRewrite doc: win region is group-cardinality-
+  // dependent, so the rule is off by default); the session is shared
+  // across suites, so restore the default afterwards
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "true")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset(graft.plans.TopKRewrite.EnabledKey)
+    super.afterAll()
+  }
 
   // unique order values (v·1000 + id) so ranks are deterministic
   private def frame: DataFrame = spark.range(0, 3000).select(
@@ -116,6 +128,16 @@ class TopKRewriteSpec extends SparkTestBase {
         Window.orderBy(col("v").desc)))
       .filter(col("rn") <= 3)
     assert(!physical(global).contains("GroupedTopK"), physical(global))
+  }
+
+  test("off by default: without the opt-in conf the window plan stands") {
+    spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "false")
+    try {
+      val df = frame.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc)))
+        .filter(col("rn") <= 3)
+      assert(!physical(df).contains("GroupedTopK"))
+    } finally spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "true")
   }
 
   test("k above rewriteMaxK declines; conjunction with other predicates rewrites") {
