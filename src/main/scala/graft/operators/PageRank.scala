@@ -50,10 +50,18 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be a percentage, got $dampingPct")
+    // distinct() leaves the frame hash-partitioned on (src, dst);
+    // persisted that way, EVERY iteration's rank⋈edges join would
+    // re-shuffle the full edge list onto src — the one corpus-sized
+    // shuffle per round. One repartition(src) before the persist
+    // makes the edge partitioning reusable: per iteration only the
+    // (id, rank) pairs move, and outdeg/nodes (both grouped by src)
+    // fold into the same partitioning with no exchange of their own.
     val e = Broadcasting.track(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist())
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id")).distinct()

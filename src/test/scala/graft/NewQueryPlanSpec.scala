@@ -38,4 +38,37 @@ class NewQueryPlanSpec extends SparkTestBase {
       .findFirstIn(p.toLowerCase).isDefined, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q4 EXISTS is a semi-join with the date filter at the scan") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q7/q14/q19: dims broadcast, fact scanned once, no cross joins") {
+    Seq("q7_volume_shipping", "q14_promo_revenue",
+      "q19_bracket_predicates").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // q7/q14's ship-date windows must reach the lineitem scan
+    assert(plan("q7_volume_shipping")
+      .contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      plan("q7_volume_shipping"))
+  }
+
+  test("q18 top-20 is TakeOrdered over the HAVING survivors, no global sort") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x21 vocabulary joins back as a broadcast, cutoff via TakeOrdered") {
+    val p = SparkEntry.queries("x21_vocab_coverage")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
