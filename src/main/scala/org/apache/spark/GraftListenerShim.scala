@@ -12,4 +12,11 @@ object GraftListenerShim {
   def flush(sc: SparkContext, timeoutMillis: Long = 5000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMillis)
     catch { case _: Throwable => () }
+
+  /** The context's LIVE SparkConf (`getConf` hands out a clone).
+    * Spillables read core thresholds from this object at
+    * construction, which is what lets the spill-path spec force
+    * ExternalSorter spills in local mode without a context restart.
+    * TEST-ONLY mutation surface. */
+  def liveConf(sc: SparkContext): SparkConf = sc.conf
 }

@@ -211,6 +211,44 @@ class GroupedTopKSpec extends SparkTestBase {
     } finally spark.conf.unset(cap)
   }
 
+  test("sort-eviction fallback survives a forced DISK spill") {
+    // numElementsForceSpillThreshold makes ExternalSorter spill every
+    // N records regardless of memory — driving the fallback's spill
+    // serialization path ((group bytes, order value) keys + UnsafeRow
+    // values through the JavaSerializer) for real, not just in-memory
+    val cap = GroupedTopK.MaxLiveGroupsKey
+    spark.conf.set(cap, "4")
+    // a core (non-SQL) conf: in local mode every Spillable reads the
+    // SparkContext's live SparkConf at construction, so a direct
+    // mutation takes effect for sorters created from here on
+    org.apache.spark.GraftListenerShim.liveConf(spark.sparkContext)
+      .set("spark.shuffle.spill.numElementsForceSpillThreshold", "50")
+    try {
+      val base = spark.range(0, 4000).select(
+        (col("id") % 211).as("g"),
+        concat(lit("s"),
+          lpad(((col("id") * 131) % 10000).cast("string"), 5, "0"))
+          .as("v"))
+        .repartition(6)
+      import org.apache.spark.sql.expressions.Window
+      val ref = base.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc)))
+        .filter(col("rn") <= 3).select("g", "v")
+        .as[(Long, String)].collect().toSet
+      val df = GroupedTopK.topK(base, Seq("g"), "v", 3)
+      val got = df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == ref)
+      val fin = topkExecs(df).find(!_.partial).get
+      assert(fin.metrics("sortFallbacks").value > 0,
+        "fallback never ran — spill path untested")
+    } finally {
+      spark.conf.unset(cap)
+      org.apache.spark.GraftListenerShim.liveConf(spark.sparkContext)
+        .remove("spark.shuffle.spill.numElementsForceSpillThreshold")
+    }
+  }
+
   test("default cap: neither degrade branch runs on small groups") {
     val df = GroupedTopK.topK(
       Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v"),
