@@ -15,12 +15,12 @@ import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.util.collection.GraftSorterShim
 
-/** Grouped top-k as a CUSTOM physical operator — the architecture
-  * rung where Spark's built-ins genuinely can't express the plan:
-  * the idiomatic spelling (`row_number() over (partition by g order
-  * by v) <= k`) SORTS every group in full, shuffling and ordering
-  * the whole corpus to keep k rows per group. This operator keeps a
-  * bounded k-heap per group instead, in two phases mirroring
+/** Grouped top-k as a CUSTOM physical operator. Spark 4's own
+  * `InsertWindowGroupLimit` already prunes the idiomatic spelling
+  * (`row_number() over (partition by g order by v) <= k`) to k rows
+  * per (group, partition) — but it still SORTS each partition in
+  * full to do so. This operator keeps a bounded k-heap per group
+  * instead — O(n log k) work, no sort — in two phases mirroring
   * partial/final aggregation:
   *
   *   scan → [GroupedTopKExec partial]   per-partition heaps, ≤ k
@@ -30,7 +30,13 @@ import org.apache.spark.util.collection.GraftSorterShim
   *        → [GroupedTopKExec final]     per-group merge, exact top-k
   *
   * Work is O(n log k) with no full sort anywhere; the shuffle volume
-  * is partitions × groups × k rows instead of n.
+  * is partitions × groups × k rows instead of n — the same reduction
+  * WindowGroupLimit achieves, minus its per-partition sort. The
+  * trade is GROUP CARDINALITY: the interpreted hash-heap beats the
+  * codegen'd sort up to ~10⁴ live groups per task (3× at dozens of
+  * groups) and loses beyond (BASELINE.md r11 A/B) — which is why
+  * the automatic rewrite ([[TopKRewrite]]) is opt-in while direct
+  * callers, who know their cardinality, use this unconditionally.
   *
   * Memory is BOUNDED even at extreme group cardinality, via the
   * live-group cap `spark.graft.topk.maxLiveGroups` (default 262144
