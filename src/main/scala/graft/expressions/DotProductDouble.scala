@@ -122,7 +122,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1)),
       "built-in")
     // idempotent: extraOptimizations is tiny, guard by identity
-    Seq(BoundLevenshtein, graft.plans.TopKRewrite).foreach { r =>
+    Seq(BoundLevenshtein, graft.plans.TopKRewrite,
+      graft.plans.GroupedTopKPushdown).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
@@ -148,6 +149,7 @@ class GraftExtensions
       (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => BoundLevenshtein)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.GroupedTopKPushdown)
     ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

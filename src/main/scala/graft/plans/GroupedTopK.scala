@@ -316,8 +316,16 @@ object GroupedTopK {
       .withColumn(rankCol, row_number().over(w).cast("long"))
   }
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    // the pruning/pushdown companion travels with the operator: a
+    // plan holding a GroupedTopKPlan without it loses column pruning
+    // and group-filter pushdown at the node boundary
+    if (!spark.experimental.extraOptimizations
+        .contains(GroupedTopKPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GroupedTopKPushdown
+  }
 }
