@@ -130,6 +130,41 @@ class TopKRewriteSpec extends SparkTestBase
     assert(!physical(global).contains("GroupedTopK"), physical(global))
   }
 
+  test("random frames: rewrite-on equals rewrite-off row for row") {
+    import org.scalacheck.Gen
+    var seed = org.scalacheck.rng.Seed(4242L)
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      gMod <- Gen.choose(1, 20)
+      k <- Gen.choose(1, 5)
+      desc <- Gen.oneOf(true, false)
+      parts <- Gen.choose(1, 7)
+    } yield (n, gMod, k, desc, parts)
+    (0 until 6).foreach { _ =>
+      val (n, gMod, k, desc, parts) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      // unique order values → deterministic ranks on both plans
+      val base = spark.range(0, n).select(
+        (col("id") % gMod).as("g"),
+        (((col("id") * 131) % 97) * 1000 + col("id")).as("v"))
+        .repartition(parts)
+      def run(): Set[(Long, Long, Long)] = {
+        val ord = if (desc) col("v").desc else col("v").asc_nulls_last
+        base.withColumn("rn", row_number().over(
+            Window.partitionBy(col("g")).orderBy(ord)))
+          .filter(col("rn") <= k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+          .toSet
+      }
+      spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "false")
+      val off = try run()
+        finally spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "true")
+      val on = run()
+      assert(on == off, s"n=$n gMod=$gMod k=$k desc=$desc parts=$parts")
+    }
+  }
+
   test("off by default: without the opt-in conf the window plan stands") {
     spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "false")
     try {
