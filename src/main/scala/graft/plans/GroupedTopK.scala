@@ -149,19 +149,32 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
         }
       }
       // PriorityQueue dequeues its LARGEST; order by "worseness" so
-      // head = worst retained
+      // head = worst retained. Plain HashMap (2.13 flat hash, no
+      // linked entries): per-group output order is irrelevant —
+      // anything order-sensitive above re-sorts survivors anyway.
       val heapOrd = Ordering.by[(Any, UnsafeRow), Any](_._1)(better.reverse)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow,
+      val heaps = mutable.HashMap.empty[UnsafeRow,
         mutable.PriorityQueue[(Any, UnsafeRow)]]
       val toUnsafe = UnsafeProjection.create(
         outSchema.map(_.dataType).toArray)
       // Copy first, THEN evaluate the stored order value against the
       // copy: the value may be a UTF8String/struct/array view into
       // the row's buffer, and only the copy's buffer is stable.
+      // Rows off a scan/shuffle are already UnsafeRows of this very
+      // schema — one buffer copy, no re-projection (the projection
+      // writes a whole second buffer before copy() copies it AGAIN;
+      // the profile had that double copy as the operator's #1 cost).
+      def stableCopy(row: InternalRow): UnsafeRow = row match {
+        case u: UnsafeRow => u.copy()
+        case other => toUnsafe(other).copy()
+      }
+      // += (addOne), never enqueue(): the varargs enqueue wraps each
+      // element in a Seq and routes through addAll — measured ~20% of
+      // task time at high group cardinality
       def enqueue(heap: mutable.PriorityQueue[(Any, UnsafeRow)],
         row: InternalRow): Unit = {
-        val copied = toUnsafe(row).copy()
-        heap.enqueue((boundOrder.eval(copied), copied))
+        val copied = stableCopy(row)
+        heap += ((boundOrder.eval(copied), copied))
       }
       def admit(row: InternalRow): Unit = {
         val key = groupProj(row)
@@ -222,7 +235,7 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
           h.iterator.map { case (v, r) => ((bytes, v), r) }
         }
         val fromInput = remaining.map { row =>
-          val copied = toUnsafe(row).copy()
+          val copied = stableCopy(row)
           // .copy() before .getBytes: the projection's buffer is
           // reused, and getBytes may return it un-copied
           ((groupProj(copied).copy().getBytes,

@@ -48,10 +48,10 @@ import org.apache.spark.sql.internal.SQLConf
   * OFF BY DEFAULT (`spark.graft.topk.rewrite.enabled=false`): the
   * win region depends on GROUP CARDINALITY, which the optimizer
   * cannot see. Measured A/B (20M rows, top-3 per group, local[32],
-  * min of 3, vs Spark 4's own sort-based WindowGroupLimit —
-  * BASELINE.md r11): 13 groups 0.37s vs 1.11s (heap 3.0× faster),
-  * 1k groups 2.3× faster, 10k groups even, 100k groups 3.0× SLOWER,
-  * 1M groups 1.7× slower — the interpreted hash-heap beats the
+  * vs Spark 4's own sort-based WindowGroupLimit — BASELINE.md r11,
+  * post-micro-opt column): 13 groups 0.33s vs 1.11s (heap 3.4×
+  * faster), 1k groups 3.1× faster, 10k groups 1.5× faster, 100k
+  * groups 2.2× SLOWER — the interpreted hash-heap beats the
   * codegen'd sort only while live groups per task stay small. A
   * plan-time rule that can silently triple a per-user/per-doc query
   * must not be a default; enable it for workloads whose group count
