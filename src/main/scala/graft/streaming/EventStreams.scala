@@ -76,6 +76,53 @@ object EventStreams {
       }
   }
 
+  case class BoardState(entries: List[(Long, Long)])
+  case class LeaderEntry(event_type: String, rank: Int, user_id: Long,
+    best_e6: Long)
+
+  /** Streaming per-group top-k leaderboard — the streaming face of
+    * the GroupedTopK batch operator: per event_type, the k best
+    * (user, score) pairs across the whole stream, refreshed each
+    * micro-batch a group is touched. Scores quantize e6 on ingest so
+    * rank order (score desc, user asc) is exact and replayable.
+    *
+    * State is BOUNDED at k entries per group — the same admission
+    * contract as the batch heap: a new score enters iff it beats the
+    * current k-th; a user already on the board keeps their best.
+    * The deliberate consequence (standard bounded-leaderboard
+    * semantics): history below the k-boundary is forgotten, so
+    * re-entry requires beating today's k-th, not yesterday's.
+    * Untouched groups emit nothing (their board stands). */
+  def leaderboard(events: Dataset[Event], k: Int)
+    : Dataset[LeaderEntry] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[BoardState, LeaderEntry](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[BoardState]) =>
+          val batchBest = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
+            val s = math.floor(e.value * 1e6 + 0.5).toLong
+            m.updated(e.user_id,
+              math.max(s, m.getOrElse(e.user_id, Long.MinValue)))
+          }
+          if (batchBest.isEmpty) Iterator.empty
+          else {
+            val cur = state.getOption.map(_.entries).getOrElse(Nil)
+            val merged = (cur ++ batchBest.toList)
+              .groupMapReduce(_._1)(_._2)(math.max)
+              .toList
+              .sortBy { case (u, s) => (-s, u) }
+              .take(k)
+            state.update(BoardState(merged))
+            merged.iterator.zipWithIndex.map { case ((u, s), i) =>
+              LeaderEntry(etype, i + 1, u, s)
+            }
+          }
+      }
+  }
+
   /** Stream-stream interval join — view→click attribution: each
     * click pairs with the SAME user's views from the preceding
     * `maxDelay` window (view_ts ∈ [click_ts − maxDelay, click_ts]).

@@ -145,4 +145,51 @@ class EventStreamsSpec extends SparkTestBase {
         s"unmatched click not emitted with null view: $got")
     } finally q.stop()
   }
+
+  test("streaming leaderboard keeps the k best per group across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.leaderboard(in.toDS(), k = 2)
+      .writeStream.format("memory").queryName("board")
+      .outputMode(OutputMode.Append).start()
+    def lastBoards: Map[(String, Int), (Long, Long)] =
+      // memory sink in append mode accumulates every emission; the
+      // CURRENT board per (group, rank) is the latest — reconstruct
+      // by replay order via monotonically increasing row position
+      spark.table("board").collect().foldLeft(
+        Map.empty[(String, Int), (Long, Long)]) { (m, r) =>
+        m.updated((r.getString(0), r.getInt(1)),
+          (r.getLong(2), r.getLong(3)))
+      }
+    try {
+      in.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "game", 5.0),
+        ev(2, "2026-01-01 10:00:01", 2, "game", 9.0),
+        ev(3, "2026-01-01 10:00:02", 3, "game", 7.0),
+        ev(4, "2026-01-01 10:00:03", 8, "quiz", 1.0))
+      q.processAllAvailable()
+      val b1 = lastBoards
+      assert(b1(("game", 1)) == ((2L, 9000000L)), b1)
+      assert(b1(("game", 2)) == ((3L, 7000000L)), b1)
+      assert(b1(("quiz", 1)) == ((8L, 1000000L)), b1)
+      val afterB1 = spark.table("board").count()
+      // batch 2: user 1 re-enters by beating the k-th (7.0); quiz
+      // untouched — must not re-emit
+      in.addData(ev(5, "2026-01-01 10:05:00", 1, "game", 8.0))
+      q.processAllAvailable()
+      val b2 = lastBoards
+      assert(b2(("game", 1)) == ((2L, 9000000L)), b2)
+      assert(b2(("game", 2)) == ((1L, 8000000L)), b2)
+      val gameRows = spark.table("board").count()
+      assert(gameRows == afterB1 + 2,
+        s"untouched quiz group re-emitted: $afterB1 -> $gameRows")
+      // batch 3: a user already on the board keeps their BEST (a
+      // lower new score must not demote user 2)
+      in.addData(ev(6, "2026-01-01 10:10:00", 2, "game", 3.0))
+      q.processAllAvailable()
+      val b3 = lastBoards
+      assert(b3(("game", 1)) == ((2L, 9000000L)), b3)
+      assert(b3(("game", 2)) == ((1L, 8000000L)), b3)
+    } finally q.stop()
+  }
 }
