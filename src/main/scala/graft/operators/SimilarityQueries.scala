@@ -239,6 +239,15 @@ object SimilarityQueries {
     "v8_kmeans" -> ((s, dir) =>
       KMeans.centroidRows(emb(s, dir), k = 4, iters = 2)),
 
+    // Product quantization (v10): 2 subspaces × k=4 codebooks over
+    // the 64-dim embeddings, 1 Lloyd round each, then deterministic
+    // code assignment — the ANN compression stage above v6's scalar
+    // int8. Integer-exact throughout (Pq doc), so the learned codes
+    // hash-match the oracle's per-subspace unrolled k-means CTE.
+    "v10_pq_codes" -> ((s, dir) =>
+      Pq.codes(emb(s, dir), m = 2, k = 4, iters = 1)
+        .orderBy("vec_id", "m")),
+
     // Symmetric int8 quantization (max-abs per vector → [-127, 127]):
     // the standard 4× memory cut for ANN indexes at scale. maxabs is
     // a left fold from 0.0 (same order as the oracle's list_reduce);
@@ -478,6 +487,48 @@ object SimilarityQueries {
       |FROM (SELECT c, unnest(v) AS vk,
       |        unnest(range(1, len(v) + 1)) AS pos1 FROM a2)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "v10_pq_codes" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, 0 AS m, fv[1:32] AS v FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS m, fv[33:64] AS v FROM e),
+      |init AS (
+      |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id)
+      |    - 1 AS c, v
+      |  FROM sub
+      |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 4),
+      |d1 AS (
+      |  SELECT s.vec_id, s.m, i.c, s.v,
+      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
+      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
+      |  FROM sub s JOIN init i ON s.m = i.m),
+      |a1 AS (
+      |  SELECT vec_id, m, c, v FROM d1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY dist2, c) = 1),
+      |u1 AS (
+      |  SELECT m, c, pos1 - 1 AS pos,
+      |    CAST(floor(sum(vk)::DOUBLE / count(*) + 0.5) AS BIGINT) AS ce6
+      |  FROM (SELECT m, c, unnest(v) AS vk,
+      |          unnest(range(1, len(v) + 1)) AS pos1 FROM a1)
+      |  GROUP BY 1, 2, 3),
+      |cent1 AS (SELECT m, c, list(ce6 ORDER BY pos) AS v
+      |          FROM u1 GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT s.vec_id, s.m, i.c,
+      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
+      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
+      |  FROM sub s JOIN cent1 i ON s.m = i.m)
+      |SELECT vec_id, m::BIGINT AS m, c::BIGINT AS code,
+      |  dist2::BIGINT AS dist2
+      |FROM d2
+      |QUALIFY row_number() OVER (PARTITION BY vec_id, m
+      |  ORDER BY dist2, c) = 1
+      |ORDER BY vec_id, m""".stripMargin,
     "v6_int8_quantize" -> """
       |WITH m AS (
       |  SELECT vec_id, embedding,
