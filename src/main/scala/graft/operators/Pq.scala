@@ -27,6 +27,33 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** One subspace's machinery: (e6 subvectors as `v`, fitted
+    * codebook (c, cv), assigned codes (vec_id, m, code, dist2)). */
+  private def subspace(emb: DataFrame, m: Int, k: Int, iters: Int,
+    i: Int): (DataFrame, DataFrame, DataFrame) = {
+    val guarded = emb.withColumn("_dim",
+      when(size(col("embedding")) % m =!= 0, raise_error(lit(
+        s"Pq: embedding length must be divisible by m=$m")))
+        .otherwise(size(col("embedding")) / m))
+    val sub = guarded.select(col("vec_id"),
+      expr(s"slice(embedding, _dim * $i + 1, _dim)").as("embedding"))
+    val cent = KMeans.fitE6(sub, k, iters).select(col("c"), col("cv"))
+    val v6 = sub.select(col("vec_id"), expr(
+      """transform(embedding, x ->
+        |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
+        .stripMargin).as("v"))
+    val codes = v6
+      .crossJoin(broadcast(cent))
+      .withColumn("dist2", expr("graft_l2sq(v, cv)"))
+      .groupBy("vec_id")
+      // min over (dist2, c): deterministic code, same tie rule as
+      // the fit's own assignment
+      .agg(min(struct(col("dist2"), col("c"))).as("best"))
+      .select(col("vec_id"), lit(i.toLong).as("m"),
+        col("best.c").as("code"), col("best.dist2").as("dist2"))
+    (v6, cent, codes)
+  }
+
   /** Codes for every vector: (vec_id, m, code, dist2) — one row per
     * (vector, subspace), `dist2` the e6² integer residual to the
     * assigned codeword. `embedding` must have length divisible by
@@ -34,27 +61,39 @@ object Pq {
   def codes(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1: $m")
     graft.expressions.GraftFunctions.register(emb.sparkSession)
-    val guarded = emb.withColumn("_dim",
-      when(size(col("embedding")) % m =!= 0, raise_error(lit(
-        s"Pq: embedding length must be divisible by m=$m")))
-        .otherwise(size(col("embedding")) / m))
-    val subs = (0 until m).map { i =>
-      val sub = guarded.select(col("vec_id"),
-        expr(s"slice(embedding, _dim * $i + 1, _dim)").as("embedding"))
-      val cent = KMeans.fitE6(sub, k, iters)
-      sub.select(col("vec_id"), expr(
-          """transform(embedding, x ->
-            |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
-            .stripMargin).as("v"))
-        .crossJoin(broadcast(cent.select(col("c"), col("cv"))))
-        .withColumn("dist2", expr("graft_l2sq(v, cv)"))
-        .groupBy("vec_id")
-        // min over (dist2, c): deterministic code, same tie rule as
-        // the fit's own assignment
-        .agg(min(struct(col("dist2"), col("c"))).as("best"))
-        .select(col("vec_id"), lit(i.toLong).as("m"),
-          col("best.c").as("code"), col("best.dist2").as("dist2"))
+    (0 until m).map(subspace(emb, m, k, iters, _)._3)
+      .reduce(_ unionByName _)
+  }
+
+  /** Asymmetric-distance top-N search over the PQ codes — how a
+    * compressed index answers a query without decompressing anything:
+    * per subspace, ONE k-row lookup table of exact query-to-codeword
+    * distances (the "asymmetric" part: the query stays full
+    * precision, only the corpus side is quantized), then every
+    * vector's approximate distance is m table lookups summed. Plan:
+    * the LUT is a k-row broadcast; codes join it broadcast-side and
+    * partial-agg the per-vector sum; the final top-N is a
+    * TakeOrdered, never a global sort. All integer → oracle-exact.
+    *
+    * Returns (vec_id, adc_dist2) for the `topN` nearest by
+    * (approximate distance, vec_id). */
+  def adcTopK(emb: DataFrame, m: Int, k: Int, iters: Int,
+    queryVecId: Long, topN: Int): DataFrame = {
+    require(m >= 1 && topN >= 1, s"m/topN must be >= 1: $m/$topN")
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    val parts = (0 until m).map { i =>
+      val (v6, cent, codes) = subspace(emb, m, k, iters, i)
+      val qv = v6.filter(col("vec_id") === queryVecId)
+        .select(col("v").as("qv"))
+      val lut = cent.crossJoin(broadcast(qv))
+        .select(col("c"), expr("graft_l2sq(qv, cv)").as("qd"))
+      codes.join(broadcast(lut), codes("code") === lut("c"))
+        .select(codes("vec_id"), col("qd"))
     }
-    subs.reduce(_ unionByName _)
+    parts.reduce(_ unionByName _)
+      .groupBy("vec_id")
+      .agg(sum("qd").as("adc_dist2"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(topN)
   }
 }

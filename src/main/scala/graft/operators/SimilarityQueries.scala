@@ -248,6 +248,13 @@ object SimilarityQueries {
       Pq.codes(emb(s, dir), m = 2, k = 4, iters = 1)
         .orderBy("vec_id", "m")),
 
+    // ADC search over the PQ index (v11): query vec 0's top-10 by
+    // asymmetric distance — per subspace a k-row exact LUT, then m
+    // lookups + an integer sum per vector; TakeOrdered top-10.
+    "v11_pq_adc" -> ((s, dir) =>
+      Pq.adcTopK(emb(s, dir), m = 2, k = 4, iters = 1,
+        queryVecId = 0L, topN = 10)),
+
     // Symmetric int8 quantization (max-abs per vector → [-127, 127]):
     // the standard 4× memory cut for ANN indexes at scale. maxabs is
     // a left fold from 0.0 (same order as the oracle's list_reduce);
@@ -529,6 +536,55 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY vec_id, m
       |  ORDER BY dist2, c) = 1
       |ORDER BY vec_id, m""".stripMargin,
+    "v11_pq_adc" -> """
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, 0 AS m, fv[1:32] AS v FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS m, fv[33:64] AS v FROM e),
+      |init AS (
+      |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id)
+      |    - 1 AS c, v
+      |  FROM sub
+      |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 4),
+      |d1 AS (
+      |  SELECT s.vec_id, s.m, i.c, s.v,
+      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
+      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
+      |  FROM sub s JOIN init i ON s.m = i.m),
+      |a1 AS (
+      |  SELECT vec_id, m, c, v FROM d1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY dist2, c) = 1),
+      |u1 AS (
+      |  SELECT m, c, pos1 - 1 AS pos,
+      |    CAST(floor(sum(vk)::DOUBLE / count(*) + 0.5) AS BIGINT) AS ce6
+      |  FROM (SELECT m, c, unnest(v) AS vk,
+      |          unnest(range(1, len(v) + 1)) AS pos1 FROM a1)
+      |  GROUP BY 1, 2, 3),
+      |cent1 AS (SELECT m, c, list(ce6 ORDER BY pos) AS v
+      |          FROM u1 GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT s.vec_id, s.m, i.c,
+      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
+      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
+      |  FROM sub s JOIN cent1 i ON s.m = i.m),
+      |codes AS (
+      |  SELECT vec_id, m, c AS code FROM d2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY dist2, c) = 1),
+      |q AS (SELECT m, v AS qv FROM sub WHERE vec_id = 0),
+      |lut AS (
+      |  SELECT c.m, c.c,
+      |    list_sum(list_transform(range(1, len(q.qv) + 1), k ->
+      |      (q.qv[k] - c.v[k]) * (q.qv[k] - c.v[k]))) AS qd
+      |  FROM cent1 c JOIN q ON q.m = c.m)
+      |SELECT codes.vec_id, sum(lut.qd)::BIGINT AS adc_dist2
+      |FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+      |GROUP BY 1 ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin,
     "v6_int8_quantize" -> """
       |WITH m AS (
       |  SELECT vec_id, embedding,

@@ -47,6 +47,20 @@ class PqSpec extends SparkTestBase {
       col("dist2") =!= col("d_ref")).count() == 0)
   }
 
+  test("the query's own ADC distance equals its summed code residuals") {
+    // ADC(query) looks the query's own codes up in its own LUT —
+    // by construction exactly the per-subspace quantization
+    // residuals the codes frame already carries
+    val codeResidual = Pq.codes(emb, m = 2, k = 4, iters = 1)
+      .filter(col("vec_id") === 0L)
+      .agg(sum("dist2")).as[Long].head()
+    val adc = Pq.adcTopK(emb, m = 2, k = 4, iters = 1,
+        queryVecId = 0L, topN = 1000)
+      .filter(col("vec_id") === 0L)
+      .select("adc_dist2").as[Long].head()
+    assert(adc == codeResidual, s"$adc != $codeResidual")
+  }
+
   test("indivisible dimensions fail loudly") {
     val e = intercept[Exception] {
       Pq.codes(emb, m = 7, k = 2, iters = 1).count()
