@@ -76,7 +76,10 @@ object Pq {
     * TakeOrdered, never a global sort. All integer → oracle-exact.
     *
     * Returns (vec_id, adc_dist2) for the `topN` nearest by
-    * (approximate distance, vec_id). */
+    * (approximate distance, vec_id). A `queryVecId` absent from
+    * `emb` yields an EMPTY frame (its LUT has no rows) — checked
+    * lazily, since an eager existence probe would cost a corpus
+    * action during plan construction. */
   def adcTopK(emb: DataFrame, m: Int, k: Int, iters: Int,
     queryVecId: Long, topN: Int): DataFrame = {
     require(m >= 1 && topN >= 1, s"m/topN must be >= 1: $m/$topN")

@@ -61,6 +61,11 @@ class PqSpec extends SparkTestBase {
     assert(adc == codeResidual, s"$adc != $codeResidual")
   }
 
+  test("an absent query id yields an empty result (documented contract)") {
+    assert(Pq.adcTopK(emb, m = 2, k = 4, iters = 1,
+      queryVecId = -12345L, topN = 5).count() == 0)
+  }
+
   test("indivisible dimensions fail loudly") {
     val e = intercept[Exception] {
       Pq.codes(emb, m = 7, k = 2, iters = 1).count()
