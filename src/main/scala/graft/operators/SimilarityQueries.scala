@@ -255,6 +255,39 @@ object SimilarityQueries {
       Pq.adcTopK(emb(s, dir), m = 2, k = 4, iters = 1,
         queryVecId = 0L, topN = 10)),
 
+    // PQ compression-quality eval (v12): recall@10 of the ADC search
+    // against exact integer-L2 ground truth for the same query — the
+    // v9-for-PQ counterpart, closing the compression family the way
+    // v9 closes the LSH index. Both rankings include the query
+    // itself (rank 1 on both sides by construction) and break ties
+    // by vec_id, so the intersection is engine-exact. The measured
+    // 0.4 recall is the DATA's ceiling, not the implementation's: a
+    // k/m sweep (4–32 codewords × 2–8 subspaces, via the oracle CTE)
+    // saturates at 3–4/10 because the synthetic embeddings are
+    // near-random — PQ cells can't rank fine-grained neighbors when
+    // there is no cluster structure to exploit (v10/v11's
+    // hash-exactness is the implementation's correctness proof).
+    "v12_pq_recall" -> ((s, dir) => {
+      withGraftFns(s)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val v6 = e.select(col("vec_id"), expr(
+        """transform(embedding, x ->
+          |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
+          .stripMargin).as("v"))
+      val q = v6.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+      val exact = v6.crossJoin(broadcast(q))
+        .withColumn("d", expr("graft_l2sq(v, qv)"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id")
+      val adc = Pq.adcTopK(e, m = 2, k = 16, iters = 1,
+        queryVecId = 0L, topN = 10).select("vec_id")
+      adc.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"),
+          floor(col("n_hits") * 10000.0 / 10 + 0.5).cast("long")
+            .as("recall_e4"))
+    }),
+
     // Symmetric int8 quantization (max-abs per vector → [-127, 127]):
     // the standard 4× memory cut for ANN indexes at scale. maxabs is
     // a left fold from 0.0 (same order as the oracle's list_reduce);
@@ -350,6 +383,56 @@ object SimilarityQueries {
        |   ${oDot("e.embedding", "p.plane")} AS dotp
        |  FROM embeddings e CROSS JOIN pl p)
        | GROUP BY 1)""".stripMargin
+
+  /** Shared CTE prefix for the PQ oracles: e6 vectors, subspace
+    * split, per-subspace 1-round k-means (`k` codewords), codes, and
+    * the query-0 asymmetric LUT. */
+  private def oPqCtes(k: Int): String = s"""
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, 0 AS m, fv[1:32] AS v FROM e
+      |  UNION ALL
+      |  SELECT vec_id, 1 AS m, fv[33:64] AS v FROM e),
+      |init AS (
+      |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id)
+      |    - 1 AS c, v
+      |  FROM sub
+      |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= $k),
+      |d1 AS (
+      |  SELECT s.vec_id, s.m, i.c, s.v,
+      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
+      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
+      |  FROM sub s JOIN init i ON s.m = i.m),
+      |a1 AS (
+      |  SELECT vec_id, m, c, v FROM d1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY dist2, c) = 1),
+      |u1 AS (
+      |  SELECT m, c, pos1 - 1 AS pos,
+      |    CAST(floor(sum(vk)::DOUBLE / count(*) + 0.5) AS BIGINT) AS ce6
+      |  FROM (SELECT m, c, unnest(v) AS vk,
+      |          unnest(range(1, len(v) + 1)) AS pos1 FROM a1)
+      |  GROUP BY 1, 2, 3),
+      |cent1 AS (SELECT m, c, list(ce6 ORDER BY pos) AS v
+      |          FROM u1 GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT s.vec_id, s.m, i.c,
+      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
+      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
+      |  FROM sub s JOIN cent1 i ON s.m = i.m),
+      |codes AS (
+      |  SELECT vec_id, m, c AS code FROM d2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+      |    ORDER BY dist2, c) = 1),
+      |q AS (SELECT m, v AS qv FROM sub WHERE vec_id = 0),
+      |lut AS (
+      |  SELECT c.m, c.c,
+      |    list_sum(list_transform(range(1, len(q.qv) + 1), k ->
+      |      (q.qv[k] - c.v[k]) * (q.qv[k] - c.v[k]))) AS qd
+      |  FROM cent1 c JOIN q ON q.m = c.m)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "v1_knn_brute" -> (oNormCte + s""",
@@ -536,55 +619,25 @@ object SimilarityQueries {
       |QUALIFY row_number() OVER (PARTITION BY vec_id, m
       |  ORDER BY dist2, c) = 1
       |ORDER BY vec_id, m""".stripMargin,
-    "v11_pq_adc" -> """
-      |WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x ->
-      |    CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS fv
-      |  FROM embeddings),
-      |sub AS (
-      |  SELECT vec_id, 0 AS m, fv[1:32] AS v FROM e
-      |  UNION ALL
-      |  SELECT vec_id, 1 AS m, fv[33:64] AS v FROM e),
-      |init AS (
-      |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id)
-      |    - 1 AS c, v
-      |  FROM sub
-      |  QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= 4),
-      |d1 AS (
-      |  SELECT s.vec_id, s.m, i.c, s.v,
-      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
-      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
-      |  FROM sub s JOIN init i ON s.m = i.m),
-      |a1 AS (
-      |  SELECT vec_id, m, c, v FROM d1
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-      |    ORDER BY dist2, c) = 1),
-      |u1 AS (
-      |  SELECT m, c, pos1 - 1 AS pos,
-      |    CAST(floor(sum(vk)::DOUBLE / count(*) + 0.5) AS BIGINT) AS ce6
-      |  FROM (SELECT m, c, unnest(v) AS vk,
-      |          unnest(range(1, len(v) + 1)) AS pos1 FROM a1)
-      |  GROUP BY 1, 2, 3),
-      |cent1 AS (SELECT m, c, list(ce6 ORDER BY pos) AS v
-      |          FROM u1 GROUP BY 1, 2),
-      |d2 AS (
-      |  SELECT s.vec_id, s.m, i.c,
-      |    list_sum(list_transform(range(1, len(s.v) + 1), k ->
-      |      (s.v[k] - i.v[k]) * (s.v[k] - i.v[k]))) AS dist2
-      |  FROM sub s JOIN cent1 i ON s.m = i.m),
-      |codes AS (
-      |  SELECT vec_id, m, c AS code FROM d2
-      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-      |    ORDER BY dist2, c) = 1),
-      |q AS (SELECT m, v AS qv FROM sub WHERE vec_id = 0),
-      |lut AS (
-      |  SELECT c.m, c.c,
-      |    list_sum(list_transform(range(1, len(q.qv) + 1), k ->
-      |      (q.qv[k] - c.v[k]) * (q.qv[k] - c.v[k]))) AS qd
-      |  FROM cent1 c JOIN q ON q.m = c.m)
+    "v11_pq_adc" -> (oPqCtes(4) + """
       |SELECT codes.vec_id, sum(lut.qd)::BIGINT AS adc_dist2
       |FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
-      |GROUP BY 1 ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin,
+      |GROUP BY 1 ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin),
+    "v12_pq_recall" -> (oPqCtes(16) + """,
+      |adc AS (
+      |  SELECT codes.vec_id, sum(lut.qd)::BIGINT AS adc_dist2
+      |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+      |  GROUP BY 1 ORDER BY adc_dist2, vec_id LIMIT 10),
+      |exact AS (
+      |  SELECT e2.vec_id FROM e e2
+      |  CROSS JOIN (SELECT fv AS qv FROM e WHERE vec_id = 0) q
+      |  ORDER BY list_sum(list_transform(range(1, len(e2.fv) + 1),
+      |    k -> (e2.fv[k] - q.qv[k]) * (e2.fv[k] - q.qv[k]))), e2.vec_id
+      |  LIMIT 10)
+      |SELECT count(*)::BIGINT AS n_hits,
+      |  CAST(floor(count(*) * 10000.0 / 10 + 0.5) AS BIGINT) AS recall_e4
+      |FROM adc JOIN exact USING (vec_id)""".stripMargin),
+    
     "v6_int8_quantize" -> """
       |WITH m AS (
       |  SELECT vec_id, embedding,
