@@ -165,6 +165,27 @@ class TopKRewriteSpec extends SparkTestBase
     }
   }
 
+  test("rewrite composes with pushdown: group filter lands below the heap") {
+    // rn <= k gets the heap; the g-filter should then travel
+    // Catalyst's Window pushdown + GroupedTopKPushdown all the way
+    // under the operator, so discarded groups never heap at all
+    val df = frame.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 3 && col("g") === 5)
+    val opt = df.queryExecution.optimizedPlan.toString
+    val topkIdx = opt.indexOf("GroupedTopK")
+    assert(topkIdx >= 0, opt)
+    // the g-filter ends up below the heap, alias-inlined all the way
+    // to the source (Filter ((id % 13) = 5) above the Range)
+    assert(opt.substring(topkIdx).contains("Filter ("),
+      s"group filter not below the heap:\n$opt")
+    assert(!opt.substring(0, topkIdx).contains("= 5"),
+      s"group filter still above the heap:\n$opt")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(got == ref(3).filter(_._1 == 5L))
+  }
+
   test("off by default: without the opt-in conf the window plan stands") {
     spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "false")
     try {
