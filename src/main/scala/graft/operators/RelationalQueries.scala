@@ -909,6 +909,56 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q15 shape (top supplier): per-supplier quarterly revenue,
+    // then the suppliers achieving the MAXIMUM — the scalar-subquery
+    // shape, spelled as a 1-row max aggregate broadcast back against
+    // the (supplier-sized) revenue frame; ties all surface, ordered
+    // by key. Revenue in per-row integer cents as in q3.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-01-01" &&
+          col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100 + 0.5).cast("long"))
+          .as("total_rev_e2"))
+      val mx = rev.agg(max("total_rev_e2").as("max_rev_e2"))
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_name")
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_e2") === col("max_rev_e2"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e2"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q22 shape (global-market candidates): customers with an
+    // ABOVE-AVERAGE positive balance and no RECENT orders (none
+    // since 2000 — plain "no orders" is empty in this synthetic
+    // data, where every customer ordered at least once) — a scalar
+    // average + NOT EXISTS anti-join. The average never materializes
+    // as a double: the threshold test cross-multiplies in integer
+    // cents (bal_e2 · cnt > sum_e2), so both engines compare exact
+    // int64s and the oracle can never drift at the boundary.
+    "q22_idle_balances" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_e2"))
+      val avgStats = cust.agg(sum("bal_e2").as("sum_e2"),
+        count(lit(1)).as("n_pos"))
+      val rich = cust.crossJoin(broadcast(avgStats))
+        .filter(col("bal_e2") * col("n_pos") > col("sum_e2"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "2000-01-01")
+        .select(col("o_custkey"))
+      rich.join(recent, rich("c_custkey") === recent("o_custkey"),
+          "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum("bal_e2").as("total_bal_e2"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Latest-wins upsert (Upsert.latestWins): base snapshot + a
     // changelog batch (modified totalprice for keys %10, inserted new
     // keys for %97), merged by the argmax-without-a-Window plan. The
@@ -1654,6 +1704,33 @@ object RelationalQueries {
         |        AND l_quantity BETWEEN 10 AND 35)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      ::BIGINT)::BIGINT AS total_rev_e2
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_e2
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e2 = (SELECT max(total_rev_e2) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q22_idle_balances" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    floor(c_acctbal * 100 + 0.5)::BIGINT AS bal_e2
+        |  FROM customer WHERE c_acctbal > 0),
+        |st AS (SELECT sum(bal_e2)::BIGINT AS sum_e2,
+        |              count(*)::BIGINT AS n_pos FROM cust)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+        |  sum(bal_e2)::BIGINT AS total_bal_e2
+        |FROM cust CROSS JOIN st
+        |WHERE bal_e2 * n_pos > sum_e2
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
