@@ -221,7 +221,14 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
               i += 1
             }
             val lc = ka.length - kb.length
-            if (lc != 0) lc else -better.compare(a._2, b._2)
+            if (lc != 0) lc
+            else {
+              // sign-flip, not arithmetic negation: interpreted
+              // orderings may return any int (UTF8String compares
+              // return byte differences) and -Int.MinValue overflows
+              val c2 = better.compare(a._2, b._2)
+              if (c2 > 0) -1 else if (c2 < 0) 1 else 0
+            }
           }
         }
         val ctx = TaskContext.get()

@@ -71,7 +71,11 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   private def rewrite(cond: Expression, w: Window): Option[Window] = {
-    val maxK = SQLConf.get.getConfString(RewriteMaxKKey, "10000").toLong
+    // clamp: k flows into GroupedTopKPlan's Int field, so a user
+    // raising the cap past Int.MaxValue must not overflow k.toInt
+    val maxK = math.min(
+      SQLConf.get.getConfString(RewriteMaxKKey, "10000").toLong,
+      Int.MaxValue.toLong)
     for {
       (rnAttr, order) <- soleRowNumber(w)
       groups <- attributeGroups(w.partitionSpec)
