@@ -65,6 +65,16 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q15/q22 scalar subqueries broadcast; q22's NOT EXISTS is an anti-join") {
+    val p15 = plan("q15_top_supplier")
+    assert(p15.contains("BroadcastHashJoin") ||
+      p15.contains("BroadcastNestedLoopJoin"), p15)
+    assert(!p15.contains("CartesianProduct"), p15)
+    val p22 = plan("q22_idle_balances")
+    assert(p22.contains("LeftAnti"), p22)
+    assert(!p22.contains("CartesianProduct"), p22)
+  }
+
   test("x21 vocabulary joins back as a broadcast, cutoff via TakeOrdered") {
     val p = SparkEntry.queries("x21_vocab_coverage")(spark, sf)
       .queryExecution.executedPlan.toString
