@@ -60,6 +60,19 @@ object Bench {
     // pass, after draining the async listener bus.
     val shuffleTasks = new java.util.concurrent.atomic.AtomicLong()
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    // GroupedTopKExec SQLMetrics, tallied off the driver-side
+    // accumulable updates (round-12 ask: record whether production
+    // queries ever trip the operator's bounded-memory fallbacks —
+    // expected 0 at sf0.1, which is headroom, not absence, because
+    // gtkTasks witnesses every task the operator ran).
+    val gtkTasks = new java.util.concurrent.atomic.AtomicLong()
+    val gtkCapFlushes = new java.util.concurrent.atomic.AtomicLong()
+    val gtkSortFallbacks = new java.util.concurrent.atomic.AtomicLong()
+    def accLong(u: Any): Long = u match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => other.toString.toLong
+    }
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -69,11 +82,23 @@ object Bench {
             shuffleTasks.incrementAndGet()
             shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           }
+          if (t.taskInfo != null) t.taskInfo.accumulables.foreach { a =>
+            a.name.zip(a.update).foreach {
+              case ("graft topk tasks", u) =>
+                gtkTasks.addAndGet(accLong(u))
+              case ("partial heap flushes (live-group cap)", u) =>
+                gtkCapFlushes.addAndGet(accLong(u))
+              case ("final tasks degraded to sort-based eviction", u) =>
+                gtkSortFallbacks.addAndGet(accLong(u))
+              case _ => ()
+            }
+          }
         }
       })
-    def shuffleSnap(): (Long, Long) = {
+    def shuffleSnap(): (Long, Long, Long, Long, Long) = {
       org.apache.spark.GraftListenerShim.flush(spark.sparkContext)
-      (shuffleTasks.get(), shuffleBytes.get())
+      (shuffleTasks.get(), shuffleBytes.get(),
+        gtkTasks.get(), gtkCapFlushes.get(), gtkSortFallbacks.get())
     }
     val known = SparkEntry.queries.keySet
     val names = if (args.nonEmpty) {
@@ -97,6 +122,10 @@ object Bench {
     // noise. A failing/timed-out query reports -1, never a partial time.
     val shuffleStats =
       scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    // per-query GroupedTopK counters: (tasks, capFlushes, sortFallbacks)
+    // for queries whose last timed pass executed the operator
+    val gtkStats =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = names.map { name =>
       onePass(name, warmupBudget) match {
         case Budget.TimedOut =>
@@ -107,13 +136,14 @@ object Bench {
           name -> -1.0
         case Budget.Done(_, _) =>
           val times = (1 to 2).flatMap { _ =>
-            val (t0, b0) = shuffleSnap()
+            val (t0, b0, g0, c0, s0) = shuffleSnap()
             onePass(name, Budget.DefaultSec) match {
               case Budget.Done(_, sec) =>
-                val (t1, b1) = shuffleSnap()
+                val (t1, b1, g1, c1, s1) = shuffleSnap()
                 // last successful pass wins: shuffle volume is
                 // plan-determined, identical across passes
                 shuffleStats(name) = (2 * (t1 - t0), b1 - b0)
+                if (g1 > g0) gtkStats(name) = (g1 - g0, c1 - c0, s1 - s0)
                 Some(sec)
               case Budget.TimedOut =>
                 System.err.println(s"[bench] $name TIMEOUT (${Budget.DefaultSec}s)")
@@ -133,8 +163,25 @@ object Bench {
         f""""$k":{"files":$files,"mb":${bytes / 1048576.0}%.2f}"""
       }
     }.mkString("{", ",", "}")
+    val gtk = results.flatMap { case (k, _) =>
+      gtkStats.get(k).map { case (tasks, caps, sorts) =>
+        s""""$k":{"tasks":$tasks,"capFlushes":$caps,"sortFallbacks":$sorts}"""
+      }
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_shuffle":$sh,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_shuffle":$sh,"grouped_topk":$gtk,"sf":"$sfDir"}""")
+    // Tail-survivable per-query seconds (round-12 ask #1): the driver
+    // archives only the LAST 2000 chars of stdout, and the full line
+    // above is ~3× that, so per-query times printed inside it are
+    // truncated away (the r11 artifact lost exactly this field). This
+    // second, compact line prints LAST: keys shortened to their
+    // unique enumeration prefix ("x10_tfidf_top" → "x10" — prefixes
+    // are unique across the whole suite by construction), values to
+    // 0.01 s — ~1.9k chars at 160 queries, inside the tail window.
+    val compact = results.map { case (k, v) =>
+      f""""${k.takeWhile(_ != '_')}":$v%.2f"""
+    }.mkString("{", ",", "}")
+    println(s"""{"queries_compact":$compact}""")
     spark.stop()
   }
 }

@@ -63,19 +63,32 @@ object TfIdf {
         (col("tf") * col("idf_e6")).as("score_e6"))
   }
 
+  /** Conf gate for [[topTerms]]' plan: the document id is an
+    * EXTREME-cardinality group key at corpus scale, exactly the
+    * regime where the r11 A/B measures the interpreted heap 2.2×
+    * slower than Spark's codegen'd WindowGroupLimit (≳10⁵ live
+    * groups per task). Default stays "true" — at ≤10⁴ docs per task
+    * the heap is the measured 9× win (x10 6.59 s → 0.71 s, r11), and
+    * its cap/sort fallback keeps memory bounded regardless — but a
+    * deployment whose docs-per-task count sits past the crossover
+    * sets this false and gets the plain window spelling. */
+  val HeapTopTermsKey = "spark.graft.tfidf.heapTopK"
+
   /** Top-`k` terms per document by score, ties broken by term asc —
     * integer comparisons end to end, so the ranking is deterministic
     * on any engine.
     *
-    * Routed through the custom grouped-top-k heap operator
-    * ([[graft.plans.GroupedTopK]]) rather than the row_number window
-    * spelling: the window sorts every (doc, term) row of the corpus;
-    * the heap keeps k rows per doc with no full sort, and the rank
-    * window afterwards runs over ≤ docs × k SURVIVORS (its exchange
-    * is elided — the heap final phase already clustered by doc). The
-    * heap's order value is `struct(-score_e6, term)` ascending, the
-    * exact (score desc, term asc) total order — (doc, term) is
-    * unique, so the k-boundary is never an arbitrary tie. */
+    * Routed (by default — see [[HeapTopTermsKey]]) through the custom
+    * grouped-top-k heap operator ([[graft.plans.GroupedTopK]]) rather
+    * than the row_number window spelling: the window sorts every
+    * (doc, term) row of the corpus; the heap keeps k rows per doc
+    * with no full sort, and the rank window afterwards runs over ≤
+    * docs × k SURVIVORS (its exchange is elided — the heap final
+    * phase already clustered by doc). The heap's order value is
+    * `struct(-score_e6, term)` ascending, the exact (score desc,
+    * term asc) total order — (doc, term) is unique, so the
+    * k-boundary is never an arbitrary tie. Both routes produce
+    * identical rows. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int)
     : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -83,11 +96,21 @@ object TfIdf {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_e6").desc, col("term").asc)
     val scored = scores(df, idCol, textCol)
-      .withColumn("_ord",
+    val useHeap = df.sparkSession.conf
+      .get(HeapTopTermsKey, "true").toBoolean
+    if (useHeap) {
+      val withOrd = scored.withColumn("_ord",
         struct((-col("score_e6")).as("ns"), col("term").as("t")))
-    graft.plans.GroupedTopK
-      .topK(scored, Seq(idCol), "_ord", k, descending = false)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .drop("_ord")
+      graft.plans.GroupedTopK
+        .topK(withOrd, Seq(idCol), "_ord", k, descending = false)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .drop("_ord")
+    } else {
+      // window spelling: Spark 4's InsertWindowGroupLimit prunes to k
+      // per (group, partition) inside the sort — the scale path when
+      // docs-per-task cardinality is past the heap's crossover
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= k)
+    }
   }
 }

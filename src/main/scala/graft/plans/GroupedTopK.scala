@@ -112,6 +112,8 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
     : GroupedTopKExec = copy(child = newChild)
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
+    "gtkTasks" -> SQLMetrics.createMetric(sparkContext,
+      "graft topk tasks"),
     "capFlushes" -> SQLMetrics.createMetric(sparkContext,
       "partial heap flushes (live-group cap)"),
     "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
@@ -130,7 +132,13 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
       s"${GroupedTopK.MaxLiveGroupsKey} must be >= 1, got $maxLiveGroups")
     val capFlushes = longMetric("capFlushes")
     val sortFallbacks = longMetric("sortFallbacks")
+    val gtkTasks = longMetric("gtkTasks")
     val fn = (iter: Iterator[InternalRow]) => {
+      // always-nonzero witness that this operator executed — lets the
+      // bench distinguish "ran, never tripped a fallback" (headroom)
+      // from "no GroupedTopKExec in the plan", where the fallback
+      // counters are indistinguishable (both read 0)
+      gtkTasks += 1
       val groupProj = UnsafeProjection.create(groupSeq, outSchema)
       // an AttributeReference is Unevaluable until bound to the
       // child's output ordinals

@@ -57,11 +57,20 @@ import org.apache.spark.sql.internal.SQLConf
   * must not be a default; enable it for workloads whose group count
   * is known to be ≲10⁴ (top-k per category / priority / language),
   * or call `GroupedTopK.topK` directly where the caller knows.
+  *
+  * When the child DOES carry column stats for the partition keys
+  * (CBO + ANALYZE TABLE … FOR COLUMNS), the gate tightens from trust
+  * to measurement: the rewrite applies only while the estimated group
+  * count (product of key ndvs, capped by rowCount) stays ≤
+  * `spark.graft.topk.rewriteMaxGroups` (default 32768) — so with
+  * stats present, a high-cardinality key keeps the window even under
+  * rewrite.enabled=true. See [[ndvPermitsHeap]].
   */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.topk.rewrite.enabled"
   val RewriteMaxKKey = "spark.graft.topk.rewriteMaxK"
+  val RewriteMaxGroupsKey = "spark.graft.topk.rewriteMaxGroups"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!SQLConf.get.getConfString(EnabledKey, "false").toBoolean) plan
@@ -81,19 +90,22 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       groups <- attributeGroups(w.partitionSpec)
       ordAttr <- heapSafeOrderKey(order)
       k <- boundFromFilter(cond, rnAttr)
-      if k >= 1 && k <= maxK && notAlreadyPruned(w.child, groups, k)
-    } yield {
       // Spark 4's own InsertWindowGroupLimit (sort-based per-partition
       // group limit) runs BEFORE user rules and may already sit under
       // the Window; it prunes the same rows the heap does but pays a
       // full per-partition sort first, so strip it rather than sort
-      // below the heap
-      val base = w.child match {
+      // below the heap. Stripped BEFORE the ndv gate too: the limit
+      // node carries no stats visitor, so the gate must read the
+      // grandchild's column stats.
+      base = w.child match {
         case org.apache.spark.sql.catalyst.plans.logical
           .WindowGroupLimit(ps, os, _, _, grandchild)
           if ps == w.partitionSpec && os == w.orderSpec => grandchild
         case other => other
       }
+      if k >= 1 && k <= maxK && notAlreadyPruned(w.child, groups, k) &&
+        ndvPermitsHeap(base, groups)
+    } yield {
       w.copy(child = GroupedTopKPlan(groups, ordAttr,
         order.direction == org.apache.spark.sql.catalyst.expressions
           .Descending, k.toInt, base))
@@ -142,6 +154,32 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }.headOption
 
+  /** Group-cardinality gate (round-12: the blanket "cardinality is
+    * invisible at plan time" rationale is only true WITHOUT stats).
+    * When the child carries column stats for every partition key
+    * (CBO / ANALYZE TABLE … FOR COLUMNS), the estimated group count
+    * — the product of the keys' distinctCounts, capped by the row
+    * count — IS visible, and the measured crossover (heap 1.5× faster
+    * at 10k groups, 2.2× slower at 100k; BASELINE.md r11 A/B at
+    * local[32]) becomes enforceable: rewrite only while the estimate
+    * stays ≤ `spark.graft.topk.rewriteMaxGroups` (default 32768,
+    * between the two measured points). Missing stats keep today's
+    * behavior — the user who set rewrite.enabled=true asked for the
+    * heap and owns the cardinality call. */
+  private def ndvPermitsHeap(child: LogicalPlan,
+    groups: Seq[Attribute]): Boolean = {
+    val maxGroups = BigInt(SQLConf.get.getConfString(
+      RewriteMaxGroupsKey, "32768").toLong)
+    val stats = child.stats
+    val ndvs = groups.flatMap(g =>
+      stats.attributeStats.get(g).flatMap(_.distinctCount))
+    if (ndvs.length != groups.length) true // stats absent → trust conf
+    else {
+      val est = stats.rowCount.fold(ndvs.product)(_.min(ndvs.product))
+      est <= maxGroups
+    }
+  }
+
   private def notAlreadyPruned(child: LogicalPlan,
     groups: Seq[Attribute], k: Long): Boolean = child match {
     case g: GroupedTopKPlan =>
@@ -150,11 +188,17 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** The rn attribute, possibly under the Cast that predicate
-    * pushdown inlines from a `.cast(...)` projection alias. */
+    * pushdown inlines from a `.cast(...)` projection alias. Only
+    * WIDENING casts are stripped: a narrowing cast (int → byte) wraps
+    * rank values above the target range, so `rn.cast("byte") <= 4`
+    * with > 255 rows per group admits wrapped ranks (257 → 1) that the
+    * pruned plan would drop — the rewrite must leave that shape to
+    * the window. */
   private object RnRef {
     def unapply(e: Expression): Option[Attribute] = e match {
       case a: Attribute => Some(a)
-      case c: Cast => unapply(c.child)
+      case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+        unapply(c.child)
       case _ => None
     }
   }

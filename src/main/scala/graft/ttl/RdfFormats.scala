@@ -791,6 +791,11 @@ object Rdf {
             }
             i += 1
           }
+        // PN_LOCAL_ESC: outside strings a backslash only legally
+        // escapes a reserved char in a prefixed-name local part
+        // (e.g. `ex:foo\?bar`) — skip the pair so the escaped char
+        // is never mistaken for N3 syntax
+        case '\\' => i += 2
         case '{' => return Some("formula syntax '{ … }'")
         case '?' => return Some("universal variable '?…'")
         case '@' if at("@forAll") => return Some("'@forAll'")

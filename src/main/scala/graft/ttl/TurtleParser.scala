@@ -308,6 +308,10 @@ object TurtleParser {
     private def isPnameChar(c: Char): Boolean =
       Character.isLetterOrDigit(c) || c == '_' || c == '-' || c == '.'
 
+    /** PN_LOCAL_ESC: the reserved chars a backslash may escape inside
+      * a prefixed-name local part (`ex:foo\?bar` → <…foo?bar>). */
+    private val pnLocalEsc = "_~.-!$&'()*+,;=/?#@%"
+
     private def readPname(): String = {
       val ns = new StringBuilder
       while (isPnameChar(peek) && peek != '.') { ns.append(peek); i += 1 }
@@ -315,11 +319,24 @@ object TurtleParser {
         fail(s"expected prefixed name, got '${ns.toString}$peek'")
       i += 1
       val local = new StringBuilder
-      while (isPnameChar(peek)) { local.append(peek); i += 1 }
+      // escaped chars decode to ONE name char but consume TWO source
+      // chars — remember which, so the trailing-dot rollback below
+      // can restore `i` correctly and never strips an ESCAPED dot
+      // (that one is part of the name, not a statement terminator)
+      val escaped = new scala.collection.mutable.ArrayBuffer[Boolean]
+      while (isPnameChar(peek) ||
+        (peek == '\\' && i + 1 < s.length &&
+          pnLocalEsc.indexOf(s.charAt(i + 1)) >= 0)) {
+        if (peek == '\\') {
+          local.append(s.charAt(i + 1)); escaped += true; i += 2
+        } else { local.append(peek); escaped += false; i += 1 }
+      }
       // PN_LOCAL must not end with '.' — trailing dots are statement
       // terminators
       var l = local.toString
-      while (l.nonEmpty && l.last == '.') { l = l.dropRight(1); i -= 1 }
+      while (l.nonEmpty && l.last == '.' && !escaped.last) {
+        l = l.dropRight(1); escaped.remove(escaped.length - 1); i -= 1
+      }
       val base = prefixes.getOrElse(ns.toString,
         fail(s"unknown prefix '${ns.toString}:'"))
       s"<$base$l>"

@@ -8,10 +8,15 @@ package org.apache.spark
 object GraftListenerShim {
 
   /** Block until every queued listener event is dispatched (or the
-    * timeout passes — best-effort, never throws). */
+    * timeout passes — best-effort, never throws). An interrupt during
+    * the wait is swallowed as a value but re-flagged on the thread, so
+    * a harness cancelling the bench still sees its interrupt. */
   def flush(sc: SparkContext, timeoutMillis: Long = 5000L): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMillis)
-    catch { case _: Throwable => () }
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   /** The context's LIVE SparkConf (`getConf` hands out a clone).
     * Spillables read core thresholds from this object at

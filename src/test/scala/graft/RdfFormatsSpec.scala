@@ -597,4 +597,24 @@ class RdfFormatsSpec extends SparkTestBase {
     }
     assert(variable.getMessage.contains("variable"))
   }
+
+  test("PN_LOCAL escapes: ex:foo\\?bar is valid Turtle, not N3 syntax") {
+    // `\?` in a prefixed-name local part is a Turtle PN_LOCAL_ESC —
+    // the N3-boundary scanner must not flag the escaped '?' as a
+    // universal variable, and the parser must decode it into the IRI
+    val doc =
+      """@prefix ex: <http://ex.org/> .
+        |ex:foo\?bar ex:p\=q ex:tail\.dot .""".stripMargin
+    val viaN3 = Rdf.parseDocument("f.n3", doc, "n3")
+    assert(viaN3 == Seq(Triple("<http://ex.org/foo?bar>",
+      "<http://ex.org/p=q>", "<http://ex.org/tail.dot>")), viaN3)
+    // same document through the plain Turtle path
+    assert(TurtleParser.parse(doc) == viaN3)
+    // an escaped trailing dot is part of the name; the UNESCAPED dot
+    // after it still terminates the statement
+    val trail = TurtleParser.parse(
+      "@prefix ex: <http://e/> .\nex:a ex:b ex:c\\. .")
+    assert(trail == Seq(Triple("<http://e/a>", "<http://e/b>",
+      "<http://e/c.>")), trail)
+  }
 }

@@ -53,6 +53,29 @@ class TfIdfSpec extends SparkTestBase {
     assert(got == ref)
   }
 
+  test("heapTopK=false routes topTerms through the window, same rows") {
+    // the scale escape hatch (r11 advisor): per-document grouping at
+    // extreme docs-per-task cardinality belongs to the codegen'd
+    // window — conf off must produce an identical result with NO
+    // GroupedTopKExec in the plan
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    def run(): (String, Set[Seq[Any]]) = {
+      val df = TfIdf.topTerms(docs, "doc_id", "text", 3)
+        .select("doc_id", "term", "tf", "df", "score_e6", "rnk")
+      try (df.queryExecution.executedPlan.toString,
+        df.collect().map(_.toSeq).toSet)
+      finally graft.operators.Broadcasting.releaseAll()
+    }
+    val (heapPlan, heapRows) = run()
+    assert(heapPlan.contains("GroupedTopK"), heapPlan)
+    spark.conf.set(TfIdf.HeapTopTermsKey, "false")
+    try {
+      val (winPlan, winRows) = run()
+      assert(!winPlan.contains("GroupedTopK"), winPlan)
+      assert(winRows == heapRows)
+    } finally spark.conf.unset(TfIdf.HeapTopTermsKey)
+  }
+
   test("empty tokens vanish; output column collisions are rejected") {
     val blanky = Seq((1L, "  x   y  ")).toDF("doc_id", "text")
     val terms = TfIdf.scores(blanky, "doc_id", "text")

@@ -196,6 +196,85 @@ class TopKRewriteSpec extends SparkTestBase
     } finally spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "true")
   }
 
+  test("narrowing cast on the rank declines (wrapped ranks would be mis-pruned)") {
+    // rn.cast("byte") <= 4 with >255 rows in a group: ranks 257, 513…
+    // wrap into [-128,127] and satisfy the ORIGINAL filter — pruning
+    // to 4 rows per group would drop them, changing results. Only
+    // widening casts are strippable. (Two real groups of 300 rows —
+    // a constant key would fold out of the partition spec entirely.)
+    val one = spark.range(0, 600).select(
+      (col("id") % 2).as("g"), col("id").as("v"))
+    def byteCast = one.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc))
+        .cast("byte"))
+      .filter(col("rnk") <= 4)
+    assert(!physical(byteCast).contains("GroupedTopK"), physical(byteCast))
+    // the widening long cast (the common `.cast("long")` alias) must
+    // keep rewriting — regression guard against over-tightening
+    val longCast = one.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc))
+        .cast("long"))
+      .filter(col("rnk") <= 4)
+    assert(physical(longCast).contains("GroupedTopK"), physical(longCast))
+    // Semantics on the declined plan. Under ANSI (Spark 4 default)
+    // rank 128 OVERFLOWS the byte cast at runtime — pruning to 4 rows
+    // per group would have swallowed that error. Under legacy mode
+    // the ranks WRAP and wrapped values (257→1, 128→-128…) satisfy
+    // the filter — pruning would have dropped them.
+    val overflow = intercept[Exception](byteCast.count())
+    assert(overflow.toString.contains("CAST_OVERFLOW") ||
+      String.valueOf(overflow.getCause).contains("CAST_OVERFLOW"),
+      overflow.toString)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try assert(byteCast.count() > 4)
+    finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
+  test("ndv stats gate: low-ndv keys plan the heap, high-ndv keep the window") {
+    // With CBO column stats the group cardinality IS visible at plan
+    // time, so the rewrite self-gates on rewriteMaxGroups instead of
+    // trusting the conf blindly (round-12; crossover measured in the
+    // r11 A/B). Both tables are analyzed; only the threshold differs
+    // between them.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set(graft.plans.TopKRewrite.RewriteMaxGroupsKey, "100")
+    try {
+      spark.range(0, 2000)
+        .select((col("id") % 7).as("g"), col("id").as("v"))
+        .write.mode("overwrite").saveAsTable("topk_ndv_low")
+      spark.sql(
+        "ANALYZE TABLE topk_ndv_low COMPUTE STATISTICS FOR COLUMNS g, v")
+      spark.range(0, 2000)
+        .select(col("id").as("g"), col("id").as("v"))
+        .write.mode("overwrite").saveAsTable("topk_ndv_high")
+      spark.sql(
+        "ANALYZE TABLE topk_ndv_high COMPUTE STATISTICS FOR COLUMNS g, v")
+      def shape(table: String): DataFrame =
+        spark.table(table).withColumn("rn", row_number().over(
+            Window.partitionBy(col("g")).orderBy(col("v").desc)))
+          .filter(col("rn") <= 3)
+      val low = shape("topk_ndv_low")
+      assert(physical(low).contains("GroupedTopK"),
+        s"ndv=7 ≤ 100 should heap:\n${physical(low)}")
+      val high = shape("topk_ndv_high")
+      assert(!physical(high).contains("GroupedTopK"),
+        s"ndv≈2000 > 100 should keep the window:\n${physical(high)}")
+      // and the gated plan is still correct
+      assert(low.count() == 7 * 3)
+      // stats ABSENT (in-memory frame): conf is trusted, heap plans,
+      // even under the tight threshold — the pre-stats behavior
+      val nostats = frame.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc)))
+        .filter(col("rn") <= 3)
+      assert(physical(nostats).contains("GroupedTopK"))
+    } finally {
+      spark.conf.unset(graft.plans.TopKRewrite.RewriteMaxGroupsKey)
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS topk_ndv_low")
+      spark.sql("DROP TABLE IF EXISTS topk_ndv_high")
+    }
+  }
+
   test("k above rewriteMaxK declines; conjunction with other predicates rewrites") {
     spark.conf.set(graft.plans.TopKRewrite.RewriteMaxKKey, "3")
     try {
