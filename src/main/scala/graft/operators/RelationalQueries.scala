@@ -959,6 +959,77 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q2 shape (min-cost supplier per part): the per-GROUP
+    // correlated scalar subquery — `cost = (SELECT min(cost) WHERE
+    // same part)` — decorrelated the Spark way: one groupBy-min over
+    // the part×supplier frame, joined back on (partkey, cost). No
+    // partsupp table in this schema, so lineitem revenue per
+    // (part, supplier) plays the supply-cost fact, restricted to one
+    // region's suppliers and one part type like the real Q2. Scale
+    // shape: part and supplier×nation are broadcast dims; the fact
+    // agg and the min both shuffle on partkey, and the join-back is
+    // a keyed join of two part-cardinality frames — never a
+    // cartesian, nothing driver-side.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val smallParts = t(s, dir, "part")
+        .filter(col("p_type") === "SMALL")
+        .select("p_partkey", "p_name")
+      val regSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+      val ps = t(s, dir, "lineitem")
+        .join(broadcast(smallParts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(regSupp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100 + 0.5).cast("long"))
+          .as("cost_e2"))
+      val mins = ps.groupBy(col("l_partkey"))
+        .agg(min("cost_e2").as("min_cost_e2"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+      ps.join(mins, col("l_partkey") === col("m_partkey") &&
+          col("cost_e2") === col("min_cost_e2"))
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(regSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("cost_e2"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    // TPC-H Q20 shape (nested EXISTS chain): suppliers in a region
+    // that shipped MORE THAN 60 units of some red part — an EXISTS
+    // over a grouped-HAVING subquery that itself contains an IN
+    // subquery. Spark spelling: innermost IN → broadcast inner join
+    // on the filtered part dim; the grouped HAVING runs as a partial
+    // aggregated frame; the outer EXISTS is a LEFT SEMI join, so
+    // supplier rows never duplicate. l_quantity is integral-valued;
+    // the sum casts to long exactly (same contract as q18).
+    "q20_nested_exists" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("red "))
+        .select("p_partkey")
+      val heavy = t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"))
+        .filter(col("qty") > 60)
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     // Latest-wins upsert (Upsert.latestWins): base snapshot + a
     // changelog batch (modified totalprice for keys %10, inserted new
     // keys for %97), merged by the argmax-without-a-Window plan. The
@@ -1731,6 +1802,42 @@ object RelationalQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      ::BIGINT)::BIGINT AS cost_e2
+        |  FROM lineitem
+        |  WHERE l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+        |    AND l_suppkey IN
+        |      (SELECT s_suppkey FROM supplier
+        |       JOIN nation ON s_nationkey = n_nationkey
+        |       JOIN region ON n_regionkey = r_regionkey
+        |       WHERE r_name = 'EUROPE')
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost_e2
+        |FROM ps
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE cost_e2 = (SELECT min(ps2.cost_e2) FROM ps ps2
+        |                 WHERE ps2.l_partkey = ps.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q20_nested_exists" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_suppkey = s_suppkey
+        |      AND l_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+        |    GROUP BY l_partkey
+        |    HAVING sum(l_quantity) > 60)
+        |ORDER BY s_suppkey""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

@@ -75,6 +75,23 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(!p22.contains("CartesianProduct"), p22)
   }
 
+  test("q2 decorrelated min join-back is keyed, dims broadcast, no cartesian") {
+    val p = plan("q2_min_cost_supplier")
+    // the correlated scalar subquery must become a KEYED join of the
+    // two part-cardinality frames (SMJ or shuffled/broadcast hash),
+    // never a nested-loop or cartesian evaluation per row
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // part/supplier dims
+  }
+
+  test("q20 EXISTS chain: outer is a left semi, no cartesian anywhere") {
+    val p = plan("q20_nested_exists")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x21 vocabulary joins back as a broadcast, cutoff via TakeOrdered") {
     val p = SparkEntry.queries("x21_vocab_coverage")(spark, sf)
       .queryExecution.executedPlan.toString
