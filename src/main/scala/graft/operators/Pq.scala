@@ -81,17 +81,75 @@ object Pq {
     * lazily, since an eager existence probe would cost a corpus
     * action during plan construction. */
   def adcTopK(emb: DataFrame, m: Int, k: Int, iters: Int,
-    queryVecId: Long, topN: Int): DataFrame = {
+    queryVecId: Long, topN: Int): DataFrame =
+    adcCore(emb, m, k, iters, queryVecId, topN, candidates = None)
+
+  /** IVF-PQ — the production ANN search shape the two operators were
+    * built for: a COARSE quantizer (full-vector k-means, `coarseK`
+    * cells) narrows the corpus to the `nProbe` cells nearest the
+    * query, and the ADC machinery re-ranks only those candidates
+    * against the PQ codebooks. Same integer-e6 discipline end to end
+    * (coarse stage included — [[KMeans.fitE6]]), so the composed
+    * pipeline still hash-matches a DuckDB CTE oracle.
+    *
+    * Plan shape at 100 TB: the coarse centroids are a `coarseK`-row
+    * broadcast; cell assignment is one narrow argmin pass (partial
+    * agg, one corpus-row shuffle); the probe's cell list is an
+    * `nProbe`-row broadcast semi-joined against the assignment, so
+    * the ADC stage scans ~nProbe/coarseK of the corpus. PQ codebooks
+    * are trained on the RAW vectors (the simple IVF-PQ variant;
+    * residual-trained codebooks are a quality refinement, not a plan
+    * change). In a persisted deployment the codes live bucketed by
+    * cell, making the candidate restriction a partition prune instead
+    * of this semi-join. */
+  def ivfAdcTopK(emb: DataFrame, coarseK: Int, nProbe: Int, m: Int,
+    k: Int, iters: Int, queryVecId: Long, topN: Int): DataFrame = {
+    require(coarseK >= 1 && nProbe >= 1,
+      s"coarseK/nProbe must be >= 1: $coarseK/$nProbe")
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    val v6 = emb.select(col("vec_id"), expr(
+      """transform(embedding, x ->
+        |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
+        .stripMargin).as("v"))
+    val coarse = KMeans.fitE6(emb, coarseK, iters)
+      .select(col("c").as("cell"), col("cv"))
+    val cells = v6.crossJoin(broadcast(coarse))
+      .withColumn("dist2", expr("graft_l2sq(v, cv)"))
+      .groupBy("vec_id")
+      // min over (dist2, cell): fitE6's own deterministic tie rule
+      .agg(min(struct(col("dist2"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"))
+    val qv = v6.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"))
+    val probed = coarse.crossJoin(broadcast(qv))
+      .withColumn("qd", expr("graft_l2sq(qv, cv)"))
+      .orderBy(col("qd"), col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    val cands = cells.join(broadcast(probed), Seq("cell"), "left_semi")
+      .select("vec_id")
+    adcCore(emb, m, k, iters, queryVecId, topN, candidates = Some(cands))
+  }
+
+  /** Shared ADC engine: optionally restricted to `candidates`
+    * (vec_id) — the IVF-probed subset — via a left-semi join applied
+    * to the codes BEFORE the LUT join, so pruned vectors never cost
+    * a lookup. */
+  private def adcCore(emb: DataFrame, m: Int, k: Int, iters: Int,
+    queryVecId: Long, topN: Int,
+    candidates: Option[DataFrame]): DataFrame = {
     require(m >= 1 && topN >= 1, s"m/topN must be >= 1: $m/$topN")
     graft.expressions.GraftFunctions.register(emb.sparkSession)
     val parts = (0 until m).map { i =>
       val (v6, cent, codes) = subspace(emb, m, k, iters, i)
+      val kept = candidates.fold(codes)(c =>
+        codes.join(c, Seq("vec_id"), "left_semi"))
       val qv = v6.filter(col("vec_id") === queryVecId)
         .select(col("v").as("qv"))
       val lut = cent.crossJoin(broadcast(qv))
         .select(col("c"), expr("graft_l2sq(qv, cv)").as("qd"))
-      codes.join(broadcast(lut), codes("code") === lut("c"))
-        .select(codes("vec_id"), col("qd"))
+      kept.join(broadcast(lut), kept("code") === lut("c"))
+        .select(kept("vec_id"), col("qd"))
     }
     parts.reduce(_ unionByName _)
       .groupBy("vec_id")

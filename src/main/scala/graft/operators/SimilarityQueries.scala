@@ -57,7 +57,11 @@ object SimilarityQueries {
   /** LSH signature per vector: two 4-bit bands from the sign pattern of
     * 8 hyperplane projections. */
   private def signatures(s: SparkSession, dir: String): DataFrame =
-    emb(s, dir)
+    signaturesDf(s, emb(s, dir))
+
+  private[graft] def signaturesDf(s: SparkSession,
+    embDf: DataFrame): DataFrame =
+    embDf
       .crossJoin(broadcast(planes(s)))
       .withColumn("dotp", expr(dotSql("embedding", "plane")))
       .groupBy(col("vec_id"))
@@ -92,21 +96,33 @@ object SimilarityQueries {
       .orderBy("probe_id", "rnk")
   }
 
-  private def knnBrute(s: SparkSession, dir: String): DataFrame = {
+  private def knnBrute(s: SparkSession, dir: String): DataFrame =
+    knnBruteDf(s, emb(s, dir), probeMax = 10, k = 3)
+
+  /** Exact cosine top-`k` per probe (vec_id < probeMax) — the ground
+    * truth every recall eval ranks against. DataFrame-parameterized so
+    * the clustered-fixture evals (ClusteredRecallSpec) reuse the exact
+    * machinery the oracle queries run. */
+  private[graft] def knnBruteDf(s: SparkSession, embDf: DataFrame,
+    probeMax: Long, k: Int): DataFrame = {
     withGraftFns(s)
-    val e = withNorm(emb(s, dir))
+    val e = withNorm(embDf)
     val p = e.select(col("vec_id").as("probe_id"),
       col("embedding").as("pe"), col("nrm").as("pn"))
-      .filter(col("probe_id") < 10)
+      .filter(col("probe_id") < probeMax)
     val c = e.select(col("vec_id").as("nbr_id"),
       col("embedding").as("ne"), col("nrm").as("nn"))
-    topK(scorePairs(broadcast(p).join(c, col("probe_id") =!= col("nbr_id"))), 3)
+    topK(scorePairs(broadcast(p).join(c, col("probe_id") =!= col("nbr_id"))), k)
   }
 
-  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+  private def knnLsh(s: SparkSession, dir: String): DataFrame =
+    knnLshDf(s, emb(s, dir), probeMax = 10, k = 3)
+
+  private[graft] def knnLshDf(s: SparkSession, embDf: DataFrame,
+    probeMax: Long, k: Int): DataFrame = {
     withGraftFns(s)
-    val sig = signatures(s, dir)
-    val probes = sig.filter(col("vec_id") < 10)
+    val sig = signaturesDf(s, embDf)
+    val probes = sig.filter(col("vec_id") < probeMax)
       .select(col("vec_id").as("probe_id"), col("band0").as("pb0"),
         col("band1").as("pb1"))
     val cands = sig.select(col("vec_id").as("nbr_id"), col("band0"),
@@ -117,13 +133,13 @@ object SimilarityQueries {
       .select("probe_id", "nbr_id")
     val pairs = c0.union(c1).filter(col("probe_id") =!= col("nbr_id"))
       .distinct()
-    val e = withNorm(emb(s, dir))
+    val e = withNorm(embDf)
     val scored = scorePairs(pairs
       .join(e.select(col("vec_id").as("probe_id"),
         col("embedding").as("pe"), col("nrm").as("pn")), Seq("probe_id"))
       .join(e.select(col("vec_id").as("nbr_id"),
         col("embedding").as("ne"), col("nrm").as("nn")), Seq("nbr_id")))
-    topK(scored, 3)
+    topK(scored, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,6 +304,43 @@ object SimilarityQueries {
             .as("recall_e4"))
     }),
 
+    // IVF-PQ end-to-end (v13): coarse 8-cell k-means probe (nProbe=2)
+    // → ADC re-rank within the probed cells only — the production ANN
+    // search shape composing IvfIndex-style coarse quantization with
+    // the v10/v11 PQ machinery. Integer-exact throughout, so the
+    // whole composition (two k-means fits + cell assignment + probe
+    // + restricted ADC) hash-matches one DuckDB CTE chain.
+    "v13_ivfpq_search" -> ((s, dir) =>
+      Pq.ivfAdcTopK(emb(s, dir), coarseK = 8, nProbe = 2, m = 2,
+        k = 16, iters = 1, queryVecId = 0L, topN = 10)),
+
+    // IVF-PQ quality eval (v14): recall@10 of the v13 composition
+    // against exact integer-L2 ground truth — completes the eval
+    // family (v9 for LSH, v12 for PQ, v14 for IVF-PQ). On these
+    // near-random synthetic embeddings the ceiling is low (see v12);
+    // the CLUSTERED fixture recall is pinned in ClusteredRecallSpec,
+    // where structure exists for the index to exploit.
+    "v14_ivfpq_recall" -> ((s, dir) => {
+      withGraftFns(s)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val v6 = e.select(col("vec_id"), expr(
+        """transform(embedding, x ->
+          |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
+          .stripMargin).as("v"))
+      val q = v6.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+      val exact = v6.crossJoin(broadcast(q))
+        .withColumn("d", expr("graft_l2sq(v, qv)"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .select("vec_id")
+      val ivfpq = Pq.ivfAdcTopK(e, coarseK = 8, nProbe = 2, m = 2,
+        k = 16, iters = 1, queryVecId = 0L, topN = 10).select("vec_id")
+      ivfpq.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("n_hits"),
+          floor(col("n_hits") * 10000.0 / 10 + 0.5).cast("long")
+            .as("recall_e4"))
+    }),
+
     // Symmetric int8 quantization (max-abs per vector → [-127, 127]):
     // the standard 4× memory cut for ANN indexes at scale. maxabs is
     // a left fold from 0.0 (same order as the oracle's list_reduce);
@@ -433,6 +486,49 @@ object SimilarityQueries {
       |    list_sum(list_transform(range(1, len(q.qv) + 1), k ->
       |      (q.qv[k] - c.v[k]) * (q.qv[k] - c.v[k]))) AS qd
       |  FROM cent1 c JOIN q ON q.m = c.m)""".stripMargin
+
+  /** Coarse-quantizer CTE suffix for the IVF-PQ oracles (appended
+    * after [[oPqCtes]], reusing its `e`): full-vector 1-round k-means
+    * (`kc` cells, first-kc-by-id seeds — KMeans.fitE6's contract),
+    * cell assignment, the query's `nProbe` nearest cells, and the
+    * candidate vec_id set. */
+  private def oIvfCtes(kc: Int, nProbe: Int): String = s""",
+      |cinit AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, fv AS v
+      |  FROM e ORDER BY vec_id LIMIT $kc),
+      |cd1 AS (
+      |  SELECT e.vec_id, i.c, e.fv AS v,
+      |    list_sum(list_transform(range(1, len(e.fv) + 1), k ->
+      |      (e.fv[k] - i.v[k]) * (e.fv[k] - i.v[k]))) AS dist2
+      |  FROM e CROSS JOIN cinit i),
+      |ca1 AS (
+      |  SELECT vec_id, c, v FROM cd1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY dist2, c) = 1),
+      |cu1 AS (
+      |  SELECT c, pos1 - 1 AS pos,
+      |    CAST(floor(sum(vk)::DOUBLE / count(*) + 0.5) AS BIGINT) AS ce6
+      |  FROM (SELECT c, unnest(v) AS vk,
+      |          unnest(range(1, len(v) + 1)) AS pos1 FROM ca1)
+      |  GROUP BY 1, 2),
+      |ccent AS (SELECT c AS cell, list(ce6 ORDER BY pos) AS v
+      |          FROM cu1 GROUP BY 1),
+      |cells AS (
+      |  SELECT e.vec_id, i.cell,
+      |    list_sum(list_transform(range(1, len(e.fv) + 1), k ->
+      |      (e.fv[k] - i.v[k]) * (e.fv[k] - i.v[k]))) AS dist2
+      |  FROM e CROSS JOIN ccent i
+      |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |    ORDER BY dist2, cell) = 1),
+      |qfull AS (SELECT fv AS qv FROM e WHERE vec_id = 0),
+      |probed AS (
+      |  SELECT cell FROM ccent CROSS JOIN qfull
+      |  ORDER BY list_sum(list_transform(range(1, len(qv) + 1), k ->
+      |    (qv[k] - v[k]) * (qv[k] - v[k]))), cell
+      |  LIMIT $nProbe),
+      |cand AS (
+      |  SELECT vec_id FROM cells
+      |  WHERE cell IN (SELECT cell FROM probed))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "v1_knn_brute" -> (oNormCte + s""",
@@ -637,7 +733,27 @@ object SimilarityQueries {
       |SELECT count(*)::BIGINT AS n_hits,
       |  CAST(floor(count(*) * 10000.0 / 10 + 0.5) AS BIGINT) AS recall_e4
       |FROM adc JOIN exact USING (vec_id)""".stripMargin),
-    
+    "v13_ivfpq_search" -> (oPqCtes(16) + oIvfCtes(8, 2) + """
+      |SELECT codes.vec_id, sum(lut.qd)::BIGINT AS adc_dist2
+      |FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+      |WHERE codes.vec_id IN (SELECT vec_id FROM cand)
+      |GROUP BY 1 ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin),
+    "v14_ivfpq_recall" -> (oPqCtes(16) + oIvfCtes(8, 2) + """,
+      |adc AS (
+      |  SELECT codes.vec_id, sum(lut.qd)::BIGINT AS adc_dist2
+      |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+      |  WHERE codes.vec_id IN (SELECT vec_id FROM cand)
+      |  GROUP BY 1 ORDER BY adc_dist2, vec_id LIMIT 10),
+      |exact AS (
+      |  SELECT e2.vec_id FROM e e2
+      |  CROSS JOIN (SELECT fv AS qv FROM e WHERE vec_id = 0) q
+      |  ORDER BY list_sum(list_transform(range(1, len(e2.fv) + 1),
+      |    k -> (e2.fv[k] - q.qv[k]) * (e2.fv[k] - q.qv[k]))), e2.vec_id
+      |  LIMIT 10)
+      |SELECT count(*)::BIGINT AS n_hits,
+      |  CAST(floor(count(*) * 10000.0 / 10 + 0.5) AS BIGINT) AS recall_e4
+      |FROM adc JOIN exact USING (vec_id)""".stripMargin),
+
     "v6_int8_quantize" -> """
       |WITH m AS (
       |  SELECT vec_id, embedding,
