@@ -1030,6 +1030,117 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q11 shape (important stock): parts whose revenue exceeds
+    // 1.3× the mean share — the global-scalar-subquery HAVING. The
+    // fraction test cross-multiplies in integer cents (value·20000 >
+    // total·13), so no double division exists to drift; the total is
+    // a 1-row broadcast. Overflow headroom: value_e2·20000 stays in
+    // int64 while any single part's revenue is < $4.6T.
+    "q11_important_parts" -> ((s, dir) => {
+      val pr = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100 + 0.5).cast("long"))
+          .as("value_e2"))
+      val tot = pr.agg(sum("value_e2").as("total_e2"))
+      pr.crossJoin(broadcast(tot))
+        .filter(col("value_e2") * 20000 > col("total_e2") * 13)
+        .select(col("l_partkey"), col("value_e2"))
+        .orderBy(col("value_e2").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join with the filter in the JOIN CONDITION (urgent orders don't
+    // count, but order-less customers still appear at c_count = 0),
+    // then a double aggregation — per-customer counts, then the
+    // count-of-counts histogram. Two keyed shuffles, both sublinear
+    // after the first agg.
+    "q13_order_count_distribution" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q16 shape (supplier diversity per part group): distinct
+    // suppliers per (brand, size) excluding a NOT IN subquery of
+    // flagged suppliers — spelled as a LEFT ANTI join (the keys are
+    // non-null, so NOT IN ≡ anti). Part dim and the (tiny) flagged
+    // list broadcast; the count-distinct shuffles on (brand, size).
+    "q16_supplier_part_types" -> ((s, dir) => {
+      val okParts = t(s, dir, "part")
+        .filter(col("p_type") =!= "ECONOMY")
+        .select("p_partkey", "p_brand", "p_size")
+      val flagged = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(okParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+        .limit(30)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the per-PART
+    // correlated average — items below a fifth of their part's mean
+    // quantity — decorrelated as a groupBy (sum, count) join-back
+    // with an integer cross-multiplied test (5·qty·cnt < sum), so
+    // the average never materializes as a double. l_quantity is
+    // integral-valued (cast exact, the q18 contract).
+    "q17_small_quantity_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pa = li.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty_sum"),
+          count(lit(1)).as("qty_cnt"))
+      li.join(pa, "l_partkey")
+        .filter(col("l_quantity").cast("long") * 5 * col("qty_cnt") <
+          col("qty_sum"))
+        .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("rev_e2"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // double-correlated EXISTS + NOT EXISTS — a supplier's LATE item
+    // (shipped > 85 days after the order date) on a multi-supplier
+    // order where NO OTHER supplier was late. Both correlations are
+    // keyed (order) joins: the EXISTS a LEFT SEMI against all items,
+    // the NOT EXISTS a LEFT ANTI against the late set, each with the
+    // supplier-inequality residual riding the equi key — never a
+    // per-row subquery.
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val late = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > date_add(col("o_orderdate"), 85))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = li.withColumnRenamed("l_orderkey", "o2")
+        .withColumnRenamed("l_suppkey", "s2")
+      val lateOthers = late.withColumnRenamed("l_orderkey", "o3")
+        .withColumnRenamed("l_suppkey", "s3")
+      late
+        .join(others, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
     // Latest-wins upsert (Upsert.latestWins): base snapshot + a
     // changelog batch (modified totalprice for keys %10, inserted new
     // keys for %97), merged by the argmax-without-a-Window plan. The
@@ -1838,6 +1949,57 @@ object RelationalQueries {
         |    GROUP BY l_partkey
         |    HAVING sum(l_quantity) > 60)
         |ORDER BY s_suppkey""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      ::BIGINT)::BIGINT AS value_e2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, value_e2 FROM pr
+        |WHERE value_e2 * 20000 > 13 * (SELECT sum(value_e2)::BIGINT FROM pr)
+        |ORDER BY value_e2 DESC, l_partkey""".stripMargin,
+    "q13_order_count_distribution" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q16_supplier_part_types" ->
+      """SELECT p_brand, p_size,
+        | count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'ECONOMY'
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 30""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, sum(l_quantity::BIGINT)::BIGINT AS qty_sum,
+        |    count(*)::BIGINT AS qty_cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        | sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS rev_e2,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN pa USING (l_partkey)
+        |WHERE l_quantity::BIGINT * 5 * qty_cnt < qty_sum""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 85 DAY),
+        |sole AS (
+        |  SELECT l1.l_orderkey, l1.l_suppkey FROM late l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |          WHERE l2.l_orderkey = l1.l_orderkey
+        |            AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late l3
+        |          WHERE l3.l_orderkey = l1.l_orderkey
+        |            AND l3.l_suppkey <> l1.l_suppkey))
+        |SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)

@@ -92,6 +92,34 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q21 double correlation is a semi + anti pair on the order key") {
+    val p = plan("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q11/q13/q16/q17: decorrelated joins, dims broadcast, no cartesian") {
+    Seq("q11_important_parts", "q13_order_count_distribution",
+      "q16_supplier_part_types", "q17_small_quantity_revenue")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        // q11's 1-row total is the only legitimate nested-loop: a
+        // broadcast single-row scalar join (the q15 spelling)
+        if (q != "q11_important_parts")
+          assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      }
+    // q16's NOT IN must be the anti join, not a filter re-scan
+    assert(plan("q16_supplier_part_types").contains("LeftAnti"))
+    // q17's correlated average is a keyed join-back of the part-sized
+    // aggregate — SMJ or shuffled hash, either is keyed
+    val p17 = plan("q17_small_quantity_revenue")
+    assert(p17.contains("SortMergeJoin") || p17.contains("ShuffledHashJoin")
+      || p17.contains("BroadcastHashJoin"), p17)
+  }
+
   test("x21 vocabulary joins back as a broadcast, cutoff via TakeOrdered") {
     val p = SparkEntry.queries("x21_vocab_coverage")(spark, sf)
       .queryExecution.executedPlan.toString
