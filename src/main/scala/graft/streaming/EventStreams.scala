@@ -123,6 +123,99 @@ object EventStreams {
       }
   }
 
+  case class SessState(startMs: Long, lastMs: Long, n: Long, totalE6: Long)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, total_e6: Long)
+
+  /** Timer-driven sessionization on Spark 4's transformWithState —
+    * the arbitrary-state API that succeeds flatMapGroupsWithState.
+    * What the declarative `session_window` spelling ([[sessionCounts]])
+    * cannot express: a session CLOSES — and its summary row EMITS —
+    * the moment the event-time watermark passes `lastEvent + gap`,
+    * via a registered per-key timer, instead of waiting for the
+    * user's next event (or query end) to flush the aggregation. The
+    * monitoring shape: "tell me when the user went quiet".
+    *
+    * State: ONE SessState per live user (start, last, count, e6 value
+    * sum — scores quantize e6 on ingest, replay-exact), plus one
+    * armed timer per live user, re-armed to the new horizon on every
+    * batch the user appears in (old timer deleted — timers never
+    * accumulate). Sessions also split WITHIN a batch when successive
+    * events sit further than `gap` apart (batch rows sort by event
+    * time first). State and timers clear on close, so a quiet user
+    * costs nothing — bounded by LIVE users, not seen users.
+    *
+    * Requires the RocksDB state store provider (a transformWithState
+    * constraint) and an event-time watermark on `ts`; scale-wise the
+    * state partitions by user exactly like the other keyed stateful
+    * operators. */
+  def sessionizeWithTimers(events: Dataset[Event], gapMs: Long,
+    watermark: String = "1 hour"): Dataset[SessionOut] = {
+    require(gapMs > 0, s"gap must be positive, got $gapMs")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The per-key machinery behind [[sessionizeWithTimers]]. */
+  private class SessionTimerProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Event, SessionOut] {
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var sess: ss.ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+      timeMode: ss.TimeMode): Unit =
+      sess = getHandle.getValueState[SessState]("sess",
+        Encoders.product[SessState], ss.TTLConfig.NONE)
+
+    private def closed(userId: Long, s: SessState) = SessionOut(userId,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
+      s.n, s.totalE6)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+      tv: ss.TimerValues): Iterator[SessionOut] = {
+      val evs = rows.toArray.sortBy(_.ts.getTime)
+      var out = List.empty[SessionOut]
+      var cur = if (sess.exists()) sess.get() else null
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        val v = math.floor(e.value * 1e6 + 0.5).toLong
+        if (cur == null) cur = SessState(t, t, 1L, v)
+        else if (t > cur.lastMs + gapMs) {
+          out ::= closed(userId, cur)
+          cur = SessState(t, t, 1L, v)
+        } else cur = SessState(math.min(cur.startMs, t),
+          math.max(cur.lastMs, t), cur.n + 1, cur.totalE6 + v)
+      }
+      // single armed timer per key: re-arm at the new horizon
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (cur != null) {
+        sess.update(cur)
+        getHandle.registerTimer(cur.lastMs + gapMs)
+      }
+      out.reverse.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: ss.TimerValues,
+      info: ss.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val s = sess.get()
+        // a stale timer (events arrived after it was registered but
+        // its delete raced the expiry) must not close a live session
+        if (info.getExpiryTimeInMs() >= s.lastMs + gapMs) {
+          sess.clear()
+          Iterator.single(closed(userId, s))
+        } else Iterator.empty
+      }
+    }
+  }
+
   /** Stream-stream interval join — view→click attribution: each
     * click pairs with the SAME user's views from the preceding
     * `maxDelay` window (view_ts ∈ [click_ts − maxDelay, click_ts]).

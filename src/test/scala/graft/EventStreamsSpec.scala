@@ -207,6 +207,61 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("transformWithState sessionization: timers close quiet sessions") {
+    // the capability session_window can't express: u1's session must
+    // EMIT when the watermark passes lastEvent + gap — no further u1
+    // event exists to flush it. Requires the RocksDB provider (a
+    // transformWithState constraint); restore the default after.
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .sessionizeWithTimers(in.toDS(), gapMs = 30 * 60 * 1000L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tws_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1: two events 10 min apart (one session); the SAME batch also
+      // carries a u2 pair 45 min apart — that splits IN-BATCH and the
+      // first u2 session emits immediately, no timer needed
+      in.addData(
+        ev(1, "2026-01-01 10:00:00", 1, "a", 2.0),
+        ev(2, "2026-01-01 10:10:00", 1, "a", 3.0),
+        ev(3, "2026-01-01 10:00:00", 2, "a", 1.0),
+        ev(4, "2026-01-01 10:45:00", 2, "a", 1.0))
+      q.processAllAvailable()
+      val early = spark.table("tws_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getLong(4))).toSet
+      assert(early == Set((2L, "2026-01-01 10:00:00.0",
+        "2026-01-01 10:00:00.0", 1L, 1000000L)),
+        s"in-batch split should emit exactly u2's first session: $early")
+      // advance the watermark past u1's horizon (10:10 + 30min gap +
+      // 10min delay → any event past 10:50+10min); two batches: one
+      // to carry the event, one so the new watermark drives timers
+      in.addData(ev(5, "2026-01-01 12:00:00", 9, "a", 1.0))
+      q.processAllAvailable()
+      in.addData(ev(6, "2026-01-01 12:00:01", 9, "a", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("tws_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getLong(4))).toSet
+      assert(after.contains((1L, "2026-01-01 10:00:00.0",
+        "2026-01-01 10:10:00.0", 2L, 5000000L)),
+        s"u1's quiet session not closed by its timer: $after")
+      assert(after.contains((2L, "2026-01-01 10:45:00.0",
+        "2026-01-01 10:45:00.0", 1L, 1000000L)),
+        s"u2's second session not closed by its timer: $after")
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+    }
+  }
+
   test("streaming leaderboard keeps the k best per group across batches") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Event]
