@@ -97,6 +97,32 @@ object LinkageQueries {
         .crossJoin(Triangles.count(e, "u", "v"))
     }),
 
+    // 3-round k-core peel (k=3) of the SAME sparsified co-purchase
+    // graph as n3 — the dense-backbone extraction a curation pipeline
+    // runs for spam-ring / link-farm detection. Fixed-round BY
+    // CONTRACT (the oracle unrolls exactly 3 peels; each round only
+    // shrinks toward the true core — KCore doc); the exact-fixpoint
+    // face is spec-checked by invariant in KCoreSpec. Output: each
+    // surviving vertex with its degree after round 3.
+    "n4_kcore" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairInst = li.as("a")
+        .join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("l_orderkey"),
+          col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val e = pairInst
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"))
+      KCore.degrees(KCore.peel(e, k = 3, rounds = 3))
+        .select(col("id").as("part_id"), col("deg").as("core_deg"))
+        .orderBy("part_id")
+    }),
+
     // Trained quality classifier: 2 full-batch perceptron rounds
     // over integer document features, then confusion counts of the
     // learned weights — TRAINING is oracle-checked, not just
@@ -200,6 +226,36 @@ object LinkageQueries {
       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
       |c AS (SELECT count(*)::BIGINT AS n_edges FROM e)
       |SELECT n_edges, n_triangles FROM c CROSS JOIN t""".stripMargin,
+
+    // three unrolled peel rounds over the n3 edge set; each round is
+    // degree-filter-then-edge-restrict, the same step KCore.peel runs
+    "n4_kcore" -> {
+      def peelRound(i: Int): String = {
+        val prev = if (i == 1) "e0" else s"e${i - 1}"
+        s"""d$i AS (SELECT x, count(*) AS d FROM (
+           |  SELECT u AS x FROM $prev UNION ALL SELECT v FROM $prev)
+           | GROUP BY 1),
+           |k$i AS (SELECT x FROM d$i WHERE d >= 3),
+           |e$i AS (SELECT u, v FROM $prev
+           | WHERE u IN (SELECT x FROM k$i)
+           |   AND v IN (SELECT x FROM k$i))""".stripMargin
+      }
+      s"""
+      |WITH pi AS (
+      | SELECT DISTINCT a.l_orderkey AS o,
+      |  a.l_partkey AS u, b.l_partkey AS v
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey),
+      |e0 AS (SELECT u, v FROM pi GROUP BY u, v
+      |       HAVING count(*) >= 2),
+      |${peelRound(1)},
+      |${peelRound(2)},
+      |${peelRound(3)}
+      |SELECT id AS part_id, count(*)::BIGINT AS core_deg FROM (
+      |  SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // Round 1 from w = 0 is folded into direct sums: zero weights
     // give zero margins, the ≤ 0 test keeps every row, so
