@@ -1030,6 +1030,106 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q8 shape (national market share): one supplier-nation's
+    // share of a region's market for a part type, per order year —
+    // the conditional-share-of-aggregate pattern. Both the CASE'd
+    // numerator and the total accumulate in integer cents; the share
+    // divides ONCE in double and quantizes e6 (the q14 contract).
+    // All dims broadcast; the fact scans once.
+    "q8_market_share" -> ((s, dir) => {
+      val custNation = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .select(col("c_custkey"))
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .withColumnRenamed("n_name", "supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("rev_e2", floor(col("l_extendedprice") *
+          (lit(1) - col("l_discount")) * 100 + 0.5).cast("long"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", col("rev_e2"))
+            .otherwise(0L)).as("nation_rev_e2"),
+          sum(col("rev_e2")).as("total_rev_e2"))
+        .withColumn("share_e6",
+          floor(col("nation_rev_e2").cast("double") * 1000000
+            / col("total_rev_e2") + 0.5).cast("long"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9 shape (product-line profit by nation and year): this
+    // schema has no partsupp supply cost, so profit = discounted
+    // revenue MINUS the tax charge — each term floors to cents
+    // independently before the subtraction, keeping the whole
+    // aggregate in int64. Part-name LIKE filter + supplier-nation
+    // rollup per year, dims broadcast.
+    "q9_product_profit" -> ((s, dir) => {
+      val bolts = t(s, dir, "part")
+        .filter(col("p_name").contains("bolt")).select("p_partkey")
+      val suppNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(bolts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("profit_e2",
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 100 + 0.5).cast("long") -
+          floor(col("l_extendedprice") * col("l_tax") * 100 + 0.5)
+            .cast("long"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum("profit_e2").as("profit_e2"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q12 shape (priority counts per shipping class): the
+    // schema has no shipmode, so the class is the shipping DELAY
+    // bucket (order→ship days: ≤30 fast, ≤60 medium, else slow) —
+    // same CASE-count split of urgent vs other priorities per class.
+    // One fact join keyed on the order, one aggregation.
+    "q12_delay_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_class",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) <= 30,
+            "1_fast")
+            .when(datediff(col("l_shipdate"), col("o_orderdate")) <= 60,
+              "2_medium")
+            .otherwise("3_slow"))
+        .groupBy(col("delay_class"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("delay_class")
+    }),
+
     // TPC-H Q11 shape (important stock): parts whose revenue exceeds
     // 1.3× the mean share — the global-scalar-subquery HAVING. The
     // fraction test cross-multiplies in integer cents (value·20000 >
@@ -1949,6 +2049,59 @@ object RelationalQueries {
         |    GROUP BY l_partkey
         |    HAVING sum(l_quantity) > 60)
         |ORDER BY s_suppkey""".stripMargin,
+    "q8_market_share" ->
+      """SELECT
+        | EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+        | sum(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |     ::BIGINT ELSE 0 END)::BIGINT AS nation_rev_e2,
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |   ::BIGINT)::BIGINT AS total_rev_e2,
+        | CAST(floor(
+        |   sum(CASE WHEN sn.n_name = 'NATION_3'
+        |     THEN floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |       ::BIGINT ELSE 0 END)::DOUBLE * 1000000
+        |   / sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |       ::BIGINT) + 0.5) AS BIGINT) AS share_e6
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name,
+        | EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+        | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |     ::BIGINT
+        |   - floor(l_extendedprice * l_tax * 100 + 0.5)::BIGINT)
+        |  ::BIGINT AS profit_e2,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+    "q12_delay_priority" ->
+      """SELECT
+        | CASE
+        |   WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+        |     THEN '1_fast'
+        |   WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
+        |     THEN '2_medium'
+        |   ELSE '3_slow' END AS delay_class,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q11_important_parts" ->
       """WITH pr AS (
         |  SELECT l_partkey,

@@ -65,6 +65,13 @@ import org.apache.spark.sql.internal.SQLConf
   * `spark.graft.topk.rewriteMaxGroups` (default 32768) — so with
   * stats present, a high-cardinality key keeps the window even under
   * rewrite.enabled=true. See [[ndvPermitsHeap]].
+  *
+  * The conf takes a THIRD value, `auto`: rewrite ONLY what stats
+  * prove cheap — group keys with column stats whose estimated count
+  * clears the gate; anything without stats keeps the window. `auto`
+  * is safe to leave on for a whole warehouse session: it can never
+  * pessimize an un-analyzed query, and analyzed low-cardinality
+  * workloads get the heap without per-query opt-ins.
   */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -72,14 +79,19 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val RewriteMaxKKey = "spark.graft.topk.rewriteMaxK"
   val RewriteMaxGroupsKey = "spark.graft.topk.rewriteMaxGroups"
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (!SQLConf.get.getConfString(EnabledKey, "false").toBoolean) plan
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val mode = SQLConf.get.getConfString(EnabledKey, "false")
+      .toLowerCase(java.util.Locale.ROOT)
+    if (mode != "true" && mode != "auto") plan
     else plan.transformUp {
       case f @ Filter(cond, w: Window) =>
-        rewrite(cond, w).map(p => f.copy(child = p)).getOrElse(f)
+        rewrite(cond, w, requireStats = mode == "auto")
+          .map(p => f.copy(child = p)).getOrElse(f)
     }
+  }
 
-  private def rewrite(cond: Expression, w: Window): Option[Window] = {
+  private def rewrite(cond: Expression, w: Window,
+    requireStats: Boolean): Option[Window] = {
     // clamp: k flows into GroupedTopKPlan's Int field, so a user
     // raising the cap past Int.MaxValue must not overflow k.toInt
     val maxK = math.min(
@@ -104,7 +116,7 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case other => other
       }
       if k >= 1 && k <= maxK && notAlreadyPruned(w.child, groups, k) &&
-        ndvPermitsHeap(base, groups)
+        ndvPermitsHeap(base, groups, requireStats)
     } yield {
       w.copy(child = GroupedTopKPlan(groups, ordAttr,
         order.direction == org.apache.spark.sql.catalyst.expressions
@@ -167,14 +179,17 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     * behavior — the user who set rewrite.enabled=true asked for the
     * heap and owns the cardinality call. */
   private def ndvPermitsHeap(child: LogicalPlan,
-    groups: Seq[Attribute]): Boolean = {
+    groups: Seq[Attribute], requireStats: Boolean): Boolean = {
     val maxGroups = BigInt(SQLConf.get.getConfString(
       RewriteMaxGroupsKey, "32768").toLong)
     val stats = child.stats
     val ndvs = groups.flatMap(g =>
       stats.attributeStats.get(g).flatMap(_.distinctCount))
-    if (ndvs.length != groups.length) true // stats absent → trust conf
-    else {
+    if (ndvs.length != groups.length) {
+      // stats absent: "true" trusts the user's opt-in; "auto" only
+      // rewrites what the stats PROVE cheap, so it declines
+      !requireStats
+    } else {
       val est = stats.rowCount.fold(ndvs.product)(_.min(ndvs.product))
       est <= maxGroups
     }

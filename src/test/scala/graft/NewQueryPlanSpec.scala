@@ -120,6 +120,18 @@ class NewQueryPlanSpec extends SparkTestBase {
       || p17.contains("BroadcastHashJoin"), p17)
   }
 
+  test("q8/q9/q12: dims broadcast, one fact pass, no cartesian") {
+    Seq("q8_market_share", "q9_product_profit", "q12_delay_priority")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+        assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      }
+    // q8's market membership is a semi-join, not a dim expansion
+    assert(plan("q8_market_share").contains("LeftSemi"))
+  }
+
   test("x21 vocabulary joins back as a broadcast, cutoff via TakeOrdered") {
     val p = SparkEntry.queries("x21_vocab_coverage")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -275,6 +275,37 @@ class TopKRewriteSpec extends SparkTestBase
     }
   }
 
+  test("auto mode rewrites only what stats prove cheap") {
+    // enabled=auto is the leave-on-for-the-session setting: a frame
+    // WITHOUT column stats keeps the window (it can never pessimize
+    // an un-analyzed query); an analyzed low-ndv table still gets
+    // the heap
+    spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "auto")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val nostats = frame.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc)))
+        .filter(col("rn") <= 3)
+      assert(!physical(nostats).contains("GroupedTopK"), physical(nostats))
+      spark.range(0, 2000)
+        .select((col("id") % 7).as("g"), col("id").as("v"))
+        .write.mode("overwrite").saveAsTable("topk_auto_low")
+      spark.sql(
+        "ANALYZE TABLE topk_auto_low COMPUTE STATISTICS FOR COLUMNS g, v")
+      val proven = spark.table("topk_auto_low")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("g")).orderBy(col("v").desc)))
+        .filter(col("rn") <= 3)
+      assert(physical(proven).contains("GroupedTopK"),
+        s"auto should heap the ndv=7 analyzed table:\n${physical(proven)}")
+      assert(proven.count() == 7 * 3)
+    } finally {
+      spark.conf.set(graft.plans.TopKRewrite.EnabledKey, "true")
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS topk_auto_low")
+    }
+  }
+
   test("k above rewriteMaxK declines; conjunction with other predicates rewrites") {
     spark.conf.set(graft.plans.TopKRewrite.RewriteMaxKKey, "3")
     try {
