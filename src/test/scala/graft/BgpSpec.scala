@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.GeomFunctions
+import graft.ttl.Bgp
+import graft.ttl.Bgp.Pattern
+import graft.ttl.Turtle.Triple
+import org.apache.spark.sql.functions._
+
+class BgpSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+  private val hasGeom = "<http://ex.org/hasGeometry>"
+  private val coords = "<http://ex.org/coords>"
+  private val mark = "<http://ex.org/Mark>"
+  private val label = "<http://ex.org/label>"
+
+  // two marks with geometries (colon-string, the reference's F2
+  // format), one typed node without geometry, one stray triple
+  private def graph = Seq(
+    Triple("<http://ex.org/m1>", rdfType, mark),
+    Triple("<http://ex.org/m1>", hasGeom, "<http://ex.org/g1>"),
+    Triple("<http://ex.org/g1>", coords, "\"0:0:4:0:4:4:0:4\""),
+    Triple("<http://ex.org/m1>", label, "\"tumor\""),
+    Triple("<http://ex.org/m2>", rdfType, mark),
+    Triple("<http://ex.org/m2>", hasGeom, "<http://ex.org/g2>"),
+    Triple("<http://ex.org/g2>", coords, "\"10:10:12:10:12:12:10:12\""),
+    Triple("<http://ex.org/m2>", label, "\"stroma\""),
+    Triple("<http://ex.org/m3>", rdfType, mark),
+    Triple("<http://ex.org/other>", label, "\"noise\"")).toDS()
+
+  test("single pattern binds variables; constants filter") {
+    val marks = Bgp.query(graph, Seq(Pattern("?m", rdfType, mark)))
+      .as[String].collect().toSet
+    assert(marks == Set("<http://ex.org/m1>", "<http://ex.org/m2>",
+      "<http://ex.org/m3>"))
+  }
+
+  test("multi-pattern join chains on shared variables") {
+    val got = Bgp.query(graph, Seq(
+      Pattern("?m", rdfType, mark),
+      Pattern("?m", hasGeom, "?g"),
+      Pattern("?g", coords, "?c"),
+      Pattern("?m", label, "?l")))
+      .orderBy("m").as[(String, String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("<http://ex.org/m1>", "<http://ex.org/g1>",
+        "\"0:0:4:0:4:4:0:4\"", "\"tumor\""),
+      ("<http://ex.org/m2>", "<http://ex.org/g2>",
+        "\"10:10:12:10:12:12:10:12\"", "\"stroma\"")))
+    // m3 (no geometry) and the stray label node joined away
+  }
+
+  test("geosparql: containment over BGP-bound geometry columns") {
+    // the namesake query: which marks' polygons contain point (2, 2)?
+    val bound = Bgp.query(graph, Seq(
+      Pattern("?m", hasGeom, "?g"),
+      Pattern("?g", coords, "?c")))
+    val inside = bound
+      .withColumn("geom", GeomFunctions.polygonFromColonString(
+        regexp_replace(col("c"), "\"", "")))
+      .filter(GeomFunctions.stContains(col("geom"), lit(2.0), lit(2.0)))
+      .select("m").as[String].collect().toSeq
+    assert(inside == Seq("<http://ex.org/m1>"))
+  }
+
+  test("repeated variable in one pattern forces self-equality") {
+    val g = (graph.collect().toSeq :+
+      Triple("<http://ex.org/self>", label, "<http://ex.org/self>"))
+      .toDS()
+    val selfRef = Bgp.query(g, Seq(Pattern("?x", label, "?x")))
+      .as[String].collect().toSeq
+    assert(selfRef == Seq("<http://ex.org/self>"))
+  }
+
+  test("disconnected patterns are refused, not planned as a cartesian") {
+    val e = intercept[IllegalArgumentException] {
+      Bgp.query(graph, Seq(
+        Pattern("?a", rdfType, mark),
+        Pattern("?b", label, "?l")))
+    }
+    assert(e.getMessage.contains("disconnected"), e.getMessage)
+  }
+
+  test("constant-only pattern acts as an existence gate") {
+    val some = Bgp.query(graph, Seq(
+      Pattern("?m", rdfType, mark),
+      Pattern("<http://ex.org/m1>", label, "\"tumor\"")))
+    assert(some.count() == 3) // gate matched: bindings flow through
+    val none = Bgp.query(graph, Seq(
+      Pattern("?m", rdfType, mark),
+      Pattern("<http://ex.org/m1>", label, "\"absent\"")))
+    assert(none.count() == 0)
+  }
+}
