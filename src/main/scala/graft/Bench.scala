@@ -178,10 +178,18 @@ object Bench {
     // unique enumeration prefix ("x10_tfidf_top" → "x10" — prefixes
     // are unique across the whole suite by construction), values to
     // 0.01 s — ~1.9k chars at 160 queries, inside the tail window.
-    val compact = results.map { case (k, v) =>
-      f""""${k.takeWhile(_ != '_')}":$v%.2f"""
-    }.mkString("{", ",", "}")
-    println(s"""{"queries_compact":$compact}""")
+    def compactLine(decimals: Int): String = results.map {
+      case (k, v) =>
+        // Locale.ROOT: a comma decimal separator would break the JSON
+        val num = String.format(java.util.Locale.ROOT,
+          s"%.${decimals}f", Double.box(v))
+        s""""${k.takeWhile(_ != '_')}":$num"""
+    }.mkString("""{"queries_compact":{""", ",", "}}")
+    // stay under the tail window with headroom as the suite grows:
+    // drop to 1 decimal before overflowing (0.1 s resolution still
+    // adjudicates every regression the gate cares about)
+    val line2 = compactLine(2)
+    println(if (line2.length <= 1900) line2 else compactLine(1))
     spark.stop()
   }
 }

@@ -123,6 +123,40 @@ object LinkageQueries {
         .orderBy("part_id")
     }),
 
+    // BGP matching with an ORACLE face: the relational tables viewed
+    // as an RDF graph (order→customer, order→priority, order→part
+    // triples — distinct, set semantics), then the 3-pattern
+    // conjunctive query "urgent orders with their customer and
+    // parts" through Bgp.query's join compilation. The oracle is the
+    // equivalent relational join, so what's under test is exactly
+    // the pattern→join compilation.
+    "n5_bgp" -> ((s, dir) => {
+      import graft.ttl.Bgp
+      val ord = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      val triples = ord.select(
+        concat(lit("o"), col("o_orderkey")).as("s"),
+        lit("ordered_by").as("p"),
+        concat(lit("c"), col("o_custkey")).as("o"))
+        .unionByName(ord.select(
+          concat(lit("o"), col("o_orderkey")).as("s"),
+          lit("has_priority").as("p"),
+          col("o_orderpriority").as("o")))
+        .unionByName(li.select(
+          concat(lit("o"), col("l_orderkey")).as("s"),
+          lit("contains_part").as("p"),
+          concat(lit("p"), col("l_partkey")).as("o")))
+        .distinct()
+        .as[graft.ttl.Turtle.Triple](
+          org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
+      Bgp.query(triples, Seq(
+        Bgp.Pattern("?ord", "has_priority", "1-URGENT"),
+        Bgp.Pattern("?ord", "ordered_by", "?cust"),
+        Bgp.Pattern("?ord", "contains_part", "?part")))
+        .select(col("ord"), col("cust"), col("part"))
+        .orderBy("ord", "cust", "part")
+    }),
+
     // Trained quality classifier: 2 full-batch perceptron rounds
     // over integer document features, then confusion counts of the
     // learned weights — TRAINING is oracle-checked, not just
@@ -226,6 +260,22 @@ object LinkageQueries {
       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
       |c AS (SELECT count(*)::BIGINT AS n_edges FROM e)
       |SELECT n_edges, n_triangles FROM c CROSS JOIN t""".stripMargin,
+
+    // the BGP's relational equivalent: three distinct triple
+    // relations joined on the shared subject
+    "n5_bgp" ->
+      """WITH t1 AS (
+        |  SELECT DISTINCT 'o' || o_orderkey AS ord FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'),
+        |t2 AS (
+        |  SELECT DISTINCT 'o' || o_orderkey AS ord,
+        |    'c' || o_custkey AS cust FROM orders),
+        |t3 AS (
+        |  SELECT DISTINCT 'o' || l_orderkey AS ord,
+        |    'p' || l_partkey AS part FROM lineitem)
+        |SELECT t1.ord AS ord, cust, part
+        |FROM t1 JOIN t2 ON t1.ord = t2.ord JOIN t3 ON t1.ord = t3.ord
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // three unrolled peel rounds over the n3 edge set; each round is
     // degree-filter-then-edge-restrict, the same step KCore.peel runs
