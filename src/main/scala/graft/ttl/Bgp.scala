@@ -78,4 +78,38 @@ object Bgp {
       else acc.crossJoin(next) // only the 1-row "_matched" probe
     }.drop("_matched")
   }
+
+  private def sharedVars(solutions: DataFrame, triples: Dataset[Triple],
+    patterns: Seq[Pattern], what: String): (DataFrame, Seq[String]) = {
+    val side = query(triples, patterns)
+    val shared = solutions.columns.toSet
+      .intersect(side.columns.toSet).toSeq
+    require(shared.nonEmpty,
+      s"$what group shares no variable with the solutions - " +
+        "it cannot constrain them")
+    (side, shared)
+  }
+
+  /** SPARQL OPTIONAL: extend each solution with the group's bindings
+    * when it matches, null-fill its exclusive variables when it
+    * doesn't — a LEFT OUTER join on the shared variables. */
+  def optional(solutions: DataFrame, triples: Dataset[Triple],
+    patterns: Seq[Pattern]): DataFrame = {
+    val (side, shared) = sharedVars(solutions, triples, patterns,
+      "OPTIONAL")
+    solutions.join(side, shared, "left_outer")
+  }
+
+  /** SPARQL MINUS: drop every solution for which the group matches
+    * on the shared variables — a LEFT ANTI join (SPARQL's MINUS on
+    * domain-overlapping groups; the no-shared-variable case, where
+    * SPARQL MINUS removes nothing, is refused as a probable
+    * query-authoring bug rather than silently kept). */
+  def minus(solutions: DataFrame, triples: Dataset[Triple],
+    patterns: Seq[Pattern]): DataFrame = {
+    val (side, shared) = sharedVars(solutions, triples, patterns,
+      "MINUS")
+    solutions.join(side.select(shared.map(col): _*).distinct(),
+      shared, "left_anti")
+  }
 }

@@ -82,6 +82,27 @@ class BgpSpec extends SparkTestBase {
     assert(e.getMessage.contains("disconnected"), e.getMessage)
   }
 
+  test("OPTIONAL extends with nulls; MINUS drops matching solutions") {
+    val marks = Bgp.query(graph, Seq(Pattern("?m", rdfType, mark)))
+    // OPTIONAL geometry: m1/m2 bind ?g, m3 null-fills
+    val withGeom = Bgp.optional(marks, graph,
+      Seq(Pattern("?m", hasGeom, "?g")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(withGeom == Set(
+      ("<http://ex.org/m1>", Some("<http://ex.org/g1>")),
+      ("<http://ex.org/m2>", Some("<http://ex.org/g2>")),
+      ("<http://ex.org/m3>", None)), withGeom)
+    // MINUS the marks that have a geometry: only m3 survives
+    val bare = Bgp.minus(marks, graph, Seq(Pattern("?m", hasGeom, "?g")))
+      .as[String].collect().toSeq
+    assert(bare == Seq("<http://ex.org/m3>"), bare)
+    // a group sharing no variable cannot constrain — refused
+    val e = intercept[IllegalArgumentException] {
+      Bgp.minus(marks, graph, Seq(Pattern("?x", label, "?l")))
+    }
+    assert(e.getMessage.contains("shares no variable"), e.getMessage)
+  }
+
   test("constant-only pattern acts as an existence gate") {
     val some = Bgp.query(graph, Seq(
       Pattern("?m", rdfType, mark),
