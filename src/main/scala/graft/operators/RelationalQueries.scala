@@ -182,6 +182,47 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Rolling z-score anomaly flags: orders more than 2 sample
+    // standard deviations from their customer's trailing-2000-day mean
+    // — the per-entity outlier census a spend/quality monitor runs.
+    // NO float sqrt or division anywhere: z² > 4 cross-multiplies to
+    //   (x·n − sum)²·(n−1)  >  4·n·(n·sumsq − sum²)
+    // in DECIMAL(38,0) (the squared terms overflow int64 at cent
+    // scale), so the flag is bit-identical on any engine with exact
+    // decimals. Window sums stay int64 (price_e2² ≈ 3e15 × ≤30-row
+    // windows < 9.2e18); only the comparison widens.
+    "w10_rolling_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"))
+        .rangeBetween(-2000, Window.currentRow)
+      val dec = "decimal(38,0)"
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("price_e2"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum("price_e2").over(w))
+        .withColumn("ss",
+          sum(col("price_e2") * col("price_e2")).over(w))
+        // n >= 4: smaller windows cannot clear 2 sigma at all (a
+        // 2-point window is symmetric by construction)
+        .filter(col("n") >= 4)
+        .withColumn("dev",
+          (col("price_e2") * col("n") - col("s")).cast(dec))
+        .withColumn("is_outlier",
+          col("dev") * col("dev") * (col("n") - 1).cast(dec) >
+            lit(4).cast(dec) * col("n").cast(dec) *
+              (col("n").cast(dec) * col("ss").cast(dec) -
+                col("s").cast(dec) * col("s").cast(dec)))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Pivot (wide conditional aggregation) with an explicit value list
     // so the schema is static; missing combos coalesced to 0.
     "p14_pivot" -> ((s, dir) => {
@@ -1600,6 +1641,26 @@ object RelationalQueries {
         | sum(roll)::BIGINT AS sum_roll_e2,
         | max(roll)::BIGINT AS max_roll_e2
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w10_rolling_zscore" ->
+      """WITH b AS (SELECT o_custkey, o_orderpriority,
+        |  date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+        |    ::BIGINT AS day,
+        |  floor(o_totalprice * 100 + 0.5)::BIGINT AS price_e2
+        | FROM orders),
+        |r AS (SELECT o_orderpriority, price_e2,
+        |  count(*) OVER w AS n,
+        |  sum(price_e2) OVER w AS s,
+        |  sum(price_e2 * price_e2) OVER w AS ss
+        | FROM b WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 2000 PRECEDING AND CURRENT ROW))
+        |SELECT o_orderpriority,
+        | count(*)::BIGINT AS n_windows,
+        | sum(CASE WHEN
+        |   (price_e2::HUGEINT * n - s) * (price_e2::HUGEINT * n - s)
+        |     * (n - 1)
+        |   > 4 * n::HUGEINT * (n * ss::HUGEINT - s::HUGEINT * s)
+        |  THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM r WHERE n >= 4 GROUP BY 1 ORDER BY 1""".stripMargin,
     "p14_pivot" ->
       """SELECT l_returnflag,
         | count(*) FILTER (l_linestatus = 'F') AS "F",
