@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *
   *  - **Iterative min-label propagation** (edge count above the cap):
   *    neighbor-min each round, rounds bounded by component diameter,
-  *    per-round persist with the previous cache dropped and the edge
-  *    set cached once (its lineage is the whole upstream pipeline).
-  *    Loud IllegalStateException on non-convergence.
+  *    per-round persist (all released together downstream — see the
+  *    cache-discipline notes inline) and the edge set cached once
+  *    (its lineage is the whole upstream pipeline). Loud
+  *    IllegalStateException on non-convergence.
   */
 object ConnectedComponents {
 
@@ -36,20 +37,22 @@ object ConnectedComponents {
     * its component's min id. */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
     maxIter: Int = 25, localEdgeCap: Long = LocalEdgeCap): DataFrame = {
-    val sym = edges
+    // tracked, NOT unpersisted here: an eager `sym.unpersist()` after
+    // the branch returns would recache-invalidate the branch's JUST
+    // materialized result (a parent uncache re-compiles dependent
+    // cache entries, discarding their buffers — the Bfs.minHops
+    // cache-discipline lesson), so the caller's first real read would
+    // re-run the whole closure AND the upstream pair pipeline from
+    // lineage. Released with everything else at `releaseAll()`.
+    val sym = Broadcasting.track(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst")))
-      .persist()
-    try {
-      val probe = math.min(localEdgeCap + 1, Int.MaxValue.toLong).toInt
-      if (sym.limit(probe).count() <= localEdgeCap) localUnionFind(sym)
-      else iterate(sym, maxIter)
-    } finally sym.unpersist()
-    // NOTE: the result of either branch is materialized (localUnionFind
-    // collects nothing but is computed under the persist; iterate
-    // persists its result) before sym is released — see each branch.
+      .persist())
+    val probe = math.min(localEdgeCap + 1, Int.MaxValue.toLong).toInt
+    if (sym.limit(probe).count() <= localEdgeCap) localUnionFind(sym)
+    else iterate(sym, maxIter)
   }
 
   /** One-task exact union-find: path compression + min-root linking,
@@ -90,9 +93,10 @@ object ConnectedComponents {
   }
 
   private def iterate(sym: DataFrame, maxIter: Int): DataFrame = {
-    var comp = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .persist()
+    var comp = Broadcasting.track(
+      sym.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .persist())
     comp.count() // each round starts from a cut lineage
     var round = 0
     var converged = false
@@ -100,20 +104,24 @@ object ConnectedComponents {
       if (round >= maxIter)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIter rounds")
-      val next = sym.join(comp, col("src") === col("id"))
+      // no mid-loop unpersist of the previous round: the `changed`
+      // count has just materialized `next`, and uncaching its parent
+      // would discard those buffers (see minLabel). Rounds release
+      // together at `releaseAll()`; peak cache is rounds × (id, comp)
+      // pairs — label frames, never the corpus.
+      val next = Broadcasting.track(sym.join(comp, col("src") === col("id"))
         .select(col("dst").as("id"), col("comp"))
         .union(comp.select(col("id"), col("comp")))
         .groupBy(col("id")).agg(min("comp").as("comp"))
-        .persist()
+        .persist())
       val changed = next.join(comp.withColumnRenamed("comp", "prev"),
         Seq("id"))
         .filter(col("comp") < col("prev")).count()
-      comp.unpersist()
       comp = next
       converged = changed == 0
       round += 1
     }
-    Broadcasting.track(comp) // see localUnionFind — same release contract
+    comp // tracked above — same release contract as localUnionFind
   }
 
   /** Dedup grouping: component assignment for every doc in `pairs`

@@ -44,28 +44,39 @@ object KCore {
   }
 
   /** `rounds` synchronous peeling steps from `edges` (cols `u`, `v`,
-    * canonical u < v, no duplicates). Returns the surviving edges. */
+    * canonical u < v, no duplicates). Returns the surviving edges.
+    *
+    * The INPUT persists (round 1 reads it three times — the degree
+    * union twice plus the semi-join probe — and an expensive
+    * upstream build like n4's co-purchase self-join would re-execute
+    * per read), and NO round unpersists mid-chain: the old
+    * unpersist-previous-round spelling removed each round's cache
+    * entry before anything materialized, so the final consumer
+    * re-derived round r from round r-1's LINEAGE — a 3^rounds
+    * read fan-out of the base (the Bfs.minHops cache-discipline
+    * lesson). Rounds release together via the caller's
+    * `releaseAll()`; peak cache is the shrinking per-round series. */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 0,
       s"k must be >= 1 and rounds >= 0: $k/$rounds")
-    // the INPUT persists too: round 1 reads it three times, and an
-    // expensive upstream build (n4's co-purchase self-join) would
-    // otherwise re-execute per read — measured 5.2 s → ~3 s on the
-    // n4 bench query
     var e = edges.select(col("u"), col("v"))
-    var prev: DataFrame =
-      if (rounds > 0) { e = Broadcasting.track(e.persist()); e }
-      else null
+    if (rounds > 0) e = Broadcasting.track(e.persist())
     for (_ <- 1 to rounds) {
       e = Broadcasting.track(oneRound(e, k).persist())
-      prev.unpersist()
-      prev = e
     }
     e
   }
 
   /** Exact k-core: peel until the edge count is stable (one count
-    * action per round — the CC-style gate), capped at `maxRounds`. */
+    * action per round — the CC-style gate), capped at `maxRounds`.
+    *
+    * No mid-loop unpersist: releasing round r after counting round
+    * r+1 makes the CacheManager recache-invalidate r+1's JUST
+    * materialized buffers (the Bfs.minHops lesson — a dependent
+    * cache entry is re-compiled, data discarded, when its parent
+    * uncaches), turning the loop quadratic. Rounds stay cached until
+    * the caller's `releaseAll()`; peak cache is Σ rounds' edge sets,
+    * a monotonically SHRINKING series bounded by rounds × |E|. */
   def peelToFixpoint(edges: DataFrame, k: Int,
     maxRounds: Int = 100): DataFrame = {
     require(k >= 1 && maxRounds >= 1,
@@ -78,7 +89,6 @@ object KCore {
     while (!stable && r < maxRounds) {
       val next = Broadcasting.track(oneRound(e, k).persist())
       val m = next.count()
-      e.unpersist()
       e = next
       stable = m == n
       n = m

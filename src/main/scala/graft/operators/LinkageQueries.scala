@@ -157,6 +157,41 @@ object LinkageQueries {
         .orderBy("ord", "cust", "part")
     }),
 
+    // Multi-source bounded-hop BFS over the SAME sparsified
+    // co-purchase graph as n3/n4 (directed both ways): minimum hop
+    // distance from the 3 smallest node ids within 4 hops — the
+    // reachability / property-path primitive (SPARQL `p{,n}` over
+    // the RDF view, curation blast-radius). The oracle is an
+    // independent recursive CTE (set-semantics UNION bounds its
+    // state at nodes×hops), so what's under test is the frontier /
+    // visited-set expansion in Bfs.minHops.
+    "n6_bfs_hops" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairInst = li.as("a")
+        .join(li.as("b"), Seq("l_orderkey"))
+        .filter(col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"),
+          col("l_orderkey"))
+        .distinct()
+      val und = pairInst
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"))
+      // read once per BFS round: persist, pre-partitioned by the
+      // join key so every frontier⋈edges round reuses the exchange
+      val edges = Broadcasting.track(
+        und.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+          .repartition(col("src")).persist())
+      val sources = edges.select(col("src").as("id"))
+        .distinct().orderBy("id").limit(3)
+      Bfs.minHops(edges, sources, maxHops = 4)
+        .select(col("id").as("part_id"), col("hops"))
+        .orderBy("part_id")
+    }),
+
     // Trained quality classifier: 2 full-batch perceptron rounds
     // over integer document features, then confusion counts of the
     // learned weights — TRAINING is oracle-checked, not just
@@ -276,6 +311,32 @@ object LinkageQueries {
         |SELECT t1.ord AS ord, cust, part
         |FROM t1 JOIN t2 ON t1.ord = t2.ord JOIN t3 ON t1.ord = t3.ord
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // independent spelling: a recursive CTE walking the same
+    // directed-both-ways edge set; the set-semantics UNION dedupes
+    // (id, hops) states so the walk is bounded at nodes×5 rows, and
+    // min(hops) recovers the BFS level the engine records by
+    // first-admission
+    "n6_bfs_hops" -> """
+      |WITH RECURSIVE pi AS (
+      | SELECT DISTINCT a.l_orderkey AS o,
+      |  a.l_partkey AS u, b.l_partkey AS v
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey),
+      |und AS (SELECT u, v FROM pi GROUP BY u, v
+      |        HAVING count(*) >= 2),
+      |e AS (SELECT u AS src, v AS dst FROM und
+      |      UNION ALL SELECT v, u FROM und),
+      |src3 AS (SELECT DISTINCT src AS id FROM e
+      |         ORDER BY 1 LIMIT 3),
+      |walk(id, hops) AS (
+      | SELECT id, 0 FROM src3
+      | UNION
+      | SELECT e.dst, w.hops + 1 FROM walk w
+      |  JOIN e ON e.src = w.id WHERE w.hops < 4)
+      |SELECT id AS part_id, min(hops)::INTEGER AS hops
+      |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // three unrolled peel rounds over the n3 edge set; each round is
     // degree-filter-then-edge-restrict, the same step KCore.peel runs

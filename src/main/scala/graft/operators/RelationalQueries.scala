@@ -510,6 +510,38 @@ object RelationalQueries {
           col("m.cnt").as("mode_cnt"))
         .orderBy("l_returnflag")),
 
+    // 2-D skyline (Pareto frontier): orders dominated by none —
+    // earlier-or-same date AND higher-or-same price with one strict.
+    // The naive spelling is an n² dominance scan (the oracle runs
+    // exactly that, independently); the engine collapses to one
+    // map-side-combined groupBy per DATE (calendar-bounded: ~2.4k
+    // rows at ANY corpus size — a 100 TB orders table still has
+    // ~2.4k distinct days), a running-max window over that
+    // calendar-sized frame, and a broadcast join back. A same-date
+    // point below its date's max is dominated by that max (strict
+    // price); a date-max point is dominated iff an EARLIER date
+    // reached ≥ its price (strict date) — so skyline = date-max
+    // rows whose price strictly exceeds the prior running max.
+    // Price ties on the frontier date all survive (no strict part).
+    "a21_skyline" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val perDate = o.groupBy(col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("maxp"))
+      val w = Window.orderBy(col("o_orderdate"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = perDate
+        .withColumn("prevmax", max(col("maxp")).over(w))
+        .filter(col("prevmax").isNull || col("maxp") > col("prevmax"))
+        .select(col("o_orderdate").as("sky_date"),
+          col("maxp"))
+      o.join(sky, o("o_orderdate") === sky("sky_date") &&
+          o("o_totalprice") === sky("maxp"))
+        .select(o("o_orderkey"),
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          o("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // SURVEY E-class: intersection (shared keys across two sets).
     "e3_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
@@ -1815,6 +1847,19 @@ object RelationalQueries {
         |SELECT l_returnflag, l_quantity AS mode_qty,
         | cnt::BIGINT AS mode_cnt
         |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+    // the independent n² spelling: literal dominance NOT EXISTS
+    "a21_skyline" ->
+      """SELECT q.o_orderkey,
+        | strftime(q.o_orderdate, '%Y-%m-%d') AS o_date,
+        | q.o_totalprice
+        |FROM orders q
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM orders p
+        | WHERE p.o_orderdate <= q.o_orderdate
+        |  AND p.o_totalprice >= q.o_totalprice
+        |  AND (p.o_orderdate < q.o_orderdate
+        |       OR p.o_totalprice > q.o_totalprice))
+        |ORDER BY 1""".stripMargin,
     "f8_sha2" ->
       """SELECT c_custkey, sha256(c_name) AS id_hash FROM customer
         |WHERE c_custkey < 20 ORDER BY 1""".stripMargin,
