@@ -144,6 +144,50 @@ object GeomQueries {
     // type, case-insensitively; unknown types → null (the reference's
     // extraction-failure → None path). Input casing is deliberately
     // mixed to exercise the normalization.
+    // Radius-bounded nearest neighbor (distance-≤r NN join) over a
+    // deterministic point set, grid-blocked: with cell = r, a
+    // point's every within-radius neighbor provably lies in its 3×3
+    // cell neighborhood — LOSSLESS blocking (the claim the n² oracle
+    // tests), and candidate volume is density-bounded per cell,
+    // never n². Coordinates are eighths (k + m/8), so squared
+    // distances are exact multiples of 1/64 and d2×64 is an exact
+    // integer on both engines; argmin = min(struct(d2_e64, nb)) with
+    // the neighbor id as deterministic tie-break. The same shape at
+    // 100 TB: one explode(9 cells) map, one equi-join on the cell
+    // key, one map-side-combined min-struct agg.
+    "g8_radius_nn" -> ((s, dir) => {
+      val cell = 2.0
+      val pts = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("id"),
+          ((col("c_custkey") % 61) +
+            (col("c_custkey") % 7) / lit(8.0)).as("px"),
+          ((col("c_custkey") % 53) +
+            (col("c_custkey") % 5) / lit(8.0)).as("py"))
+        .withColumn("cx", floor(col("px") / cell).cast("int"))
+        .withColumn("cy", floor(col("py") / cell).cast("int"))
+      val probe = pts
+        .withColumn("ncx",
+          explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
+        .withColumn("ncy",
+          explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
+        .select(col("id"), col("px"), col("py"), col("ncx"), col("ncy"))
+      val build = pts.select(col("id").as("nb"),
+        col("px").as("qx"), col("py").as("qy"),
+        col("cx").as("ncx"), col("cy").as("ncy"))
+      probe.join(build, Seq("ncx", "ncy"))
+        .filter(col("id") =!= col("nb"))
+        .withColumn("d2",
+          (col("px") - col("qx")) * (col("px") - col("qx")) +
+            (col("py") - col("qy")) * (col("py") - col("qy")))
+        .filter(col("d2") <= lit(4.0))
+        .groupBy(col("id"))
+        .agg(min(struct((col("d2") * 64).cast("long").as("d2_e64"),
+          col("nb"))).as("m"))
+        .select(col("id").as("c_custkey"), col("m.nb").as("nn_id"),
+          col("m.d2_e64").as("d2_e64"))
+        .orderBy("c_custkey")
+    }),
+
     "g6_geom_type" -> ((s, dir) =>
       part50(s, dir)
         .withColumn("raw", expr(
@@ -209,6 +253,22 @@ object GeomQueries {
       |SELECT p_partkey, count(*) AS n_pts
       |FROM g JOIN pts ON px > x0 AND px < x0 + w
       |  AND py > y0 AND py < y0 + h
-      |GROUP BY 1 ORDER BY 1""".stripMargin)
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the independent n² spelling: every pair, no blocking
+    "g8_radius_nn" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |  (c_custkey % 61) + (c_custkey % 7)/8.0 AS px,
+        |  (c_custkey % 53) + (c_custkey % 5)/8.0 AS py
+        | FROM customer),
+        |cand AS (SELECT a.id, b.id AS nb,
+        |  (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) AS d2
+        | FROM pts a JOIN pts b ON a.id <> b.id),
+        |r AS (SELECT id, nb, d2, row_number() OVER
+        |  (PARTITION BY id ORDER BY d2, nb) AS rn
+        | FROM cand WHERE d2 <= 4.0)
+        |SELECT id AS c_custkey, nb AS nn_id,
+        | (d2*64)::BIGINT AS d2_e64
+        |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin
   )
 }
