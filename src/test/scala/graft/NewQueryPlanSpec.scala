@@ -138,4 +138,31 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("a21 skyline: calendar-sized window, keyed join-back, no n² scan") {
+    val p = plan("a21_skyline")
+    // the oracle's n² dominance scan must NOT be the engine plan
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // running max over the per-date frame + equi-join back
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
+  test("g8 radius NN: grid equi-join with explode, never the n² cross join") {
+    val p = plan("g8_radius_nn")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate explode"), p) // the 9-cell probe fan-out
+  }
+
+  test("n6 BFS result reads cached levels, no cartesian anywhere") {
+    val p = plan("n6_bfs_hops")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // each BFS level persists; the returned union scans the caches
+    assert(p.contains("InMemoryTableScan"), p)
+    graft.operators.Broadcasting.releaseAll()
+  }
 }
