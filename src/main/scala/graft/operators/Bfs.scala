@@ -55,8 +55,19 @@ object Bfs {
     * rounds 2–4 on the sf0.01 co-purchase graph before this
     * restructure, 39 s total vs ~11 s after. Total cache stays O(V):
     * every reached node is stored in exactly one level. */
+  /** @param exhaustCheck when true (default), run one `isEmpty`
+    * action per round and stop as soon as a frontier empties — the
+    * right mode when `maxHops` far exceeds the expected diameter.
+    * When false the loop is FULLY LAZY: no driver action until the
+    * caller consumes, exactly `maxHops` rounds are planned, and an
+    * empty frontier just yields empty levels (a no-op in the result
+    * by construction). Fixed small-budget callers want false: each
+    * per-round action costs a full AQE re-plan of the growing
+    * union+anti-join chain, and that DRIVER time dominated the n6
+    * bench query (warm construct 7.4 s vs 4.3 s of actual job time;
+    * ~34 jobs/pass from 4 checked rounds). */
   def minHops(edges: DataFrame, sources: DataFrame,
-    maxHops: Int): DataFrame = {
+    maxHops: Int, exhaustCheck: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
     val e = edges.select(col("src"), col("dst"))
     // levels(h) = nodes first reached at hop h, newest first
@@ -76,7 +87,7 @@ object Bfs {
           .withColumn("hops", lit(h))
           .persist())
       // the round's one action (on the FRONTIER, the small frame)
-      if (next.isEmpty) exhausted = true
+      if (exhaustCheck && next.isEmpty) exhausted = true
       else levels ::= next
     }
     levels.reduce(_ unionAll _)

@@ -187,7 +187,10 @@ object LinkageQueries {
           .repartition(col("src")).persist())
       val sources = edges.select(col("src").as("id"))
         .distinct().orderBy("id").limit(3)
-      Bfs.minHops(edges, sources, maxHops = 4)
+      // exhaustCheck=false: 4 rounds is the query's contract, the
+      // frontier never empties on this graph, and the per-round
+      // isEmpty actions cost more driver re-planning than they save
+      Bfs.minHops(edges, sources, maxHops = 4, exhaustCheck = false)
         .select(col("id").as("part_id"), col("hops"))
         .orderBy("part_id")
     }),

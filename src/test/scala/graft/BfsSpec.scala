@@ -43,4 +43,16 @@ class BfsSpec extends SparkTestBase {
     // loop or error past the 1-hop frontier
     assert(hops(Seq(8L), 10) == Map(8L -> 0, 9L -> 1))
   }
+
+  test("exhaustCheck=false (fully lazy) matches the checked mode") {
+    // including past exhaustion: empty levels are no-ops by
+    // construction, so the lazy fixed-round plan is value-identical
+    for ((src, budget) <- Seq((Seq(1L), 3), (Seq(1L, 4L), 2),
+      (Seq(8L), 10))) {
+      val lazyOut = Bfs.minHops(graph, src.toDF("id"), budget,
+        exhaustCheck = false).as[(Long, Int)].collect().toMap
+      Broadcasting.releaseAll()
+      assert(lazyOut == hops(src, budget), (src, budget))
+    }
+  }
 }
