@@ -1457,6 +1457,38 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Join-view IVM (IvmJoin): maintain the materialized
+    // orders⋈customer view under signed changelogs on BOTH sides —
+    // inserts and deletes of orders AND customers — via the
+    // delta-join rule ΔV = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB (every term has a
+    // delta-sized side; the base never re-joins the base). The
+    // oracle joins the POST-delta states directly, so the hash
+    // compare is exactly the algebra's correctness, including the
+    // sign-product cancellation for deleted-order × inserted-customer
+    // pairs. The maintained multiplicity m rides out (all 1 here —
+    // key-preserving join), guarded loudly against negatives.
+    "u6_ivm_join" -> ((s, dir) => {
+      val ordersCk = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("ck"))
+      val custCk = t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_name"))
+      val oldA = ordersCk.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val dA = IncrementalAgg.signedDelta(
+        deletes = oldA.filter(pmod(col("o_orderkey"), lit(13)) === 0),
+        inserts = ordersCk.filter(pmod(col("o_orderkey"), lit(10)) === 0))
+      val oldB = custCk.filter(pmod(col("ck"), lit(7)) =!= 0)
+      val dB = IncrementalAgg.signedDelta(
+        deletes = oldB.filter(pmod(col("ck"), lit(11)) === 0),
+        inserts = custCk.filter(pmod(col("ck"), lit(7)) === 0))
+      val oldV = oldA.join(oldB, "ck")
+      IvmJoin.applyDelta(oldV,
+        IvmJoin.viewDelta(oldA, dA, oldB, dB, "ck"),
+        Seq("o_orderkey", "ck", "c_name"))
+        .select(col("o_orderkey"), col("ck").as("c_custkey"),
+          col("c_name"), col("m"))
+        .orderBy("o_orderkey")
+    }),
+
     // One-pass exact table profile (Profiling.summary): per-column
     // null/distinct/min/max in long format — the ingest-time data-
     // quality summary. Exact distinct counts cost an Expand (documented
@@ -2353,6 +2385,20 @@ object RelationalQueries {
         |SELECT o_orderstatus, count(*)::BIGINT AS cnt,
         |  sum(p)::BIGINT AS sum_price_e2
         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the independent spelling: join the POST-delta table states
+    // directly (newA = base minus %13-deletes plus %10-inserts;
+    // newB likewise with %11/%7)
+    "u6_ivm_join" ->
+      """WITH newA AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderkey % 10 = 0 OR o_orderkey % 13 <> 0),
+        |newB AS (
+        |  SELECT c_custkey, c_name FROM customer
+        |  WHERE c_custkey % 7 = 0 OR c_custkey % 11 <> 0)
+        |SELECT a.o_orderkey, b.c_custkey, b.c_name, 1::BIGINT AS m
+        |FROM newA a JOIN newB b ON a.o_custkey = b.c_custkey
+        |ORDER BY 1""".stripMargin,
     "s8_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
