@@ -92,4 +92,59 @@ object Bfs {
     }
     levels.reduce(_ unionAll _)
   }
+
+  /** Per-source variant: minimum hops from EACH source separately —
+    * (origin, id, hops), the bounded transitive closure that SPARQL
+    * property paths (`p{1,n}` between two variables) compile to.
+    * Same frontier/visited algorithm keyed by (origin, id) instead
+    * of id, same cache discipline, same `exhaustCheck` trade-off.
+    *
+    * `seedReached` picks the two path semantics for the ORIGIN:
+    *  - true (default): the origin counts as reached at hops 0
+    *    (`p*`-style reachability) — a cycle back to the origin is
+    *    never re-admitted, its minimum is the zero-length path.
+    *  - false: only EDGE TRAVERSALS reach nodes (`p+`-style): seeds
+    *    seed round 1's frontier but are absent from the output and
+    *    from the round-1 visited set, so a cycle re-reaches its
+    *    origin at the cycle length (x→y→x emits (x, x, 2)).
+    *
+    * Cost is honest closure cost: O(Σ_s reachable≤n(s)) rows, not
+    * O(V) — per-round frames carry one row per (source, newly
+    * reached node). Bounded `maxHops` is the scale contract; an
+    * unbounded `p+` over a high-expansion graph is a data explosion
+    * by definition, not a plan defect. */
+  def minHopsPerSource(edges: DataFrame, sources: DataFrame,
+    maxHops: Int, exhaustCheck: Boolean = true,
+    seedReached: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    val seed = Broadcasting.track(
+      sources.select(col("id")).distinct()
+        .select(col("id").as("origin"), col("id"))
+        .withColumn("hops", lit(0)).persist())
+    // levels(h) = (origin, node first reached from origin at hop h);
+    // under seedReached=false the seed is frontier-only and excluded
+    var levels = List(seed)
+    var h = 0
+    var exhausted = false
+    while (h < maxHops && !exhausted) {
+      h += 1
+      val frontier = levels.head.select("origin", "id")
+      val reached = (if (seedReached) levels
+        else levels.filterNot(_ eq seed)).map(_.select("origin", "id"))
+      val expanded = frontier.join(e, frontier("id") === e("src"))
+        .select(col("origin"), col("dst").as("id")).distinct()
+      val deduped = // round 1 of p+ mode has nothing reached yet
+        if (reached.isEmpty) expanded
+        else expanded.join(reached.reduce(_ unionAll _),
+          Seq("origin", "id"), "left_anti")
+      val next = Broadcasting.track(
+        deduped.withColumn("hops", lit(h)).persist())
+      if (exhaustCheck && next.isEmpty) exhausted = true
+      else levels ::= next
+    }
+    val out = if (seedReached) levels else levels.filterNot(_ eq seed)
+    if (out.isEmpty) seed.filter(lit(false)) // maxHops 0, p+ mode
+    else out.reduce(_ unionAll _)
+  }
 }

@@ -195,6 +195,35 @@ object LinkageQueries {
         .orderBy("part_id")
     }),
 
+    // SPARQL property path over the RDF view: `?x located_in{1,2}
+    // ?y` on the customer→nation→region hierarchy — Bgp.PathPattern
+    // compiled onto Bfs.minHopsPerSource (constant predicate prunes
+    // the triple scan; bounded closure runs frontier-at-a-time).
+    // The oracle unrolls the two hop lengths relationally with a
+    // min-hops collapse, so the hash compare tests the path
+    // compilation end to end.
+    "n7_path_hierarchy" -> ((s, dir) => {
+      import graft.ttl.Bgp
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val triples = cust.select(
+          concat(lit("c"), col("c_custkey")).as("s"),
+          lit("located_in").as("p"),
+          concat(lit("n"), col("c_nationkey")).as("o"))
+        .unionByName(nat.select(
+          concat(lit("n"), col("n_nationkey")).as("s"),
+          lit("located_in").as("p"),
+          concat(lit("r"), col("n_regionkey")).as("o")))
+        .distinct()
+        .as[graft.ttl.Turtle.Triple](
+          org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
+      Bgp.path(triples,
+        Bgp.PathPattern("?x", "located_in", "?y", minHops = 1,
+          maxHops = 2))
+        .select(col("x"), col("y"), col("path_hops").as("hops"))
+        .orderBy("x", "y")
+    }),
+
     // Trained quality classifier: 2 full-batch perceptron rounds
     // over integer document features, then confusion counts of the
     // learned weights — TRAINING is oracle-checked, not just
@@ -340,6 +369,23 @@ object LinkageQueries {
       |  JOIN e ON e.src = w.id WHERE w.hops < 4)
       |SELECT id AS part_id, min(hops)::INTEGER AS hops
       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // unrolled relational spelling of the 1..2-hop path with a
+    // min-hops collapse (robust to pairs reachable at both lengths,
+    // though this DAG has none)
+    "n7_path_hierarchy" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || c_custkey AS src,
+        |    'n' || c_nationkey AS dst FROM customer
+        |  UNION ALL
+        |  SELECT DISTINCT 'n' || n_nationkey, 'r' || n_regionkey
+        |  FROM nation),
+        |h2 AS (SELECT e1.src, e2.dst FROM e e1
+        |       JOIN e e2 ON e1.dst = e2.src),
+        |u AS (SELECT src, dst, 1 AS hops FROM e
+        |      UNION ALL SELECT src, dst, 2 FROM h2)
+        |SELECT src AS x, dst AS y, min(hops)::INTEGER AS hops
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // three unrolled peel rounds over the n3 edge set; each round is
     // degree-filter-then-edge-restrict, the same step KCore.peel runs

@@ -112,4 +112,68 @@ object Bgp {
     solutions.join(side.select(shared.map(col): _*).distinct(),
       shared, "left_anti")
   }
+
+  /** SPARQL property path `p{minHops,maxHops}` with a CONSTANT
+    * predicate: subject and object as in [[Pattern]] (variable or
+    * constant), at least one a variable. `minHops = 0` includes the
+    * zero-length path (every path-start node reaches itself). */
+  case class PathPattern(s: String, p: String, o: String,
+    minHops: Int, maxHops: Int) {
+    require(!Bgp.isVar(p),
+      "property paths need a constant predicate - a variable-length " +
+        "path over a variable predicate is the full graph closure")
+    require(Bgp.isVar(s) || Bgp.isVar(o),
+      "at least one path end must be a variable")
+    require(0 <= minHops && minHops <= maxHops,
+      s"need 0 <= minHops <= maxHops: $minHops/$maxHops")
+  }
+
+  /** Solutions of a property path: one row per (s, o) binding
+    * connected by `minHops..maxHops` applications of the predicate,
+    * plus the minimum hop count as `path_hops`. Compiled onto
+    * [[graft.operators.Bfs.minHopsPerSource]] — the constant-
+    * predicate filter prunes the triple scan to the predicate's edge
+    * set (partition/bucket triples by `p` and it is a pruned read),
+    * then the bounded closure runs frontier-at-a-time. A constant
+    * subject seeds a single-source BFS; a constant object filters
+    * the closure (documented asymmetry: seed-side selectivity is
+    * free, object-side is post-hoc — put the constant on the
+    * SUBJECT when both spellings are available, or invert the edges
+    * yourself for `^p` paths). The result joins with [[query]]
+    * solutions like any pattern group (shared variables). */
+  def path(triples: Dataset[Triple], pat: PathPattern): DataFrame = {
+    val edges = triples.toDF().filter(col("p") === pat.p)
+      .select(col("s").as("src"), col("o").as("dst"))
+    val sources =
+      if (isVar(pat.s)) edges.select(col("src").as("id")).distinct()
+      else triples.sparkSession.range(1).select(lit(pat.s).as("id"))
+    // minHops 0 → `p*` reachability (origin reached at 0, cycles
+    // collapse to it); minHops ≥ 1 → `p+` semantics (only edge
+    // traversals reach, so a cycle re-reaches its origin at the
+    // cycle length). The emitted hop count is the MINIMUM (positive,
+    // in p+ mode) path length — pairs whose minimum falls below
+    // minHops are dropped even if longer walks exist, the honest
+    // bounded-closure contract (standard SPARQL has only {0,}/{1,}
+    // anyway, where this subtlety vanishes).
+    val reach = graft.operators.Bfs
+      .minHopsPerSource(edges, sources, pat.maxHops,
+        exhaustCheck = false, seedReached = pat.minHops == 0)
+      .filter(col("hops") >= pat.minHops)
+    val constrained =
+      if (isVar(pat.o)) reach else reach.filter(col("id") === pat.o)
+    if (isVar(pat.s) && pat.s == pat.o)
+      // ?x p{m,n} ?x — cycles back to the start
+      constrained.filter(col("origin") === col("id"))
+        .select(col("origin").as(pat.s.drop(1)),
+          col("hops").as("path_hops"))
+    else {
+      val cols =
+        (if (isVar(pat.s))
+          Seq(col("origin").as(pat.s.drop(1))) else Nil) ++
+        (if (isVar(pat.o))
+          Seq(col("id").as(pat.o.drop(1))) else Nil) :+
+        col("hops").as("path_hops")
+      constrained.select(cols: _*)
+    }
+  }
 }

@@ -113,4 +113,67 @@ class BgpSpec extends SparkTestBase {
       Pattern("<http://ex.org/m1>", label, "\"absent\"")))
     assert(none.count() == 0)
   }
+
+  private val in = "<http://ex.org/in>"
+  // a -> b -> c -> d chain plus a 2-cycle x <-> y, all via `in`
+  private def pathGraph = Seq(
+    Triple("a", in, "b"), Triple("b", in, "c"), Triple("c", in, "d"),
+    Triple("x", in, "y"), Triple("y", in, "x"),
+    Triple("a", label, "\"noise\"")).toDS()
+
+  private def released[T](f: => T): T =
+    try f finally graft.operators.Broadcasting.releaseAll()
+
+  test("property path: var-to-var closure with min hops") {
+    val got = released(Bgp.path(pathGraph,
+      Bgp.PathPattern("?s", in, "?t", minHops = 1, maxHops = 2))
+      .as[(String, String, Int)].collect().toSet)
+    assert(got == Set(("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+      ("a", "c", 2), ("b", "d", 2),
+      ("x", "y", 1), ("y", "x", 1), ("x", "x", 2), ("y", "y", 2)),
+      got)
+  }
+
+  test("property path: constant subject seeds, constant object filters") {
+    val fromA = released(Bgp.path(pathGraph,
+      Bgp.PathPattern("a", in, "?t", minHops = 1, maxHops = 3))
+      .as[(String, Int)].collect().toSet)
+    assert(fromA == Set(("b", 1), ("c", 2), ("d", 3)), fromA)
+    val toD = released(Bgp.path(pathGraph,
+      Bgp.PathPattern("?s", in, "d", minHops = 1, maxHops = 3))
+      .as[(String, Int)].collect().toSet)
+    assert(toD == Set(("c", 1), ("b", 2), ("a", 3)), toD)
+  }
+
+  test("property path: minHops 0 includes self; ?x p ?x finds cycles") {
+    val zero = released(Bgp.path(pathGraph,
+      Bgp.PathPattern("a", in, "?t", minHops = 0, maxHops = 1))
+      .as[(String, Int)].collect().toSet)
+    assert(zero == Set(("a", 0), ("b", 1)), zero)
+    val cyc = released(Bgp.path(pathGraph,
+      Bgp.PathPattern("?s", in, "?s", minHops = 1, maxHops = 2))
+      .as[(String, Int)].collect().toSet)
+    assert(cyc == Set(("x", 2), ("y", 2)), cyc)
+  }
+
+  test("property path joins with BGP solutions on shared variables") {
+    // marks-style composition: path reachability constrained by a
+    // regular pattern on the path's start variable
+    val sols = Bgp.query(pathGraph, Seq(Pattern("?s", label, "?l")))
+    val joined = released(sols.join(
+      Bgp.path(pathGraph,
+        Bgp.PathPattern("?s", in, "?t", minHops = 2, maxHops = 2)),
+      Seq("s"))
+      .select("s", "t").as[(String, String)].collect().toSet)
+    assert(joined == Set(("a", "c")), joined)
+  }
+
+  test("property path refuses variable predicates and bad bounds") {
+    intercept[IllegalArgumentException](
+      Bgp.PathPattern("?s", "?p", "?t", 1, 2))
+    intercept[IllegalArgumentException](
+      Bgp.PathPattern("a", in, "b", 1, 2)) // no variable end
+    intercept[IllegalArgumentException](
+      Bgp.PathPattern("?s", in, "?t", 3, 2))
+  }
 }
