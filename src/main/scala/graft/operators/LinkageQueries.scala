@@ -224,6 +224,39 @@ object LinkageQueries {
         .orderBy("x", "y")
     }),
 
+    // Hierarchical rollup over the path closure: per-ancestor
+    // member count + balance total at EVERY depth in one shot (the
+    // org-chart / category-tree aggregate) — the n7 closure joined
+    // to leaf measures, grouped by ancestor. Depth-generic by
+    // construction (a deeper hierarchy changes maxHops, not the
+    // query); the oracle unrolls the two levels relationally.
+    "n8_hierarchy_rollup" -> ((s, dir) => {
+      import graft.ttl.Bgp
+      val cust = Tables.load(s, dir, "customer")
+      val nat = Tables.load(s, dir, "nation")
+      val triples = cust.select(
+          concat(lit("c"), col("c_custkey")).as("s"),
+          lit("located_in").as("p"),
+          concat(lit("n"), col("c_nationkey")).as("o"))
+        .unionByName(nat.select(
+          concat(lit("n"), col("n_nationkey")).as("s"),
+          lit("located_in").as("p"),
+          concat(lit("r"), col("n_regionkey")).as("o")))
+        .distinct()
+        .as[graft.ttl.Turtle.Triple](
+          org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
+      val closure = Bgp.path(triples,
+        Bgp.PathPattern("?x", "located_in", "?y", minHops = 1,
+          maxHops = 2))
+      val bal = cust.select(
+        concat(lit("c"), col("c_custkey")).as("x"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_e2"))
+      closure.join(bal, "x") // inner: non-leaf descendants drop out
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_desc"), sum("bal_e2").as("bal_e2_sum"))
+        .orderBy("y")
+    }),
+
     // Trained quality classifier: 2 full-batch perceptron rounds
     // over integer document features, then confusion counts of the
     // learned weights — TRAINING is oracle-checked, not just
@@ -386,6 +419,22 @@ object LinkageQueries {
         |      UNION ALL SELECT src, dst, 2 FROM h2)
         |SELECT src AS x, dst AS y, min(hops)::INTEGER AS hops
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // level-by-level unroll: direct (customer→nation) plus two-hop
+    // (customer→region through nation), aggregated per ancestor
+    "n8_hierarchy_rollup" ->
+      """WITH direct AS (
+        |  SELECT 'n' || c_nationkey AS y,
+        |    floor(c_acctbal * 100 + 0.5)::BIGINT AS b FROM customer),
+        |twohop AS (
+        |  SELECT 'r' || n.n_regionkey AS y,
+        |    floor(c.c_acctbal * 100 + 0.5)::BIGINT AS b
+        |  FROM customer c JOIN nation n
+        |    ON c.c_nationkey = n.n_nationkey),
+        |u AS (SELECT * FROM direct UNION ALL SELECT * FROM twohop)
+        |SELECT y, count(*)::BIGINT AS n_desc,
+        |  sum(b)::BIGINT AS bal_e2_sum
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // three unrolled peel rounds over the n3 edge set; each round is
     // degree-filter-then-edge-restrict, the same step KCore.peel runs
