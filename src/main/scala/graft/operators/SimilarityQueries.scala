@@ -341,6 +341,31 @@ object SimilarityQueries {
             .as("recall_e4"))
     }),
 
+    // Two-stage IVF-PQ search (v15): ADC shortlists top-20 by
+    // compressed distance, then the SHORTLIST ONLY is re-ranked by
+    // exact integer L2 — the standard production refinement (ADC's
+    // codebook error decides the shortlist, exact distances decide
+    // the final order). At scale the exact pass touches 20 vectors
+    // per query, never the corpus; here that claim is visible in the
+    // plan as a 20-row semi-join before the full-vector read.
+    "v15_ivfpq_rerank" -> ((s, dir) => {
+      withGraftFns(s)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val v6 = e.select(col("vec_id"), expr(
+        """transform(embedding, x ->
+          |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
+          .stripMargin).as("v"))
+      val shortlist = Pq.ivfAdcTopK(e, coarseK = 8, nProbe = 2,
+        m = 2, k = 16, iters = 1, queryVecId = 0L, topN = 20)
+        .select("vec_id")
+      val q = v6.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+      v6.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(q))
+        .withColumn("dist2", expr("graft_l2sq(v, qv)"))
+        .orderBy(col("dist2"), col("vec_id")).limit(10)
+        .select(col("vec_id"), col("dist2"))
+    }),
+
     // Symmetric int8 quantization (max-abs per vector → [-127, 127]):
     // the standard 4× memory cut for ANN indexes at scale. maxabs is
     // a left fold from 0.0 (same order as the oracle's list_reduce);
@@ -753,6 +778,22 @@ object SimilarityQueries {
       |SELECT count(*)::BIGINT AS n_hits,
       |  CAST(floor(count(*) * 10000.0 / 10 + 0.5) AS BIGINT) AS recall_e4
       |FROM adc JOIN exact USING (vec_id)""".stripMargin),
+
+    // the v13 chain with the shortlist widened to 20, then an exact
+    // integer-L2 re-rank of the shortlist rows only
+    "v15_ivfpq_rerank" -> (oPqCtes(16) + oIvfCtes(8, 2) + """,
+      |adc AS (
+      |  SELECT codes.vec_id, sum(lut.qd)::BIGINT AS adc_dist2
+      |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.c
+      |  WHERE codes.vec_id IN (SELECT vec_id FROM cand)
+      |  GROUP BY 1 ORDER BY adc_dist2, vec_id LIMIT 20)
+      |SELECT e2.vec_id,
+      |  list_sum(list_transform(range(1, len(e2.fv) + 1),
+      |    k -> (e2.fv[k] - q.qv[k]) * (e2.fv[k] - q.qv[k])))::BIGINT
+      |    AS dist2
+      |FROM e e2 JOIN adc USING (vec_id)
+      |CROSS JOIN (SELECT fv AS qv FROM e WHERE vec_id = 0) q
+      |ORDER BY dist2, vec_id LIMIT 10""".stripMargin),
 
     "v6_int8_quantize" -> """
       |WITH m AS (
