@@ -98,4 +98,42 @@ class ClusteredRecallSpec extends SparkTestBase {
     // probe/candidate plumbing specifically
     assert(hits == 6L, s"IVF-PQ recall@10 drifted: $hits/10 (expected 6)")
   }
+
+  private def rerankHits(shortlistN: Int): Long = {
+    graft.expressions.GraftFunctions.register(spark)
+    val exact = exactIntTop(10)
+    // v15 shape: ADC shortlists by compressed distance, exact
+    // integer L2 re-ranks the shortlist only
+    val shortlist = Pq.ivfAdcTopK(fixture, coarseK = 8, nProbe = 1,
+      m = 8, k = 16, iters = 1, queryVecId = 0L, topN = shortlistN)
+      .select("vec_id")
+    val v6 = fixture.select(col("vec_id"), expr(
+      """transform(embedding, x ->
+        |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
+        .stripMargin).as("v"))
+    val q = v6.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    v6.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .withColumn("d", expr("graft_l2sq(v, qv)"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id")
+      .join(exact, "vec_id").count()
+  }
+
+  test("exact re-rank of the ADC shortlist trades width for recall") {
+    val at20 = rerankHits(20)
+    val at50 = rerankHits(50)
+    info(s"IVF-PQ+rerank recall@10: shortlist 20 -> ${at20 * 1000} e4, " +
+      s"shortlist 50 -> ${at50 * 1000} e4")
+    // the 16-codeword codes can't ORDER within-cluster neighbors
+    // (PQ/IVF-PQ stop at 6/10 above); re-rank recovers exactly as
+    // much of the true top-10 as the shortlist CONTAINS - 7/10 at
+    // width 20, all 10 at width 50 (~40% of the query's 125-member
+    // cluster). The width-for-recall dial is the operating knob of
+    // the two-stage shape; both points pinned exactly
+    assert(at20 == 7L,
+      s"re-rank@20 recall drifted: $at20/10 (expected 7)")
+    assert(at50 == 10L,
+      s"re-rank@50 recall drifted: $at50/10 (expected 10)")
+  }
 }
