@@ -453,6 +453,33 @@ object TextDedupQueries {
       TfIdf.topTerms(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")),
 
+    // Canonical selection: keep ONE representative per near-dup
+    // cluster by an explicit quality rule (longest text, ties to the
+    // lowest id) instead of d7's keep-lowest-id or d8's raw census —
+    // the curation step that decides WHICH near-duplicate survives.
+    // Cluster = LSH connected component, singletons their own; the
+    // pick is a max-of-struct hash aggregate (argmax without a
+    // window), so at 100 TB it is one map-side-combined pass over
+    // (doc, comp) labels.
+    "d12_canonical_pick" -> ((s, dir) => {
+      val comp = ConnectedComponents.dedupGroups(
+        lshCandidatePairs(s, dir), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp"))
+      docs(s, dir).select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"),
+            (col("doc_id") * -1).as("negid"))).as("best"))
+        .select(col("comp"),
+          (col("best.negid") * -1).as("kept_doc_id"),
+          col("best.n_chars").as("kept_n_chars"),
+          col("n_members"))
+        .orderBy("comp")
+    }),
+
     // Transitive dedup GROUPS: connected components over the LSH
     // candidate pairs (min-label propagation, one shuffle per round,
     // rounds = component diameter) — the closure d7's single-pass rule
@@ -913,6 +940,38 @@ object TextDedupQueries {
       |SELECT id AS doc_id, a.comp, group_size
       |FROM assign a JOIN sizes s ON a.comp = s.comp
       |ORDER BY doc_id""".stripMargin),
+
+    // d8's component machinery + an independent window-argmax pick
+    "d12_canonical_pick" -> (oracleMinhash.replaceFirst(
+      "WITH ", "WITH RECURSIVE ") + """,
+      |bands AS (
+      | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1
+      |  AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |cc(id, comp) AS (
+      | SELECT a, a FROM edges
+      | UNION
+      | SELECT e.b, cc.comp FROM cc JOIN edges e ON cc.id = e.a),
+      |assign AS (SELECT id, min(comp) AS comp FROM cc GROUP BY 1),
+      |withc AS (
+      | SELECT d.doc_id, d.n_chars, coalesce(a.comp, d.doc_id) AS comp
+      | FROM documents d LEFT JOIN assign a ON d.doc_id = a.id),
+      |r AS (
+      | SELECT comp, doc_id, n_chars,
+      |  count(*) OVER (PARTITION BY comp) AS n_members,
+      |  row_number() OVER (PARTITION BY comp
+      |    ORDER BY n_chars DESC, doc_id ASC) AS rn
+      | FROM withc)
+      |SELECT comp, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+      | n_members::BIGINT AS n_members
+      |FROM r WHERE rn = 1 ORDER BY comp""".stripMargin),
     // d8's recursive-CTE component machinery + the stable rep-hash
     // split; the checksum column must replay to 0 in both engines
     "x19_leakage_split" -> (oracleMinhash.replaceFirst(
