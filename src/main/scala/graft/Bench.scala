@@ -176,20 +176,21 @@ object Bench {
     // truncated away (the r11 artifact lost exactly this field). This
     // second, compact line prints LAST: keys shortened to their
     // unique enumeration prefix ("x10_tfidf_top" → "x10" — prefixes
-    // are unique across the whole suite by construction), values to
-    // 0.01 s — ~1.9k chars at 160 queries, inside the tail window.
-    def compactLine(decimals: Int): String = results.map {
+    // are unique across the whole suite by construction), values as
+    // INTEGER centiseconds ("queries_cs" — 1.63 s prints as 163;
+    // DNF's -1.0 as -100), which is 2-3 chars shorter per query than
+    // a 2-decimal float and held 0.01 s resolution at 182 queries
+    // where the decimal form had already overflowed to 0.1 s.
+    def compactLine(unit: String, mult: Int): String = results.map {
       case (k, v) =>
-        // Locale.ROOT: a comma decimal separator would break the JSON
-        val num = String.format(java.util.Locale.ROOT,
-          s"%.${decimals}f", Double.box(v))
-        s""""${k.takeWhile(_ != '_')}":$num"""
-    }.mkString("""{"queries_compact":{""", ",", "}}")
+        s""""${k.takeWhile(_ != '_')}":${math.round(v * mult)}"""
+    }.mkString(s"""{"queries_$unit":{""", ",", "}}")
     // stay under the tail window with headroom as the suite grows:
-    // drop to 1 decimal before overflowing (0.1 s resolution still
-    // adjudicates every regression the gate cares about)
-    val line2 = compactLine(2)
-    println(if (line2.length <= 1900) line2 else compactLine(1))
+    // drop to integer deciseconds before overflowing (0.1 s
+    // resolution still adjudicates the regressions the gate cares
+    // about)
+    val cs = compactLine("cs", 100)
+    println(if (cs.length <= 1900) cs else compactLine("ds", 10))
     spark.stop()
   }
 }
