@@ -147,4 +147,39 @@ object Bfs {
     if (out.isEmpty) seed.filter(lit(false)) // maxHops 0, p+ mode
     else out.reduce(_ unionAll _)
   }
+
+  /** EXACT-length reachability: (origin, id, hops) pairs connected by
+    * SOME walk whose length falls in [minHops, maxHops], with `hops`
+    * the smallest in-window length. Differs from
+    * [[minHopsPerSource]] when `minHops ≥ 2`: there, a pair whose
+    * SHORTEST path is 1 never surfaces even if a longer in-window
+    * walk exists (min-hop semantics); here per-length frontiers run
+    * WITHOUT the cross-level visited dedup, so `a→b` plus `a→c→b`
+    * yields (a, b, 2) for the window [2, 2] — the SPARQL `p{m,n}`
+    * contract. Cost: each length-ℓ frontier is bounded by
+    * O(sources × nodes) rows (walks revisit nodes; cycles do not
+    * loop the DRIVER — `maxHops` bounds the rounds), which is why
+    * [[minHopsPerSource]] remains the right plan whenever
+    * `minHops ≤ 1`, where the two semantics provably agree. */
+  def lengthWindow(edges: DataFrame, sources: DataFrame,
+    minHops: Int, maxHops: Int): DataFrame = {
+    require(1 <= minHops && minHops <= maxHops,
+      s"need 1 <= minHops <= maxHops: $minHops/$maxHops")
+    val e = edges.select(col("src"), col("dst"))
+    var cur = Broadcasting.track(
+      sources.select(col("id")).distinct()
+        .select(col("id").as("origin"), col("id")).persist())
+    var inWindow = List.empty[DataFrame]
+    for (h <- 1 to maxHops) {
+      cur = Broadcasting.track(
+        cur.join(e, cur("id") === e("src"))
+          .select(col("origin"), col("dst").as("id")).distinct()
+          .persist())
+      if (h >= minHops)
+        inWindow ::= cur.withColumn("hops", lit(h))
+    }
+    inWindow.reduce(_ unionAll _)
+      .groupBy(col("origin"), col("id"))
+      .agg(min(col("hops")).as("hops"))
+  }
 }

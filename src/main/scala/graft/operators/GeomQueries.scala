@@ -140,10 +140,6 @@ object GeomQueries {
         .orderBy("p_partkey")
     }),
 
-    // F18 `.geom_type`: canonical CamelCase from a declared GeoJSON
-    // type, case-insensitively; unknown types → null (the reference's
-    // extraction-failure → None path). Input casing is deliberately
-    // mixed to exercise the normalization.
     // Radius-bounded nearest neighbor (distance-≤r NN join) over a
     // deterministic point set, grid-blocked: with cell = r, a
     // point's every within-radius neighbor provably lies in its 3×3
@@ -179,7 +175,10 @@ object GeomQueries {
         .withColumn("d2",
           (col("px") - col("qx")) * (col("px") - col("qx")) +
             (col("py") - col("qy")) * (col("py") - col("qy")))
-        .filter(col("d2") <= lit(4.0))
+        // r² derived from the CELL so the lossless-blocking invariant
+        // (r ≤ cell ⇒ 3×3 neighborhood suffices) can't be broken by
+        // editing one literal without the other
+        .filter(col("d2") <= lit(cell * cell))
         .groupBy(col("id"))
         .agg(min(struct((col("d2") * 64).cast("long").as("d2_e64"),
           col("nb"))).as("m"))
@@ -188,6 +187,10 @@ object GeomQueries {
         .orderBy("c_custkey")
     }),
 
+    // F18 `.geom_type`: canonical CamelCase from a declared GeoJSON
+    // type, case-insensitively; unknown types → null (the reference's
+    // extraction-failure → None path). Input casing is deliberately
+    // mixed to exercise the normalization.
     "g6_geom_type" -> ((s, dir) =>
       part50(s, dir)
         .withColumn("raw", expr(

@@ -19,6 +19,21 @@ object LinkageQueries {
   private def cust(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "customer")
 
+  /** The customer→nation→region hierarchy as `located_in` triples —
+    * the shared RDF view behind n7 (paths) and n8 (rollup). */
+  private def locatedInTriples(s: SparkSession, dir: String) =
+    cust(s, dir).select(
+        concat(lit("c"), col("c_custkey")).as("s"),
+        lit("located_in").as("p"),
+        concat(lit("n"), col("c_nationkey")).as("o"))
+      .unionByName(Tables.load(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("s"),
+        lit("located_in").as("p"),
+        concat(lit("r"), col("n_regionkey")).as("o")))
+      .distinct()
+      .as[graft.ttl.Turtle.Triple](
+        org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact edit-distance-≤1 self-join on customer names via
     // 1-deletion-neighborhood blocking (FastSS) + thresholded
@@ -204,20 +219,7 @@ object LinkageQueries {
     // compilation end to end.
     "n7_path_hierarchy" -> ((s, dir) => {
       import graft.ttl.Bgp
-      val cust = Tables.load(s, dir, "customer")
-      val nat = Tables.load(s, dir, "nation")
-      val triples = cust.select(
-          concat(lit("c"), col("c_custkey")).as("s"),
-          lit("located_in").as("p"),
-          concat(lit("n"), col("c_nationkey")).as("o"))
-        .unionByName(nat.select(
-          concat(lit("n"), col("n_nationkey")).as("s"),
-          lit("located_in").as("p"),
-          concat(lit("r"), col("n_regionkey")).as("o")))
-        .distinct()
-        .as[graft.ttl.Turtle.Triple](
-          org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
-      Bgp.path(triples,
+      Bgp.path(locatedInTriples(s, dir),
         Bgp.PathPattern("?x", "located_in", "?y", minHops = 1,
           maxHops = 2))
         .select(col("x"), col("y"), col("path_hops").as("hops"))
@@ -232,23 +234,10 @@ object LinkageQueries {
     // query); the oracle unrolls the two levels relationally.
     "n8_hierarchy_rollup" -> ((s, dir) => {
       import graft.ttl.Bgp
-      val cust = Tables.load(s, dir, "customer")
-      val nat = Tables.load(s, dir, "nation")
-      val triples = cust.select(
-          concat(lit("c"), col("c_custkey")).as("s"),
-          lit("located_in").as("p"),
-          concat(lit("n"), col("c_nationkey")).as("o"))
-        .unionByName(nat.select(
-          concat(lit("n"), col("n_nationkey")).as("s"),
-          lit("located_in").as("p"),
-          concat(lit("r"), col("n_regionkey")).as("o")))
-        .distinct()
-        .as[graft.ttl.Turtle.Triple](
-          org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
-      val closure = Bgp.path(triples,
+      val closure = Bgp.path(locatedInTriples(s, dir),
         Bgp.PathPattern("?x", "located_in", "?y", minHops = 1,
           maxHops = 2))
-      val bal = cust.select(
+      val bal = cust(s, dir).select(
         concat(lit("c"), col("c_custkey")).as("x"),
         floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_e2"))
       closure.join(bal, "x") // inner: non-leaf descendants drop out

@@ -144,21 +144,34 @@ object Bgp {
   def path(triples: Dataset[Triple], pat: PathPattern): DataFrame = {
     val edges = triples.toDF().filter(col("p") === pat.p)
       .select(col("s").as("src"), col("o").as("dst"))
+    // zero-length paths (`p*`) match EVERY node of the predicate's
+    // edge set, including pure sinks — seed them too (a sink seed
+    // simply never expands); for positive-length paths only nodes
+    // with an outgoing edge can start one
     val sources =
-      if (isVar(pat.s)) edges.select(col("src").as("id")).distinct()
-      else triples.sparkSession.range(1).select(lit(pat.s).as("id"))
+      if (!isVar(pat.s))
+        triples.sparkSession.range(1).select(lit(pat.s).as("id"))
+      else if (pat.minHops == 0)
+        edges.select(col("src").as("id"))
+          .unionAll(edges.select(col("dst").as("id"))).distinct()
+      else edges.select(col("src").as("id")).distinct()
     // minHops 0 → `p*` reachability (origin reached at 0, cycles
-    // collapse to it); minHops ≥ 1 → `p+` semantics (only edge
-    // traversals reach, so a cycle re-reaches its origin at the
-    // cycle length). The emitted hop count is the MINIMUM (positive,
-    // in p+ mode) path length — pairs whose minimum falls below
-    // minHops are dropped even if longer walks exist, the honest
-    // bounded-closure contract (standard SPARQL has only {0,}/{1,}
-    // anyway, where this subtlety vanishes).
-    val reach = graft.operators.Bfs
-      .minHopsPerSource(edges, sources, pat.maxHops,
-        exhaustCheck = false, seedReached = pat.minHops == 0)
-      .filter(col("hops") >= pat.minHops)
+    // collapse to it); minHops 1 → `p+` (only edge traversals
+    // reach, so a cycle re-reaches its origin at the cycle length —
+    // for windows starting at ≤1, membership equals
+    // min-path-in-window, so the BFS is exact); minHops ≥ 2 →
+    // exact-length frontiers (Bfs.lengthWindow), because a pair
+    // whose shortest path undershoots the window can still match
+    // via a longer in-window walk (`a→b` plus `a→c→b` matches
+    // p{2,2}) and min-hop BFS would drop it.
+    val reach =
+      if (pat.minHops >= 2)
+        graft.operators.Bfs.lengthWindow(edges, sources,
+          pat.minHops, pat.maxHops)
+      else graft.operators.Bfs
+        .minHopsPerSource(edges, sources, pat.maxHops,
+          exhaustCheck = false, seedReached = pat.minHops == 0)
+        .filter(col("hops") >= pat.minHops)
     val constrained =
       if (isVar(pat.o)) reach else reach.filter(col("id") === pat.o)
     if (isVar(pat.s) && pat.s == pat.o)

@@ -12,12 +12,10 @@ class BfsSpec extends SparkTestBase {
     (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
     (1L, 6L), (6L, 1L), (8L, 9L)).toDF("src", "dst")
 
-  private def hops(sources: Seq[Long], maxHops: Int): Map[Long, Int] = {
-    val out = Bfs.minHops(graph, sources.toDF("id"), maxHops)
+  private def hops(sources: Seq[Long], maxHops: Int): Map[Long, Int] =
+    try Bfs.minHops(graph, sources.toDF("id"), maxHops)
       .as[(Long, Int)].collect().toMap
-    Broadcasting.releaseAll()
-    out
-  }
+    finally Broadcasting.releaseAll() // even on a failed collect
 
   test("single source: BFS levels with a cycle, bounded at maxHops") {
     assert(hops(Seq(1L), 3) ==
@@ -49,9 +47,10 @@ class BfsSpec extends SparkTestBase {
     // construction, so the lazy fixed-round plan is value-identical
     for ((src, budget) <- Seq((Seq(1L), 3), (Seq(1L, 4L), 2),
       (Seq(8L), 10))) {
-      val lazyOut = Bfs.minHops(graph, src.toDF("id"), budget,
-        exhaustCheck = false).as[(Long, Int)].collect().toMap
-      Broadcasting.releaseAll()
+      val lazyOut =
+        try Bfs.minHops(graph, src.toDF("id"), budget,
+          exhaustCheck = false).as[(Long, Int)].collect().toMap
+        finally Broadcasting.releaseAll()
       assert(lazyOut == hops(src, budget), (src, budget))
     }
   }

@@ -168,6 +168,34 @@ class BgpSpec extends SparkTestBase {
     assert(joined == Set(("a", "c")), joined)
   }
 
+  test("minHops >= 2 matches longer in-window walks, not just shortest") {
+    // a→b directly AND a→c→b: p{2,2} must match (a, b) via the
+    // 2-walk even though the SHORTEST a→b path is 1 (min-hop BFS
+    // would drop it — the exact-length mode is what makes this pass)
+    val diamond = Seq(
+      Triple("a", in, "b"), Triple("a", in, "c"), Triple("c", in, "b")
+    ).toDS()
+    val got = released(Bgp.path(diamond,
+      Bgp.PathPattern("?s", in, "?t", minHops = 2, maxHops = 2))
+      .as[(String, String, Int)].collect().toSet)
+    assert(got == Set(("a", "b", 2)), got)
+  }
+
+  test("zero-length paths include pure sinks") {
+    // d and x/y's targets: every node of the edge set matches the
+    // zero-length path, including ones with no OUTGOING edge
+    val got = released(Bgp.path(pathGraph,
+      Bgp.PathPattern("?s", in, "?t", minHops = 0, maxHops = 1))
+      .as[(String, String, Int)].collect().toSet)
+    assert(got(("d", "d", 0)), got)
+    assert(got.count(_._3 == 0) == 6, got) // all six nodes at 0
+    // constant object keeps its own zero-length solution
+    val toD = released(Bgp.path(pathGraph,
+      Bgp.PathPattern("?s", in, "d", minHops = 0, maxHops = 2))
+      .as[(String, Int)].collect().toSet)
+    assert(toD == Set(("d", 0), ("c", 1), ("b", 2)), toD)
+  }
+
   test("property path refuses variable predicates and bad bounds") {
     intercept[IllegalArgumentException](
       Bgp.PathPattern("?s", "?p", "?t", 1, 2))

@@ -158,11 +158,12 @@ class NewQueryPlanSpec extends SparkTestBase {
   }
 
   test("n6 BFS result reads cached levels, no cartesian anywhere") {
-    val p = plan("n6_bfs_hops")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // each BFS level persists; the returned union scans the caches
-    assert(p.contains("InMemoryTableScan"), p)
-    graft.operators.Broadcasting.releaseAll()
+    try {
+      val p = plan("n6_bfs_hops")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // each BFS level persists; the returned union scans the caches
+      assert(p.contains("InMemoryTableScan"), p)
+    } finally graft.operators.Broadcasting.releaseAll()
   }
 }
