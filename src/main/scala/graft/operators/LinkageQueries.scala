@@ -82,6 +82,26 @@ object LinkageQueries {
         .orderBy("part_id")
     }),
 
+    // Personalized PageRank: identical recurrence, ALL teleport mass
+    // on the 3 smallest node ids — "rank relative to what THIS user
+    // touched", the recommendation / trust-propagation primitive.
+    // Same integer-exact e12 arithmetic as n1 (the seeds=all-nodes
+    // degenerate case equals plain PageRank, PageRankSpec); the
+    // oracle unrolls the seeded recurrence with the CASE teleport.
+    "n9_ppr" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"), "l_orderkey")
+        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"),
+          col("b.l_partkey").as("dst"))
+      val seeds = edges.select(col("src").as("id"))
+        .distinct().orderBy("id").limit(3)
+      PageRank.personalizedE12(edges, "src", "dst", seeds, iters = 3)
+        .select(col("id").as("part_id"), col("rank_e12"))
+        .orderBy("part_id")
+    }),
+
     // Exact triangle count of the part co-purchase graph — graph
     // cohesion (the clustering-coefficient numerator). Edges carry a
     // SUPPORT threshold (pair co-purchased in ≥ 2 distinct orders) —
@@ -266,6 +286,25 @@ object LinkageQueries {
     })
   )
 
+  /** One unrolled PERSONALIZED PageRank iteration: like [[prIter]]
+    * but the teleport term is a seed-membership CASE over 1/n_seeds
+    * of the mass (zero for non-seeds). */
+  private def pprIter(i: Int): String = {
+    val prev = if (i == 1) "r0" else s"r${i - 1}"
+    s"""s$i AS (
+       | SELECT e.dst AS id,
+       |  sum((85 * $prev.r) // (100 * od.outdeg))::BIGINT AS inflow
+       | FROM e JOIN $prev ON e.src = $prev.id
+       |  JOIN od ON e.src = od.src GROUP BY 1),
+       |r$i AS (
+       | SELECT n.id,
+       |  (CASE WHEN n.id IN (SELECT id FROM seeds)
+       |    THEN (15 * 1000000000000) // (100 * ns.n) ELSE 0 END)
+       |   + coalesce(s$i.inflow, 0) AS r
+       | FROM nodes n CROSS JOIN ns
+       |  LEFT JOIN s$i ON n.id = s$i.id)""".stripMargin
+  }
+
   /** One unrolled PageRank iteration as a DuckDB CTE pair: sI
     * (inflow per destination) + rI (teleport + inflow, left-joined
     * so isolated-in-degree nodes keep the teleport term). */
@@ -330,6 +369,28 @@ object LinkageQueries {
       |${prIter(1)},
       |${prIter(2)},
       |${prIter(3)}
+      |SELECT id AS part_id, r AS rank_e12 FROM r3
+      |ORDER BY 1""".stripMargin,
+
+    // the seeded recurrence unrolled; r0 mirrors the engine's
+    // (100·1e12) div (100·n_seeds) spelling digit for digit
+    "n9_ppr" -> s"""
+      |WITH e AS (
+      | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      | FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey
+      | WHERE a.l_partkey <> b.l_partkey),
+      |nodes AS (SELECT DISTINCT src AS id FROM e),
+      |seeds AS (SELECT id FROM nodes ORDER BY 1 LIMIT 3),
+      |ns AS (SELECT count(*) AS n FROM seeds),
+      |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT n.id,
+      |  CASE WHEN n.id IN (SELECT id FROM seeds)
+      |   THEN (100 * 1000000000000) // (100 * ns.n) ELSE 0 END AS r
+      | FROM nodes n CROSS JOIN ns),
+      |${pprIter(1)},
+      |${pprIter(2)},
+      |${pprIter(3)}
       |SELECT id AS part_id, r AS rank_e12 FROM r3
       |ORDER BY 1""".stripMargin,
 

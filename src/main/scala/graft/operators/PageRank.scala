@@ -91,4 +91,60 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank: identical recurrence, but ALL teleport
+    * mass lands on `seeds` (col `id`) instead of spreading
+    * uniformly — the recommendation / trust-propagation primitive
+    * ("rank relative to what THIS user touched"). With seeds = all
+    * nodes it degenerates to [[ranksE12]] exactly (spec-asserted),
+    * which pins the shared recurrence. Same plan shape: the seed
+    * set joins in as a broadcast flag; per-iteration shuffles still
+    * carry only (id, rank) pairs. Nodes unreachable from the seed
+    * set keep rank 0 — kept in the output, not filtered, so the
+    * frame stays the node set at every seed choice. */
+  def personalizedE12(edges: DataFrame, srcCol: String, dstCol: String,
+    seeds: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be a percentage, got $dampingPct")
+    val e = Broadcasting.track(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .persist())
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id")).distinct()
+    val seedSet = seeds.select(col("id").cast("long").as("id"))
+      .distinct()
+    val ns = seedSet.agg(count(lit(1)).as("n_seeds"))
+    // per-node teleport term (e12): 1/n_seeds of the teleport mass
+    // for seeds, zero elsewhere — built once, reused per iteration
+    def teleport(scalePct: Int) = nodes
+      .join(broadcast(seedSet.withColumn("is_seed", lit(1L))),
+        Seq("id"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("id"),
+        when(col("is_seed").isNotNull,
+          expr(s"($scalePct * 1000000000000L) div (100 * n_seeds)"))
+          .otherwise(lit(0L)).as("tp"))
+    var ranks = teleport(100)
+      .select(col("id"), col("tp").as("rank_e12"))
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("id"),
+          expr(s"($dampingPct * rank_e12) div (100 * outdeg)")
+            .as("contrib"))
+        .groupBy("id")
+        .agg(sum("contrib").as("inflow"))
+      ranks = teleport(100 - dampingPct)
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (col("tp") + coalesce(col("inflow"), lit(0L)))
+            .as("rank_e12"))
+    }
+    ranks
+  }
 }

@@ -79,4 +79,28 @@ class PageRankSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("personalized with seeds = all nodes equals plain PageRank") {
+    // the degenerate case pins the shared recurrence: uniform
+    // teleport IS all-nodes personalization
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val allNodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val ppr = PageRank.personalizedE12(edges, "s", "d", allNodes, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == run(und ++ und.map(_.swap), 3), ppr)
+  }
+
+  test("personalized mass concentrates around the seed") {
+    // star 1→{2,3,4}, all edges symmetric; seed at leaf 2: the hub
+    // inherits more rank than the non-seed leaves, and leaf 2 keeps
+    // the teleport floor while 3/4 only get hub spillover
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val got = PageRank.personalizedE12(edges, "s", "d",
+      Seq(2L).toDF("id"), 4).as[(Long, Long)].collect().toMap
+    assert(got(2L) > got(3L) && got(1L) > got(3L), got)
+    assert(got(3L) == got(4L), got) // symmetric non-seeds tie
+    graft.operators.Broadcasting.releaseAll()
+  }
 }
