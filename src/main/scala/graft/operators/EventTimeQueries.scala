@@ -135,6 +135,33 @@ object EventTimeQueries {
     // the window-over-sets spelling has no distributable form, and a
     // per-day range self-join would rescan the corpus per day. Exact
     // distinct, clamped to the observed day range.
+    // Retention cohort matrix: users grouped by FIRST-active week
+    // (the cohort), counted per weeks-since-cohort offset — the
+    // product-analytics staple ("of the week-N signups, how many
+    // came back in week N+k"). Shapes: one distinct over (user,
+    // week), one per-user min, one keyed join + count — every
+    // shuffle on user_id or the small (cohort, offset) pair; no
+    // window, no day-grid expansion.
+    "t7_retention_cohorts" -> ((s, dir) => {
+      // deterministic per-user event subset: the raw synthetic data
+      // has every user active every week (a flat, single-cohort
+      // matrix); this slice staggers first-activity weeks so the
+      // cohort triangle is real and decaying
+      val uw = ev(s, dir)
+        .filter(pmod(col("event_id"), lit(17)) ===
+          pmod(col("user_id"), lit(17)))
+        .select(col("user_id"),
+          expr("cast(datediff(cast(ts as date), date'1970-01-01') " +
+            "as bigint) div 7").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("wk").as("cw"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_week"),
+          (col("wk") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users")) // (user, wk) is distinct
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "t6_weekly_active" -> ((s, dir) => {
       val evd = ev(s, dir).select(col("user_id"),
         datediff(col("ts").cast("date"),
@@ -251,6 +278,15 @@ object EventTimeQueries {
       |  least(d + 6, (SELECT m FROM mx)) + 1)) AS wd FROM ev)
       |SELECT wd, count(DISTINCT user_id) AS wau
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t7_retention_cohorts" -> """
+      |WITH uw AS (SELECT DISTINCT user_id,
+      |  date_diff('day', DATE '1970-01-01', ts::DATE) // 7 AS wk
+      | FROM events WHERE event_id % 17 = user_id % 17),
+      |c AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1)
+      |SELECT c.cw AS cohort_week, uw.wk - c.cw AS week_offset,
+      | count(*)::BIGINT AS n_users
+      |FROM uw JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t5_resample_ffill" -> """
       |WITH hourly AS (SELECT user_id,
       |  time_bucket(INTERVAL '1 hour', ts) AS h,
