@@ -1493,6 +1493,33 @@ object RelationalQueries {
     // null/distinct/min/max in long format — the ingest-time data-
     // quality summary. Exact distinct counts cost an Expand (documented
     // there; approxSummary is the HLL monitoring path).
+    // Columnar-format interop: orders → ORC → back, then an integer-
+    // cents aggregate over the re-read frame; the oracle aggregates
+    // the PARQUET original, so the hash compare proves values (incl.
+    // decimals) survive the ORC round-trip exactly. The write is a
+    // DELIBERATE eager job inside the builder — the round-trip IS
+    // the operator under test, one bounded job per run (contrast the
+    // forbidden hidden-probe pattern Broadcasting.duringConstruction
+    // guards against). ORC rides Spark's native reader: predicate
+    // pushdown / column pruning apply to it the same as parquet.
+    "s12_orc_roundtrip" -> ((s, dir) => {
+      // deterministic path + overwrite, NOT createTempDirectory: the
+      // bench re-runs builders per pass, and fresh dirs each pass
+      // would accrue exactly the FS debt the harness works to avoid
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
+        Integer.toHexString(dir.hashCode)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+            .as("sum_e2"))
+        .orderBy("o_orderstatus")
+    }),
+
     "s8_profile" -> ((s, dir) =>
       Profiling.summary(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"))
@@ -2399,6 +2426,14 @@ object RelationalQueries {
         |SELECT a.o_orderkey, b.c_custkey, b.c_name, 1::BIGINT AS m
         |FROM newA a JOIN newB b ON a.o_custkey = b.c_custkey
         |ORDER BY 1""".stripMargin,
+    // the oracle reads the PARQUET original — equality proves the
+    // ORC round-trip is value-exact
+    "s12_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS cnt,
+        | sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+        |  AS sum_e2
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "s8_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
