@@ -135,6 +135,24 @@ object EventTimeQueries {
     // the window-over-sets spelling has no distributable form, and a
     // per-day range self-join would rescan the corpus per day. Exact
     // distinct, clamped to the observed day range.
+    // First-order Markov transition counts between event types, per
+    // user timeline — the behavior-model / anomaly-baseline census.
+    // One user-keyed window (lag) + one map-side-combined count;
+    // ties on ts broken by event_id so the sequence is total and
+    // both engines walk the identical order.
+    "t8_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("prev", "event_type")
+    }),
+
     // Retention cohort matrix: users grouped by FIRST-active week
     // (the cohort), counted per weeks-since-cohort offset — the
     // product-analytics staple ("of the week-N signups, how many
@@ -278,6 +296,14 @@ object EventTimeQueries {
       |  least(d + 6, (SELECT m FROM mx)) + 1)) AS wd FROM ev)
       |SELECT wd, count(DISTINCT user_id) AS wau
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "t8_transition_matrix" -> """
+      |WITH t AS (SELECT event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS prev
+      | FROM events)
+      |SELECT prev, event_type, count(*)::BIGINT AS cnt
+      |FROM t WHERE prev IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t7_retention_cohorts" -> """
       |WITH uw AS (SELECT DISTINCT user_id,
       |  date_diff('day', DATE '1970-01-01', ts::DATE) // 7 AS wk

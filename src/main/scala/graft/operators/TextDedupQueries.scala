@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -452,6 +453,27 @@ object TextDedupQueries {
     "x10_tfidf_top" -> ((s, dir) =>
       TfIdf.topTerms(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")),
+
+    // Source-balance census: exact Gini coefficient of per-source
+    // character mass — the corpus-mixing health metric ("is one
+    // source dominating the token budget"). Integer-exact via the
+    // sorted-rank identity G = Σ(2i−n−1)·xᵢ / (n·Σxᵢ) (no |xᵢ−xⱼ|
+    // n² pair scan), emitted as floor(1e6·G). The global window
+    // ranks the PER-SOURCE frame — bounded by the source vocabulary
+    // (20 here, maybe thousands at 100 TB), never the corpus.
+    "x24_source_gini" -> ((s, dir) => {
+      val c = docs(s, dir).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("cnt"))
+      val r = c.withColumn("i",
+        row_number().over(Window.orderBy(col("cnt"), col("source"))))
+      val a = r.agg(count(lit(1)).as("n"), sum("cnt").as("tot"))
+      val num = r.crossJoin(broadcast(a))
+        .agg(sum((lit(2L) * col("i") - col("n") - lit(1L)) *
+          col("cnt")).as("num"))
+      a.crossJoin(broadcast(num))
+        .select(col("n").as("n_sources"), col("tot").as("total_chars"),
+          expr("(1000000 * num) div (n * tot)").as("gini_e6"))
+    }),
 
     // Canonical selection: keep ONE representative per near-dup
     // cluster by an explicit quality rule (longest text, ties to the
@@ -940,6 +962,19 @@ object TextDedupQueries {
       |SELECT id AS doc_id, a.comp, group_size
       |FROM assign a JOIN sizes s ON a.comp = s.comp
       |ORDER BY doc_id""".stripMargin),
+
+    // same sorted-rank identity, independently spelled
+    "x24_source_gini" -> """
+      |WITH c AS (SELECT source, sum(n_chars) AS cnt
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT cnt,
+      |  row_number() OVER (ORDER BY cnt, source) AS i FROM c),
+      |a AS (SELECT count(*) AS n, sum(cnt) AS tot FROM r),
+      |num AS (SELECT sum((2*r.i - a.n - 1) * r.cnt) AS num
+      |  FROM r CROSS JOIN a)
+      |SELECT a.n::BIGINT AS n_sources, a.tot::BIGINT AS total_chars,
+      | ((1000000 * num.num) // (a.n * a.tot))::BIGINT AS gini_e6
+      |FROM a CROSS JOIN num""".stripMargin,
 
     // d8's component machinery + an independent window-argmax pick
     "d12_canonical_pick" -> (oracleMinhash.replaceFirst(
