@@ -157,6 +157,29 @@ class NewQueryPlanSpec extends SparkTestBase {
     assert(p.contains("Generate explode"), p) // the 9-cell probe fan-out
   }
 
+  test("t7 cohorts plan carries no window; t8's window is user-keyed") {
+    // t7's design claim: distinct + min + keyed join, NO window and
+    // no day-grid explode
+    val p7 = plan("t7_retention_cohorts")
+    assert(!p7.contains("Window"), p7)
+    assert(!p7.contains("Generate"), p7)
+    // t8 lags within the user partition — a global sort window here
+    // would be the single-task scale-killer
+    val p8 = plan("t8_transition_matrix")
+    assert("windowspecdefinition\\(user_id".r
+      .findFirstIn(p8.toLowerCase).isDefined, p8)
+  }
+
+  test("s12 ORC re-read prunes to the aggregated columns") {
+    val p = plan("s12_orc_roundtrip")
+    // the 3-column ORC file is read back for a 2-column aggregate;
+    // o_orderkey must not survive into the scan schema
+    val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(p).toList
+      .filter(_.contains("orderstatus"))
+    assert(readSchemas.nonEmpty, p)
+    assert(readSchemas.forall(!_.contains("o_orderkey")), readSchemas)
+  }
+
   test("n6 BFS result reads cached levels, no cartesian anywhere") {
     try {
       val p = plan("n6_bfs_hops")
