@@ -454,6 +454,51 @@ object TextDedupQueries {
       TfIdf.topTerms(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rnk")),
 
+    // Estimator-accuracy eval for the MinHash index: per LSH
+    // candidate pair, the signature-estimated Jaccard (agreeing
+    // permutations / 8, exact multiples of 1250 e4) BESIDE the true
+    // Jaccard of the distinct shingle-hash sets — the d-family's
+    // quality counterpart to v9/v12's ANN recall, as an
+    // oracle-checked query. Shapes: signatures are the narrow map;
+    // the exact side is a pair-restricted inverted-index join
+    // (candidate pairs × their shingles, never corpus²).
+    "d13_minhash_accuracy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = lshCandidatePairs(s, dir)
+      val sig = MinHashLsh.signatures(d, "doc_id", "text")
+      val sa = sig.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sig.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val hx = MinHashLsh.shingled(d, "doc_id", "text")
+        .select(col("doc_id"), explode(expr(
+          s"transform(sh, x -> ${MinHashLsh.md5Hash("x")})")).as("h"))
+        .distinct()
+      val sizes = hx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val shared = pairs
+        .join(hx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(hx.select(col("doc_id").as("doc_b"), col("h")),
+          Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("agree", (0 until 8).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _))
+        // a band collision nearly always implies a shared shingle,
+        // but nothing GUARANTEES it — left join + 0 keeps the pair
+        .join(shared, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"),
+          col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"),
+          col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("(agree * 10000) div 8").as("est_e4"),
+          expr("(coalesce(shared, 0L) * 10000) div " +
+            "(na + nb - coalesce(shared, 0L))").as("exact_e4"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Source-balance census: exact Gini coefficient of per-source
     // character mass — the corpus-mixing health metric ("is one
     // source dominating the token budget"). Integer-exact via the
@@ -962,6 +1007,42 @@ object TextDedupQueries {
       |SELECT id AS doc_id, a.comp, group_size
       |FROM assign a JOIN sizes s ON a.comp = s.comp
       |ORDER BY doc_id""".stripMargin),
+
+    // sig + band-pair machinery from the minhash base; exact side
+    // from DISTINCT shingle hashes (hash collisions collapse on both
+    // engines identically)
+    "d13_minhash_accuracy" -> (oracleMinhash + """,
+      |bands AS (
+      | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig),
+      |pairs AS (
+      | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      | FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1
+      |  AND a.k2 = b.k2 AND a.doc_id < b.doc_id),
+      |hxd AS (SELECT DISTINCT doc_id, h FROM hx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM hxd GROUP BY 1),
+      |shr AS (
+      | SELECT p.doc_a, p.doc_b, count(*) AS shared
+      | FROM pairs p JOIN hxd a ON a.doc_id = p.doc_a
+      |  JOIN hxd b ON b.doc_id = p.doc_b AND b.h = a.h
+      | GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b,
+      | (((sa.mh0 = sb.mh0)::BIGINT + (sa.mh1 = sb.mh1)::BIGINT
+      |  + (sa.mh2 = sb.mh2)::BIGINT + (sa.mh3 = sb.mh3)::BIGINT
+      |  + (sa.mh4 = sb.mh4)::BIGINT + (sa.mh5 = sb.mh5)::BIGINT
+      |  + (sa.mh6 = sb.mh6)::BIGINT + (sa.mh7 = sb.mh7)::BIGINT)
+      |  * 10000 // 8)::BIGINT AS est_e4,
+      | ((coalesce(s.shared, 0) * 10000)
+      |  // (za.n + zb.n - coalesce(s.shared, 0)))::BIGINT AS exact_e4
+      |FROM pairs p
+      | JOIN sig sa ON sa.doc_id = p.doc_a
+      | JOIN sig sb ON sb.doc_id = p.doc_b
+      | LEFT JOIN shr s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+      | JOIN sizes za ON za.doc_id = p.doc_a
+      | JOIN sizes zb ON zb.doc_id = p.doc_b
+      |ORDER BY 1, 2""".stripMargin),
 
     // same sorted-rank identity, independently spelled
     "x24_source_gini" -> """
