@@ -84,11 +84,11 @@ object Bench {
           }
           if (t.taskInfo != null) t.taskInfo.accumulables.foreach { a =>
             a.name.zip(a.update).foreach {
-              case ("graft topk tasks", u) =>
+              case (graft.plans.GroupedTopK.TasksMetricName, u) =>
                 gtkTasks.addAndGet(accLong(u))
-              case ("partial heap flushes (live-group cap)", u) =>
+              case (graft.plans.GroupedTopK.CapFlushesMetricName, u) =>
                 gtkCapFlushes.addAndGet(accLong(u))
-              case ("final tasks degraded to sort-based eviction", u) =>
+              case (graft.plans.GroupedTopK.SortFallbacksMetricName, u) =>
                 gtkSortFallbacks.addAndGet(accLong(u))
               case _ => ()
             }

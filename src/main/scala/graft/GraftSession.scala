@@ -26,6 +26,18 @@ object GraftSession {
         sys.env.contains("SPARK_MASTER_URL")) builder
       else builder.master(s"local[$cores]")
         .config("spark.sql.shuffle.partitions", cores.toString)
+        // shuffle.partitions=cores is right for query-sized inputs,
+        // but a fixed reducer count starves big single-node jobs:
+        // at 10M synthetic marks the ETL's window sort ran 32
+        // partitions of ~312k fat rows each and spilled — 31.3k
+        // marks/sec vs 65.0k with AQE given room to choose (r13
+        // probe, BASELINE.md). initialPartitionNum hands AQE a high
+        // starting split that it COALESCES back down when stages are
+        // small, so query-sized work keeps ~cores partitions and
+        // corpus-sized work fans out — the same posture a 1000-
+        // executor cluster wants (initial ≫ cores, AQE right-sizes)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          (cores * 16).toString)
         // sort-based shuffle writer even at few partitions: the
         // bypass-merge writer creates numPartitions files per map
         // task, which crawls on slow local filesystems; >200-partition

@@ -69,6 +69,7 @@ object Bfs {
   def minHops(edges: DataFrame, sources: DataFrame,
     maxHops: Int, exhaustCheck: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val spark = edges.sparkSession
     val e = edges.select(col("src"), col("dst"))
     // levels(h) = nodes first reached at hop h, newest first
     var levels = List(Broadcasting.track(
@@ -89,6 +90,22 @@ object Bfs {
       // the round's one action (on the FRONTIER, the small frame)
       if (exhaustCheck && next.isEmpty) exhausted = true
       else levels ::= next
+      // LINEAGE CUT (Iterate doc): every level embeds every earlier
+      // one twice (frontier + visited), so the analyzed tree doubles
+      // per round. Past the cadence, collapse the whole list into ONE
+      // materialized leaf and re-split it by the hops column — same
+      // rows (levels are disjoint by the anti-join invariant), but
+      // round h+1 plans against two filters of a LogicalRDD instead
+      // of the full history. Old level caches are safe to release
+      // MID-LOOP here, uniquely: the leaf carries no lineage into
+      // them, so no dependent cache entry gets re-compiled (the
+      // r12 cache-discipline trap this file documents above).
+      if (!exhausted && Iterate.due(spark, h)) {
+        val cp = Iterate.cut(levels.reduce(_ unionAll _))
+        levels.foreach(_.unpersist())
+        levels = List(cp.filter(col("hops") === h),
+          cp.filter(col("hops") < h))
+      }
     }
     levels.reduce(_ unionAll _)
   }
@@ -142,6 +159,28 @@ object Bfs {
         deduped.withColumn("hops", lit(h)).persist())
       if (exhaustCheck && next.isEmpty) exhausted = true
       else levels ::= next
+      // lineage cut, same rationale/mechanics as minHops.
+      if (!exhausted && Iterate.due(edges.sparkSession, h)) {
+        if (seedReached) {
+          val cp = Iterate.cut(levels.reduce(_ unionAll _))
+          levels.foreach(_.unpersist())
+          levels = List(cp.filter(col("hops") === h),
+            cp.filter(col("hops") < h))
+        } else {
+          // the p+ seed is identity-tracked (`_ eq seed`): keep it
+          // OUT of the leaf and carry the object through, so its
+          // exclusion from `reached` and from the output keeps
+          // working by reference (seed rows never enter cp — they
+          // are frontier-only by the mode's contract)
+          val fold = levels.filterNot(_ eq seed)
+          if (fold.nonEmpty) {
+            val cp = Iterate.cut(fold.reduce(_ unionAll _))
+            fold.foreach(_.unpersist())
+            levels = List(cp.filter(col("hops") === h),
+              cp.filter(col("hops") < h)) ::: levels.filter(_ eq seed)
+          }
+        }
+      }
     }
     val out = if (seedReached) levels else levels.filterNot(_ eq seed)
     if (out.isEmpty) seed.filter(lit(false)) // maxHops 0, p+ mode
@@ -171,10 +210,16 @@ object Bfs {
         .select(col("id").as("origin"), col("id")).persist())
     var inWindow = List.empty[DataFrame]
     for (h <- 1 to maxHops) {
-      cur = Broadcasting.track(
-        cur.join(e, cur("id") === e("src"))
-          .select(col("origin"), col("dst").as("id")).distinct()
-          .persist())
+      val nxt = cur.join(e, cur("id") === e("src"))
+        .select(col("origin"), col("dst").as("id")).distinct()
+      // lineage cut on the cadence (Iterate doc): localCheckpoint
+      // both persists (what the else-branch persist() did) and
+      // resets `cur`'s plan to a leaf, so the final union's tree —
+      // one cur-subtree per window length — stays bounded for wide
+      // windows instead of nesting maxHops joins deep.
+      cur =
+        if (Iterate.due(edges.sparkSession, h)) Iterate.cut(nxt)
+        else Broadcasting.track(nxt.persist())
       if (h >= minHops)
         inWindow ::= cur.withColumn("hops", lit(h))
     }

@@ -109,11 +109,18 @@ object ConnectedComponents {
       // would discard those buffers (see minLabel). Rounds release
       // together at `releaseAll()`; peak cache is rounds × (id, comp)
       // pairs — label frames, never the corpus.
-      val next = Broadcasting.track(sym.join(comp, col("src") === col("id"))
+      val step = sym.join(comp, col("src") === col("id"))
         .select(col("dst").as("id"), col("comp"))
         .union(comp.select(col("id"), col("comp")))
         .groupBy(col("id")).agg(min("comp").as("comp"))
-        .persist())
+      // lineage cut on the cadence (Iterate doc): each label frame
+      // embeds the previous one twice (propagate + union), so the
+      // analyzed tree doubles per round — the cut resets it to a
+      // leaf; localCheckpoint persists, so the else-branch contract
+      // (cached frame, counted below) is unchanged
+      val next =
+        if (Iterate.due(sym.sparkSession, round + 1)) Iterate.cut(step)
+        else Broadcasting.track(step.persist())
       val changed = next.join(comp.withColumnRenamed("comp", "prev"),
         Seq("id"))
         .filter(col("comp") < col("prev")).count()

@@ -61,8 +61,15 @@ object KCore {
       s"k must be >= 1 and rounds >= 0: $k/$rounds")
     var e = edges.select(col("u"), col("v"))
     if (rounds > 0) e = Broadcasting.track(e.persist())
-    for (_ <- 1 to rounds) {
-      e = Broadcasting.track(oneRound(e, k).persist())
+    for (r <- 1 to rounds) {
+      // lineage cut on the cadence (Iterate doc): localCheckpoint
+      // both persists (what the else-branch persist() did) and
+      // resets the chain to a leaf, so a deep peel's plan depth is
+      // bounded by the cadence instead of `rounds`
+      e =
+        if (Iterate.due(edges.sparkSession, r))
+          Iterate.cut(oneRound(e, k))
+        else Broadcasting.track(oneRound(e, k).persist())
     }
     e
   }
@@ -87,12 +94,18 @@ object KCore {
     var r = 0
     var stable = false
     while (!stable && r < maxRounds) {
-      val next = Broadcasting.track(oneRound(e, k).persist())
+      r += 1
+      // lineage cut on the cadence (Iterate doc) — localCheckpoint
+      // persists AND resets the chain to a leaf; the count then
+      // reads the materialized RDD
+      val next =
+        if (Iterate.due(edges.sparkSession, r))
+          Iterate.cut(oneRound(e, k))
+        else Broadcasting.track(oneRound(e, k).persist())
       val m = next.count()
       e = next
       stable = m == n
       n = m
-      r += 1
     }
     e
   }

@@ -72,7 +72,7 @@ object PageRank {
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("id"),
         expr("1000000000000L div n_nodes").as("rank_e12"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
@@ -88,6 +88,13 @@ object PageRank {
           (expr(s"((100 - $dampingPct) * 1000000000000L)" +
             " div (100 * n_nodes)") +
             coalesce(col("inflow"), lit(0L))).as("rank_e12"))
+      // lineage cut (Iterate doc): the rank recurrence nests one
+      // join-chain per iteration — linear, but a 20-iteration plan
+      // still re-analyzes the whole history at every consumer. On
+      // the cadence, materialize the (id, rank) frame — the SMALL
+      // per-round working set — and restart the chain from a leaf.
+      if (i < iters && Iterate.due(edges.sparkSession, i))
+        ranks = Iterate.cut(ranks)
     }
     ranks
   }
@@ -130,7 +137,7 @@ object PageRank {
           .otherwise(lit(0L)).as("tp"))
     var ranks = teleport(100)
       .select(col("id"), col("tp").as("rank_e12"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = e
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
@@ -144,6 +151,9 @@ object PageRank {
         .select(col("id"),
           (col("tp") + coalesce(col("inflow"), lit(0L)))
             .as("rank_e12"))
+      // lineage cut on the cadence — same rationale as ranksE12
+      if (i < iters && Iterate.due(edges.sparkSession, i))
+        ranks = Iterate.cut(ranks)
     }
     ranks
   }

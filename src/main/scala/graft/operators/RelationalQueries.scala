@@ -20,6 +20,12 @@ import graft.sources.Layout
   * Scale notes (100 TB design point) are in each query's comment.
   */
 object RelationalQueries {
+  /** Per-JVM scratch-path token for s12's ORC round-trip: constant
+    * within a JVM (re-runs overwrite, no FS debt) yet distinct across
+    * concurrently-running JVMs (no cross-session scratch races). */
+  private lazy val orcScratchToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -206,9 +212,11 @@ object RelationalQueries {
         .withColumn("s", sum("price_e2").over(w))
         .withColumn("ss",
           sum(col("price_e2") * col("price_e2")).over(w))
-        // n >= 4: smaller windows cannot clear 2 sigma at all (a
-        // 2-point window is symmetric by construction)
-        .filter(col("n") >= 4)
+        // n >= 6: the max sample z^2 over n points is (n-1)^2/n,
+        // which first exceeds 4 (the 2-sigma test) at n = 6 — windows
+        // with n <= 5 can never flag, so they'd only inflate
+        // n_windows. The oracle mirrors the same bound.
+        .filter(col("n") >= 6)
         .withColumn("dev",
           (col("price_e2") * col("n") - col("s")).cast(dec))
         .withColumn("is_outlier",
@@ -1505,9 +1513,14 @@ object RelationalQueries {
     "s12_orc_roundtrip" -> ((s, dir) => {
       // deterministic path + overwrite, NOT createTempDirectory: the
       // bench re-runs builders per pass, and fresh dirs each pass
-      // would accrue exactly the FS debt the harness works to avoid
+      // would accrue exactly the FS debt the harness works to avoid.
+      // Keyed on (per-JVM token, full sanitized dir): stable within a
+      // JVM so re-runs overwrite, but two JVMs benchmarking the same
+      // dataset concurrently (bench + correctness runner) get
+      // disjoint paths — otherwise one session's overwrite races the
+      // other's scan (FileNotFoundException or silently wrong rows)
       val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_" +
-        Integer.toHexString(dir.hashCode)
+        orcScratchToken + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"))
@@ -1751,7 +1764,7 @@ object RelationalQueries {
         |     * (n - 1)
         |   > 4 * n::HUGEINT * (n * ss::HUGEINT - s::HUGEINT * s)
         |  THEN 1 ELSE 0 END)::BIGINT AS n_outliers
-        |FROM r WHERE n >= 4 GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM r WHERE n >= 6 GROUP BY 1 ORDER BY 1""".stripMargin,
     "p14_pivot" ->
       """SELECT l_returnflag,
         | count(*) FILTER (l_linestatus = 'F') AS "F",

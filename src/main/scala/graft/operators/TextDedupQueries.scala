@@ -78,6 +78,56 @@ object TextDedupQueries {
         .as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs (the d6 plan, reusable):
+    * band-bucketed generation — the 16-bit fingerprint splits into
+    * 4 × 4-bit bands; by pigeonhole Hamming ≤ 3 means at most 3
+    * bands differ, so every qualifying pair shares ≥ 1 band EXACTLY
+    * and is provably found. Bucket key = (source, band, value):
+    * cardinality grows with the corpus, never a whole source block
+    * in one aggregation buffer. A pair colliding in several bands is
+    * emitted once per collision → distinct() on the (deterministic)
+    * output triple.
+    *
+    * `bucketCap` is the OPT-IN pair-blowup lever (BASELINE.md's d6
+    * ladder documents pair volume as corpus collision structure, not
+    * plan shape): keep only the `cap` LOWEST (doc_id, simhash)
+    * entries per bucket before pairing, bounding every bucket at
+    * cap·(cap−1)/2 pairs — and, because the cap routes through the
+    * GroupedTopK heap rather than a post-hoc slice, the per-bucket
+    * AGGREGATION BUFFER is bounded at cap entries too, never the
+    * whole collision block. Deterministic (keep-lowest is a total
+    * order; doc_id is unique per bucket) but LOSSY: an evicted doc
+    * can only pair through its other 3 bands, so capped output is a
+    * SUBSET of the uncapped output. Stays None unless the corpus'
+    * collision structure demands it. */
+  def simhashPairs(d: DataFrame, bucketCap: Option[Int] = None)
+    : DataFrame = {
+    bucketCap.foreach(c => require(c >= 2,
+      s"bucketCap must be >= 2 to ever emit a pair, got $c"))
+    val sig = simhashSig(d, withSource = true)
+    val banded = sig.select(col("doc_id"), col("source"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bv", expr("shiftright(simhash, band * 4) & 15"))
+    val capped = bucketCap.fold(banded) { c =>
+      val withOrd = banded.withColumn("_ord",
+        struct(col("doc_id").as("d"), col("simhash").as("sh")))
+      graft.plans.GroupedTopK.topK(withOrd,
+          Seq("source", "band", "bv"), "_ord", c, descending = false)
+        .drop("_ord")
+    }
+    capped.groupBy(col("source"), col("band"), col("bv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        col("simhash")))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(bucketPairs("xs"))).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"),
+        col("p.b.doc_id").as("doc_b"),
+        expr("cast(bit_count(p.a.simhash ^ p.b.simhash) as bigint)")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+  }
+
   /** Shared oracle CTE prefix for token/shingle queries. */
   private val oracleToks =
     """WITH toks AS (
@@ -363,34 +413,19 @@ object TextDedupQueries {
     "d5_simhash_sig" -> ((s, dir) =>
       simhashSig(docs(s, dir), withSource = false).orderBy("doc_id")),
 
-    // SimHash near-dup pairs: Hamming distance ≤ 3 within a source block.
-    "d6_simhash_pairs" -> ((s, dir) => {
-      val sig = simhashSig(docs(s, dir), withSource = true)
-      // Band-bucketed candidate generation (the d4 pattern, applied to
-      // simhash): split the 16-bit fingerprint into 4 × 4-bit bands —
-      // by pigeonhole, Hamming ≤ 3 means at most 3 bands differ, so
-      // every qualifying pair shares ≥1 band EXACTLY and is provably
-      // found. Bucket key = (source, band, band value): cardinality
-      // grows with the corpus, never a whole-source block in one
-      // aggregation buffer. A pair colliding in several bands is
-      // emitted once per collision → distinct() on the (deterministic)
-      // output triple.
-      val banded = sig.select(col("doc_id"), col("source"), col("simhash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bv", expr("shiftright(simhash, band * 4) & 15"))
-      banded.groupBy(col("source"), col("band"), col("bv"))
-        .agg(sort_array(collect_list(struct(col("doc_id"),
-          col("simhash")))).as("xs"))
-        .filter(size(col("xs")) >= 2)
-        .select(explode(expr(bucketPairs("xs"))).as("p"))
-        .select(col("p.a.doc_id").as("doc_a"),
-          col("p.b.doc_id").as("doc_b"),
-          expr("cast(bit_count(p.a.simhash ^ p.b.simhash) as bigint)")
-            .as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+    // SimHash near-dup pairs: Hamming distance ≤ 3 within a source
+    // block. Plan shape and rationale live on [[simhashPairs]].
+    "d6_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // The capped face of the same generator (BASELINE.md's documented
+    // d6 mitigation as a pullable lever): keep-lowest-4 per hamming
+    // bucket through the GroupedTopK heap. The oracle replicates the
+    // band/cap semantics exactly (row_number keep-lowest), so the
+    // hash compare pins the lossy contract, not just the happy path.
+    "d6c_simhash_capped" -> ((s, dir) =>
+      simhashPairs(docs(s, dir), bucketCap = Some(4))
+        .orderBy("doc_a", "doc_b")),
 
     // Deterministic hash sampling (Sampling.byHash): the selected set
     // is a pure function of doc_id — stable across partitionings,
@@ -1476,6 +1511,29 @@ object TextDedupQueries {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       | bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
       |FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin),
+
+    "d6c_simhash_capped" -> (oracleToks + s""",
+      |th AS (SELECT doc_id, source, ${oracleShingleHash("unnest(w)")} AS h
+      |       FROM toks),
+      |bits AS (SELECT doc_id, any_value(source) AS source, b.b AS b,
+      |  CASE WHEN sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |   THEN 1::BIGINT << b.b ELSE 0 END AS bitval
+      | FROM th CROSS JOIN (SELECT unnest(range(16)) AS b) b
+      | GROUP BY doc_id, b.b),
+      |sig AS (SELECT doc_id, any_value(source) AS source,
+      |  sum(bitval)::BIGINT AS simhash FROM bits GROUP BY doc_id),
+      |banded AS (SELECT doc_id, source, simhash, bd.band AS band,
+      |  (simhash >> (bd.band * 4)) & 15 AS bv
+      | FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) bd),
+      |capped AS (SELECT * FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source, band, bv
+      |    ORDER BY doc_id) AS rn FROM banded) WHERE rn <= 4)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      |FROM capped a JOIN capped b ON a.source = b.source
+      | AND a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin)
   )

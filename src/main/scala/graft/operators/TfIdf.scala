@@ -67,12 +67,33 @@ object TfIdf {
     * EXTREME-cardinality group key at corpus scale, exactly the
     * regime where the r11 A/B measures the interpreted heap 2.2×
     * slower than Spark's codegen'd WindowGroupLimit (≳10⁵ live
-    * groups per task). Default stays "true" — at ≤10⁴ docs per task
-    * the heap is the measured 9× win (x10 6.59 s → 0.71 s, r11), and
-    * its cap/sort fallback keeps memory bounded regardless — but a
-    * deployment whose docs-per-task count sits past the crossover
-    * sets this false and gets the plain window spelling. */
+    * groups per task), while at ≤10⁴ docs per task the heap is the
+    * measured 9× win (x10 6.59 s → 0.71 s, r11). Three values:
+    * "true" forces the heap, "false" forces the window, and the
+    * default "auto" routes on statistics — the SAME gate
+    * [[graft.plans.TopKRewrite]]'s auto mode enforces: when the
+    * input carries a distinct-count stat for the id column (CBO /
+    * ANALYZE … FOR COLUMNS), take the heap only while the estimated
+    * doc count stays ≤ `spark.graft.topk.rewriteMaxGroups` (the
+    * measured crossover, shared constant). Stats absent → heap, the
+    * bench-default: only speed is at stake on a wrong guess, because
+    * the heap's live-group cap keeps memory bounded regardless. */
   val HeapTopTermsKey = "spark.graft.tfidf.heapTopK"
+
+  /** Estimated distinct docs from the optimized plan's column stats:
+    * the id column's distinctCount capped by rowCount (TopKRewrite's
+    * estimate, applied at the API layer where the logical plan is in
+    * hand). None when no stats reached the plan. */
+  private def estimatedDocs(df: DataFrame, idCol: String)
+    : Option[BigInt] = {
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
+    plan.output.find(a => df.sparkSession.sessionState.analyzer
+        .resolver(a.name, idCol))
+      .flatMap(a => stats.attributeStats.get(a))
+      .flatMap(_.distinctCount)
+      .map(ndv => stats.rowCount.fold(ndv)(_.min(ndv)))
+  }
 
   /** Top-`k` terms per document by score, ties broken by term asc —
     * integer comparisons end to end, so the ranking is deterministic
@@ -97,7 +118,16 @@ object TfIdf {
       .orderBy(col("score_e6").desc, col("term").asc)
     val scored = scores(df, idCol, textCol)
     val useHeap = df.sparkSession.conf
-      .get(HeapTopTermsKey, "true").toBoolean
+      .get(HeapTopTermsKey, "auto") match {
+      case "true" => true
+      case "false" => false
+      case "auto" =>
+        val maxGroups = BigInt(df.sparkSession.conf.get(
+          graft.plans.TopKRewrite.RewriteMaxGroupsKey, "32768").toLong)
+        estimatedDocs(df, idCol).forall(_ <= maxGroups)
+      case other => throw new IllegalArgumentException(
+        s"$HeapTopTermsKey must be true|false|auto, got '$other'")
+    }
     if (useHeap) {
       val withOrd = scored.withColumn("_ord",
         struct((-col("score_e6")).as("ns"), col("term").as("t")))

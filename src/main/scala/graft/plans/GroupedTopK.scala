@@ -113,11 +113,11 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
 
   override lazy val metrics: Map[String, SQLMetric] = Map(
     "gtkTasks" -> SQLMetrics.createMetric(sparkContext,
-      "graft topk tasks"),
+      GroupedTopK.TasksMetricName),
     "capFlushes" -> SQLMetrics.createMetric(sparkContext,
-      "partial heap flushes (live-group cap)"),
+      GroupedTopK.CapFlushesMetricName),
     "sortFallbacks" -> SQLMetrics.createMetric(sparkContext,
-      "final tasks degraded to sort-based eviction"))
+      GroupedTopK.SortFallbacksMetricName))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val groupSeq = groupExprs
@@ -308,6 +308,15 @@ object GroupedTopK {
 
   /** Per-task live-group cap (see class doc). Session conf. */
   val MaxLiveGroupsKey = "spark.graft.topk.maxLiveGroups"
+
+  /** SQLMetric display names, shared with Bench's accumulable
+    * listener: the bench tallies metrics by matching these strings
+    * against task-end accumulable names, so a rename here must reach
+    * both sites or the telemetry silently zeroes. Single source. */
+  val TasksMetricName = "graft topk tasks"
+  val CapFlushesMetricName = "partial heap flushes (live-group cap)"
+  val SortFallbacksMetricName =
+    "final tasks degraded to sort-based eviction"
 
   /** Exact top-k rows per group by `orderCol` (descending by
     * default). Registers the planner strategy on the session if

@@ -145,6 +145,16 @@ object EventStreams {
     * time first). State and timers clear on close, so a quiet user
     * costs nothing — bounded by LIVE users, not seen users.
     *
+    * Late/out-of-order contract: rows below the current watermark are
+    * dropped on arrival (transformWithState doesn't do this for you;
+    * a below-watermark event could otherwise re-open a session its
+    * timer already emitted). An in-watermark event that precedes the
+    * open session by MORE than `gap` splits into its own earlier
+    * session (never stretches session_start backwards across a
+    * silence); such early sessions finalize at the end of the batch
+    * that carried them — the one deviation from `session_window`'s
+    * full merge semantics, forced by the single-ValueState design.
+    *
     * Requires the RocksDB state store provider (a transformWithState
     * constraint) and an event-time watermark on `ts`; scale-wise the
     * state partitions by user exactly like the other keyed stateful
@@ -179,19 +189,53 @@ object EventStreams {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
       tv: ss.TimerValues): Iterator[SessionOut] = {
-      val evs = rows.toArray.sortBy(_.ts.getTime)
+      // transformWithState does NOT auto-drop rows older than the
+      // watermark (unlike the declarative operators): a late event
+      // arriving after a timer already closed its session would
+      // otherwise re-open a phantom session and emit an overlapping
+      // Append row. Drop them here, like session_window would.
+      val wm = tv.getCurrentWatermarkInMs()
+      val evs = rows.toArray.filter(_.ts.getTime >= wm)
+        .sortBy(_.ts.getTime)
       var out = List.empty[SessionOut]
       var cur = if (sess.exists()) sess.get() else null
+      // `early` builds sessions that PRECEDE the carried-over open
+      // session by more than `gap` (out-of-order across batches, yet
+      // inside the watermark): without it such an event would merge
+      // into `cur` and stretch session_start backwards across a
+      // silence longer than the gap. Deviation from session_window's
+      // full merge semantics, forced by the single-ValueState design:
+      // early sessions finalize at the end of THIS batch — an even
+      // later-arriving predecessor in a FUTURE batch starts its own
+      // session instead of retro-merging (documented, Append-safe).
+      var early: SessState = null
       evs.foreach { e =>
         val t = e.ts.getTime
         val v = math.floor(e.value * 1e6 + 0.5).toLong
         if (cur == null) cur = SessState(t, t, 1L, v)
         else if (t > cur.lastMs + gapMs) {
+          if (early != null) { out ::= closed(userId, early); early = null }
           out ::= closed(userId, cur)
           cur = SessState(t, t, 1L, v)
-        } else cur = SessState(math.min(cur.startMs, t),
-          math.max(cur.lastMs, t), cur.n + 1, cur.totalE6 + v)
+        } else if (t < cur.startMs - gapMs) {
+          if (early == null) early = SessState(t, t, 1L, v)
+          else if (t > early.lastMs + gapMs) {
+            out ::= closed(userId, early)
+            early = SessState(t, t, 1L, v)
+          } else early = SessState(early.startMs,
+            math.max(early.lastMs, t), early.n + 1, early.totalE6 + v)
+        } else {
+          cur = SessState(math.min(cur.startMs, t),
+            math.max(cur.lastMs, t), cur.n + 1, cur.totalE6 + v)
+          // the event may bridge `early` and `cur` into one session
+          if (early != null && cur.startMs - early.lastMs <= gapMs) {
+            cur = SessState(early.startMs, cur.lastMs,
+              cur.n + early.n, cur.totalE6 + early.totalE6)
+            early = null
+          }
+        }
       }
+      if (early != null) out ::= closed(userId, early)
       // single armed timer per key: re-arm at the new horizon
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (cur != null) {

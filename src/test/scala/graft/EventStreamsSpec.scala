@@ -262,6 +262,72 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("sessionization: out-of-order predecessor splits backwards; " +
+    "below-watermark rows drop") {
+    // Two late/out-of-order contracts (EventStreams doc): (1) an
+    // in-watermark event preceding the open session by > gap forms
+    // its OWN earlier session instead of stretching session_start
+    // back; (2) a below-watermark event is dropped, never re-opening
+    // a timer-closed session as a phantom. Needs watermark delay >
+    // gap so (1) is reachable: gap 10 min, delay 2 h.
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .sessionizeWithTimers(in.toDS(), gapMs = 10 * 60 * 1000L,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("tws_ooo")
+      .outputMode(OutputMode.Append).start()
+    def emitted: Set[(Long, String, String, Long)] =
+      spark.table("tws_ooo").collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3))).toSet
+    try {
+      // batch 1: u1 opens a session at 12:00 (watermark → 10:00)
+      in.addData(ev(1, "2026-01-01 12:00:00", 1, "a"))
+      q.processAllAvailable()
+      // batch 2: two in-watermark events PRECEDING 12:00 by > gap;
+      // they chain with each other (5 min apart) into one earlier
+      // session, emitted at batch end — the open 12:00 session must
+      // NOT absorb them (that would start it at 11:00)
+      in.addData(ev(2, "2026-01-01 11:00:00", 1, "a"),
+        ev(3, "2026-01-01 11:05:00", 1, "a"))
+      q.processAllAvailable()
+      assert(emitted == Set((1L, "2026-01-01 11:00:00.0",
+        "2026-01-01 11:05:00.0", 2L)),
+        s"backward events must form their own session: $emitted")
+      // advance the watermark (15:00 → 13:00) and drive timers with a
+      // follow-up batch: the 12:00 session closes untouched
+      in.addData(ev(4, "2026-01-01 15:00:00", 9, "a"))
+      q.processAllAvailable()
+      in.addData(ev(5, "2026-01-01 15:00:01", 9, "a"))
+      q.processAllAvailable()
+      assert(emitted.contains((1L, "2026-01-01 12:00:00.0",
+        "2026-01-01 12:00:00.0", 1L)),
+        s"open session corrupted by the backward split: $emitted")
+      // below-watermark (13:00): u1 at 12:30 must be DROPPED — no
+      // phantom session may ever surface for it
+      in.addData(ev(6, "2026-01-01 12:30:00", 1, "a"))
+      q.processAllAvailable()
+      in.addData(ev(7, "2026-01-01 18:00:00", 9, "a"),
+        ev(8, "2026-01-01 18:00:01", 9, "a"))
+      q.processAllAvailable()
+      in.addData(ev(9, "2026-01-01 23:00:00", 9, "a"))
+      q.processAllAvailable()
+      val phantom = emitted.filter(s => s._1 == 1L &&
+        s._2.startsWith("2026-01-01 12:30"))
+      assert(phantom.isEmpty,
+        s"below-watermark event re-opened a closed session: $emitted")
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+    }
+  }
+
   test("streaming leaderboard keeps the k best per group across batches") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Event]

@@ -76,6 +76,55 @@ class TfIdfSpec extends SparkTestBase {
     } finally spark.conf.unset(TfIdf.HeapTopTermsKey)
   }
 
+  test("default auto gate: stats route heap for low-ndv docs, " +
+    "window past the crossover") {
+    // r12 advisor follow-through: the boolean conf became the same
+    // ndv-stats gate TopKRewrite's auto mode enforces. Under the
+    // DEFAULT conf (auto), an analyzed table whose doc_id ndv clears
+    // spark.graft.topk.rewriteMaxGroups plans the heap; one past the
+    // crossover falls back to the codegen'd window — no conf flips.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    // crossover lowered so the "high" side stays spec-sized
+    spark.conf.set(graft.plans.TopKRewrite.RewriteMaxGroupsKey, "50")
+    def mk(name: String, nDocs: Int): Unit = {
+      spark.range(0, nDocs.toLong * 3)
+        .select((col("id") % nDocs).cast("string").as("doc_id"),
+          concat(lit("alpha beta w"), (col("id") % 11).cast("string"))
+            .as("text"))
+        .write.mode("overwrite").saveAsTable(name)
+      spark.sql(
+        s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS doc_id")
+    }
+    def plan(name: String): String = {
+      val df = TfIdf.topTerms(spark.table(name), "doc_id", "text", 2)
+      try df.queryExecution.executedPlan.toString
+      finally graft.operators.Broadcasting.releaseAll()
+    }
+    try {
+      mk("tfidf_ndv_low", 7)
+      mk("tfidf_ndv_high", 400)
+      val low = plan("tfidf_ndv_low")
+      assert(low.contains("GroupedTopK"),
+        s"auto should heap the ndv=7 analyzed corpus:\n$low")
+      val high = plan("tfidf_ndv_high")
+      assert(!high.contains("GroupedTopK"),
+        s"auto should window the ndv=400 analyzed corpus:\n$high")
+      // and the escape hatches still override in both directions
+      spark.conf.set(TfIdf.HeapTopTermsKey, "true")
+      assert(plan("tfidf_ndv_high").contains("GroupedTopK"))
+      spark.conf.set(TfIdf.HeapTopTermsKey, "false")
+      assert(!plan("tfidf_ndv_low").contains("GroupedTopK"))
+      spark.conf.set(TfIdf.HeapTopTermsKey, "bogus")
+      intercept[IllegalArgumentException](plan("tfidf_ndv_low"))
+    } finally {
+      spark.conf.unset(TfIdf.HeapTopTermsKey)
+      spark.conf.unset(graft.plans.TopKRewrite.RewriteMaxGroupsKey)
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.sql("DROP TABLE IF EXISTS tfidf_ndv_low")
+      spark.sql("DROP TABLE IF EXISTS tfidf_ndv_high")
+    }
+  }
+
   test("empty tokens vanish; output column collisions are rejected") {
     val blanky = Seq((1L, "  x   y  ")).toDF("doc_id", "text")
     val terms = TfIdf.scores(blanky, "doc_id", "text")
