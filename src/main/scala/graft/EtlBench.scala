@@ -32,6 +32,14 @@ object EtlBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    // volume-sized AQE fan-out (GraftSession doc): at 10M marks the
+    // cores-sized reducer count spills the window sort (31.3k vs
+    // 65.0k marks/sec, r13 A/B); one initial partition per ~20k
+    // marks keeps per-partition volume flat as nMarks grows, and AQE
+    // coalesces small stages back down so the 1M rung is unaffected
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      math.min(2048L, math.max(cpus.toLong, nMarks / 20000L)).toString)
     import spark.implicits._
 
     val marks = spark.range(nMarks).select(

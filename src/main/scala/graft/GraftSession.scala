@@ -25,19 +25,16 @@ object GraftSession {
       if (sys.props.contains("spark.master") ||
         sys.env.contains("SPARK_MASTER_URL")) builder
       else builder.master(s"local[$cores]")
+        // shuffle.partitions=cores is right for query-sized inputs;
+        // jobs whose PER-PARTITION volume outgrows executor memory
+        // (the 10M-mark ETL: 32 partitions × ~312k fat rows spilled,
+        // 31.3k vs 65.0k marks/sec — r13 probe, BASELINE.md) should
+        // raise adaptive.coalescePartitions.initialPartitionNum for
+        // that job (EtlBench sizes it from the mark count). NOT a
+        // session-wide default: the same A/B showed 512 initial
+        // partitions ruining small-stage iterative queries at sf0.1
+        // (n6 3.7 → 12.6 s — 512 tasks scheduled per tiny round).
         .config("spark.sql.shuffle.partitions", cores.toString)
-        // shuffle.partitions=cores is right for query-sized inputs,
-        // but a fixed reducer count starves big single-node jobs:
-        // at 10M synthetic marks the ETL's window sort ran 32
-        // partitions of ~312k fat rows each and spilled — 31.3k
-        // marks/sec vs 65.0k with AQE given room to choose (r13
-        // probe, BASELINE.md). initialPartitionNum hands AQE a high
-        // starting split that it COALESCES back down when stages are
-        // small, so query-sized work keeps ~cores partitions and
-        // corpus-sized work fans out — the same posture a 1000-
-        // executor cluster wants (initial ≫ cores, AQE right-sizes)
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-          (cores * 16).toString)
         // sort-based shuffle writer even at few partitions: the
         // bypass-merge writer creates numPartitions files per map
         // task, which crawls on slow local filesystems; >200-partition

@@ -187,6 +187,72 @@ object Bfs {
     else out.reduce(_ unionAll _)
   }
 
+  /** Rounds the doubling closure needs: ⌈log₂ maxHops⌉ (spec-pinned;
+    * span after round r is 2^r, stop once it covers maxHops). */
+  def doublingRounds(maxHops: Int): Int =
+    if (maxHops <= 1) 0
+    else 32 - Integer.numberOfLeadingZeros(maxHops - 1)
+
+  /** [[minHopsPerSource]] by PATH DOUBLING (iterated min-plus
+    * squaring): identical output — (origin, id, hops), both
+    * `seedReached` modes — in ⌈log₂ maxHops⌉ rounds instead of
+    * maxHops. Each round joins the bounded all-pairs distance
+    * relation with itself (dist₂ₖ(a,c) = min(distₖ(a,c), min over m
+    * of distₖ(a,m)+distₖ(m,c)); any walk of length ≤ 2k splits at
+    * its midpoint into two walks ≤ k, so the recurrence is exact for
+    * every pair INCLUDING closed walks — which is what keeps p+'s
+    * cycle-back-to-origin semantics: dist(s,s) is the shortest
+    * closed walk through s, exactly what the frontier algorithm
+    * reports). Composed hops above `maxHops` prune each round (safe:
+    * a surviving walk's halves are ≤ ⌈L/2⌉ ≤ maxHops).
+    *
+    * The trade vs the frontier walk is explicit: this closure is
+    * ALL-PAIRS over the edge set — per-round cost does not shrink
+    * to the sources' reach. Right when the sources ARE (nearly) the
+    * node set — the SPARQL `?x p{m,n} ?y` shape, where the frontier
+    * algorithm degenerates to all-pairs anyway but pays maxHops
+    * rounds of it — and when deep `n` makes round count the driver
+    * bottleneck ([[Iterate]] cuts apply here too, on the log-many
+    * rounds). Keep [[minHopsPerSource]] for few-source blast-radius
+    * queries over big graphs, where all-pairs would be a data
+    * explosion. */
+  def minHopsDoubling(edges: DataFrame, sources: DataFrame,
+    maxHops: Int, seedReached: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val spark = edges.sparkSession
+    val seed = sources.select(col("id")).distinct()
+    val seed0 = seed.select(col("id").as("origin"), col("id"),
+      lit(0).as("hops"))
+    if (maxHops == 0)
+      return if (seedReached) seed0 else seed0.filter(lit(false))
+    var dist = Broadcasting.track(
+      edges.select(col("src"), col("dst")).distinct()
+        .withColumn("hops", lit(1)).persist())
+    for (r <- 1 to doublingRounds(maxHops)) {
+      val fst = dist.select(col("src"), col("dst").as("mid"),
+        col("hops").as("h1"))
+      val snd = dist.select(col("src").as("mid"), col("dst"),
+        col("hops").as("h2"))
+      val squared = fst.join(snd, "mid")
+        .select(col("src"), col("dst"),
+          (col("h1") + col("h2")).as("hops"))
+        .filter(col("hops") <= maxHops)
+      val step = dist.unionAll(squared)
+        .groupBy(col("src"), col("dst")).agg(min(col("hops")).as("hops"))
+      dist =
+        if (Iterate.due(spark, r)) Iterate.cut(step)
+        else Broadcasting.track(step.persist())
+    }
+    val reached = dist
+      .join(seed.select(col("id").as("src")), Seq("src"), "left_semi")
+      .select(col("src").as("origin"), col("dst").as("id"), col("hops"))
+    if (seedReached)
+      // the origin's minimum is the zero-length path; a closed walk
+      // back to it must not re-admit it at the walk length
+      seed0.unionAll(reached.filter(col("origin") =!= col("id")))
+    else reached
+  }
+
   /** EXACT-length reachability: (origin, id, hops) pairs connected by
     * SOME walk whose length falls in [minHops, maxHops], with `hops`
     * the smallest in-window length. Differs from

@@ -272,6 +272,33 @@ object LinkageQueries {
         .orderBy("y")
     }),
 
+    // Deep-path face of the DOUBLING closure (Bfs.minHopsDoubling):
+    // each customer's orders, date-ordered, form a chain; edges link
+    // consecutive orders, and the p{1,8} closure runs in
+    // ⌈log₂ 8⌉ = 3 min-plus squaring rounds instead of 8 frontier
+    // walks. Chains have unique paths, so engine hops ≡ rank
+    // distance — the oracle needs NO recursion, just the ranked
+    // self-join with 1 ≤ Δrank ≤ 8, which independently pins the
+    // closure's minimality. Output aggregated per hop count (with
+    // endpoint checksums) so the frame stays 8 rows at any SF.
+    "n10_order_chain" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ranked = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+      val edges = ranked.filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+      val sources = edges.select(col("src").as("id")).distinct()
+      Bfs.minHopsDoubling(edges, sources, maxHops = 8)
+        .filter(col("hops") >= 1)
+        .groupBy(col("hops"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("origin")).as("sum_src"), sum(col("id")).as("sum_dst"))
+        .orderBy("hops")
+    }),
+
     // Trained quality classifier: 2 full-batch perceptron rounds
     // over integer document features, then confusion counts of the
     // learned weights — TRAINING is oracle-checked, not just
@@ -458,6 +485,24 @@ object LinkageQueries {
       |  JOIN e ON e.src = w.id WHERE w.hops < 4)
       |SELECT id AS part_id, min(hops)::INTEGER AS hops
       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the chain structure makes the closure rank arithmetic: pair
+    // (a, b) is in the p{1,8} closure iff same customer and
+    // 1 ≤ rank(b) − rank(a) ≤ 8, with hops = the rank distance —
+    // no recursion needed, which makes this an INDEPENDENT check of
+    // the doubling recurrence's minimality
+    "n10_order_chain" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS rnk
+        | FROM orders)
+        |SELECT (b.rnk - a.rnk)::INTEGER AS hops,
+        | count(*)::BIGINT AS n_pairs,
+        | sum(a.o_orderkey)::BIGINT AS sum_src,
+        | sum(b.o_orderkey)::BIGINT AS sum_dst
+        |FROM r a JOIN r b ON a.o_custkey = b.o_custkey
+        | AND b.rnk - a.rnk BETWEEN 1 AND 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // unrolled relational spelling of the 1..2-hop path with a
     // min-hops collapse (robust to pairs reachable at both lengths,

@@ -168,6 +168,15 @@ object Bgp {
       if (pat.minHops >= 2)
         graft.operators.Bfs.lengthWindow(edges, sources,
           pat.minHops, pat.maxHops)
+      else if (isVar(pat.s))
+        // variable subject: the source set IS the predicate's node
+        // set, so the frontier walk degenerates to all-pairs anyway —
+        // path doubling computes the same closure in ⌈log₂ maxHops⌉
+        // rounds instead of maxHops (same output, Bfs doc + spec)
+        graft.operators.Bfs
+          .minHopsDoubling(edges, sources, pat.maxHops,
+            seedReached = pat.minHops == 0)
+          .filter(col("hops") >= pat.minHops)
       else graft.operators.Bfs
         .minHopsPerSource(edges, sources, pat.maxHops,
           exhaustCheck = false, seedReached = pat.minHops == 0)

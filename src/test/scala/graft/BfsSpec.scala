@@ -54,4 +54,32 @@ class BfsSpec extends SparkTestBase {
       assert(lazyOut == hops(src, budget), (src, budget))
     }
   }
+
+  test("path doubling equals the frontier walk in both seed modes, " +
+    "in ⌈log₂ n⌉ rounds") {
+    // the doubling closure must be output-identical to
+    // minHopsPerSource on the hand-walked graph — every maxHops,
+    // every source choice, both seedReached modes (p* origin-at-0
+    // vs p+ cycle-back-at-cycle-length: 1→6→1 pins the closed-walk
+    // recurrence)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      try df.as[(Long, Long, Int)].collect().toSet
+      finally Broadcasting.releaseAll()
+    for {
+      srcs <- Seq(Seq(1L), Seq(1L, 8L), Seq(1L, 2L, 3L, 4L, 6L, 8L))
+      maxHops <- 0 to 5
+      seedReached <- Seq(true, false)
+    } {
+      val frontier = collect(Bfs.minHopsPerSource(graph,
+        srcs.toDF("id"), maxHops, seedReached = seedReached))
+      val doubled = collect(Bfs.minHopsDoubling(graph,
+        srcs.toDF("id"), maxHops, seedReached = seedReached))
+      assert(doubled == frontier,
+        s"srcs=$srcs maxHops=$maxHops seedReached=$seedReached\n" +
+          s"doubled=$doubled\nfrontier=$frontier")
+    }
+    // the round count is the logarithm, not the budget
+    assert(Seq(0, 1, 2, 3, 4, 5, 8, 9).map(Bfs.doublingRounds) ==
+      Seq(0, 0, 1, 2, 2, 3, 3, 4))
+  }
 }

@@ -185,8 +185,33 @@ class NewQueryPlanSpec extends SparkTestBase {
       val p = plan("n6_bfs_hops")
       assert(!p.contains("CartesianProduct"), p)
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
-      // each BFS level persists; the returned union scans the caches
+      // post-cut plan shape (Iterate doc): the collapsed prefix reads
+      // as a lineage-free RDD leaf, the last level from its cache
+      assert(p.contains("Scan ExistingRDD"), p)
       assert(p.contains("InMemoryTableScan"), p)
+    } finally graft.operators.Broadcasting.releaseAll()
+  }
+
+  test("n10 doubling closure: keyed joins only, leaf-cut rounds") {
+    try {
+      val p = plan("n10_order_chain")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      // the min-plus square joins on the midpoint — an equi-join —
+      // and maxHops=8 means the last doubling round cut its lineage
+      assert(p.contains("Scan ExistingRDD"), p)
+      // exactly one window (the per-customer chain ranking) feeds the
+      // edge build; the closure itself must not sort globally
+      assert(!p.toLowerCase.contains(
+        "windowspecdefinition()"), p) // no empty-partition window
+    } finally graft.operators.Broadcasting.releaseAll()
+  }
+
+  test("d6c capped simhash pairs run through the GroupedTopK heap") {
+    try {
+      val p = plan("d6c_simhash_capped")
+      assert(p.contains("GroupedTopK"), p)
+      assert(!p.contains("CartesianProduct"), p)
     } finally graft.operators.Broadcasting.releaseAll()
   }
 }
