@@ -60,7 +60,7 @@ object LshIndexMaintenance {
     val spark = batch.sparkSession
     val bandDir = s"$indexDir/batch=$batchId"
     val pairDir = s"$pairsDir/batch=$batchId"
-    if (committed(spark, bandDir)) return // replay of a finished batch
+    if (BatchDirs.committed(spark, bandDir)) return // finished batch
     val bands = MinHashLsh.bands(
       MinHashLsh.signatures(
         batch.select(col(idCol), col(textCol)), idCol, textCol), idCol)
@@ -101,27 +101,8 @@ object LshIndexMaintenance {
       .select("doc_a", "doc_b", "n_shared_bands")
 
   /** The band index accumulated so far, `batch` partition column
-    * included. None before the first commit. */
+    * included. None before the first commit ([[BatchDirs]]). */
   def readIndex(spark: SparkSession, indexDir: String,
-    excludeBatch: Long = -1L): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = path.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val committedBatches = if (!fs.exists(path)) Nil
-      else fs.listStatus(path).toSeq
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.toString)
-        .filterNot(_.endsWith(s"batch=$excludeBatch"))
-    if (committedBatches.isEmpty) None
-    else Some(spark.read
-      .option("basePath", indexDir)
-      .parquet(committedBatches: _*))
-  }
-
-  private def committed(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+    excludeBatch: Long = -1L): Option[DataFrame] =
+    BatchDirs.readCommitted(spark, indexDir, excludeBatch)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{IvfIndex, SyntheticEmbeddings}
+import graft.streaming.IvfIndexMaintenance
+import org.apache.spark.sql.functions._
+
+/** The streaming twin of the batch IVF faces: appending embedding
+  * micro-batches must yield an index row-identical to IvfIndex.build
+  * on the final corpus (so searches match exactly), and replays must
+  * be exactly-once. Centroids train once on a bootstrap sample —
+  * they are the quantizer and never mutate. */
+class IvfIndexMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = SyntheticEmbeddings
+    .clustered(spark, n = 60, dims = 8, centers = 4, sep = 6.0)
+    .select("vec_id", "embedding")
+
+  test("incremental index equals the batch build; searches match") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_stream").toString + "/index"
+    // bootstrap centroids on the first third — the quantizer
+    val boot = corpus.filter(col("vec_id") < 20)
+    val centroids = IvfIndex.buildCentroids(boot, k = 4, iters = 2)
+    // three waves, driven via processBatch (the foreachBatch body)
+    Seq(0L -> (0L, 20L), 1L -> (20L, 40L), 2L -> (40L, 60L)).foreach {
+      case (id, (lo, hi)) =>
+        IvfIndexMaintenance.processBatch(
+          corpus.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          id, centroids, dir)
+    }
+    val streamed = IvfIndexMaintenance.index(spark, dir).get
+      .select("cluster_id", "vec_id")
+      .as[(Int, Long)].collect().toSet
+    val batch = IvfIndex.build(corpus, centroids)
+      .select("cluster_id", "vec_id")
+      .as[(Int, Long)].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+    assert(streamed.map(_._1).size > 1, "degenerate single-cluster fixture")
+    // search equivalence, probes from every wave
+    val probes = corpus.filter(col("vec_id").isin(1L, 25L, 55L))
+    val viaStream = IvfIndexMaintenance
+      .search(spark, dir, centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaBatch = IvfIndex.search(IvfIndex.build(corpus, centroids),
+        centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaStream == viaBatch)
+    assert(viaStream.nonEmpty)
+  }
+
+  test("replaying a committed batch is a no-op; a torn batch is " +
+    "invisible until it commits") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_replay").toString + "/index"
+    val centroids = IvfIndex.buildCentroids(corpus, k = 4, iters = 1)
+    def wave(id: Long, lo: Long, hi: Long): Unit =
+      IvfIndexMaintenance.processBatch(
+        corpus.filter(col("vec_id") >= lo && col("vec_id") < hi),
+        id, centroids, dir)
+    wave(0L, 0L, 30L)
+    val n0 = IvfIndexMaintenance.index(spark, dir).get.count()
+    wave(0L, 0L, 30L) // replay: _SUCCESS gates it off
+    assert(IvfIndexMaintenance.index(spark, dir).get.count() == n0)
+    // torn batch: a dir without the marker must not surface
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/batch=9"))
+    assert(IvfIndexMaintenance.index(spark, dir).get.count() == n0)
+    wave(9L, 30L, 60L) // the replay overwrites and commits
+    assert(IvfIndexMaintenance.index(spark, dir).get.count() == 60L)
+  }
+}
