@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   * once (same note as PageRank) and every round shuffles only the
   * frontier — at 100 TB that is the working set of newly reached
   * ids, not the graph. `visited` and `frontier` persist per round
-  * with the stale round released; lineage grows linearly in
-  * `maxHops` (checkpoint past ~10 rounds, same note as PageRank).
+  * with the stale round released; past the [[Iterate]] cadence the
+  * level list collapses into one localCheckpoint leaf, so neither
+  * lineage nor the analyzed plan grows with `maxHops`.
   * The per-round emptiness gate is one count action on the FRONTIER
   * (the small frame), mirroring KCore.peelToFixpoint's count-gating;
   * early exit cannot change the result — an empty frontier stays

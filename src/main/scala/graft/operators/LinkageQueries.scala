@@ -116,13 +116,14 @@ object LinkageQueries {
     "n3_triangles" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-      val pairInst = li.as("a")
-        .join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("l_orderkey"),
-          col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val e = Broadcasting.track(pairInst
+      // group-into-buckets pair generation — see n6 for the plan
+      // rationale (one less corpus-of-pairs exchange than the
+      // self-join + distinct spelling, same rows)
+      val e = Broadcasting.track(li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
@@ -142,13 +143,13 @@ object LinkageQueries {
     "n4_kcore" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-      val pairInst = li.as("a")
-        .join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("l_orderkey"),
-          col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-      val e = pairInst
+      // group-into-buckets pair generation — see n6 for the plan
+      // rationale
+      val e = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
@@ -203,13 +204,18 @@ object LinkageQueries {
     "n6_bfs_hops" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
-      val pairInst = li.as("a")
-        .join(li.as("b"), Seq("l_orderkey"))
-        .filter(col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"),
-          col("l_orderkey"))
-        .distinct()
-      val und = pairInst
+      // group-into-buckets pair generation (the d4/d6 inverted-index
+      // pattern): one shuffle on the order key, in-order pair
+      // explode (bounded — TPC-H orders hold ≤ 7 parts), then the
+      // support count. The self-join + distinct spelling paid an
+      // extra corpus-of-pairs exchange for the same rows; collect_set
+      // dedupes (order, part) repeats so `support` still counts
+      // DISTINCT co-occurring orders.
+      val und = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
+        .filter(size(col("xs")) >= 2)
+        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)

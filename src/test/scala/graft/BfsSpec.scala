@@ -55,6 +55,23 @@ class BfsSpec extends SparkTestBase {
     }
   }
 
+  test("lineage-cut cadence never changes results (0 / 1 / default)") {
+    // Iterate.cut is a plan-shape lever only: disabled, every-round,
+    // and default cadences must produce identical BFS output (the
+    // every-round setting exercises the collapse on EVERY iteration,
+    // including the re-split frontier filter)
+    def run(every: String): Map[Long, Int] =
+      try {
+        spark.conf.set(graft.operators.Iterate.CheckpointEveryKey, every)
+        hops(Seq(1L, 8L), 5)
+      } finally
+        spark.conf.unset(graft.operators.Iterate.CheckpointEveryKey)
+    val default = hops(Seq(1L, 8L), 5)
+    assert(run("0") == default)
+    assert(run("1") == default)
+    assert(run("2") == default)
+  }
+
   test("path doubling equals the frontier walk in both seed modes, " +
     "in ⌈log₂ n⌉ rounds") {
     // the doubling closure must be output-identical to
