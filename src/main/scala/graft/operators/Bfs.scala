@@ -59,10 +59,13 @@ object Bfs {
   /** @param exhaustCheck when true (default), run one `isEmpty`
     * action per round and stop as soon as a frontier empties — the
     * right mode when `maxHops` far exceeds the expected diameter.
-    * When false the loop is FULLY LAZY: no driver action until the
-    * caller consumes, exactly `maxHops` rounds are planned, and an
-    * empty frontier just yields empty levels (a no-op in the result
-    * by construction). Fixed small-budget callers want false: each
+    * When false the loop plans exactly `maxHops` rounds with no
+    * per-round emptiness action; an empty frontier just yields empty
+    * levels (a no-op in the result by construction). NOTE the
+    * [[Iterate]] cadence still fires its eager collapse jobs in this
+    * mode — set `spark.graft.iterate.checkpointEvery=0` as well when
+    * construction must stay fully job-free. Fixed small-budget
+    * callers want false: each
     * per-round action costs a full AQE re-plan of the growing
     * union+anti-join chain, and that DRIVER time dominated the n6
     * bench query (warm construct 7.4 s vs 4.3 s of actual job time;
@@ -97,16 +100,9 @@ object Bfs {
       // materialized leaf and re-split it by the hops column — same
       // rows (levels are disjoint by the anti-join invariant), but
       // round h+1 plans against two filters of a LogicalRDD instead
-      // of the full history. Old level caches are safe to release
-      // MID-LOOP here, uniquely: the leaf carries no lineage into
-      // them, so no dependent cache entry gets re-compiled (the
-      // r12 cache-discipline trap this file documents above).
-      if (!exhausted && Iterate.due(spark, h)) {
-        val cp = Iterate.cut(levels.reduce(_ unionAll _))
-        levels.foreach(_.unpersist())
-        levels = List(cp.filter(col("hops") === h),
-          cp.filter(col("hops") < h))
-      }
+      // of the full history.
+      if (!exhausted && Iterate.due(spark, h))
+        levels = Iterate.collapseByHops(levels, h)
     }
     levels.reduce(_ unionAll _)
   }
@@ -160,27 +156,17 @@ object Bfs {
         deduped.withColumn("hops", lit(h)).persist())
       if (exhaustCheck && next.isEmpty) exhausted = true
       else levels ::= next
-      // lineage cut, same rationale/mechanics as minHops.
+      // lineage cut, same rationale/mechanics as minHops. The p+
+      // seed is identity-tracked (`_ eq seed`): keep it OUT of the
+      // leaf and carry the object through, so its exclusion from
+      // `reached` and from the output keeps working by reference
+      // (seed rows never enter the leaf — frontier-only by contract).
       if (!exhausted && Iterate.due(edges.sparkSession, h)) {
-        if (seedReached) {
-          val cp = Iterate.cut(levels.reduce(_ unionAll _))
-          levels.foreach(_.unpersist())
-          levels = List(cp.filter(col("hops") === h),
-            cp.filter(col("hops") < h))
-        } else {
-          // the p+ seed is identity-tracked (`_ eq seed`): keep it
-          // OUT of the leaf and carry the object through, so its
-          // exclusion from `reached` and from the output keeps
-          // working by reference (seed rows never enter cp — they
-          // are frontier-only by the mode's contract)
-          val fold = levels.filterNot(_ eq seed)
-          if (fold.nonEmpty) {
-            val cp = Iterate.cut(fold.reduce(_ unionAll _))
-            fold.foreach(_.unpersist())
-            levels = List(cp.filter(col("hops") === h),
-              cp.filter(col("hops") < h)) ::: levels.filter(_ eq seed)
-          }
-        }
+        val fold =
+          if (seedReached) levels else levels.filterNot(_ eq seed)
+        if (fold.nonEmpty)
+          levels = Iterate.collapseByHops(fold, h) :::
+            (if (seedReached) Nil else levels.filter(_ eq seed))
       }
     }
     val out = if (seedReached) levels else levels.filterNot(_ eq seed)

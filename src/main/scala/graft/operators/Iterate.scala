@@ -61,4 +61,18 @@ object Iterate {
 
   /** Materialize `df` and truncate its lineage to a LogicalRDD leaf. */
   def cut(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** The BFS collapse step, shared by minHops / minHopsPerSource:
+    * fold the level frames into ONE leaf and re-split it by the
+    * `hops` column so the head stays the round-`h` frontier and the
+    * union of the pair stays the result-so-far. The fold frames'
+    * caches release MID-LOOP, uniquely safely: the leaf carries no
+    * lineage into them, so no dependent cache entry re-compiles (the
+    * r12 CacheManager trap documented on Bfs). */
+  def collapseByHops(fold: List[DataFrame], h: Int): List[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val cp = cut(fold.reduce(_ unionAll _))
+    fold.foreach(_.unpersist())
+    List(cp.filter(col("hops") === h), cp.filter(col("hops") < h))
+  }
 }

@@ -222,16 +222,21 @@ object LinkageQueries {
         .select(col("u"), col("v"))
       // read once per BFS round, pre-partitioned by the join key so
       // every frontier⋈edges round reuses the exchange. CUT, not
-      // just persisted (Iterate doc): the edge-build subtree (self-
-      // join + distinct + support agg) is embedded in every BFS
-      // level's analyzed plan — up to 2^cadence copies between cuts
-      // — and re-analyzing it per round was most of n6's 7 s driver
-      // cost. One bounded eager job at construction (the s12
-      // precedent); the leaf keeps the src partitioning.
-      val edges = Iterate.cut(
-        und.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
-          .repartition(col("src")))
+      // just persisted (Iterate doc): the edge-build subtree is
+      // embedded in every BFS level's analyzed plan — up to
+      // 2^cadence copies between cuts — and re-analyzing it per
+      // round was most of n6's 7 s driver cost. One bounded eager
+      // job at construction (the s12 precedent); the leaf keeps the
+      // src partitioning. checkpointEvery=0 (the documented
+      // lazy-restore switch) is honored here too — it falls back to
+      // the plain persist.
+      val doubled = und
+        .select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src"))
+      val edges =
+        if (Iterate.every(s) > 0) Iterate.cut(doubled)
+        else Broadcasting.track(doubled.persist())
       val sources = edges.select(col("src").as("id"))
         .distinct().orderBy("id").limit(3)
       // exhaustCheck=false: 4 rounds is the query's contract, the

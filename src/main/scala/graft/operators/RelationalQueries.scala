@@ -22,9 +22,24 @@ import graft.sources.Layout
 object RelationalQueries {
   /** Per-JVM scratch-path token for s12's ORC round-trip: constant
     * within a JVM (re-runs overwrite, no FS debt) yet distinct across
-    * concurrently-running JVMs (no cross-session scratch races). */
-  private lazy val orcScratchToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
+    * concurrently-running JVMs (no cross-session scratch races). The
+    * shutdown hook deletes this JVM's scratch dirs — without it every
+    * bench/verify JVM would leave an ORC copy of orders in tmpdir,
+    * exactly the accumulating debt the deterministic path avoids. */
+  private lazy val orcScratchToken: String = {
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"graft_orc_$tok"))
+        .foreach(rm)
+    }))
+    tok
+  }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)

@@ -94,11 +94,28 @@ object LshIndexMaintenance {
     } finally bands.unpersist()
   }
 
-  /** Every candidate pair emitted so far — union of the per-batch
-    * outputs (disjoint by the completeness contract). */
-  def pairsSoFar(spark: SparkSession, pairsDir: String): DataFrame =
-    spark.read.parquet(pairsDir)
-      .select("doc_a", "doc_b", "n_shared_bands")
+  /** Every candidate pair emitted by COMMITTED batches — union of
+    * the per-batch outputs (disjoint by the completeness contract),
+    * gated on the BAND commit: pairs write before bands, so a crash
+    * between the two leaves a readable pair dir for a batch that
+    * will re-run — exposing it would show candidates whose bands are
+    * absent from [[readIndex]] (a torn view). The sibling index dir
+    * is the gate. */
+  def pairsSoFar(spark: SparkSession, pairsDir: String,
+    indexDir: String): DataFrame = {
+    val ok = BatchDirs.committedIds(spark, indexDir)
+    BatchDirs.readCommitted(spark, pairsDir) match {
+      case None => // schema-stable empty frame
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)]
+          .toDF("doc_a", "doc_b", "n_shared_bands")
+      case Some(df) =>
+        val gated =
+          if (ok.isEmpty) df.filter(lit(false))
+          else df.filter(col("batch").isin(ok: _*))
+        gated.select("doc_a", "doc_b", "n_shared_bands")
+    }
+  }
 
   /** The band index accumulated so far, `batch` partition column
     * included. None before the first commit ([[BatchDirs]]). */

@@ -47,7 +47,7 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
         q.processAllAvailable() // one micro-batch per family wave
       }
     } finally q.stop()
-    val streamed = LshIndexMaintenance.pairsSoFar(spark, pr)
+    val streamed = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet
     val corpus = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
     val batch = MinHashLsh.candidatePairs(corpus, "doc_id", "text")
@@ -61,6 +61,42 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       s"expected the cross-batch near-dup (1,3): $streamed")
   }
 
+  test("checkpoint restart resumes batch ids — no re-emission, no " +
+    "lost index bands") {
+    // the T2 face for the index maintainer: stop after wave 1,
+    // restart the SAME checkpoint, feed waves 2-3 — the committed
+    // batch must not replay (ids resume at 1), and the final state
+    // must still equal the batch operator on the full corpus
+    implicit val sql = spark.sqlContext
+    val (ix, pr) = dirs("restart")
+    val ck = java.nio.file.Files
+      .createTempDirectory("lsh_rs_ck").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = LshIndexMaintenance.maintain(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", ix, pr)
+      .option("checkpointLocation", ck).start()
+    val q1 = start()
+    try { in.addData(b1: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try {
+      in.addData(b2: _*); q2.processAllAvailable()
+      in.addData(b3: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    val corpus = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val batch = MinHashLsh.candidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.operators.Broadcasting.releaseAll()
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // every doc's 4 bands indexed exactly once across the restart
+    val idx = LshIndexMaintenance.readIndex(spark, ix).get
+    assert(idx.count() == (b1 ++ b2 ++ b3).size * 4L)
+    assert(idx.select("batch").distinct().count() == 3L,
+      "batch ids did not resume across the restart")
+  }
+
   test("replaying a committed batch is a no-op; a half-written batch " +
     "overwrites cleanly") {
     val (ix, pr) = dirs("replay")
@@ -68,13 +104,13 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       LshIndexMaintenance.processBatch(
         batch.toDF("doc_id", "text"), id, "doc_id", "text", ix, pr)
     run(b1, 0L); run(b2, 1L)
-    val before = LshIndexMaintenance.pairsSoFar(spark, pr)
+    val before = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet
     val ixBefore = LshIndexMaintenance.readIndex(spark, ix)
       .get.count()
     // replay of a COMMITTED batch: gated off by the band _SUCCESS
     run(b2, 1L)
-    assert(LshIndexMaintenance.pairsSoFar(spark, pr)
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet == before)
     assert(LshIndexMaintenance.readIndex(spark, ix).get.count()
       == ixBefore, "replay duplicated index bands")
@@ -84,8 +120,14 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     val fs = new org.apache.hadoop.fs.Path(ix).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$ix/batch=1"), true)
+    // while torn, the batch's pairs are INVISIBLE (gated on the band
+    // commit) even though the pair parquet sits fully readable
+    val torn = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(torn != before && torn.subsetOf(before),
+      s"torn batch leaked into pairsSoFar: $torn")
     run(b2, 1L)
-    assert(LshIndexMaintenance.pairsSoFar(spark, pr)
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet == before)
     assert(LshIndexMaintenance.readIndex(spark, ix).get.count()
       == ixBefore)

@@ -78,7 +78,11 @@ def main():
         d, s = driver[k], session[k]
         if d < 0 or s < 0:
             rows.append((float("inf"), k, d, s))  # DNF on either side
-        elif s > 0:
+        elif s == 0:
+            # sub-resolution session time against a real driver time is
+            # the LARGEST possible drift — flag it, don't drop it
+            rows.append((float("inf") if d > 0 else 1.0, k, d, s))
+        else:
             rows.append((d / s, k, d, s))
     flagged = [r for r in rows
                if show_all or r[0] > 2.0 or r[0] < 0.5]
@@ -86,14 +90,20 @@ def main():
     print("| query | driver s | session s | ratio |")
     print("|---|---|---|---|")
     for ratio, k, d, s in flagged:
-        rs = "DNF" if ratio == float("inf") else f"{ratio:.2f}×"
+        if d < 0 or s < 0:
+            rs = "DNF"
+        elif ratio == float("inf"):
+            rs = "inf"
+        else:
+            rs = f"{ratio:.2f}×"
         print(f"| {k} | {d:.2f} | {s:.2f} | {rs} |")
     if not flagged:
         print("| (none outside [0.5×, 2×]) | | | |")
     dsum = sum(driver[k] for k in common if driver[k] >= 0)
     ssum = sum(session[k] for k in common if session[k] >= 0)
+    ratio = f"{dsum / ssum:.2f}x" if ssum > 0 else "n/a (session sum 0)"
     print(f"\ncommon set: {len(common)} queries, driver {dsum:.1f} s, "
-          f"session {ssum:.1f} s, ratio {dsum / ssum:.2f}x; "
+          f"session {ssum:.1f} s, ratio {ratio}; "
           f"{len(flagged)} outside [0.5x, 2x]")
     if only_d or only_s:
         print(f"driver-only: {', '.join(only_d) or '-'}; "
