@@ -34,6 +34,23 @@ object LinkageQueries {
       .as[graft.ttl.Turtle.Triple](
         org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
 
+  /** Directed co-purchase edges (both directions, all pairs sharing
+    * an order, duplicates across orders kept — PageRank distincts):
+    * group-into-buckets pair generation, no self-join. Shared by
+    * n1/n9; the support-thresholded undirected variant lives inline
+    * in n3/n4/n6 (they also count orders per pair). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
+      .select(explode(array(
+        struct(col("p.a").as("src"), col("p.b").as("dst")),
+        struct(col("p.b").as("src"), col("p.a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact edit-distance-≤1 self-join on customer names via
     // 1-deletion-neighborhood blocking (FastSS) + thresholded
@@ -71,13 +88,11 @@ object LinkageQueries {
     // ranks. The edge build is a self-join on the order key: the
     // pair blowup is bounded by order size, never by the table.
     "n1_pagerank" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"), "l_orderkey")
-        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
-      PageRank.ranksE12(edges, "src", "dst", iters = 3)
+      // group-into-buckets pair generation (see n6) with BOTH edge
+      // directions emitted in the same explode — no self-join, and
+      // PageRank's internal distinct sees the identical multiset
+      PageRank.ranksE12(coPurchaseEdges(s, dir), "src", "dst",
+          iters = 3)
         .select(col("id").as("part_id"), col("rank_e12"))
         .orderBy("part_id")
     }),
@@ -89,12 +104,7 @@ object LinkageQueries {
     // degenerate case equals plain PageRank, PageRankSpec); the
     // oracle unrolls the seeded recurrence with the CASE teleport.
     "n9_ppr" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val edges = li.as("a").join(li.as("b"), "l_orderkey")
-        .filter(col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"),
-          col("b.l_partkey").as("dst"))
+      val edges = coPurchaseEdges(s, dir)
       val seeds = edges.select(col("src").as("id"))
         .distinct().orderBy("id").limit(3)
       PageRank.personalizedE12(edges, "src", "dst", seeds, iters = 3)
