@@ -106,11 +106,28 @@ object MinHashLsh {
   /** LSH candidate pairs (doc_a < doc_b, n_shared_bands): band-bucket
     * grouping + in-bucket pair generation over `df`'s documents. At
     * 100 TB this is THE dedup join — band-bucket cardinality scales
-    * with the corpus, not pairs². */
-  def candidatePairs(df: DataFrame, idCol: String, textCol: String)
-    : DataFrame = {
+    * with the corpus, not pairs².
+    *
+    * `bucketCap` is the opt-in pair-blowup lever, the same dial as
+    * `TextDedupQueries.simhashPairs` (whose r13 ladder showed the
+    * shape: uncapped rows ×104.6 at a 10× near-dup-heavy corpus vs
+    * ×1.53 capped): keep only the `cap` LOWEST doc ids per band
+    * bucket — routed through the GroupedTopK heap, so the per-bucket
+    * AGGREGATION BUFFER is bounded at cap entries, not just the pair
+    * output at cap·(cap−1)/2. Deterministic (each doc appears once
+    * per bucket; keep-lowest is a total order) but LOSSY: an evicted
+    * doc can only pair via its other bands, and a surviving pair's
+    * `n_shared_bands` counts only the buckets where BOTH survived.
+    * Capped output pairs ⊆ uncapped pairs. */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+    bucketCap: Option[Int] = None): DataFrame = {
+    bucketCap.foreach(c => require(c >= 2,
+      s"bucketCap must be >= 2 to ever emit a pair, got $c"))
     val banded = bands(signatures(df, idCol, textCol), idCol)
-    banded.groupBy(col("band"), col("k1"), col("k2"))
+    val capped = bucketCap.fold(banded)(c =>
+      graft.plans.GroupedTopK.topK(banded, Seq("band", "k1", "k2"),
+        idCol, c, descending = false))
+    capped.groupBy(col("band"), col("k1"), col("k2"))
       .agg(sort_array(collect_list(col(idCol))).as("xs"))
       .filter(size(col("xs")) >= 2)
       .select(explode(expr(bucketPairs("xs"))).as("p"))

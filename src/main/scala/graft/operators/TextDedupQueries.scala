@@ -408,6 +408,16 @@ object TextDedupQueries {
     "d4_lsh_pairs" -> ((s, dir) =>
       lshCandidatePairs(s, dir).orderBy("doc_a", "doc_b")),
 
+    // The capped face of the band-bucket generator (the d6c lever
+    // applied to MinHash-LSH): keep-lowest-4 per band bucket through
+    // the GroupedTopK heap; the oracle replicates the cap exactly,
+    // pinning the lossy contract (including the both-survived
+    // n_shared_bands semantics) end to end.
+    "d4c_lsh_capped" -> ((s, dir) =>
+      MinHashLsh.candidatePairs(docs(s, dir), "doc_id", "text",
+          bucketCap = Some(4))
+        .orderBy("doc_a", "doc_b")),
+
     // SimHash: 16-bit sign-aggregate fingerprint per doc; plan shape
     // and its rationale live on `simhashSig` (shared with d6).
     "d5_simhash_sig" -> ((s, dir) =>
@@ -1487,6 +1497,20 @@ object TextDedupQueries {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       | count(*) AS n_shared_bands
       |FROM bands a JOIN bands b ON a.band = b.band AND a.k1 = b.k1
+      | AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "d4c_lsh_capped" -> (oracleMinhash + """,
+      |bands AS (
+      | SELECT doc_id, 0 AS band, mh0 AS k1, mh1 AS k2 FROM sig
+      | UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+      | UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+      | UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig),
+      |capped AS (SELECT * FROM (
+      | SELECT *, row_number() OVER (PARTITION BY band, k1, k2
+      |   ORDER BY doc_id) AS rn FROM bands) WHERE rn <= 4)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      | count(*) AS n_shared_bands
+      |FROM capped a JOIN capped b ON a.band = b.band AND a.k1 = b.k1
       | AND a.k2 = b.k2 AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     "d5_simhash_sig" -> (oracleToks + s""",

@@ -207,11 +207,13 @@ class NewQueryPlanSpec extends SparkTestBase {
     } finally graft.operators.Broadcasting.releaseAll()
   }
 
-  test("d6c capped simhash pairs run through the GroupedTopK heap") {
+  test("d6c/d4c capped pair generators run through the GroupedTopK heap") {
     try {
-      val p = plan("d6c_simhash_capped")
-      assert(p.contains("GroupedTopK"), p)
-      assert(!p.contains("CartesianProduct"), p)
+      Seq("d6c_simhash_capped", "d4c_lsh_capped").foreach { q =>
+        val p = plan(q)
+        assert(p.contains("GroupedTopK"), s"$q:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      }
     } finally graft.operators.Broadcasting.releaseAll()
   }
 }

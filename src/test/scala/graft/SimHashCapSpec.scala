@@ -51,4 +51,29 @@ class SimHashCapSpec extends SparkTestBase {
     assert(!uncapped.queryExecution.executedPlan.toString
       .contains("GroupedTopK"))
   }
+
+  test("the LSH band-bucket cap is the same lever: keep-lowest, " +
+    "subset, heap-routed") {
+    import graft.operators.MinHashLsh
+    val d = corpus.select("doc_id", "text")
+    def pairs(cap: Option[Int]) =
+      MinHashLsh.candidatePairs(d, "doc_id", "text", cap)
+        .as[(Long, Long, Long)].collect().toSet
+    val all = pairs(None)
+    // the five byte-identical docs share every band: all 10 pairs,
+    // each colliding in all 4 bands
+    assert(all.filter(p => p._1 <= 5 && p._2 <= 5) ==
+      (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b, 4L)).toSet,
+      s"uncapped: $all")
+    // cap=2 keeps docs 1 and 2 in every bucket — one pair, and its
+    // n_shared_bands still counts all 4 buckets where both survived
+    assert(pairs(Some(2)).filter(p => p._1 <= 5 && p._2 <= 5) ==
+      Set((1L, 2L, 4L)))
+    assert(pairs(Some(2)).subsetOf(all))
+    assert(pairs(Some(100)) == all)
+    intercept[IllegalArgumentException](pairs(Some(1)))
+    val plan = MinHashLsh.candidatePairs(d, "doc_id", "text", Some(2))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK"), plan)
+  }
 }
