@@ -338,6 +338,40 @@ object TextDedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Token-budget corpus fill: per source, admit documents in
+    // quality order (the x2 score, ties by doc_id) until a fixed
+    // token budget fills — "give me the best 5k tokens from every
+    // source", the mixture-construction step after filtering. The
+    // cumulative sum is monotone along the quality order, so the
+    // `cum <= B` filter IS the take-while prefix (an overflowing doc
+    // and everything below it drop). Plan: ONE window shuffle keyed
+    // by source — the running constraint is sequential per source by
+    // definition, and sources parallelize; nothing global.
+    "x25_budget_fill" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_e4").desc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("w", expr(tokensSql))
+        .filter(size(col("w")) > 0)
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+        .withColumn("stop_cnt",
+          expr("cast(size(filter(w, t -> t IN ('the', 'a'))) as bigint)"))
+        .withColumn("score_e4",
+          expr("""cast(floor((0.5 * n_uniq / n_tokens
+                 | + 0.3 * (1.0 - stop_cnt / cast(n_tokens as double))
+                 | + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5)
+                 | as bigint)""".stripMargin))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= 5000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_selected"),
+          max(col("cum")).as("tokens_used"),
+          min(col("score_e4")).as("quality_bar"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("source")
+    }),
+
     // Language ID via marker-word scoring (n-gram-heuristic stand-in);
     // deterministic priority tie-break, compared against the labeled lang.
     "x3_lang_id" -> ((s, dir) => {
@@ -1352,6 +1386,24 @@ object TextDedupQueries {
       |  + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
       |  AS score_e4
       |FROM q ORDER BY doc_id""".stripMargin),
+    "x25_budget_fill" -> (oracleToks + """,
+      |q AS (SELECT doc_id, source, len(w)::BIGINT AS n_tokens,
+      |  len(list_distinct(w))::BIGINT AS n_uniq,
+      |  len(list_filter(w, t -> t IN ('the', 'a')))::BIGINT AS stop_cnt
+      | FROM toks WHERE len(w) > 0),
+      |sc AS (SELECT doc_id, source, n_tokens,
+      |  CAST(floor((0.5 * n_uniq / n_tokens
+      |   + 0.3 * (1.0 - stop_cnt / CAST(n_tokens AS DOUBLE))
+      |   + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5) AS BIGINT)
+      |   AS score_e4
+      | FROM q),
+      |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+      |   ORDER BY score_e4 DESC, doc_id) AS cum FROM sc)
+      |SELECT source, count(*)::BIGINT AS n_selected,
+      | max(cum)::BIGINT AS tokens_used,
+      | min(score_e4)::BIGINT AS quality_bar,
+      | sum(doc_id)::BIGINT AS sum_ids
+      |FROM c WHERE cum <= 5000 GROUP BY 1 ORDER BY 1""".stripMargin),
     "x16_bpe_merges" -> (oracleToks + oracleBpeChain + """,
       |r1 AS (SELECT 1::BIGINT AS round,
       |  row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk, a, b, cnt

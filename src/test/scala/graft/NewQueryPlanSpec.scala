@@ -207,6 +207,13 @@ class NewQueryPlanSpec extends SparkTestBase {
     } finally graft.operators.Broadcasting.releaseAll()
   }
 
+  test("x25 budget fill windows per source — never a global sort") {
+    val p = plan("x25_budget_fill")
+    assert("windowspecdefinition\\(source".r
+      .findFirstIn(p.toLowerCase).isDefined, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("d6c/d4c capped pair generators run through the GroupedTopK heap") {
     try {
       Seq("d6c_simhash_capped", "d4c_lsh_capped").foreach { q =>
