@@ -49,6 +49,32 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     assert(viaStream.nonEmpty)
   }
 
+  test("maintain() drives the same appends through a real stream") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_live").toString + "/index"
+    val centroids = IvfIndex.buildCentroids(
+      corpus.filter(col("vec_id") < 20), k = 4, iters = 2)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = IvfIndexMaintenance.maintain(
+        in.toDF().toDF("vec_id", "embedding"), centroids, dir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("ivf_live_ck").toString)
+      .start()
+    try {
+      val rows = corpus.as[(Long, Array[Float])].collect()
+      Seq(rows.filter(_._1 < 30), rows.filter(_._1 >= 30)).foreach {
+        wave => in.addData(wave.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = IvfIndexMaintenance.index(spark, dir).get
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    val batch = IvfIndex.build(corpus, centroids)
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    assert(streamed == batch, s"live-stream index diverged")
+  }
+
   test("replaying a committed batch is a no-op; a torn batch is " +
     "invisible until it commits") {
     val dir = java.nio.file.Files
