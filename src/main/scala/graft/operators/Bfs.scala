@@ -100,8 +100,11 @@ object Bfs {
       // materialized leaf and re-split it by the hops column — same
       // rows (levels are disjoint by the anti-join invariant), but
       // round h+1 plans against two filters of a LogicalRDD instead
-      // of the full history.
-      if (!exhausted && Iterate.due(spark, h))
+      // of the full history. h < maxHops: the collapse only pays for
+      // itself if a LATER round plans against the leaf — on the final
+      // round it would be a pure wasted materialization job (same
+      // guard as PageRank's i < iters).
+      if (!exhausted && h < maxHops && Iterate.due(spark, h))
         levels = Iterate.collapseByHops(levels, h)
     }
     levels.reduce(_ unionAll _)
@@ -161,7 +164,10 @@ object Bfs {
       // leaf and carry the object through, so its exclusion from
       // `reached` and from the output keeps working by reference
       // (seed rows never enter the leaf — frontier-only by contract).
-      if (!exhausted && Iterate.due(edges.sparkSession, h)) {
+      // h < maxHops: skip the eager collapse when no later round
+      // exists to plan against the leaf (minHops has the same guard).
+      if (!exhausted && h < maxHops &&
+          Iterate.due(edges.sparkSession, h)) {
         val fold =
           if (seedReached) levels else levels.filterNot(_ eq seed)
         if (fold.nonEmpty)
@@ -215,7 +221,8 @@ object Bfs {
     var dist = Broadcasting.track(
       edges.select(col("src"), col("dst")).distinct()
         .withColumn("hops", lit(1)).persist())
-    for (r <- 1 to doublingRounds(maxHops)) {
+    val rounds = doublingRounds(maxHops)
+    for (r <- 1 to rounds) {
       val fst = dist.select(col("src"), col("dst").as("mid"),
         col("hops").as("h1"))
       val snd = dist.select(col("src").as("mid"), col("dst"),
@@ -226,8 +233,8 @@ object Bfs {
         .filter(col("hops") <= maxHops)
       val step = dist.unionAll(squared)
         .groupBy(col("src"), col("dst")).agg(min(col("hops")).as("hops"))
-      dist =
-        if (Iterate.due(spark, r)) Iterate.cut(step)
+      dist = // r < rounds: no eager cut when no later round reads it
+        if (r < rounds && Iterate.due(spark, r)) Iterate.cut(step)
         else Broadcasting.track(step.persist())
     }
     val reached = dist
@@ -270,8 +277,10 @@ object Bfs {
       // resets `cur`'s plan to a leaf, so the final union's tree —
       // one cur-subtree per window length — stays bounded for wide
       // windows instead of nesting maxHops joins deep.
-      cur =
-        if (Iterate.due(edges.sparkSession, h)) Iterate.cut(nxt)
+      cur = // h < maxHops: the final round's frame is read once by
+        // the window union — an eager cut there is a wasted job
+        if (h < maxHops && Iterate.due(edges.sparkSession, h))
+          Iterate.cut(nxt)
         else Broadcasting.track(nxt.persist())
       if (h >= minHops)
         inWindow ::= cur.withColumn("hops", lit(h))

@@ -52,7 +52,11 @@ object Admission {
       tv: ss.TimerValues): Iterator[Admitted] = {
       var u = if (used.exists()) used.get() else 0L
       val out = rows.toArray.sortBy(_.doc_id).flatMap { d =>
-        if (d.n_tokens >= 0 && u + d.n_tokens <= budget) {
+        // fit check as a subtraction: u <= budget always holds, so
+        // budget - u is non-negative and the comparison cannot
+        // overflow (u + n_tokens could, for n_tokens near Long.Max,
+        // wrapping negative and corrupting the durable counter)
+        if (d.n_tokens >= 0 && d.n_tokens <= budget - u) {
           u += d.n_tokens
           Some(Admitted(d.doc_id, source, d.n_tokens, u))
         } else None // skip: a later, smaller doc may still fit

@@ -1,57 +1,250 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Batch-id-keyed parquet directory layout shared by the streaming
   * index maintainers (`<dir>/batch=<id>/`, `_SUCCESS` as the commit
-  * marker). The layout IS the exactly-once mechanism: a replayed
-  * micro-batch either skips (marker present) or overwrites its own
-  * directory with deterministic content — nothing accumulates. */
+  * marker), plus the COMPACTION layer that keeps it production-shaped.
+  * The layout IS the exactly-once mechanism: a replayed micro-batch
+  * either skips (marker present) or overwrites its own directory with
+  * deterministic content — nothing accumulates.
+  *
+  * Why compaction: a directory per micro-batch means every read (and
+  * every `processBatch` index scan) pays an O(batches) driver
+  * `listStatus`, and days of 1-minute triggers leave 10⁴–10⁵ tiny
+  * dirs — the small-files shape that kills a 100 TB stream. [[compact]]
+  * folds every committed batch ≤ cutoff into ONE consolidated dir,
+  *
+  *   `<dir>/compact=<cutoff>.n<buckets>/pbucket=<b>/…`
+  *
+  * hash-bucketed by the caller's join key (`pbucket =
+  * pmod(xxhash64(key), buckets)` — k1 for LSH bands, cluster_id for
+  * IVF postings), so a reader that knows which key values it probes
+  * can prune the scan to the touched buckets. The original `batch` id
+  * survives as a data column (cast long), so gating semantics are
+  * unchanged.
+  *
+  * Compaction commit protocol, same marker discipline as the batches:
+  *  1. write `compact=<newCutoff>` (parquet `overwrite` → `_SUCCESS`
+  *     is the commit);
+  *  2. only then delete the folded `batch=*` dirs and any OLDER
+  *     compact dir.
+  * A crash inside (1) leaves an unmarked dir readers ignore; a crash
+  * inside (2) leaves debris that readers also ignore (they read the
+  * HIGHEST committed compact + batch dirs STRICTLY ABOVE its cutoff)
+  * and the next compact call sweeps. Coverage rule after compaction:
+  * every batch id ≤ cutoff is committed — sound because [[compact]]
+  * only ever folds committed batches and the streaming engine runs
+  * batch n+1 only after n committed (synthetic-id backfills that
+  * leave holes below the cutoff are out of contract, as documented on
+  * the maintainers). */
 object BatchDirs {
 
+  /** `batch=<digits>` only — a stray `batch=tmp` (editor leftover,
+    * manual debris) must not throw in `.toLong` and wedge every
+    * reader; readCommitted shares the guard so both faces see the
+    * same directory set. */
+  private val BatchName = "batch=(\\d+)".r
+  private val CompactName = "compact=(\\d+)\\.n(\\d+)".r
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def committed(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val p = new Path(dir, "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Ids of the batches whose directory under `baseDir` carries the
-    * commit marker (empty batches included — a commit is a commit;
-    * only READING their parquet needs the part-file guard below). */
+  /** Ids of the batches whose OWN directory under `baseDir` carries
+    * the commit marker (empty batches included — a commit is a
+    * commit; only READING their parquet needs the part-file guard
+    * below). Batches folded into a compact dir no longer appear here:
+    * ids ≤ [[compactedThrough]] are committed by the coverage rule. */
   def committedIds(spark: SparkSession, baseDir: String): Seq[Long] = {
-    val path = new org.apache.hadoop.fs.Path(baseDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val path = new Path(baseDir)
+    val fs = fsOf(spark, baseDir)
     if (!fs.exists(path)) Nil
     else fs.listStatus(path).toSeq
       .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("batch=") &&
-        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        BatchName.pattern.matcher(s.getPath.getName).matches() &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
   }
 
-  /** Every COMMITTED batch directory under `baseDir` as one frame
-    * (partition column `batch` included); None before the first
-    * commit. Half-written directories (no marker) are excluded, so a
-    * reader never sees a torn batch — and so are committed-but-EMPTY
-    * batches (marker, zero part files: an empty micro-batch, e.g. a
-    * watermark-only trigger, can commit without writing any data
-    * file, and feeding a file-less directory to the parquet reader
-    * throws on schema inference, wedging every subsequent batch). */
+  /** Highest committed compaction under `baseDir`: (cutoff, buckets),
+    * None before the first compaction. One `listStatus` of the base
+    * dir — never of the batch dirs. */
+  def compactInfo(spark: SparkSession, baseDir: String)
+    : Option[(Long, Int)] = {
+    val path = new Path(baseDir)
+    val fs = fsOf(spark, baseDir)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case CompactName(cutoff, n)
+          if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
+          Some((cutoff.toLong, n.toInt))
+        case _ => None
+      })
+      .sortBy(_._1).lastOption
+  }
+
+  /** Every batch id ≤ this is committed (−1 before any compaction). */
+  def compactedThrough(spark: SparkSession, baseDir: String): Long =
+    compactInfo(spark, baseDir).map(_._1).getOrElse(-1L)
+
+  /** An all-empty-batches compaction commits a marker-only dir; the
+    * parquet reader must skip it (same rationale as the per-batch
+    * part-file guard). Data, when present, lives under `pbucket=*`. */
+  private def compactHasData(fs: FileSystem, dir: String): Boolean =
+    fs.listStatus(new Path(dir)).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("pbucket="))
+
+  /** The hash-bucket column a compacted layout partitions by. Public
+    * so pruned readers compute probe buckets with the IDENTICAL
+    * function (a modulus mismatch would silently drop matches). */
+  def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(xxhash64(key), lit(nBuckets.toLong))
+
+  private def committedDataDirs(fs: FileSystem, baseDir: String,
+    afterBatch: Long, excludeBatch: Long): Seq[String] = {
+    val path = new Path(baseDir)
+    if (!fs.exists(path)) Nil
+    else fs.listStatus(path).toSeq
+      .filter { s =>
+        s.isDirectory &&
+        BatchName.pattern.matcher(s.getPath.getName).matches() && {
+          val id = s.getPath.getName.stripPrefix("batch=").toLong
+          id > afterBatch && id != excludeBatch
+        } &&
+        fs.exists(new Path(s.getPath, "_SUCCESS")) &&
+        fs.listStatus(s.getPath).exists(f =>
+          f.isFile && f.getPath.getName.startsWith("part-"))
+      }
+      .map(_.getPath.toString)
+  }
+
+  /** Everything committed under `baseDir` as one frame — the highest
+    * committed compact dir (if any) plus the committed, non-empty
+    * `batch=*` dirs above its cutoff; None when both are absent.
+    * `batch` is a LongType data column in every row (partition-
+    * inferred ints are cast, so the two sides union without a
+    * coercion surprise). Half-written directories (no marker) are
+    * excluded, so a reader never sees a torn batch — and so are
+    * committed-but-EMPTY batches (marker, zero part files: an empty
+    * micro-batch, e.g. a watermark-only trigger, can commit without
+    * writing any data file, and feeding a file-less directory to the
+    * parquet reader throws on schema inference, wedging every
+    * subsequent batch).
+    *
+    * `pbuckets`: when the caller knows which join-key buckets it will
+    * probe ([[bucketOf]] over the same key and the compact layout's
+    * bucket count), the compact scan prunes to those partition dirs;
+    * the recent (uncompacted) batches are always read whole — they
+    * are bounded by the compaction cadence, not by stream lifetime. */
   def readCommitted(spark: SparkSession, baseDir: String,
-    excludeBatch: Long = -1L): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(baseDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = if (!fs.exists(path)) Nil
-      else fs.listStatus(path).toSeq
-        .filter { s =>
-          s.isDirectory &&
-          s.getPath.getName.startsWith("batch=") &&
-          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")) &&
-          fs.listStatus(s.getPath).exists(f =>
-            f.isFile && f.getPath.getName.startsWith("part-"))
+    excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
+    : Option[DataFrame] = {
+    val fs = fsOf(spark, baseDir)
+    val info = compactInfo(spark, baseDir)
+    val cutoff = info.map(_._1).getOrElse(-1L)
+    val compactPart = info
+      .filter { case (c, n) =>
+        compactHasData(fs, s"$baseDir/compact=$c.n$n") }
+      .map { case (c, n) =>
+        val df = spark.read.parquet(s"$baseDir/compact=$c.n$n")
+        pbuckets.fold(df)(bs => df.filter(col("pbucket").isin(bs: _*)))
+          .drop("pbucket")
+      }
+    val recentDirs = committedDataDirs(fs, baseDir, cutoff, excludeBatch)
+    val recentPart =
+      if (recentDirs.isEmpty) None
+      else Some(spark.read.option("basePath", baseDir)
+        .parquet(recentDirs: _*)
+        .withColumn("batch", col("batch").cast("long")))
+    (compactPart, recentPart) match {
+      case (Some(c), Some(r)) => Some(c.unionByName(r))
+      case (c, r) => c.orElse(r)
+    }
+  }
+
+  /** Fold every committed batch ≤ `upTo` (plus the previous compact
+    * content) into `compact=<cutoff>.n<buckets>`, partitioned by
+    * [[bucketOf]] `bucketKey`, then sweep the folded dirs. Idempotent
+    * and crash-safe (commit protocol in the class doc); re-running
+    * after any crash converges. Returns the effective cutoff (−1 when
+    * there is nothing to compact). NOT concurrency-safe against
+    * itself — call it from the single writer (the maintainers trigger
+    * it inside `processBatch`, which Structured Streaming serializes
+    * per query). */
+  def compact(spark: SparkSession, baseDir: String, upTo: Long,
+    bucketKey: String, nBuckets: Int = 64): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val fs = fsOf(spark, baseDir)
+    val prev = compactInfo(spark, baseDir)
+    val prevCutoff = prev.map(_._1).getOrElse(-1L)
+    val foldIds = committedIds(spark, baseDir)
+      .filter(id => id > prevCutoff && id <= upTo)
+    val cutoff = if (foldIds.isEmpty) prevCutoff
+      else math.max(prevCutoff, foldIds.max)
+    if (cutoff < 0) return -1L // nothing committed yet, nothing to do
+    val target = s"$baseDir/compact=$cutoff.n$nBuckets"
+    if (cutoff > prevCutoff || !committed(spark, target)) {
+      // fold: previous compact + committed data dirs in (prev, cutoff]
+      val prevPart = prev
+        .filter { case (c, n) =>
+          compactHasData(fs, s"$baseDir/compact=$c.n$n") }
+        .map { case (c, n) =>
+          spark.read.parquet(s"$baseDir/compact=$c.n$n").drop("pbucket")
         }
-        .map(_.getPath.toString)
-        .filterNot(_.endsWith(s"batch=$excludeBatch"))
-    if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", baseDir).parquet(dirs: _*))
+      val dirs = committedDataDirs(fs, baseDir, prevCutoff, -1L)
+        .filter(_.split("batch=").last.toLong <= cutoff)
+      val dataPart =
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", baseDir)
+          .parquet(dirs: _*)
+          .withColumn("batch", col("batch").cast("long")))
+      val folded = (prevPart, dataPart) match {
+        case (Some(p), Some(d)) => Some(p.unionByName(d))
+        case (p, d) => p.orElse(d)
+      }
+      folded match {
+        case Some(df) =>
+          df.withColumn("pbucket", bucketOf(col(bucketKey), nBuckets))
+            .write.mode("overwrite").partitionBy("pbucket")
+            .parquet(target)
+        case None =>
+          // only empty batches in range: commit an empty compact dir
+          // (marker only) so the coverage rule advances past them
+          fs.mkdirs(new Path(target))
+          fs.create(new Path(target, "_SUCCESS"), true).close()
+      }
+    }
+    // sweep: folded batch dirs and superseded compact dirs. Readers
+    // already ignore them (strictly-above-cutoff rule), so a crash
+    // mid-sweep just leaves debris for the next call.
+    val base = new Path(baseDir)
+    fs.listStatus(base).foreach { s =>
+      s.getPath.getName match {
+        case BatchName(id) if id.toLong <= cutoff =>
+          // only committed dirs: a torn batch dir (no marker) at or
+          // below the cutoff is out-of-contract debris, but deleting
+          // a dir a concurrent writer is mid-writing would corrupt
+          // its commit — leave it
+          if (fs.exists(new Path(s.getPath, "_SUCCESS")))
+            fs.delete(s.getPath, true)
+        case CompactName(c, n) if c.toLong < cutoff ||
+          (c.toLong == cutoff &&
+            s.getPath.getName != s"compact=$cutoff.n$nBuckets") =>
+          // the second arm sweeps a SAME-cutoff predecessor left by a
+          // bucket-count change (its replacement committed above)
+          fs.delete(s.getPath, true)
+        case _ => ()
+      }
+    }
+    cutoff
   }
 }

@@ -155,6 +155,20 @@ object EventStreams {
     * that carried them — the one deviation from `session_window`'s
     * full merge semantics, forced by the single-ValueState design.
     *
+    * Disjointness guarantee: emitted session spans are pairwise
+    * disjoint per user. Sessions emitted EAGERLY (early sessions at
+    * batch end; an open session closed by a gap-exceeding successor)
+    * emit before the watermark passes them, so a still-in-watermark
+    * predecessor could arrive in a LATER batch inside an
+    * already-emitted span; a per-key horizon (max emitted
+    * session_end) drops such events on arrival. This is the
+    * session_window-faithful choice: under its emission discipline a
+    * session only emits once the watermark passed it, making any
+    * later arrival inside the span a below-watermark drop anyway —
+    * the horizon applies the same rule to the eagerly-emitted spans
+    * (consumers never see overlapping rows; the dropped event is the
+    * price of Append-mode immutability, not a new failure mode).
+    *
     * Requires the RocksDB state store provider (a transformWithState
     * constraint) and an event-time watermark on `ts`; scale-wise the
     * state partitions by user exactly like the other keyed stateful
@@ -177,11 +191,18 @@ object EventStreams {
       Long, Event, SessionOut] {
     import org.apache.spark.sql.{Encoders, streaming => ss}
     @transient private var sess: ss.ValueState[SessState] = _
+    // max session_end (ms) this key has EMITTED — the disjointness
+    // horizon (class doc): events at or before it fall inside or
+    // behind an already-emitted span and drop on arrival
+    @transient private var horizon: ss.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
-      timeMode: ss.TimeMode): Unit =
+      timeMode: ss.TimeMode): Unit = {
       sess = getHandle.getValueState[SessState]("sess",
         Encoders.product[SessState], ss.TTLConfig.NONE)
+      horizon = getHandle.getValueState[Long]("horizon",
+        Encoders.scalaLong, ss.TTLConfig.NONE)
+    }
 
     private def closed(userId: Long, s: SessState) = SessionOut(userId,
       new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs),
@@ -195,7 +216,15 @@ object EventStreams {
       // otherwise re-open a phantom session and emit an overlapping
       // Append row. Drop them here, like session_window would.
       val wm = tv.getCurrentWatermarkInMs()
-      val evs = rows.toArray.filter(_.ts.getTime >= wm)
+      // two drop rules: below-watermark (session_window's own), and
+      // at-or-before the emitted horizon (disjointness, class doc)
+      val hor = if (horizon.exists()) horizon.get() else Long.MinValue
+      // once the watermark strictly passes the horizon, the wm rule
+      // subsumes it — clear, so horizon state stays bounded by users
+      // with a recently-emitted eager span, not by users ever seen
+      if (horizon.exists() && hor < wm) horizon.clear()
+      val evs = rows.toArray
+        .filter(e => e.ts.getTime >= wm && e.ts.getTime > hor)
         .sortBy(_.ts.getTime)
       var out = List.empty[SessionOut]
       var cur = if (sess.exists()) sess.get() else null
@@ -236,7 +265,12 @@ object EventStreams {
         }
       }
       if (early != null) out ::= closed(userId, early)
-      // single armed timer per key: re-arm at the new horizon
+      // advance the emitted-span horizon over everything closing now
+      if (out.nonEmpty) {
+        val m = out.map(_.session_end.getTime).max
+        if (m > hor) horizon.update(m)
+      }
+      // single armed timer per key: re-arm at the new close horizon
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       if (cur != null) {
         sess.update(cur)
@@ -254,6 +288,9 @@ object EventStreams {
         // its delete raced the expiry) must not close a live session
         if (info.getExpiryTimeInMs() >= s.lastMs + gapMs) {
           sess.clear()
+          // no horizon update needed: a timer fires only once the
+          // watermark passed lastMs + gap, so any later arrival
+          // inside this span is already a below-watermark drop
           Iterator.single(closed(userId, s))
         } else Iterator.empty
       }

@@ -36,23 +36,35 @@ object IvfIndexMaintenance {
 
   /** Start maintaining: wire to `.option("checkpointLocation", …)
     * .start()`. `centroids` should be the (small, localized) frame
-    * `IvfIndex.buildCentroids` returns. */
+    * `IvfIndex.buildCentroids` returns. `compactEvery` ≤ 0 disables
+    * compaction; with it on, every N committed batches fold into one
+    * consolidated dir hash-bucketed by `cluster_id` — the posting-
+    * list key — so reads list O(1 + N) dirs regardless of stream age
+    * ([[BatchDirs.compact]], same commit-marker replay safety). */
   def maintain(emb: DataFrame, centroids: DataFrame,
-    indexDir: String): DataStreamWriter[Row] =
+    indexDir: String, compactEvery: Int = 0,
+    nBuckets: Int = 64): DataStreamWriter[Row] =
     emb.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, centroids, indexDir)
+        processBatch(batch, batchId, centroids, indexDir,
+          compactEvery, nBuckets)
     }
 
-  /** One micro-batch: assign and append. Public for replay specs and
-    * synthetic-batch backfills. */
+  /** One micro-batch: assign, append, compact on cadence. Public for
+    * replay specs and synthetic-batch backfills. */
   def processBatch(batch: DataFrame, batchId: Long,
-    centroids: DataFrame, indexDir: String): Unit = {
+    centroids: DataFrame, indexDir: String,
+    compactEvery: Int = 0, nBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
     val dir = s"$indexDir/batch=$batchId"
-    if (BatchDirs.committed(batch.sparkSession, dir)) return
-    IvfIndex.build(batch.select(col("vec_id"), col("embedding")),
-        centroids)
-      .write.mode("overwrite").parquet(dir)
+    if (!BatchDirs.committed(spark, dir))
+      IvfIndex.build(batch.select(col("vec_id"), col("embedding")),
+          centroids)
+        .write.mode("overwrite").parquet(dir)
+    // idempotent on replay, like the append itself
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      BatchDirs.compact(spark, indexDir, batchId, "cluster_id",
+        nBuckets)
   }
 
   /** The postings accumulated so far, search-ready. None before the

@@ -35,63 +35,97 @@ import org.apache.spark.sql.Row
   * The index side joins under an explicit `broadcast` of the batch
   * bands (a micro-batch is trigger-bounded and tiny next to the
   * index; stats-gating can't see that, streaming frames carry no
-  * stats), so the index is SCANNED map-side, never shuffled. At a
-  * scale where even the scan hurts, the production layout buckets
-  * the index table by (k1) so the scan prunes — the directory
-  * layout here keeps the spec self-contained.
-  */
+  * stats), so the index is SCANNED map-side, never shuffled.
+  *
+  * Compaction (`compactEvery`): a directory per micro-batch is an
+  * O(batches) listing per read and an unbounded small-files pile —
+  * every `compactEvery` committed batches, [[BatchDirs.compact]]
+  * folds the index (bucketed by `k1`, the band-bucket join key) and
+  * the pairs (bucketed by `doc_a`) into one consolidated dir each,
+  * with the same commit-marker replay safety, so reads list
+  * O(1 + compactEvery) dirs regardless of stream age. The bucketed
+  * layout also lets face 2 PRUNE the index scan to the k1 hash
+  * buckets the batch actually probes ([[BatchDirs.bucketOf]] on both
+  * sides — a micro-batch touches at most its own band count of
+  * buckets, so at production index sizes the scan reads a fraction
+  * of the compacted table, plus the whole — cadence-bounded — recent
+  * tail. Index compaction runs BEFORE pairs compaction, so the pairs
+  * cutoff never exceeds the band cutoff and [[pairsSoFar]]'s gate
+  * stays uniform. */
 object LshIndexMaintenance {
 
   /** Start maintaining: wire to `.option("checkpointLocation", …)
     * .start()`. Restarts resume from the checkpoint and the batch-id
-    * keyed layout absorbs replays (see class doc). */
+    * keyed layout absorbs replays (see class doc). `compactEvery`
+    * ≤ 0 disables compaction (the spec-friendly default); production
+    * streams want it at, say, 32. */
   def maintain(docs: DataFrame, idCol: String, textCol: String,
-    indexDir: String, pairsDir: String): DataStreamWriter[Row] =
+    indexDir: String, pairsDir: String, compactEvery: Int = 0,
+    nBuckets: Int = 64): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, idCol, textCol, indexDir, pairsDir)
+        processBatch(batch, batchId, idCol, textCol, indexDir,
+          pairsDir, compactEvery, nBuckets)
     }
 
-  /** One micro-batch: emit pairs, append bands. Public — the spec
-    * drives it directly for the replay cases, and a backfill job can
-    * call it with synthetic batch ids. */
+  /** One micro-batch: emit pairs, append bands, compact on cadence.
+    * Public — the spec drives it directly for the replay cases, and
+    * a backfill job can call it with synthetic batch ids. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
-    textCol: String, indexDir: String, pairsDir: String): Unit = {
+    textCol: String, indexDir: String, pairsDir: String,
+    compactEvery: Int = 0, nBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
     val bandDir = s"$indexDir/batch=$batchId"
     val pairDir = s"$pairsDir/batch=$batchId"
-    if (BatchDirs.committed(spark, bandDir)) return // finished batch
-    val bands = MinHashLsh.bands(
-      MinHashLsh.signatures(
-        batch.select(col(idCol), col(textCol)), idCol, textCol), idCol)
-      .select(col(idCol).as("doc_id"), col("band"), col("k1"), col("k2"))
-      .persist()
-    try {
-      // face 1 — new ⋈ new: the batch operator's bucket-group pair
-      // generation, restricted to this batch's bands
-      val self = bands.groupBy(col("band"), col("k1"), col("k2"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
-        .filter(size(col("xs")) >= 2)
-        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
-        .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-      // face 2 — new ⋈ indexed-so-far: broadcast the batch bands so
-      // the index never shuffles (class doc); earlier doc first only
-      // when ids order that way — canonical (least, greatest)
-      val cross = readIndex(spark, indexDir, excludeBatch = batchId)
-        .map { ix =>
-          ix.join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
-              Seq("band", "k1", "k2"))
-            .filter(col("doc_id") =!= col("new_id"))
-            .select(least(col("doc_id"), col("new_id")).as("doc_a"),
-              greatest(col("doc_id"), col("new_id")).as("doc_b"))
-        }
-      val pairs = cross.fold(self)(self.unionAll)
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_shared_bands"))
-      // pairs first, bands LAST (the commit marker — class doc)
-      pairs.write.mode("overwrite").parquet(pairDir)
-      bands.write.mode("overwrite").parquet(bandDir)
-    } finally bands.unpersist()
+    if (!BatchDirs.committed(spark, bandDir)) { // else: finished batch
+      val bands = MinHashLsh.bands(
+        MinHashLsh.signatures(
+          batch.select(col(idCol), col(textCol)), idCol, textCol), idCol)
+        .select(col(idCol).as("doc_id"), col("band"), col("k1"),
+          col("k2"))
+        .persist()
+      try {
+        // face 1 — new ⋈ new: the batch operator's bucket-group pair
+        // generation, restricted to this batch's bands
+        val self = bands.groupBy(col("band"), col("k1"), col("k2"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("xs"))
+          .filter(size(col("xs")) >= 2)
+          .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
+          .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        // face 2 — new ⋈ indexed-so-far: broadcast the batch bands so
+        // the index never shuffles (class doc); when the index is
+        // compacted, prune its scan to the k1 buckets this batch
+        // probes (bounded driver collect: ≤ nBuckets values); earlier
+        // doc first only when ids order that way — canonical
+        // (least, greatest)
+        val probeBuckets = BatchDirs.compactInfo(spark, indexDir)
+          .map { case (_, n) =>
+            bands.select(BatchDirs.bucketOf(col("k1"), n).as("b"))
+              .distinct().collect().map(_.getLong(0)).toSeq
+          }
+        val cross = readIndex(spark, indexDir, excludeBatch = batchId,
+          pbuckets = probeBuckets)
+          .map { ix =>
+            ix.join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
+                Seq("band", "k1", "k2"))
+              .filter(col("doc_id") =!= col("new_id"))
+              .select(least(col("doc_id"), col("new_id")).as("doc_a"),
+                greatest(col("doc_id"), col("new_id")).as("doc_b"))
+          }
+        val pairs = cross.fold(self)(self.unionAll)
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared_bands"))
+        // pairs first, bands LAST (the commit marker — class doc)
+        pairs.write.mode("overwrite").parquet(pairDir)
+        bands.write.mode("overwrite").parquet(bandDir)
+      } finally bands.unpersist()
+    }
+    // cadence-gated compaction AFTER the band commit; a replayed
+    // committed batch re-runs it, which is an idempotent sweep
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      BatchDirs.compact(spark, indexDir, batchId, "k1", nBuckets)
+      BatchDirs.compact(spark, pairsDir, batchId, "doc_a", nBuckets)
+    }
   }
 
   /** Every candidate pair emitted by COMMITTED batches — union of
@@ -100,9 +134,12 @@ object LshIndexMaintenance {
     * between the two leaves a readable pair dir for a batch that
     * will re-run — exposing it would show candidates whose bands are
     * absent from [[readIndex]] (a torn view). The sibling index dir
-    * is the gate. */
+    * is the gate: a pairs batch is visible iff its id is at or below
+    * the index's compaction cutoff (folded bands — committed by the
+    * coverage rule) or among the index's committed batch dirs. */
   def pairsSoFar(spark: SparkSession, pairsDir: String,
     indexDir: String): DataFrame = {
+    val coveredThrough = BatchDirs.compactedThrough(spark, indexDir)
     val ok = BatchDirs.committedIds(spark, indexDir)
     BatchDirs.readCommitted(spark, pairsDir) match {
       case None => // schema-stable empty frame
@@ -110,16 +147,19 @@ object LshIndexMaintenance {
         Seq.empty[(Long, Long, Long)]
           .toDF("doc_a", "doc_b", "n_shared_bands")
       case Some(df) =>
-        val gated =
-          if (ok.isEmpty) df.filter(lit(false))
-          else df.filter(col("batch").isin(ok: _*))
-        gated.select("doc_a", "doc_b", "n_shared_bands")
+        val inDirs =
+          if (ok.isEmpty) lit(false) else col("batch").isin(ok: _*)
+        df.filter(col("batch") <= coveredThrough || inDirs)
+          .select("doc_a", "doc_b", "n_shared_bands")
     }
   }
 
-  /** The band index accumulated so far, `batch` partition column
-    * included. None before the first commit ([[BatchDirs]]). */
+  /** The band index accumulated so far, `batch` column included.
+    * None before the first commit ([[BatchDirs]]). `pbuckets` prunes
+    * the compacted part of the scan to the given
+    * [[BatchDirs.bucketOf]] k1 buckets. */
   def readIndex(spark: SparkSession, indexDir: String,
-    excludeBatch: Long = -1L): Option[DataFrame] =
-    BatchDirs.readCommitted(spark, indexDir, excludeBatch)
+    excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
+    : Option[DataFrame] =
+    BatchDirs.readCommitted(spark, indexDir, excludeBatch, pbuckets)
 }

@@ -328,6 +328,65 @@ class EventStreamsSpec extends SparkTestBase {
     }
   }
 
+  test("sessionization: emitted spans stay disjoint — a later-batch " +
+    "predecessor inside an emitted span drops, outside it splits") {
+    // Disjointness contract (EventStreams doc): early sessions emit
+    // eagerly at batch end, BEFORE the watermark passes them, so an
+    // in-watermark predecessor arriving in a LATER batch could land
+    // INSIDE the emitted span — the per-key horizon must drop it
+    // (emitting (11:03,11:03) after (11:00,11:05) would hand
+    // consumers overlapping Append rows). An arrival AFTER the
+    // horizon still gets its own early session — the horizon must
+    // not over-drop.
+    implicit val sql = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
+      "streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams
+      .sessionizeWithTimers(in.toDS(), gapMs = 10 * 60 * 1000L,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("tws_disjoint")
+      .outputMode(OutputMode.Append).start()
+    def emitted: Seq[(Long, Long, Long)] =
+      spark.table("tws_disjoint").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime)).toSeq
+    try {
+      // batch 1: u1 opens at 12:00 (watermark → 10:00)
+      in.addData(ev(1, "2026-01-01 12:00:00", 1, "a"))
+      q.processAllAvailable()
+      // batch 2: early session (11:00, 11:05) emits at batch end
+      in.addData(ev(2, "2026-01-01 11:00:00", 1, "a"),
+        ev(3, "2026-01-01 11:05:00", 1, "a"))
+      q.processAllAvailable()
+      // batch 3: 11:03 falls INSIDE the emitted span → dropped;
+      // 11:20 falls after it (and > gap before the open 12:00) →
+      // its own early session
+      in.addData(ev(4, "2026-01-01 11:03:00", 1, "a"),
+        ev(5, "2026-01-01 11:20:00", 1, "a"))
+      q.processAllAvailable()
+      val u1 = emitted.filter(_._1 == 1L)
+      val t1103 = java.sql.Timestamp.valueOf("2026-01-01 11:03:00")
+      assert(!u1.exists(s => s._2 == t1103.getTime),
+        s"predecessor inside an emitted span must drop: $u1")
+      val t1120 = java.sql.Timestamp.valueOf("2026-01-01 11:20:00")
+      assert(u1.exists(s => s._2 == t1120.getTime &&
+        s._3 == t1120.getTime),
+        s"post-horizon predecessor should split into its own: $u1")
+      // the contract itself: pairwise-disjoint spans for u1
+      val overlaps = u1.combinations(2).filter { case Seq(a, b) =>
+        a._2 <= b._3 && b._2 <= a._3 }
+      assert(overlaps.isEmpty,
+        s"overlapping emitted sessions: ${overlaps.toList} in $u1")
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+    }
+  }
+
   test("streaming leaderboard keeps the k best per group across batches") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[Event]

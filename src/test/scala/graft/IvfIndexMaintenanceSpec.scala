@@ -75,6 +75,60 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     assert(streamed == batch, s"live-stream index diverged")
   }
 
+  test("compaction folds postings into a cluster_id-bucketed dir: " +
+    "index and searches identical, listing bounded") {
+    import graft.streaming.BatchDirs
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_compact").toString + "/index"
+    val ref = java.nio.file.Files
+      .createTempDirectory("ivf_compact_ref").toString + "/index"
+    val centroids = IvfIndex.buildCentroids(
+      corpus.filter(col("vec_id") < 20), k = 4, iters = 2)
+    // four waves, cadence 2 → compactions after batches 1 and 3
+    Seq(0L -> (0L, 15L), 1L -> (15L, 30L), 2L -> (30L, 45L),
+      3L -> (45L, 60L)).foreach { case (id, (lo, hi)) =>
+        val wave =
+          corpus.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        IvfIndexMaintenance.processBatch(wave, id, centroids, dir,
+          compactEvery = 2, nBuckets = 8)
+        IvfIndexMaintenance.processBatch(wave, id, centroids, ref)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSeq
+    assert(names == Seq("compact=3.n8"),
+      s"all four batch dirs should fold into one compact dir: $names")
+    // the production layout sentence, as directories: postings
+    // bucketed by (hashed) cluster_id
+    val sub = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/compact=3.n8"))
+      .map(_.getPath.getName).filter(_.startsWith("pbucket=")).toSeq
+    assert(sub.nonEmpty, "compact dir is not pbucket-partitioned")
+    val got = IvfIndexMaintenance.index(spark, dir).get
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    val want = IvfIndexMaintenance.index(spark, ref).get
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    assert(got == want && got.size == 60, "compaction changed the index")
+    val probes = corpus.filter(col("vec_id").isin(1L, 25L, 55L))
+    val viaCompact = IvfIndexMaintenance
+      .search(spark, dir, centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaRef = IvfIndexMaintenance
+      .search(spark, ref, centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaCompact == viaRef && viaCompact.nonEmpty)
+    // replaying the final (committed) batch re-runs only the
+    // idempotent sweep — state unchanged
+    IvfIndexMaintenance.processBatch(
+      corpus.filter(col("vec_id") >= 45L), 3L, centroids, dir,
+      compactEvery = 2, nBuckets = 8)
+    assert(IvfIndexMaintenance.index(spark, dir).get
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect()
+      .toSet == got)
+    assert(BatchDirs.compactedThrough(spark, dir) == 3L)
+  }
+
   test("replaying a committed batch is a no-op; a torn batch is " +
     "invisible until it commits") {
     val dir = java.nio.file.Files

@@ -36,8 +36,11 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     implicit val sql = spark.sqlContext
     val (ix, pr) = dirs("stream")
     val in = MemoryStream[(Long, String)]
+    // compactEvery=2: batch 1 trips a mid-stream compaction, so this
+    // equivalence also covers the real foreachBatch → compact path
     val q = LshIndexMaintenance.maintain(
-        in.toDF().toDF("doc_id", "text"), "doc_id", "text", ix, pr)
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", ix, pr,
+        compactEvery = 2, nBuckets = 8)
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("lsh_ck").toString)
       .start()
@@ -131,5 +134,116 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == before)
     assert(LshIndexMaintenance.readIndex(spark, ix).get.count()
       == ixBefore)
+  }
+
+  private def lsNames(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  test("compaction: pairsSoFar and readIndex identical across a " +
+    "compaction; listing cost bounded by compacted + recent") {
+    import graft.streaming.BatchDirs
+    val (ix, pr) = dirs("compact")
+    val (ix0, pr0) = dirs("compact_ref") // uncompacted twin
+    def run(base: (String, String), batch: Seq[(Long, String)],
+      id: Long, every: Int): Unit =
+      LshIndexMaintenance.processBatch(batch.toDF("doc_id", "text"),
+        id, "doc_id", "text", base._1, base._2, compactEvery = every,
+        nBuckets = 8)
+    // ids 0-2 with cadence 3 → compaction fires after batch 2
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      run((ix, pr), b, i.toLong, every = 3)
+      run((ix0, pr0), b, i.toLong, every = 0)
+    }
+    assert(lsNames(ix) == Seq("compact=2.n8"),
+      s"batch dirs must be swept into the compact dir: ${lsNames(ix)}")
+    val got = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    val ref = LshIndexMaintenance.pairsSoFar(spark, pr0, ix0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == ref && got.nonEmpty,
+      s"compaction changed pairsSoFar: got=$got ref=$ref")
+    val ixRows = LshIndexMaintenance.readIndex(spark, ix).get
+      .select("doc_id", "band", "k1", "k2", "batch")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val ixRef = LshIndexMaintenance.readIndex(spark, ix0).get
+      .select("doc_id", "band", "k1", "k2", "batch")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    assert(ixRows == ixRef, "compaction changed the band index")
+    // two more batches on top of the compact dir: reads must see
+    // compact + recent; the listing is O(1 + recent), not O(batches)
+    val b4 = Seq(4L -> ("the quick brown fox jumps over the lazy " +
+      "dog again today eh"))
+    val b5 = Seq(30L -> "fresh totally novel text about gardening")
+    run((ix, pr), b4, 3L, every = 3)
+    run((ix, pr), b5, 4L, every = 3)
+    run((ix0, pr0), b4, 3L, every = 0)
+    run((ix0, pr0), b5, 4L, every = 0)
+    assert(lsNames(ix).sorted ==
+      Seq("batch=3", "batch=4", "compact=2.n8"),
+      s"expected compact + 2 recent dirs: ${lsNames(ix)}")
+    val got2 = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    val ref2 = LshIndexMaintenance.pairsSoFar(spark, pr0, ix0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == ref2, s"got=$got2 ref=$ref2")
+    // the cross-compaction pair (1,4): 1's bands live in the compact
+    // dir, 4 arrived after — the pruned face-2 scan must find it
+    assert(got2.exists { case (a, b, _) => a == 1L && b == 4L },
+      s"pair probing the COMPACTED index is missing: $got2")
+    // second compaction folds compact + recents; idempotent re-run
+    run((ix, pr), Seq(31L -> "one more row to trip the cadence"), 5L,
+      every = 3)
+    assert(lsNames(ix) == Seq("compact=5.n8"), s"${lsNames(ix)}")
+    val got3 = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    val c1 = BatchDirs.compact(spark, ix, 5L, "k1", 8)
+    val c2 = BatchDirs.compact(spark, ix, 5L, "k1", 8)
+    assert(c1 == 5L && c2 == 5L)
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet == got3,
+      "re-running compaction changed the view")
+    // full-corpus equivalence against the batch operator, compacted
+    val corpus = (b1 ++ b2 ++ b3 ++ b4 ++ b5 ++
+      Seq(31L -> "one more row to trip the cadence"))
+      .toDF("doc_id", "text")
+    val batch = MinHashLsh.candidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.operators.Broadcasting.releaseAll()
+    assert(got3 == batch, s"stream=$got3\nbatch=$batch")
+  }
+
+  test("compaction safety: uncommitted compact dirs are invisible; " +
+    "stray batch=tmp debris never wedges a reader") {
+    import graft.streaming.BatchDirs
+    val (ix, pr) = dirs("cdebris")
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      LshIndexMaintenance.processBatch(batch.toDF("doc_id", "text"),
+        id, "doc_id", "text", ix, pr)
+    run(b1, 0L); run(b2, 1L)
+    val before = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(ix).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a torn compaction (no _SUCCESS) must not change any read
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ix/compact=9.n8"))
+    assert(BatchDirs.compactedThrough(spark, ix) == -1L)
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet == before)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ix/compact=9.n8"), true)
+    // stray non-numeric dir (manual debris): readers skip, not throw
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$ix/batch=tmp"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$ix/batch=tmp/_SUCCESS"),
+      true).close()
+    assert(BatchDirs.committedIds(spark, ix).sorted == Seq(0L, 1L))
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet == before)
+    // and compaction sweeps around it without touching it
+    BatchDirs.compact(spark, ix, 1L, "k1", 8)
+    assert(lsNames(ix).sorted == Seq("batch=tmp", "compact=1.n8"),
+      s"${lsNames(ix)}")
   }
 }
