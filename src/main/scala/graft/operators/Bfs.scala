@@ -186,6 +186,42 @@ object Bfs {
     if (maxHops <= 1) 0
     else 32 - Integer.numberOfLeadingZeros(maxHops - 1)
 
+  /** Depth past which [[allPairsMinHops]] routes to the doubling
+    * closure. The trade at the all-pairs shape (source set ≈ node
+    * set): a frontier round joins only the newest level against the
+    * STATIC edge list, a squaring round joins the whole bounded
+    * distance relation with itself — cheaper rounds vs fewer rounds
+    * (maxHops vs ⌈log₂ maxHops⌉). At depth ≤ 4 the round-count gap
+    * is ≤ 2 and frontier's lighter joins win; past it the gap grows
+    * as n − log₂ n and the per-round fixed cost — an AQE re-plan of
+    * a growing union+anti-join chain per round, the measured n6
+    * driver bottleneck — dominates. Heuristic constant, same
+    * tuned-then-pinned status as TopKRewrite's crossover. */
+  val DoublingCrossover = 4
+
+  /** The [[allPairsMinHops]] route decision, exposed so specs and
+    * plans can assert which regime a depth lands in. */
+  def routesToDoubling(maxHops: Int): Boolean =
+    maxHops > DoublingCrossover
+
+  /** Bounded min-hop closure for the ALL-PAIRS shape — the SPARQL
+    * `?x p{m,n} ?y` compilation target, where `sources` is (nearly)
+    * the node set and the frontier walk degenerates to all-pairs
+    * anyway. ONE decision point: shallow windows walk frontiers
+    * (exhaustCheck=false — the fixed-budget mode), deep windows run
+    * the ⌈log₂ n⌉-round doubling closure. Identical output either
+    * way (spec-pinned on the n7 fixture and on random graphs); keep
+    * calling [[minHopsPerSource]] directly for FEW-source
+    * blast-radius queries over big graphs, where all-pairs would be
+    * a data explosion regardless of depth. */
+  def allPairsMinHops(edges: DataFrame, sources: DataFrame,
+    maxHops: Int, seedReached: Boolean = true): DataFrame =
+    if (routesToDoubling(maxHops))
+      minHopsDoubling(edges, sources, maxHops, seedReached)
+    else
+      minHopsPerSource(edges, sources, maxHops, exhaustCheck = false,
+        seedReached = seedReached)
+
   /** [[minHopsPerSource]] by PATH DOUBLING (iterated min-plus
     * squaring): identical output — (origin, id, hops), both
     * `seedReached` modes — in ⌈log₂ maxHops⌉ rounds instead of

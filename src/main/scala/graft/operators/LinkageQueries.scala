@@ -312,7 +312,10 @@ object LinkageQueries {
       val edges = ranked.filter(col("nxt").isNotNull)
         .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
       val sources = edges.select(col("src").as("id")).distinct()
-      Bfs.minHopsDoubling(edges, sources, maxHops = 8)
+      // routed all-pairs closure: depth 8 > DoublingCrossover, so
+      // this oracle face exercises the DOUBLING regime of the route
+      // (n7, depth 2, exercises the frontier regime)
+      Bfs.allPairsMinHops(edges, sources, maxHops = 8)
         .filter(col("hops") >= 1)
         .groupBy(col("hops"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -27,6 +27,25 @@ object TextDedupQueries {
   /** Whitespace tokens, empties dropped (F-class token counting). */
   private val tokensSql = MinHashLsh.tokensSql("text")
 
+  /** The x2 quality score appended to a documents frame: columns
+    * `w` (tokens), `n_tokens`, `n_uniq`, `stop_cnt`, `score_e4`
+    * added; empty documents dropped. ONE definition shared by the
+    * x2/x25 faces and by the batch↔stream admission-equivalence spec
+    * (AdmissionSpec derives its stream input from this ordering), so
+    * "quality order" cannot drift between the twins. */
+  def qualityScored(df: DataFrame): DataFrame =
+    df.withColumn("w", expr(tokensSql))
+      .filter(size(col("w")) > 0) // divide-by-zero guard (oracle too)
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("stop_cnt",
+        expr("cast(size(filter(w, t -> t IN ('the', 'a'))) as bigint)"))
+      .withColumn("score_e4",
+        expr("""cast(floor((0.5 * n_uniq / n_tokens
+               | + 0.3 * (1.0 - stop_cnt / cast(n_tokens as double))
+               | + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5)
+               | as bigint)""".stripMargin))
+
   /** MinHash machinery lives in the reusable `MinHashLsh` operator;
     * the aliases below keep this file's queries and ORACLE strings on
     * the exact constants the operator embeds. */
@@ -323,18 +342,8 @@ object TextDedupQueries {
     // Quality scoring: type-token ratio, stopword ratio, length norm —
     // the heuristics a pretraining filter applies per document.
     "x2_quality_score" -> ((s, dir) => {
-      docs(s, dir)
-        .withColumn("w", expr(tokensSql))
-        .filter(size(col("w")) > 0) // divide-by-zero guard (oracle too)
-        .withColumn("n_tokens", size(col("w")).cast("long"))
-        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
-        .withColumn("stop_cnt",
-          expr("cast(size(filter(w, t -> t IN ('the', 'a'))) as bigint)"))
-        .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
-          expr("""cast(floor((0.5 * n_uniq / n_tokens
-                 | + 0.3 * (1.0 - stop_cnt / cast(n_tokens as double))
-                 | + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5)
-                 | as bigint)""".stripMargin).as("score_e4"))
+      qualityScored(docs(s, dir))
+        .select("doc_id", "n_tokens", "stop_cnt", "score_e4")
         .orderBy("doc_id")
     }),
 
@@ -350,18 +359,7 @@ object TextDedupQueries {
     "x25_budget_fill" -> ((s, dir) => {
       val w = Window.partitionBy(col("source"))
         .orderBy(col("score_e4").desc, col("doc_id").asc)
-      docs(s, dir)
-        .withColumn("w", expr(tokensSql))
-        .filter(size(col("w")) > 0)
-        .withColumn("n_tokens", size(col("w")).cast("long"))
-        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
-        .withColumn("stop_cnt",
-          expr("cast(size(filter(w, t -> t IN ('the', 'a'))) as bigint)"))
-        .withColumn("score_e4",
-          expr("""cast(floor((0.5 * n_uniq / n_tokens
-                 | + 0.3 * (1.0 - stop_cnt / cast(n_tokens as double))
-                 | + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5)
-                 | as bigint)""".stripMargin))
+      qualityScored(docs(s, dir))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         .filter(col("cum") <= 5000L)
         .groupBy(col("source"))

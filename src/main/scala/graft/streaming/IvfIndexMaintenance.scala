@@ -31,7 +31,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * Centroid drift is the documented operational caveat, as in every
   * production IVF deployment: when the ingest distribution walks
   * away from the bootstrap corpus, recall decays — re-train on a
-  * sample and REBUILD (a new index dir), don't mutate in place. */
+  * sample and REBUILD (a new index dir), don't mutate in place. The
+  * caveat has an OBSERVABLE trigger: pass a [[ProgressMetrics]] and
+  * every batch emits `ivf.mean_dist` (mean cosine distance of the
+  * batch's vectors to their assigned centroid) and `ivf.entropy`
+  * (assignment entropy in nats) — a sustained mean_dist climb or an
+  * entropy collapse (everything landing in one catch-all cluster) is
+  * the rebuild signal, spec-pinned against a mid-stream distribution
+  * shift in IvfIndexMaintenanceSpec. */
 object IvfIndexMaintenance {
 
   /** Start maintaining: wire to `.option("checkpointLocation", …)
@@ -42,25 +49,55 @@ object IvfIndexMaintenance {
     * list key — so reads list O(1 + N) dirs regardless of stream age
     * ([[BatchDirs.compact]], same commit-marker replay safety). */
   def maintain(emb: DataFrame, centroids: DataFrame,
-    indexDir: String, compactEvery: Int = 0,
-    nBuckets: Int = 64): DataStreamWriter[Row] =
+    indexDir: String, compactEvery: Int = 0, nBuckets: Int = 64,
+    metrics: Option[ProgressMetrics] = None): DataStreamWriter[Row] =
     emb.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, centroids, indexDir,
-          compactEvery, nBuckets)
+          compactEvery, nBuckets, metrics)
     }
 
   /** One micro-batch: assign, append, compact on cadence. Public for
-    * replay specs and synthetic-batch backfills. */
+    * replay specs and synthetic-batch backfills. With `metrics`, the
+    * drift gauges emit for every FRESH batch (a replayed committed
+    * batch re-emits nothing — its numbers already fired). */
   def processBatch(batch: DataFrame, batchId: Long,
     centroids: DataFrame, indexDir: String,
-    compactEvery: Int = 0, nBuckets: Int = 64): Unit = {
+    compactEvery: Int = 0, nBuckets: Int = 64,
+    metrics: Option[ProgressMetrics] = None): Unit = {
     val spark = batch.sparkSession
     val dir = s"$indexDir/batch=$batchId"
-    if (!BatchDirs.committed(spark, dir))
-      IvfIndex.build(batch.select(col("vec_id"), col("embedding")),
-          centroids)
-        .write.mode("overwrite").parquet(dir)
+    if (!BatchDirs.committed(spark, dir)) {
+      val postings = IvfIndex.build(
+        batch.select(col("vec_id"), col("embedding")), centroids)
+      val kept = if (metrics.isDefined) postings.persist() else postings
+      kept.write.mode("overwrite").parquet(dir)
+      metrics.foreach { m =>
+        // one aggregation pass over the (persisted) batch postings;
+        // the collect is ≤ k rows — bounded by design, same budget
+        // as the centroid localization in IvfIndex
+        graft.expressions.GraftFunctions.register(spark)
+        val per = kept.join(broadcast(centroids), Seq("cluster_id"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n"), sum(expr(
+            """1.0 - graft_dot(embedding, centroid)
+              | / (sqrt(graft_dot(embedding, embedding))
+              |    * sqrt(graft_dot(centroid, centroid)))"""
+              .stripMargin)).as("d"))
+          .select(col("n"), col("d")).collect()
+        kept.unpersist()
+        val n = per.map(_.getLong(0)).sum
+        if (n > 0) {
+          m.recordGauge("ivf.mean_dist", batchId,
+            per.map(_.getDouble(1)).sum / n)
+          m.recordGauge("ivf.entropy", batchId,
+            -per.map { r =>
+              val p = r.getLong(0).toDouble / n
+              p * math.log(p)
+            }.sum)
+        }
+      }
+    }
     // idempotent on replay, like the append itself
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       BatchDirs.compact(spark, indexDir, batchId, "cluster_id",

@@ -55,6 +55,28 @@ final class ProgressMetrics extends StreamingQueryListener {
     val r = rateFor(queryId)
     if (r > 0) remainingRows / r else Double.NaN
   }
+
+  // ── operator-emitted gauges ────────────────────────────────────
+  // Per-batch health series an operator computes from its own data
+  // (what a listener cannot see): e.g. the IVF maintainer's mean
+  // distance-to-assigned-centroid and assignment entropy, the
+  // observable trigger behind its rebuild-don't-mutate caveat.
+  // Bounded: one double per (gauge, batch).
+  private val gauges =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Long, Double]]()
+
+  def recordGauge(name: String, batchId: Long, value: Double): Unit =
+    gauges.computeIfAbsent(name, _ => new ConcurrentHashMap[Long, Double]())
+      .put(batchId, value)
+
+  /** The gauge's full (batchId, value) series, batch-ordered. */
+  def gauge(name: String): Seq[(Long, Double)] =
+    Option(gauges.get(name)).toSeq
+      .flatMap(_.asScala.toSeq).sortBy(_._1)
+
+  /** Latest value — the alerting face ("did assignment drift?"). */
+  def lastGauge(name: String): Option[Double] =
+    gauge(name).lastOption.map(_._2)
 }
 
 object ProgressMetrics {

@@ -171,10 +171,12 @@ object Bgp {
       else if (isVar(pat.s))
         // variable subject: the source set IS the predicate's node
         // set, so the frontier walk degenerates to all-pairs anyway —
-        // path doubling computes the same closure in ⌈log₂ maxHops⌉
-        // rounds instead of maxHops (same output, Bfs doc + spec)
+        // the routed closure picks frontier vs ⌈log₂ maxHops⌉-round
+        // path doubling by depth (the ONE decision point:
+        // Bfs.allPairsMinHops / Bfs.DoublingCrossover; same output
+        // either way, Bfs doc + spec)
         graft.operators.Bfs
-          .minHopsDoubling(edges, sources, pat.maxHops,
+          .allPairsMinHops(edges, sources, pat.maxHops,
             seedReached = pat.minHops == 0)
           .filter(col("hops") >= pat.minHops)
       else graft.operators.Bfs

@@ -71,6 +71,81 @@ class AdmissionSpec extends SparkTestBase {
     } finally q2.stop()
   } }
 
+  test("batch x25 ↔ stream admission: the twins agree on the " +
+    "documents fixture when arrival order is quality order") { withRocks {
+    // The "streaming twin" claim, proven: derive the stream input
+    // from the x25 fixture ordering — the documents table scored by
+    // the SAME TextDedupQueries.qualityScored helper the x25 face
+    // uses, with doc_id remapped to the per-source quality rank so
+    // Admission's deterministic within-batch order (doc_id) IS the
+    // x25 window order (score desc, doc_id asc). The exact
+    // relationship between the two policies:
+    //  - x25 admits the take-while PREFIX (cum <= B stops at the
+    //    first overflow);
+    //  - the stream admits GREEDILY (skip-not-stop: a later smaller
+    //    doc may still fit).
+    // So streamed ⊇ prefix always, with IDENTICAL cum_tokens on the
+    // prefix, and streamed == the greedy closure of the same order;
+    // the sets are equal exactly on sources where nothing fits after
+    // the first overflow.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val budget = 5000L // the x25 face's constant
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_e4").desc, col("doc_id").asc)
+    val ranked = operators.TextDedupQueries.qualityScored(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select("source", "rank", "n_tokens", "cum")
+      .as[(String, Long, Long, Long)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(ranked.nonEmpty, "empty documents fixture")
+    // batch face: the x25 prefix, per source
+    val prefix = ranked.filter(_._4 <= budget)
+      .map(t => (t._2, t._1, t._3, t._4)).toSet
+    // greedy closure of the same order — what the stream must emit
+    val greedy = ranked.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var u = 0L
+      ds.sortBy(_._2).flatMap { case (_, rank, n, _) =>
+        if (n <= budget - u) { u += n; Some((rank, src, n, u)) }
+        else None
+      }
+    }.toSet
+    // stream: rank as doc_id, TWO batches split mid-order so the
+    // per-source counter must carry across micro-batches
+    val docs = ranked.map { case (src, rank, n, _) => Doc(rank, src, n) }
+    val cut = docs.map(_.doc_id).max / 2
+    val in = MemoryStream[Doc]
+    val q = Admission.tokenBudget(in.toDS(), budget)
+      .writeStream.format("memory").queryName("adm_x25")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("adm_x25_ck").toString)
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.filter(_.doc_id <= cut): _*)
+      q.processAllAvailable()
+      in.addData(docs.filter(_.doc_id > cut): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("adm_x25").as[Admitted].collect()
+      .map(a => (a.doc_id, a.source, a.n_tokens, a.cum_tokens)).toSet
+    assert(streamed == greedy,
+      s"stream diverged from the greedy closure of the x25 order:\n" +
+        s"extra=${streamed -- greedy}\nmissing=${greedy -- streamed}")
+    assert(prefix.subsetOf(streamed),
+      s"x25 prefix not admitted by the stream: ${prefix -- streamed}")
+    // cum_tokens agree doc-for-doc on the prefix (same running sum)
+    assert(prefix.forall(streamed.contains), "prefix cum mismatch")
+    // and on every source with no post-overflow fit, the twins are
+    // EQUAL — the fixture must exercise that regime at least once
+    val eqSources = ranked.map(_._1).distinct.filter { src =>
+      prefix.filter(_._2 == src) == greedy.filter(_._2 == src) }
+    assert(eqSources.nonEmpty,
+      "fixture never hit the prefix==greedy regime; budget needs tuning")
+  } }
+
   test("within-batch admission order is doc_id, not arrival") {
     withRocks {
       implicit val sql = spark.sqlContext

@@ -99,4 +99,41 @@ class BfsSpec extends SparkTestBase {
     assert(Seq(0, 1, 2, 3, 4, 5, 8, 9).map(Bfs.doublingRounds) ==
       Seq(0, 0, 1, 2, 2, 3, 3, 4))
   }
+
+  test("allPairsMinHops routes by depth at ONE decision point; both " +
+    "routes identical on the n7 oracle fixture") {
+    // route asserted per regime: shallow → frontier, deep → doubling
+    assert(Seq(1, 2, 3, 4).forall(!Bfs.routesToDoubling(_)),
+      "shallow depths must take the frontier walk")
+    assert(Seq(5, 8, 100).forall(Bfs.routesToDoubling),
+      "deep depths must take the doubling closure")
+    // the n7 fixture: customer→nation→region located_in edges, same
+    // construction as LinkageQueries.locatedInTriples at sf0.001
+    val sf = "/root/testdata/sf0.001"
+    val edges = Tables.load(spark, sf, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+      .unionByName(Tables.load(spark, sf, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst")))
+      .distinct()
+    val sources = edges.select(col("src").as("id")).distinct()
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      try df.as[(String, String, Int)].collect().toSet
+      finally Broadcasting.releaseAll()
+    for (seedReached <- Seq(true, false);
+         maxHops <- Seq(2, 8)) { // one depth per regime
+      val frontier = collect(Bfs.minHopsPerSource(edges, sources,
+        maxHops, exhaustCheck = false, seedReached = seedReached))
+      val doubled = collect(Bfs.minHopsDoubling(edges, sources,
+        maxHops, seedReached = seedReached))
+      val routed = collect(Bfs.allPairsMinHops(edges, sources,
+        maxHops, seedReached = seedReached))
+      assert(frontier == doubled,
+        s"routes diverge on n7 fixture at maxHops=$maxHops " +
+          s"seedReached=$seedReached")
+      assert(routed == frontier && routed.nonEmpty,
+        s"routed face broke at maxHops=$maxHops")
+    }
+  }
 }

@@ -75,6 +75,55 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     assert(streamed == batch, s"live-stream index diverged")
   }
 
+  test("drift gauges: a mid-stream distribution shift moves " +
+    "ivf.mean_dist while bootstrap-region searches stay pinned") {
+    import graft.streaming.ProgressMetrics
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_drift").toString + "/index"
+    val centroids = IvfIndex.buildCentroids(
+      corpus.filter(col("vec_id") < 20), k = 4, iters = 2)
+    val m = new ProgressMetrics // gauges need no listener wiring
+    // wave 0: the bootstrap distribution — assignment is tight
+    IvfIndexMaintenance.processBatch(corpus, 0L, centroids, dir,
+      metrics = Some(m))
+    val probes = corpus.filter(col("vec_id").isin(1L, 25L, 55L))
+    val before = IvfIndexMaintenance
+      .search(spark, dir, centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // wave 1: the ingest distribution walks away — same generator,
+    // every dimension shifted by +4 (off every bootstrap center)
+    val drifted = SyntheticEmbeddings
+      .clustered(spark, n = 60, dims = 8, centers = 4, sep = 6.0)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + 4.0d as float))")
+          .as("embedding"))
+    IvfIndexMaintenance.processBatch(drifted, 1L, centroids, dir,
+      metrics = Some(m))
+    // the rebuild trigger: mean assigned-centroid distance jumps
+    val dist = m.gauge("ivf.mean_dist")
+    assert(dist.map(_._1) == Seq(0L, 1L), s"gauge series: $dist")
+    val (d0, d1) = (dist(0)._2, dist(1)._2)
+    assert(d0 >= 0 && d1 > 3 * d0,
+      s"drift must move the gauge: batch0=$d0 batch1=$d1")
+    val ent = m.gauge("ivf.entropy")
+    assert(ent.size == 2 && ent.forall(e => !e._2.isNaN),
+      s"entropy gauge incomplete: $ent")
+    // …while recall on the bootstrap distribution stays pinned: the
+    // same probes return the SAME neighbors after the drifted wave
+    // (far-off vectors enter the index but crack no bootstrap top-k),
+    // and the maintained index still equals a batch build
+    val after = IvfIndexMaintenance
+      .search(spark, dir, centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(after == before,
+      s"bootstrap search drifted:\nbefore=$before\nafter=$after")
+    val viaBatch = IvfIndex.search(
+        IvfIndex.build(corpus.unionByName(drifted), centroids),
+        centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(after == viaBatch)
+  }
+
   test("compaction folds postings into a cluster_id-bucketed dir: " +
     "index and searches identical, listing bounded") {
     import graft.streaming.BatchDirs
