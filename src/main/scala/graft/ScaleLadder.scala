@@ -25,6 +25,13 @@ object ScaleLadder {
     "d6_simhash_pairs", "d11_containment", "x10_tfidf_top",
     "x12_bm25_topk")
 
+  /** The graph family's documented super-linear suspects: n1/n9's
+    * unfiltered co-purchase edge build and n10's all-pairs doubling
+    * closure. They read lineitem/orders, so they get their own
+    * densified fixture ([[build10xGraph]]). */
+  private val GraphQueries = Seq("n1_pagerank", "n9_ppr",
+    "n10_order_chain")
+
   def build10x(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val n = base.count()
@@ -48,6 +55,70 @@ object ScaleLadder {
     replicas.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Densified graph fixture — the documents splice trick applied to
+    * the graph tables, so edge DENSITY grows instead of stamping ten
+    * disconnected copies (which would measure nothing: ten islands
+    * parallelize embarrassingly and per-order pair counts stay flat).
+    *
+    *  - lineitem → 10× ORDERS with spliced baskets: replica r>0 of
+    *    order k keeps the first half of k's part basket and takes the
+    *    second half from order (rank(k) + 137·r mod n)'s — basket
+    *    sizes (the per-order pair QUADRATIC term) and part degree
+    *    stay corpus-like, while the distinct co-purchase edge set
+    *    genuinely grows (new part combinations, not replayed ones).
+    *  - orders → each customer's date-ordered CHAIN gets 10× longer:
+    *    replica r shifts dates by r·3000 days under fresh orderkeys,
+    *    so consecutive-order edges link straight through the replica
+    *    boundary — the n10 closure walks chains of ~10× depth.
+    *
+    * One-time diagnostic build; the single-partition row_number over
+    * the ~150k order keys is fine HERE (it ranks a distinct-key
+    * frame once, not a per-query path). */
+  def build10xGraph(spark: SparkSession, sfDir: String,
+    outDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val ranked = baskets.withColumn("rk", row_number().over(
+      Window.partitionBy(lit(1)).orderBy(col("l_orderkey")))
+      .cast("long") - 1L).persist()
+    val n = ranked.count()
+    val keyOff = 10000000L
+    val partner = ranked.select(col("rk").as("prk"),
+      col("parts").as("pparts"))
+    val liReplicas = (0 until 10).map { r =>
+      if (r == 0) li
+      else ranked
+        .withColumn("prk", (col("rk") + lit(137L * r)) % lit(n))
+        .join(partner, "prk")
+        .select(
+          (col("l_orderkey") + lit(r * keyOff)).as("l_orderkey"),
+          explode(array_distinct(concat(
+            expr("slice(parts, 1, cast(ceil(size(parts)/2.0) as int))"),
+            expr("slice(pparts, cast(ceil(size(pparts)/2.0) as int)+1, " +
+              "size(pparts))")))).as("l_partkey"))
+    }
+    liReplicas.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    ranked.unpersist()
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    (0 until 10).map { r =>
+      orders.select(
+        (col("o_orderkey") + lit(r * keyOff)).as("o_orderkey"),
+        col("o_custkey"),
+        // timestampadd, not date_add: o_orderdate is a timestamp in
+        // the testdata and date_add would silently truncate its type
+        expr(s"timestampadd(DAY, ${r * 3000}, o_orderdate)")
+          .as("o_orderdate"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 
   private def time(spark: SparkSession, name: String, dir: String)
@@ -79,11 +150,17 @@ object ScaleLadder {
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    if (names.exists(!GraphQueries.contains(_)) &&
+      !new java.io.File(s"$out/documents.parquet").exists()) {
       build10x(spark, sfDir, out)
       println(s"[ladder] built 10x corpus at $out")
     }
-    val names = if (args.nonEmpty) args.toSeq else DefaultQueries
+    if (names.exists(GraphQueries.contains) &&
+      !new java.io.File(s"$out/lineitem.parquet").exists()) {
+      build10xGraph(spark, sfDir, out)
+      println(s"[ladder] built 10x graph fixture at $out")
+    }
     names.foreach { name =>
       val (s1, r1) = time(spark, name, sfDir)
       val (s10, r10) = time(spark, name, out)

@@ -106,23 +106,31 @@ object IvfIndex {
     * `nProbe` clusters nearest to the probe vector. The probe-side
     * windows rank tiny frames (probes×k and candidates per probe),
     * not the corpus. */
+  /** The `nProbe` nearest centroids per probe: (probe_id, pe,
+    * cluster_id). Public — shared by [[search]] and by the streaming
+    * maintainer's pruned compact-scan (the distinct cluster set is
+    * ≤ k rows, the same bounded-by-design budget as the centroid
+    * localization). */
+  def probeClusters(centroids: DataFrame, probes: DataFrame,
+    nProbe: Int): DataFrame = {
+    registered(centroids.sparkSession)
+    val scored = probes.crossJoin(broadcast(centroids))
+      .withColumn("sim", expr(
+        """graft_dot(embedding, centroid)
+          | / (sqrt(graft_dot(embedding, embedding))
+          |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cluster_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").as("pe"), col("cluster_id"))
+  }
+
   def search(index: DataFrame, centroids: DataFrame, probes: DataFrame,
     nProbe: Int, topK: Int): DataFrame = {
     registered(index.sparkSession)
-    val probeClusters = {
-      val scored = probes.crossJoin(broadcast(centroids))
-        .withColumn("sim", expr(
-          """graft_dot(embedding, centroid)
-            | / (sqrt(graft_dot(embedding, embedding))
-            |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cluster_id").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= nProbe)
-        .select(col("vec_id").as("probe_id"),
-          col("embedding").as("pe"), col("cluster_id"))
-    }
-    val cands = probeClusters
+    val cands = probeClusters(centroids, probes, nProbe)
       .join(index.withColumnRenamed("vec_id", "nbr_id")
         .withColumnRenamed("embedding", "ne"), Seq("cluster_id"))
       .filter(col("probe_id") =!= col("nbr_id"))

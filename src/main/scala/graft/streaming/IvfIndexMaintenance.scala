@@ -120,4 +120,35 @@ object IvfIndexMaintenance {
         throw new IllegalStateException(
           s"no committed index batches under $indexDir")),
       centroids, probes, nProbe, topK)
+
+  /** [[search]] with the compacted part of the scan PRUNED to the
+    * hash buckets the probed clusters land in — the payoff of the
+    * cluster_id-bucketed compact layout: a search touches
+    * O(probed buckets + recent tail) of the index, not O(index).
+    * Identical results to [[search]] by construction (a candidate
+    * must share its probe's cluster_id, hence its bucket;
+    * spec-pinned). Falls back to the full scan before the first
+    * compaction. The probed-cluster collect is ≤ k rows — the same
+    * bounded-by-design budget as IvfIndex's centroid localization. */
+  def searchPruned(spark: SparkSession, indexDir: String,
+    centroids: DataFrame, probes: DataFrame,
+    nProbe: Int, topK: Int): DataFrame =
+    BatchDirs.compactInfo(spark, indexDir) match {
+      case None => search(spark, indexDir, centroids, probes,
+        nProbe, topK)
+      case Some((_, n)) =>
+        // bucketOf over the ORIGINAL cluster_id column type —
+        // xxhash64 is type-width-sensitive, so the bucket must be
+        // computed on the same type compact() hashed
+        val buckets = IvfIndex
+          .probeClusters(centroids, probes, nProbe)
+          .select(BatchDirs.bucketOf(col("cluster_id"), n).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val ix = BatchDirs
+          .readCommitted(spark, indexDir, pbuckets = Some(buckets))
+          .getOrElse(throw new IllegalStateException(
+            s"no committed index batches under $indexDir"))
+          .select("cluster_id", "vec_id", "embedding")
+        IvfIndex.search(ix, centroids, probes, nProbe, topK)
+    }
 }

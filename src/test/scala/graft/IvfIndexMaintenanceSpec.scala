@@ -167,6 +167,17 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
       .search(spark, ref, centroids, probes, nProbe = 2, topK = 3)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(viaCompact == viaRef && viaCompact.nonEmpty)
+    // the bucketed layout's payoff: the pruned search equals the
+    // full scan (a candidate shares its probe's cluster, hence its
+    // bucket), and the bucket filter demonstrably reaches the scan
+    // (an empty bucket list reads zero rows from the compacted part)
+    val viaPruned = IvfIndexMaintenance
+      .searchPruned(spark, dir, centroids, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaPruned == viaCompact, "pruned search diverged")
+    assert(BatchDirs.readCommitted(spark, dir,
+      pbuckets = Some(Seq.empty)).get.count() == 0L,
+      "pbucket filter did not reach the compacted scan")
     // replaying the final (committed) batch re-runs only the
     // idempotent sweep — state unchanged
     IvfIndexMaintenance.processBatch(

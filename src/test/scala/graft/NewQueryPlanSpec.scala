@@ -197,13 +197,29 @@ class NewQueryPlanSpec extends SparkTestBase {
       val p = plan("n10_order_chain")
       assert(!p.contains("CartesianProduct"), p)
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
-      // the min-plus square joins on the midpoint — an equi-join —
-      // and maxHops=8 means the last doubling round cut its lineage
-      assert(p.contains("Scan ExistingRDD"), p)
+      // the min-plus square joins on the midpoint — an equi-join.
+      // maxHops=8 is 3 doubling rounds and the cadence lands on the
+      // FINAL one, where the r14 guard correctly SKIPS the eager cut
+      // (no later round reads the leaf — the Bfs h<maxHops rule): the
+      // last round is cache-fed, not checkpoint-fed
+      assert(p.contains("InMemoryRelation"), p)
+      assert(!p.contains("Scan ExistingRDD"), p)
       // exactly one window (the per-customer chain ranking) feeds the
       // edge build; the closure itself must not sort globally
       assert(!p.toLowerCase.contains(
         "windowspecdefinition()"), p) // no empty-partition window
+      // …and a budget DEEPER than the cadence still cuts mid-loop:
+      // 32 hops = 5 rounds, cut due at round 3, rounds 4-5 plan
+      // against the materialized leaf
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+        .toDF("src", "dst")
+      val deep = graft.operators.Bfs.minHopsDoubling(edges,
+        edges.select(org.apache.spark.sql.functions.col("src")
+          .as("id")), maxHops = 32)
+      val dp = deep.queryExecution.executedPlan.toString
+      assert(dp.contains("Scan ExistingRDD"),
+        s"mid-loop cut missing from the deep closure:\n$dp")
     } finally graft.operators.Broadcasting.releaseAll()
   }
 
