@@ -128,9 +128,17 @@ object IvfIndex {
   }
 
   def search(index: DataFrame, centroids: DataFrame, probes: DataFrame,
-    nProbe: Int, topK: Int): DataFrame = {
+    nProbe: Int, topK: Int): DataFrame =
+    searchFrom(probeClusters(centroids, probes, nProbe), index, topK)
+
+  /** [[search]] from an already-computed [[probeClusters]] frame —
+    * so a caller that needed the probe→cluster assignment for its
+    * own purposes (the maintainer's bucket-pruned compact scan) pays
+    * the probes×centroids scoring pass ONCE. */
+  def searchFrom(probeClusters: DataFrame, index: DataFrame,
+    topK: Int): DataFrame = {
     registered(index.sparkSession)
-    val cands = probeClusters(centroids, probes, nProbe)
+    val cands = probeClusters
       .join(index.withColumnRenamed("vec_id", "nbr_id")
         .withColumnRenamed("embedding", "ne"), Seq("cluster_id"))
       .filter(col("probe_id") =!= col("nbr_id"))

@@ -92,6 +92,13 @@ object BatchDirs {
       .sortBy(_._1).lastOption
   }
 
+  /** Recent-tail directory budget: even when the byte-ratio governor
+    * defers a fold (tail too small to pay an O(index) rewrite), the
+    * tail must never regrow the O(batches)-listing problem compaction
+    * exists to solve — past this many committed batch dirs the fold
+    * proceeds regardless of byte ratio. */
+  private val MaxTailDirs = 64
+
   /** Every batch id ≤ this is committed (−1 before any compaction). */
   def compactedThrough(spark: SparkSession, baseDir: String): Long =
     compactInfo(spark, baseDir).map(_._1).getOrElse(-1L)
@@ -147,9 +154,24 @@ object BatchDirs {
     * are bounded by the compaction cadence, not by stream lifetime. */
   def readCommitted(spark: SparkSession, baseDir: String,
     excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
+    : Option[DataFrame] =
+    readCommittedAt(spark, baseDir, compactInfo(spark, baseDir),
+      excludeBatch, pbuckets)
+
+  /** [[readCommitted]] pinned to an already-RESOLVED compact
+    * generation — for callers that derive something from the
+    * generation's bucket count (a pruned scan) before reading: a
+    * concurrent compaction with a different bucket count must not be
+    * re-resolved between the derivation and the read (buckets
+    * computed for the old modulus against the new layout would
+    * silently drop matches). Safe because the sweep is two-phase: a
+    * superseded compact dir survives one full compaction generation
+    * (see [[compact]]). */
+  private[streaming] def readCommittedAt(spark: SparkSession,
+    baseDir: String, info: Option[(Long, Int)],
+    excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
     : Option[DataFrame] = {
     val fs = fsOf(spark, baseDir)
-    val info = compactInfo(spark, baseDir)
     val cutoff = info.map(_._1).getOrElse(-1L)
     val compactPart = info
       .filter { case (c, n) =>
@@ -179,9 +201,21 @@ object BatchDirs {
     * there is nothing to compact). NOT concurrency-safe against
     * itself — call it from the single writer (the maintainers trigger
     * it inside `processBatch`, which Structured Streaming serializes
-    * per query). */
+    * per query).
+    *
+    * `minFoldRatio` is the write-amplification governor: a fold
+    * REWRITES the whole compacted table, so folding on a fixed batch
+    * cadence alone would cost O(index) per fold — quadratic total
+    * writes over the stream's life. With the ratio set (the
+    * maintainers pass 0.1), a fold only proceeds once the recent
+    * batch dirs' bytes reach that fraction of the compact dir's —
+    * the LSM discipline: every byte is rewritten O(log n / log(1+r))
+    * times total, while the recent tail stays bounded at r·index
+    * (reads stay O(compacted + bounded tail)). The FIRST fold (no
+    * compact dir yet) always proceeds. */
   def compact(spark: SparkSession, baseDir: String, upTo: Long,
-    bucketKey: String, nBuckets: Int = 64): Long = {
+    bucketKey: String, nBuckets: Int = 64,
+    minFoldRatio: Double = 0.0): Long = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val fs = fsOf(spark, baseDir)
     val prev = compactInfo(spark, baseDir)
@@ -191,6 +225,17 @@ object BatchDirs {
     val cutoff = if (foldIds.isEmpty) prevCutoff
       else math.max(prevCutoff, foldIds.max)
     if (cutoff < 0) return -1L // nothing committed yet, nothing to do
+    if (cutoff > prevCutoff && minFoldRatio > 0.0 && prev.isDefined &&
+      foldIds.size < MaxTailDirs) { // past the dir budget, always fold
+      val compactBytes = prev.map { case (c, n) =>
+        fs.getContentSummary(new Path(s"$baseDir/compact=$c.n$n"))
+          .getLength }.getOrElse(0L)
+      val recentBytes = committedDataDirs(fs, baseDir, prevCutoff, -1L)
+        .filter(_.split("batch=").last.toLong <= cutoff)
+        .map(d => fs.getContentSummary(new Path(d)).getLength).sum
+      if (recentBytes < compactBytes * minFoldRatio)
+        return prevCutoff // defer: tail too small to pay a rewrite
+    }
     val target = s"$baseDir/compact=$cutoff.n$nBuckets"
     if (cutoff > prevCutoff || !committed(spark, target)) {
       // fold: previous compact + committed data dirs in (prev, cutoff]
@@ -223,24 +268,34 @@ object BatchDirs {
           fs.create(new Path(target, "_SUCCESS"), true).close()
       }
     }
-    // sweep: folded batch dirs and superseded compact dirs. Readers
-    // already ignore them (strictly-above-cutoff rule), so a crash
-    // mid-sweep just leaves debris for the next call.
+    // TWO-PHASE sweep: delete only what the PREVIOUS generation
+    // already made redundant (batch dirs ≤ prevCutoff, compact dirs
+    // < prevCutoff). Dirs folded into THIS generation survive one
+    // more compaction as a grace window for concurrent readers — a
+    // reader that listed directories before this commit can still
+    // open every file it saw, and a pruned reader pinned to the
+    // previous generation ([[readCommittedAt]]) still finds its
+    // compact dir. Readers never DUPLICATE retained dirs (the
+    // strictly-above-cutoff rule excludes them), so the grace debris
+    // costs one cadence of extra listing, bounded. A crash mid-sweep
+    // just leaves debris for the next call.
     val base = new Path(baseDir)
     fs.listStatus(base).foreach { s =>
       s.getPath.getName match {
-        case BatchName(id) if id.toLong <= cutoff =>
+        case BatchName(id) if id.toLong <= prevCutoff =>
           // only committed dirs: a torn batch dir (no marker) at or
           // below the cutoff is out-of-contract debris, but deleting
           // a dir a concurrent writer is mid-writing would corrupt
           // its commit — leave it
           if (fs.exists(new Path(s.getPath, "_SUCCESS")))
             fs.delete(s.getPath, true)
-        case CompactName(c, n) if c.toLong < cutoff ||
+        case CompactName(c, n) if c.toLong < prevCutoff ||
           (c.toLong == cutoff &&
             s.getPath.getName != s"compact=$cutoff.n$nBuckets") =>
-          // the second arm sweeps a SAME-cutoff predecessor left by a
-          // bucket-count change (its replacement committed above)
+          // the second arm sweeps a SAME-cutoff predecessor left by
+          // an explicit bucket-count change immediately (its
+          // replacement committed above; keeping two generations of
+          // the SAME cutoff would make compactInfo's pick ambiguous)
           fs.delete(s.getPath, true)
         case _ => ()
       }

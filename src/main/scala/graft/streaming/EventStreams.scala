@@ -288,9 +288,16 @@ object EventStreams {
         // its delete raced the expiry) must not close a live session
         if (info.getExpiryTimeInMs() >= s.lastMs + gapMs) {
           sess.clear()
-          // no horizon update needed: a timer fires only once the
+          // no horizon UPDATE needed: a timer fires only once the
           // watermark passed lastMs + gap, so any later arrival
-          // inside this span is already a below-watermark drop
+          // inside this span is already a below-watermark drop. But
+          // any horizon carried from an earlier eager emission is
+          // now below the watermark too (hor < lastMs < wm) — CLEAR
+          // it, or a key whose final session closes by timer and
+          // never returns would hold its horizon row forever
+          // (state must stay bounded by live-ish users, per the
+          // handleInputRows comment)
+          if (horizon.exists()) horizon.clear()
           Iterator.single(closed(userId, s))
         } else Iterator.empty
       }

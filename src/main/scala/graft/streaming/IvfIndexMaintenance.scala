@@ -77,31 +77,42 @@ object IvfIndexMaintenance {
         // the collect is ≤ k rows — bounded by design, same budget
         // as the centroid localization in IvfIndex
         graft.expressions.GraftFunctions.register(spark)
+        // nd/d count and sum only DEFINED distances: a zero-norm
+        // embedding (real ingest-defect mode) has no cosine — its
+        // NULL must neither NPE the stream nor silently deflate the
+        // mean. It still counts in n, so entropy sees the assignment.
+        val dist = expr(
+          """1.0 - graft_dot(embedding, centroid)
+            | / (sqrt(graft_dot(embedding, embedding))
+            |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin)
         val per = kept.join(broadcast(centroids), Seq("cluster_id"))
           .groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("n"), sum(expr(
-            """1.0 - graft_dot(embedding, centroid)
-              | / (sqrt(graft_dot(embedding, embedding))
-              |    * sqrt(graft_dot(centroid, centroid)))"""
-              .stripMargin)).as("d"))
-          .select(col("n"), col("d")).collect()
+          .agg(count(lit(1)).as("n"), count(dist).as("nd"),
+            sum(dist).as("d"))
+          .select(col("n"), col("nd"), col("d")).collect()
         kept.unpersist()
         val n = per.map(_.getLong(0)).sum
-        if (n > 0) {
+        val nd = per.map(_.getLong(1)).sum
+        if (nd > 0)
           m.recordGauge("ivf.mean_dist", batchId,
-            per.map(_.getDouble(1)).sum / n)
+            per.filterNot(_.isNullAt(2)).map(_.getDouble(2)).sum / nd)
+        if (n > 0)
           m.recordGauge("ivf.entropy", batchId,
             -per.map { r =>
               val p = r.getLong(0).toDouble / n
               p * math.log(p)
             }.sum)
-        }
       }
     }
-    // idempotent on replay, like the append itself
+    // idempotent on replay, like the append itself; 0.1 fold ratio =
+    // the write-amplification governor (BatchDirs doc). upTo =
+    // batchId − 1: the current batch's dir carries the _SUCCESS
+    // marker a post-crash replay checks — folding it would turn the
+    // replay into a full (wasted) rebuild; earlier batches are in
+    // the engine's commit log and can never replay.
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      BatchDirs.compact(spark, indexDir, batchId, "cluster_id",
-        nBuckets)
+      BatchDirs.compact(spark, indexDir, batchId - 1, "cluster_id",
+        nBuckets, minFoldRatio = 0.1)
   }
 
   /** The postings accumulated so far, search-ready. None before the
@@ -132,23 +143,38 @@ object IvfIndexMaintenance {
     * bounded-by-design budget as IvfIndex's centroid localization. */
   def searchPruned(spark: SparkSession, indexDir: String,
     centroids: DataFrame, probes: DataFrame,
-    nProbe: Int, topK: Int): DataFrame =
-    BatchDirs.compactInfo(spark, indexDir) match {
+    nProbe: Int, topK: Int): DataFrame = {
+    val info = BatchDirs.compactInfo(spark, indexDir)
+    info match {
       case None => search(spark, indexDir, centroids, probes,
         nProbe, topK)
       case Some((_, n)) =>
+        // ONE probes×centroids scoring pass: the same frame derives
+        // the bucket filter and feeds the candidate join
+        // (searchFrom). Persisted — the bucket collect materializes
+        // it, the candidate join re-reads it from cache; released by
+        // the caller's Broadcasting.releaseAll(), the operator-wide
+        // cache discipline (unpersisting here would drop the cache
+        // before the returned lazy frame is ever consumed).
+        val pc = graft.operators.Broadcasting.track(
+          IvfIndex.probeClusters(centroids, probes, nProbe).persist())
         // bucketOf over the ORIGINAL cluster_id column type —
         // xxhash64 is type-width-sensitive, so the bucket must be
         // computed on the same type compact() hashed
-        val buckets = IvfIndex
-          .probeClusters(centroids, probes, nProbe)
+        val buckets = pc
           .select(BatchDirs.bucketOf(col("cluster_id"), n).as("b"))
           .distinct().collect().map(_.getLong(0)).toSeq
+        // readCommittedAt pins the read to the generation the
+        // buckets were computed for: a concurrent re-bucketing
+        // compaction must not swap the modulus under the filter
+        // (the two-phase sweep keeps the pinned dir alive)
         val ix = BatchDirs
-          .readCommitted(spark, indexDir, pbuckets = Some(buckets))
+          .readCommittedAt(spark, indexDir, info,
+            pbuckets = Some(buckets))
           .getOrElse(throw new IllegalStateException(
             s"no committed index batches under $indexDir"))
           .select("cluster_id", "vec_id", "embedding")
-        IvfIndex.search(ix, centroids, probes, nProbe, topK)
+        IvfIndex.searchFrom(pc, ix, topK)
     }
+  }
 }

@@ -121,10 +121,25 @@ object LshIndexMaintenance {
       } finally bands.unpersist()
     }
     // cadence-gated compaction AFTER the band commit; a replayed
-    // committed batch re-runs it, which is an idempotent sweep
+    // committed batch re-runs it, which is an idempotent sweep. The
+    // 0.1 fold ratio is the write-amplification governor (BatchDirs
+    // doc): a fold rewrites the whole compacted table, so it only
+    // pays once the recent tail reaches a tenth of it.
+    // upTo = batchId - 1, NEVER the current batch: folding (and
+    // eventually sweeping) batch=<batchId> would destroy the very
+    // _SUCCESS marker that makes a post-crash replay of THIS batch a
+    // no-op — the replay would reprocess and join its own bands back
+    // against the compacted index, triple-counting its pairs. Batches
+    // ≤ batchId−1 are in the engine's commit log by the time this
+    // batch runs, so they can never replay.
+    // The pairs fold is capped at the BAND cutoff actually reached
+    // (folds defer independently under the ratio governor), keeping
+    // the documented invariant pairsCutoff ≤ bandCutoff structural.
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      BatchDirs.compact(spark, indexDir, batchId, "k1", nBuckets)
-      BatchDirs.compact(spark, pairsDir, batchId, "doc_a", nBuckets)
+      val bandCutoff = BatchDirs.compact(spark, indexDir, batchId - 1,
+        "k1", nBuckets, minFoldRatio = 0.1)
+      BatchDirs.compact(spark, pairsDir, bandCutoff, "doc_a", nBuckets,
+        minFoldRatio = 0.1)
     }
   }
 
