@@ -29,8 +29,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Compaction commit protocol, same marker discipline as the batches:
   *  1. write `compact=<newCutoff>` (parquet `overwrite` → `_SUCCESS`
   *     is the commit);
-  *  2. only then delete the folded `batch=*` dirs and any OLDER
-  *     compact dir.
+  *  2. only then sweep — TWO-PHASE: delete what the PREVIOUS
+  *     generation made redundant; dirs folded into THIS generation
+  *     survive one more compaction as a grace window for concurrent
+  *     readers (see [[compact]]). A lazy frame from [[readCommitted]]
+  *     must therefore be CONSUMED within one compaction cadence of
+  *     being built — past two generations its pinned file listing can
+  *     hit swept dirs (materialize eagerly if it must live longer).
   * A crash inside (1) leaves an unmarked dir readers ignore; a crash
   * inside (2) leaves debris that readers also ignore (they read the
   * HIGHEST committed compact + batch dirs STRICTLY ABOVE its cutoff)
@@ -60,22 +65,50 @@ object BatchDirs {
   /** Ids of the batches whose OWN directory under `baseDir` carries
     * the commit marker (empty batches included — a commit is a
     * commit; only READING their parquet needs the part-file guard
-    * below). Batches folded into a compact dir no longer appear here:
-    * ids ≤ [[compactedThrough]] are committed by the coverage rule. */
+    * below). Batches folded into a compact dir no longer appear here,
+    * EVEN while their directory lingers in the two-phase sweep's
+    * one-generation grace window: ids ≤ [[compactedThrough]] are
+    * filtered out (they are committed by the coverage rule, and
+    * reporting them here would double-represent them to any consumer
+    * that unions this list with the compacted view). One `listStatus`
+    * — the cutoff is computed from the same directory listing. */
   def committedIds(spark: SparkSession, baseDir: String): Seq[Long] = {
     val path = new Path(baseDir)
     val fs = fsOf(spark, baseDir)
     if (!fs.exists(path)) Nil
-    else fs.listStatus(path).toSeq
-      .filter(s => s.isDirectory &&
-        BatchName.pattern.matcher(s.getPath.getName).matches() &&
-        fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    else {
+      val statuses = fs.listStatus(path).toSeq.filter(_.isDirectory)
+      val cutoff = statuses
+        .flatMap(s => s.getPath.getName match {
+          case CompactName(c, _)
+            if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
+            Some(c.toLong)
+          case _ => None
+        })
+        .maxOption.getOrElse(-1L)
+      statuses
+        .filter(s =>
+          BatchName.pattern.matcher(s.getPath.getName).matches() &&
+          fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ > cutoff)
+    }
   }
 
   /** Highest committed compaction under `baseDir`: (cutoff, buckets),
     * None before the first compaction. One `listStatus` of the base
-    * dir — never of the batch dirs. */
+    * dir — never of the batch dirs.
+    *
+    * Two committed dirs can share a cutoff: an explicit bucket-count
+    * change refolds the same coverage under a new modulus, and the
+    * superseded dir survives one generation (sweep grace window) — or
+    * a crash leaves both until the next call converges. The pick is
+    * DETERMINISTIC: latest `_SUCCESS` mtime (the commit instant)
+    * wins, higher bucket count breaking a same-instant tie. Both
+    * candidates hold complete coverage of the cutoff, so even a
+    * granularity-collapsed mtime tie picks a CORRECT layout — the
+    * pick only decides which modulus pruned readers compute with, and
+    * they read with the same generation they resolved. */
   def compactInfo(spark: SparkSession, baseDir: String)
     : Option[(Long, Int)] = {
     val path = new Path(baseDir)
@@ -84,19 +117,24 @@ object BatchDirs {
     else fs.listStatus(path).toSeq
       .filter(_.isDirectory)
       .flatMap(s => s.getPath.getName match {
-        case CompactName(cutoff, n)
-          if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
-          Some((cutoff.toLong, n.toInt))
+        case CompactName(cutoff, n) =>
+          val marker = new Path(s.getPath, "_SUCCESS")
+          if (fs.exists(marker))
+            Some((cutoff.toLong, n.toInt,
+              fs.getFileStatus(marker).getModificationTime))
+          else None
         case _ => None
       })
-      .sortBy(_._1).lastOption
+      .sortBy { case (c, n, t) => (c, t, n) }.lastOption
+      .map { case (c, n, _) => (c, n) }
   }
 
   /** Recent-tail directory budget: even when the byte-ratio governor
     * defers a fold (tail too small to pay an O(index) rewrite), the
     * tail must never regrow the O(batches)-listing problem compaction
-    * exists to solve — past this many committed batch dirs the fold
-    * proceeds regardless of byte ratio. */
+    * exists to solve — once the tail REACHES this many committed
+    * batch dirs the fold proceeds regardless of byte ratio
+    * (boundary spec-pinned: 63 deferrable dirs defer, 64 force). */
   private val MaxTailDirs = 64
 
   /** Every batch id ≤ this is committed (−1 before any compaction). */
@@ -167,7 +205,7 @@ object BatchDirs {
     * silently drop matches). Safe because the sweep is two-phase: a
     * superseded compact dir survives one full compaction generation
     * (see [[compact]]). */
-  private[streaming] def readCommittedAt(spark: SparkSession,
+  def readCommittedAt(spark: SparkSession,
     baseDir: String, info: Option[(Long, Int)],
     excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
     : Option[DataFrame] = {
@@ -270,15 +308,23 @@ object BatchDirs {
     }
     // TWO-PHASE sweep: delete only what the PREVIOUS generation
     // already made redundant (batch dirs ≤ prevCutoff, compact dirs
-    // < prevCutoff). Dirs folded into THIS generation survive one
-    // more compaction as a grace window for concurrent readers — a
-    // reader that listed directories before this commit can still
-    // open every file it saw, and a pruned reader pinned to the
-    // previous generation ([[readCommittedAt]]) still finds its
-    // compact dir. Readers never DUPLICATE retained dirs (the
-    // strictly-above-cutoff rule excludes them), so the grace debris
+    // at or below prevCutoff other than the generation resolved at
+    // entry). Dirs folded into THIS generation survive one more
+    // compaction as a grace window for concurrent readers — a reader
+    // that listed directories before this commit can still open every
+    // file it saw, and a pruned reader pinned to the previous
+    // generation ([[readCommittedAt]]) still finds its compact dir —
+    // INCLUDING a same-cutoff predecessor superseded by an explicit
+    // bucket-count change (deleting it in the same call would yank
+    // the modulus out from under a pinned pruned reader;
+    // [[compactInfo]]'s mtime pick keeps the two-generations state
+    // unambiguous). Readers never DUPLICATE retained dirs (the
+    // strictly-above-cutoff rule excludes batch grace dirs; only the
+    // resolved compact generation is ever read), so the grace debris
     // costs one cadence of extra listing, bounded. A crash mid-sweep
     // just leaves debris for the next call.
+    val keepCompact = Set(s"compact=$cutoff.n$nBuckets") ++
+      prev.map { case (c, n) => s"compact=$c.n$n" }
     val base = new Path(baseDir)
     fs.listStatus(base).foreach { s =>
       s.getPath.getName match {
@@ -289,13 +335,8 @@ object BatchDirs {
           // its commit — leave it
           if (fs.exists(new Path(s.getPath, "_SUCCESS")))
             fs.delete(s.getPath, true)
-        case CompactName(c, n) if c.toLong < prevCutoff ||
-          (c.toLong == cutoff &&
-            s.getPath.getName != s"compact=$cutoff.n$nBuckets") =>
-          // the second arm sweeps a SAME-cutoff predecessor left by
-          // an explicit bucket-count change immediately (its
-          // replacement committed above; keeping two generations of
-          // the SAME cutoff would make compactInfo's pick ambiguous)
+        case CompactName(c, _) if c.toLong <= prevCutoff &&
+          !keepCompact(s.getPath.getName) =>
           fs.delete(s.getPath, true)
         case _ => ()
       }

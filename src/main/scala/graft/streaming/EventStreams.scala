@@ -169,6 +169,20 @@ object EventStreams {
     * (consumers never see overlapping rows; the dropped event is the
     * price of Append-mode immutability, not a new failure mode).
     *
+    * The single-Long horizon is deliberately CONSERVATIVE: it drops
+    * every in-watermark arrival at or before the max emitted end —
+    * including a gap event that overlaps NO emitted span (spans
+    * (11:00,11:05) and (11:50,12:00) emitted, then 11:20 arrives:
+    * dropped, though a disjoint (11:20,11:20) session existed).
+    * Tracking only the last span's START to narrow the drop would
+    * break the guarantee it exists for: two keepable events
+    * straddling an emitted span ((10:59, 11:06) around (11:00,11:05)
+    * within one gap) would merge into a session CONTAINING the span
+    * — overlap. Narrowing safely needs the full in-watermark span
+    * set per key plus splitting sessions at span boundaries; until a
+    * consumer needs those gap events, the bounded-state conservative
+    * drop is the contract (spec-pinned, gap-event case included).
+    *
     * Requires the RocksDB state store provider (a transformWithState
     * constraint) and an event-time watermark on `ts`; scale-wise the
     * state partitions by user exactly like the other keyed stateful

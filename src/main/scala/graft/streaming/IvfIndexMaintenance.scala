@@ -46,8 +46,11 @@ object IvfIndexMaintenance {
     * `IvfIndex.buildCentroids` returns. `compactEvery` ≤ 0 disables
     * compaction; with it on, every N committed batches fold into one
     * consolidated dir hash-bucketed by `cluster_id` — the posting-
-    * list key — so reads list O(1 + N) dirs regardless of stream age
-    * ([[BatchDirs.compact]], same commit-marker replay safety). */
+    * list key ([[BatchDirs.compact]], same commit-marker replay
+    * safety). Listing bound per read: O(compacted dirs) + a tail
+    * bounded by min(0.1 × index bytes — the fold-ratio governor —
+    * and BatchDirs' 64-dir backstop) + one generation of
+    * swept-next-call grace debris; never O(stream age). */
   def maintain(emb: DataFrame, centroids: DataFrame,
     indexDir: String, compactEvery: Int = 0, nBuckets: Int = 64,
     metrics: Option[ProgressMetrics] = None): DataStreamWriter[Row] =
@@ -140,7 +143,14 @@ object IvfIndexMaintenance {
     * must share its probe's cluster_id, hence its bucket;
     * spec-pinned). Falls back to the full scan before the first
     * compaction. The probed-cluster collect is ≤ k rows — the same
-    * bounded-by-design budget as IvfIndex's centroid localization. */
+    * bounded-by-design budget as IvfIndex's centroid localization.
+    *
+    * Consumption deadline: the returned frame's compact-dir file
+    * listing is pinned to the generation resolved HERE, which the
+    * two-phase sweep guarantees for ONE subsequent compaction — a
+    * caller holding the frame lazy across two or more maintainer
+    * compaction cadences can hit swept files; consume within a
+    * cadence, or materialize eagerly when it must live longer. */
   def searchPruned(spark: SparkSession, indexDir: String,
     centroids: DataFrame, probes: DataFrame,
     nProbe: Int, topK: Int): DataFrame = {

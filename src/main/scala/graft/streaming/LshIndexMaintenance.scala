@@ -42,8 +42,12 @@ import org.apache.spark.sql.Row
   * every `compactEvery` committed batches, [[BatchDirs.compact]]
   * folds the index (bucketed by `k1`, the band-bucket join key) and
   * the pairs (bucketed by `doc_a`) into one consolidated dir each,
-  * with the same commit-marker replay safety, so reads list
-  * O(1 + compactEvery) dirs regardless of stream age. The bucketed
+  * with the same commit-marker replay safety. Listing bound per
+  * read: O(compacted dirs) + an uncompacted tail bounded by
+  * min(0.1 × index bytes — the fold-ratio governor, which defers a
+  * rewrite the tail hasn't paid for — and BatchDirs' 64-dir
+  * backstop), plus one generation of swept-next-call grace debris;
+  * never O(stream age). The bucketed
   * layout also lets face 2 PRUNE the index scan to the k1 hash
   * buckets the batch actually probes ([[BatchDirs.bucketOf]] on both
   * sides — a micro-batch touches at most its own band count of
@@ -165,6 +169,48 @@ object LshIndexMaintenance {
         val inDirs =
           if (ok.isEmpty) lit(false) else col("batch").isin(ok: _*)
         df.filter(col("batch") <= coveredThrough || inDirs)
+          .select("doc_a", "doc_b", "n_shared_bands")
+    }
+  }
+
+  /** The candidate pairs whose CANONICAL (lesser) member is in
+    * `docIds` — the dedup-cluster point-lookup face ("what does
+    * canonical doc X subsume"), and the payoff of the pairs compact
+    * layout's `doc_a` bucketing: the compacted scan PRUNES to the
+    * buckets the requested ids hash into, so a lookup touches
+    * O(|docIds| buckets + cadence-bounded recent tail) of the pairs
+    * table, not O(pairs). Same band-commit gate as [[pairsSoFar]];
+    * the read is pinned to the compact generation the buckets were
+    * computed for ([[BatchDirs.readCommittedAt]]). `docIds` is a
+    * bounded lookup set (it becomes an `isin` filter and a
+    * driver-side bucket derivation) — for a frame-scale probe, join
+    * against [[pairsSoFar]] instead. Pairs are stored once, keyed by
+    * least id: a by-EITHER-member lookup is a different, unbucketed
+    * access path — filter [[pairsSoFar]]. */
+  def pairsFor(spark: SparkSession, pairsDir: String,
+    indexDir: String, docIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val coveredThrough = BatchDirs.compactedThrough(spark, indexDir)
+    val ok = BatchDirs.committedIds(spark, indexDir)
+    val info = BatchDirs.compactInfo(spark, pairsDir)
+    // the bucket set is derived with the IDENTICAL hash compact()
+    // wrote (BatchDirs.bucketOf over LongType doc_a — xxhash64 is
+    // type-width-sensitive), via a local ≤|docIds|-row job
+    val buckets = info.map { case (_, n) =>
+      docIds.toDF("doc_a")
+        .select(BatchDirs.bucketOf(col("doc_a"), n).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
+    BatchDirs.readCommittedAt(spark, pairsDir, info,
+      pbuckets = buckets) match {
+      case None =>
+        Seq.empty[(Long, Long, Long)]
+          .toDF("doc_a", "doc_b", "n_shared_bands")
+      case Some(df) =>
+        val inDirs =
+          if (ok.isEmpty) lit(false) else col("batch").isin(ok: _*)
+        df.filter(col("batch") <= coveredThrough || inDirs)
+          .filter(col("doc_a").isin(docIds: _*))
           .select("doc_a", "doc_b", "n_shared_bands")
     }
   }

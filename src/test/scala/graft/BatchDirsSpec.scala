@@ -2,11 +2,15 @@ package graft
 
 import graft.streaming.BatchDirs
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
 /** Unit behavior of the batch-dir compaction layer, independent of
   * any maintainer: the size-tiered fold governor (write-amplification
-  * bound), cutoff/coverage bookkeeping, and the reader's view across
-  * deferred and executed folds. */
+  * bound), the TWO-PHASE grace-window sweep (call N deletes what call
+  * N−1 made redundant, so concurrent readers pinned to the previous
+  * generation never lose a file mid-scan), cutoff/coverage
+  * bookkeeping, and the reader's view across deferred and executed
+  * folds. */
 class BatchDirsSpec extends SparkTestBase {
 
   private def writeBatch(dir: String, id: Long, rows: Long,
@@ -15,39 +19,58 @@ class BatchDirsSpec extends SparkTestBase {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/batch=$id")
 
+  private def fsOf(dir: String) = new Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def names(dir: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    val fs = fsOf(dir)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.map(_.getPath.getName).sorted
   }
 
   test("minFoldRatio defers a rewrite for a tiny tail, folds once " +
-    "the tail pays for it; readers see one view throughout") {
+    "the tail pays for it; grace dirs are never double-counted and " +
+    "the NEXT call sweeps them") {
     val dir = java.nio.file.Files
       .createTempDirectory("bd_tier").toString + "/ix"
     def total: Long =
       BatchDirs.readCommitted(spark, dir).map(_.count()).getOrElse(0L)
-    // first fold always proceeds (nothing to rewrite yet)
+    // first fold always proceeds (nothing to rewrite yet); the folded
+    // batch dir survives THIS sweep as grace debris — but the reader
+    // counts its rows exactly once (strictly-above-cutoff rule)
     writeBatch(dir, 0L, rows = 500)
     assert(BatchDirs.compact(spark, dir, 0L, "k", nBuckets = 4,
       minFoldRatio = 0.1) == 0L)
-    assert(names(dir) == Seq("compact=0.n4") && total == 500)
+    assert(names(dir) == Seq("batch=0", "compact=0.n4") && total == 500)
     // a 1-row tail is far under 10% of 500 — the fold must DEFER:
     // cutoff stays 0, the batch dir stays, the reader still sees all
     writeBatch(dir, 1L, rows = 1, offset = 500)
     assert(BatchDirs.compact(spark, dir, 1L, "k", nBuckets = 4,
       minFoldRatio = 0.1) == 0L,
       "tiny tail must not trigger an O(index) rewrite")
-    assert(names(dir) == Seq("batch=1", "compact=0.n4"))
+    assert(names(dir) == Seq("batch=0", "batch=1", "compact=0.n4"))
     assert(total == 501 && BatchDirs.compactedThrough(spark, dir) == 0L)
-    // grow the tail past the ratio: now the fold proceeds and sweeps
+    // grow the tail past the ratio: the fold proceeds, and the sweep
+    // removes exactly the PREVIOUS generation's debris (batch=0) —
+    // the dirs folded THIS call keep their one-generation grace
     writeBatch(dir, 2L, rows = 500, offset = 501)
     assert(BatchDirs.compact(spark, dir, 2L, "k", nBuckets = 4,
       minFoldRatio = 0.1) == 2L)
-    assert(names(dir) == Seq("compact=2.n4") && total == 1001)
-    // ratio 0 (the default) always folds — the spec-friendly mode
+    assert(names(dir) ==
+      Seq("batch=1", "batch=2", "compact=0.n4", "compact=2.n4"))
+    assert(total == 1001)
+    // ratio 0 (the default) always folds; generation N's sweep
+    // removes generation N−1's grace debris (batch=1, batch=2,
+    // compact=0.n4)
     writeBatch(dir, 3L, rows = 1, offset = 1001)
+    assert(BatchDirs.compact(spark, dir, 3L, "k", nBuckets = 4) == 3L)
+    assert(names(dir) ==
+      Seq("batch=3", "compact=2.n4", "compact=3.n4"))
+    assert(total == 1002)
+    // fixpoint: a call with nothing new to fold still sweeps the
+    // last generation's grace debris — the layout converges to ONE
+    // dir and the view never changes
     assert(BatchDirs.compact(spark, dir, 3L, "k", nBuckets = 4) == 3L)
     assert(names(dir) == Seq("compact=3.n4") && total == 1002)
   }
@@ -64,6 +87,8 @@ class BatchDirsSpec extends SparkTestBase {
     BatchDirs.compact(spark, dir, 2L, "k", nBuckets = 4,
       minFoldRatio = 0.1) // defers
     assert(BatchDirs.compactedThrough(spark, dir) == 1L)
+    // batch=0/1 linger as grace debris, but the committedIds CONTRACT
+    // excludes folded ids — only the uncovered tail is reported
     assert(BatchDirs.committedIds(spark, dir) == Seq(2L))
     val df = BatchDirs.readCommitted(spark, dir).get
     assert(df.count() == 801)
@@ -71,5 +96,116 @@ class BatchDirsSpec extends SparkTestBase {
     assert(df.schema("batch").dataType ==
       org.apache.spark.sql.types.LongType)
     assert(df.groupBy("batch").count().count() == 3)
+  }
+
+  test("a bucket-count change refolds under the same cutoff: the " +
+    "superseded modulus survives one sweep, compactInfo picks the " +
+    "newest commit deterministically, the next fold converges") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bd_nbk").toString + "/ix"
+    val fs = fsOf(dir)
+    writeBatch(dir, 0L, rows = 100)
+    writeBatch(dir, 1L, rows = 100, offset = 100)
+    assert(BatchDirs.compact(spark, dir, 1L, "k", nBuckets = 4) == 1L)
+    assert(BatchDirs.compact(spark, dir, 1L, "k", nBuckets = 4) == 1L)
+    assert(names(dir) == Seq("compact=1.n4"))
+    // re-bucket at the SAME cutoff: the n4 predecessor must survive
+    // this call's sweep — a pruned reader that resolved (1, 4) just
+    // before the call still finds the dir its bucket filter was
+    // computed for
+    assert(BatchDirs.compact(spark, dir, 1L, "k", nBuckets = 8) == 1L)
+    assert(names(dir) == Seq("compact=1.n4", "compact=1.n8"))
+    // the pick between two complete same-cutoff generations is the
+    // newest _SUCCESS mtime (set explicitly — the rule, not FS
+    // timestamp granularity, is under test) …
+    fs.setTimes(new Path(s"$dir/compact=1.n4/_SUCCESS"), 1000L, -1L)
+    fs.setTimes(new Path(s"$dir/compact=1.n8/_SUCCESS"), 2000L, -1L)
+    assert(BatchDirs.compactInfo(spark, dir).contains((1L, 8)))
+    // … including a DOWNSIZE: recency wins, not bucket count …
+    fs.setTimes(new Path(s"$dir/compact=1.n4/_SUCCESS"), 3000L, -1L)
+    assert(BatchDirs.compactInfo(spark, dir).contains((1L, 4)))
+    // … and a granularity-collapsed tie breaks to the higher count —
+    // deterministic, and safe either way: both generations hold
+    // complete coverage, the pick only fixes the pruning modulus
+    fs.setTimes(new Path(s"$dir/compact=1.n4/_SUCCESS"), 2000L, -1L)
+    assert(BatchDirs.compactInfo(spark, dir).contains((1L, 8)))
+    // one view across the two-generation state, no double count
+    assert(BatchDirs.readCommitted(spark, dir).get.count() == 200)
+    // the next fold (new data, resolved against the n8 pick) sweeps
+    // the superseded n4 generation; one more call converges fully
+    writeBatch(dir, 2L, rows = 50, offset = 200)
+    assert(BatchDirs.compact(spark, dir, 2L, "k", nBuckets = 8) == 2L)
+    assert(names(dir) ==
+      Seq("batch=2", "compact=1.n8", "compact=2.n8"))
+    assert(BatchDirs.compact(spark, dir, 2L, "k", nBuckets = 8) == 2L)
+    assert(names(dir) == Seq("compact=2.n8"))
+    assert(BatchDirs.readCommitted(spark, dir).get.count() == 250)
+  }
+
+  test("a pruned reader pinned to a resolved generation survives " +
+    "one subsequent compaction — the grace window's contract") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bd_pin").toString + "/ix"
+    writeBatch(dir, 0L, rows = 300)
+    assert(BatchDirs.compact(spark, dir, 0L, "k", nBuckets = 4) == 0L)
+    writeBatch(dir, 1L, rows = 300, offset = 300)
+    // a reader resolves the current generation and builds (but does
+    // not yet consume) a pruned frame over it — its parquet file
+    // listing is fixed HERE
+    val info = BatchDirs.compactInfo(spark, dir)
+    assert(info.contains((0L, 4)))
+    val pinned = BatchDirs.readCommittedAt(spark, dir, info,
+      pbuckets = Some(0L until 4L)).get
+    // a compaction supersedes the generation mid-flight — with a NEW
+    // bucket count, the hostile case: modulus AND file layout change
+    assert(BatchDirs.compact(spark, dir, 1L, "k", nBuckets = 8) == 1L)
+    // the pinned frame still opens every file it resolved (the
+    // two-phase sweep kept compact=0.n4 and batch=1 alive one
+    // generation) and returns the exact pre-fold view
+    assert(pinned.count() == 600L)
+    // a FRESH read resolves the new generation and agrees on content
+    assert(BatchDirs.readCommitted(spark, dir).get.count() == 600L)
+  }
+
+  test("the MaxTailDirs backstop forces a governor-deferred fold " +
+    "before the batch-dir tail regrows the O(batches) listing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bd_tail").toString + "/ix"
+    val fs = fsOf(dir)
+    // an incompressible base (sha2 strings — sequential longs would
+    // delta-encode to nothing) so 64 one-row tail dirs stay far
+    // under the 10% byte ratio: every defer below is the GOVERNOR
+    // deferring, and only the dir-count backstop can force the fold
+    spark.range(50000)
+      .select(sha2(col("id").cast("string"), 256).as("k"))
+      .coalesce(1).write.parquet(s"$dir/batch=0")
+    assert(BatchDirs.compact(spark, dir, 0L, "k", nBuckets = 4,
+      minFoldRatio = 0.1) == 0L)
+    // one real 1-row batch (string k, matching the base schema),
+    // fs-copied 63 more times: identical content is valid (batch is
+    // a partition column, derived from the dir name) and copying
+    // skips 63 Spark write jobs
+    spark.range(1).select(lit("tail-row").as("k"))
+      .coalesce(1).write.parquet(s"$dir/batch=1")
+    (2L to 63L).foreach { id =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$dir/batch=1"),
+        fs, new Path(s"$dir/batch=$id"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    // 63 deferred dirs: byte ratio says defer, count is under the
+    // backstop — the fold must still defer
+    assert(BatchDirs.compact(spark, dir, 63L, "k", nBuckets = 4,
+      minFoldRatio = 0.1) == 0L,
+      "tail under both bounds must defer")
+    assert(BatchDirs.compactedThrough(spark, dir) == 0L)
+    // the 64th dir reaches the backstop: the fold proceeds even
+    // though the byte ratio alone would keep deferring forever
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$dir/batch=1"),
+      fs, new Path(s"$dir/batch=64"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(BatchDirs.compact(spark, dir, 64L, "k", nBuckets = 4,
+      minFoldRatio = 0.1) == 64L,
+      "64 deferred dirs must force the fold regardless of byte ratio")
+    assert(BatchDirs.readCommitted(spark, dir).get.count() == 50064L)
   }
 }

@@ -375,11 +375,23 @@ class EventStreamsSpec extends SparkTestBase {
       assert(u1.exists(s => s._2 == t1120.getTime &&
         s._3 == t1120.getTime),
         s"post-horizon predecessor should split into its own: $u1")
+      // batch 4: the documented CONSERVATIVE drop — 11:10 overlaps
+      // neither emitted span ((11:00,11:05), (11:20,11:20)) but sits
+      // at or before the max emitted end, so the single-Long horizon
+      // drops it rather than risk a later arrival bridging ACROSS an
+      // emitted span (EventStreams doc)
+      in.addData(ev(6, "2026-01-01 11:10:00", 1, "a"))
+      q.processAllAvailable()
+      val u1b = emitted.filter(_._1 == 1L)
+      val t1110 = java.sql.Timestamp.valueOf("2026-01-01 11:10:00")
+      assert(!u1b.exists(s => s._2 == t1110.getTime),
+        s"gap event before the horizon must drop (conservative " +
+          s"contract): $u1b")
       // the contract itself: pairwise-disjoint spans for u1
-      val overlaps = u1.combinations(2).filter { case Seq(a, b) =>
+      val overlaps = u1b.combinations(2).filter { case Seq(a, b) =>
         a._2 <= b._3 && b._2 <= a._3 }
       assert(overlaps.isEmpty,
-        s"overlapping emitted sessions: ${overlaps.toList} in $u1")
+        s"overlapping emitted sessions: ${overlaps.toList} in $u1b")
     } finally {
       q.stop()
       prev.fold(spark.conf.unset(providerKey))(

@@ -144,14 +144,23 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     }
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .map(_.getPath.getName).toSeq
-    assert(names == Seq("compact=3.n8"),
-      s"all four batch dirs should fold into one compact dir: $names")
+    def names: Seq[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSeq.sorted
+    // processBatch folds up to batchId−1 (the current batch's marker
+    // must survive for replay), so the cutoff lands at 2; the
+    // two-phase sweep retains one generation of grace debris
+    // (batch=1/2 and compact=0 folded this call; batch=0 was swept as
+    // the PREVIOUS generation's debris) — bounded, and the
+    // strictly-above-cutoff read rule below proves it is never
+    // double-counted
+    assert(names == Seq("batch=1", "batch=2", "batch=3",
+      "compact=0.n8", "compact=2.n8"),
+      s"expected cutoff-2 compact + one grace generation: $names")
     // the production layout sentence, as directories: postings
     // bucketed by (hashed) cluster_id
     val sub = fs.listStatus(
-      new org.apache.hadoop.fs.Path(s"$dir/compact=3.n8"))
+      new org.apache.hadoop.fs.Path(s"$dir/compact=2.n8"))
       .map(_.getPath.getName).filter(_.startsWith("pbucket=")).toSeq
     assert(sub.nonEmpty, "compact dir is not pbucket-partitioned")
     val got = IvfIndexMaintenance.index(spark, dir).get
@@ -175,18 +184,27 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
       .searchPruned(spark, dir, centroids, probes, nProbe = 2, topK = 3)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(viaPruned == viaCompact, "pruned search diverged")
-    assert(BatchDirs.readCommitted(spark, dir,
-      pbuckets = Some(Seq.empty)).get.count() == 0L,
+    // the bucket filter reaches the COMPACTED part (empty bucket list
+    // → zero of its rows); the uncompacted tail (batch=3, 15 rows) is
+    // always read whole — it is cadence-bounded, not index-sized
+    val emptyProbe = BatchDirs.readCommitted(spark, dir,
+      pbuckets = Some(Seq.empty)).get
+    assert(emptyProbe.filter(col("batch") <= 2L).count() == 0L,
       "pbucket filter did not reach the compacted scan")
+    assert(emptyProbe.count() == 15L,
+      "recent tail must stay visible regardless of bucket pruning")
     // replaying the final (committed) batch re-runs only the
-    // idempotent sweep — state unchanged
+    // idempotent sweep, which removes the grace generation's debris
+    // (next-fold-sweeps rule) — the index view is unchanged
     IvfIndexMaintenance.processBatch(
       corpus.filter(col("vec_id") >= 45L), 3L, centroids, dir,
       compactEvery = 2, nBuckets = 8)
+    assert(names == Seq("batch=3", "compact=2.n8"),
+      s"replay's sweep should clear the grace debris: $names")
     assert(IvfIndexMaintenance.index(spark, dir).get
       .select("cluster_id", "vec_id").as[(Int, Long)].collect()
       .toSet == got)
-    assert(BatchDirs.compactedThrough(spark, dir) == 3L)
+    assert(BatchDirs.compactedThrough(spark, dir) == 2L)
   }
 
   test("replaying a committed batch is a no-op; a torn batch is " +

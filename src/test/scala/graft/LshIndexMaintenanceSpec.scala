@@ -231,6 +231,41 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     assert(got3 == batch, s"stream=$got3\nbatch=$batch")
   }
 
+  test("pairsFor prunes the compacted pairs scan to the canonical " +
+    "ids' buckets and equals the pairsSoFar filter everywhere") {
+    import graft.streaming.BatchDirs
+    val (ix, pr) = dirs("pfor")
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      LshIndexMaintenance.processBatch(batch.toDF("doc_id", "text"),
+        id, "doc_id", "text", ix, pr, compactEvery = 3, nBuckets = 8)
+    // cadence 3 → pairs fold through batch 1; batch 2's pairs stay
+    // in the recent tail, so the lookup face is exercised over BOTH
+    // storage locations
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      run(b, i.toLong) }
+    assert(BatchDirs.compactedThrough(spark, pr) == 1L,
+      "fixture should leave a compacted pairs dir + a tail")
+    val all = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all.nonEmpty)
+    // every canonical id: the pruned point lookup returns exactly
+    // the full view filtered to it (compact-resident and
+    // tail-resident canonicals both)
+    all.map(_._1).foreach { id =>
+      val got = LshIndexMaintenance.pairsFor(spark, pr, ix, Seq(id))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == all.filter(_._1 == id), s"doc_a=$id: $got")
+    }
+    // multi-id lookup with an absent id mixed in
+    val multi = LshIndexMaintenance
+      .pairsFor(spark, pr, ix, Seq(1L, 999L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(multi == all.filter(_._1 == 1L), s"$multi")
+    // empty lookup: zero rows (and zero compacted buckets scanned)
+    assert(LshIndexMaintenance.pairsFor(spark, pr, ix, Nil)
+      .count() == 0L)
+  }
+
   test("compaction safety: uncommitted compact dirs are invisible; " +
     "stray batch=tmp debris never wedges a reader") {
     import graft.streaming.BatchDirs
@@ -256,9 +291,18 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     assert(BatchDirs.committedIds(spark, ix).sorted == Seq(0L, 1L))
     assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet == before)
-    // and compaction sweeps around it without touching it
+    // and compaction sweeps around it without touching it: the fold
+    // call retains its own inputs one generation (two-phase sweep),
+    // the next call converges — batch=tmp untouched throughout
+    BatchDirs.compact(spark, ix, 1L, "k1", 8)
+    assert(lsNames(ix).sorted ==
+      Seq("batch=0", "batch=1", "batch=tmp", "compact=1.n8"),
+      s"${lsNames(ix)}")
     BatchDirs.compact(spark, ix, 1L, "k1", 8)
     assert(lsNames(ix).sorted == Seq("batch=tmp", "compact=1.n8"),
       s"${lsNames(ix)}")
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet == before,
+      "compaction changed the candidate-pair view")
   }
 }
