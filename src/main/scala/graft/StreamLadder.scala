@@ -1,0 +1,153 @@
+package graft
+
+import graft.streaming.{BatchDirs, IvfIndexMaintenance, LshIndexMaintenance}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming-index maintenance scale probe: drives the LSH and IVF
+  * maintainers over many micro-batches and times EACH batch, with
+  * compaction on vs off — the empirical face of the BatchDirs claim
+  * that per-batch cost stays flat under compaction while the
+  * uncompacted layout degrades with stream age (O(batches) listing +
+  * footer reads on the face-2 index scan). Not part of the driver
+  * contract — a diagnostic main backing BASELINE.md's ladder table,
+  * like [[ScaleLadder]].
+  *
+  * Method notes: batches are hash-salted slices of the real
+  * documents/embeddings tables (uniform sizes, corpus-like content);
+  * both modes process IDENTICAL batch streams; each mode ends with a
+  * full `pairsSoFar`/`index` read timing plus an equality check, so
+  * the speed comparison is also a correctness witness. Quartile means
+  * of per-batch wall time are the headline (Q1 = stream young, Q4 =
+  * stream old): flat Q4/Q1 under compaction, growing without. */
+object StreamLadder {
+
+  private def timeMs[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e6, a)
+  }
+
+  private def quartiles(ts: Seq[Double]): Seq[Double] =
+    ts.grouped(math.max(1, ts.size / 4)).take(4)
+      .map(q => q.sum / q.size).toSeq
+
+  private def fmtQ(ts: Seq[Double]): String =
+    quartiles(ts).map(q => f"$q%.0f").mkString("/")
+
+  private def dirCount(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0 else fs.listStatus(p).length
+  }
+
+  private def clean(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true); ()
+  }
+
+  def lshRun(spark: SparkSession, docs: DataFrame, nBatches: Int,
+    compactEvery: Int, base: String, nBuckets: Int = 8)
+    : (Seq[Double], Set[(Long, Long, Long)]) = {
+    import spark.implicits._
+    val (ix, pr) = (s"$base/index", s"$base/pairs")
+    clean(spark, ix); clean(spark, pr)
+    val times = (0 until nBatches).map { id =>
+      val b = docs.filter(
+        pmod(xxhash64(col("doc_id")), lit(nBatches)) === id)
+      val (ms, _) = timeMs(LshIndexMaintenance.processBatch(
+        b, id.toLong, "doc_id", "text", ix, pr,
+        compactEvery = compactEvery, nBuckets = nBuckets))
+      ms
+    }
+    val (readMs, pairs) = timeMs(
+      LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+        .as[(Long, Long, Long)].collect().toSet)
+    println(f"[stream-ladder] lsh every=$compactEvery%-2d " +
+      f"batchMs Q1/Q2/Q3/Q4 ${fmtQ(times)}  last ${times.last}%.0f  " +
+      f"indexDirs ${dirCount(spark, ix)}  pairsDirs ${dirCount(spark, pr)}  " +
+      f"pairsRead ${readMs}%.0fms (${pairs.size} pairs)")
+    (times, pairs)
+  }
+
+  def ivfRun(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
+    nBatches: Int, compactEvery: Int, base: String, nBuckets: Int = 8)
+    : (Seq[Double], Set[(Int, Long)]) = {
+    import spark.implicits._
+    val ix = s"$base/index"
+    clean(spark, ix)
+    val times = (0 until nBatches).map { id =>
+      val b = emb.filter(
+        pmod(xxhash64(col("vec_id")), lit(nBatches)) === id)
+      val (ms, _) = timeMs(IvfIndexMaintenance.processBatch(
+        b, id.toLong, centroids, ix,
+        compactEvery = compactEvery, nBuckets = nBuckets))
+      ms
+    }
+    val (readMs, rows) = timeMs(
+      IvfIndexMaintenance.index(spark, ix).get
+        .select("cluster_id", "vec_id").as[(Int, Long)]
+        .collect().toSet)
+    println(f"[stream-ladder] ivf every=$compactEvery%-2d " +
+      f"batchMs Q1/Q2/Q3/Q4 ${fmtQ(times)}  last ${times.last}%.0f  " +
+      f"indexDirs ${dirCount(spark, ix)}  " +
+      f"indexRead ${readMs}%.0fms (${rows.size} postings)")
+    (times, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches =
+      if (args.nonEmpty) args(0).toInt else 64
+    // right-size the compact bucket count to the probe corpus: at
+    // production index sizes data dominates parquet footers and a
+    // wide bucket fan-out is free; at probe scale 64 buckets of
+    // footer overhead swamp the byte-ratio governor (it compares
+    // real bytes) and defer every fold
+    val buckets = if (args.length > 1) args(1).toInt else 8
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      .config("spark.cleaner.periodicGC.interval", "45s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = "target/stream_ladder"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // warmup: one throwaway 2-batch run absorbs codegen/classload
+    lshRun(spark, docs, 2, 0, s"$out/lsh_warm", buckets)
+    val (tOn, pOn) =
+      lshRun(spark, docs, nBatches, 8, s"$out/lsh_on", buckets)
+    val (tOff, pOff) =
+      lshRun(spark, docs, nBatches, 0, s"$out/lsh_off", buckets)
+    require(pOn == pOff,
+      s"compacted and uncompacted pair sets differ: ${pOn.size} vs ${pOff.size}")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = graft.operators.IvfIndex
+      .buildCentroids(emb, k = 16, iters = 3).persist()
+    centroids.count()
+    ivfRun(spark, emb, centroids, 2, 0, s"$out/ivf_warm", buckets)
+    val (vOn, iOn) =
+      ivfRun(spark, emb, centroids, nBatches, 8, s"$out/ivf_on", buckets)
+    val (vOff, iOff) =
+      ivfRun(spark, emb, centroids, nBatches, 0, s"$out/ivf_off", buckets)
+    require(iOn == iOff,
+      s"compacted and uncompacted postings differ: ${iOn.size} vs ${iOff.size}")
+    def q4q1(ts: Seq[Double]): Double = {
+      val q = quartiles(ts); q.last / q.head
+    }
+    println(f"[stream-ladder] degradation Q4/Q1 " +
+      f"lsh on ${q4q1(tOn)}%.2f off ${q4q1(tOff)}%.2f; " +
+      f"ivf on ${q4q1(vOn)}%.2f off ${q4q1(vOff)}%.2f " +
+      f"($nBatches batches)")
+    graft.operators.Broadcasting.releaseAll()
+    spark.stop()
+  }
+}

@@ -50,15 +50,47 @@ object IvfIndexMaintenance {
     * safety). Listing bound per read: O(compacted dirs) + a tail
     * bounded by min(0.1 × index bytes — the fold-ratio governor —
     * and BatchDirs' 64-dir backstop) + one generation of
-    * swept-next-call grace debris; never O(stream age). */
+    * swept-next-call grace debris; never O(stream age).
+    *
+    * `idOffset` shifts the engine's batch ids before they key the
+    * layout: a stream resumed over a [[rebuild]]-bootstrapped dir
+    * (bootstrap occupies `batch=0`) passes 1, so a FRESH checkpoint's
+    * batch 0 never collides with the bootstrap's commit marker (a
+    * collision would silently skip the stream's first batch). */
   def maintain(emb: DataFrame, centroids: DataFrame,
     indexDir: String, compactEvery: Int = 0, nBuckets: Int = 64,
-    metrics: Option[ProgressMetrics] = None): DataStreamWriter[Row] =
+    metrics: Option[ProgressMetrics] = None,
+    idOffset: Long = 0L): DataStreamWriter[Row] =
     emb.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, centroids, indexDir,
+        processBatch(batch, batchId + idOffset, centroids, indexDir,
           compactEvery, nBuckets, metrics)
     }
+
+  /** The drift caveat's operational answer, as an operator: re-key
+    * EVERY committed posting to `newCentroids` into a fresh
+    * `newDir` — triggered when the [[ProgressMetrics]] gauges
+    * (`ivf.mean_dist` climb, `ivf.entropy` collapse) say the
+    * bootstrap quantizer no longer fits the ingest distribution.
+    * One batch job, the same scale shape as the per-batch append:
+    * a broadcast-centroid argmax over the postings scan, NO shuffle
+    * of the index (the write re-partitions nothing). The result
+    * lands as `batch=0` with the usual commit marker, so every
+    * reader face works unchanged; `oldDir` is untouched — in-flight
+    * readers drain against it, then it retires. Resume the stream
+    * over `newDir` with a fresh checkpoint and `maintain(idOffset =
+    * 1)` (class doc on the collision). Returns the posting count
+    * (sanity: equals the old index's row count). */
+  def rebuild(spark: SparkSession, oldDir: String,
+    newCentroids: DataFrame, newDir: String): Long = {
+    val postings = index(spark, oldDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index batches under $oldDir"))
+    IvfIndex.build(
+        postings.select(col("vec_id"), col("embedding")), newCentroids)
+      .write.mode("overwrite").parquet(s"$newDir/batch=0")
+    spark.read.parquet(s"$newDir/batch=0").count()
+  }
 
   /** One micro-batch: assign, append, compact on cadence. Public for
     * replay specs and synthetic-batch backfills. With `metrics`, the

@@ -228,4 +228,75 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     wave(9L, 30L, 60L) // the replay overwrites and commits
     assert(IvfIndexMaintenance.index(spark, dir).get.count() == 60L)
   }
+
+  test("rebuild re-keys every committed posting to retrained " +
+    "centroids in a fresh dir; the resumed stream appends above " +
+    "the bootstrap via idOffset") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val oldDir = java.nio.file.Files
+      .createTempDirectory("ivf_rb_old").toString + "/index"
+    val newDir = java.nio.file.Files
+      .createTempDirectory("ivf_rb_new").toString + "/index"
+    val boot = IvfIndex.buildCentroids(
+      corpus.filter(col("vec_id") < 20), k = 4, iters = 2)
+    // the drift-gauge fixture: a second wave entirely off the
+    // bootstrap centers — the state in which the gauges say rebuild
+    val drifted = SyntheticEmbeddings
+      .clustered(spark, n = 60, dims = 8, centers = 4, sep = 6.0)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("transform(embedding, x -> cast(x + 4.0d as float))")
+          .as("embedding"))
+    IvfIndexMaintenance.processBatch(corpus, 0L, boot, oldDir)
+    IvfIndexMaintenance.processBatch(drifted, 1L, boot, oldDir)
+    // retrain the quantizer on the full accumulated distribution,
+    // rebuild into the fresh dir
+    val full = corpus.unionByName(drifted)
+    val c2 = IvfIndex.buildCentroids(full, k = 4, iters = 2)
+    assert(IvfIndexMaintenance.rebuild(spark, oldDir, c2, newDir)
+      == 120L)
+    // row-identical to a batch build under the new quantizer …
+    val got = IvfIndexMaintenance.index(spark, newDir).get
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    val want = IvfIndex.build(full, c2)
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    assert(got == want, "rebuilt index diverged from the batch build")
+    // … so searches match the batch index exactly, including probes
+    // from the drifted region the OLD quantizer had no centers for
+    val probes = full.filter(col("vec_id").isin(1L, 1025L))
+    val viaRebuilt = IvfIndexMaintenance
+      .search(spark, newDir, c2, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val viaBatch = IvfIndex.search(IvfIndex.build(full, c2),
+        c2, probes, nProbe = 2, topK = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(viaRebuilt == viaBatch && viaRebuilt.nonEmpty)
+    // the old dir is untouched — in-flight readers drain against it
+    assert(IvfIndexMaintenance.index(spark, oldDir).get.count()
+      == 120L)
+    // resume the stream over the rebuilt dir through a REAL query
+    // with a fresh checkpoint: idOffset=1 keys the engine's batch 0
+    // as batch=1, so the bootstrap's batch=0 commit marker is not
+    // mistaken for the new stream's first commit (which would
+    // silently drop its rows)
+    val nextWave = SyntheticEmbeddings
+      .clustered(spark, n = 30, dims = 8, centers = 4, sep = 6.0)
+      .select((col("vec_id") + 2000L).as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = IvfIndexMaintenance.maintain(
+        in.toDF().toDF("vec_id", "embedding"), c2, newDir,
+        idOffset = 1L)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("ivf_rb_ck").toString)
+      .start()
+    try { in.addData(nextWave.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val ix = IvfIndexMaintenance.index(spark, newDir).get
+    assert(ix.count() == 150L,
+      "resumed stream's first batch was skipped or duplicated")
+    assert(graft.streaming.BatchDirs.readCommitted(spark, newDir).get
+      .select("batch").distinct().as[Long].collect().toSet
+      == Set(0L, 1L), "idOffset did not key the resumed stream above the bootstrap")
+  }
 }
