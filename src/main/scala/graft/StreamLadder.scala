@@ -28,9 +28,14 @@ object StreamLadder {
     ((System.nanoTime() - t0) / 1e6, a)
   }
 
+  // even index-range split (NOT grouped(n/4).take(4), which drops up
+  // to 3 trailing batches — the oldest-stream ones carrying the
+  // degradation signal — whenever the count isn't a multiple of 4)
   private def quartiles(ts: Seq[Double]): Seq[Double] =
-    ts.grouped(math.max(1, ts.size / 4)).take(4)
-      .map(q => q.sum / q.size).toSeq
+    (0 until 4)
+      .map(i => ts.slice(i * ts.size / 4, (i + 1) * ts.size / 4))
+      .filter(_.nonEmpty)
+      .map(q => q.sum / q.size)
 
   private def fmtQ(ts: Seq[Double]): String =
     quartiles(ts).map(q => f"$q%.0f").mkString("/")

@@ -72,10 +72,22 @@ object BatchDirs {
     * reporting them here would double-represent them to any consumer
     * that unions this list with the compacted view). One `listStatus`
     * — the cutoff is computed from the same directory listing. */
-  def committedIds(spark: SparkSession, baseDir: String): Seq[Long] = {
+  def committedIds(spark: SparkSession, baseDir: String): Seq[Long] =
+    committedState(spark, baseDir)._2
+
+  /** (compact cutoff, committed batch ids above it) from ONE
+    * directory listing — the pair every visibility gate needs.
+    * Resolving the two through separate listings is a race: a
+    * compaction committing in between yields a NEW cutoff with the
+    * OLD (pre-fold) id list, and ids the fold just covered vanish
+    * from `cutoff ∨ ids`-style gates (batches silently invisible for
+    * one read). One snapshot keeps the pair mutually consistent —
+    * cutoff only ever grows, so the union face stays monotone. */
+  def committedState(spark: SparkSession, baseDir: String)
+    : (Long, Seq[Long]) = {
     val path = new Path(baseDir)
     val fs = fsOf(spark, baseDir)
-    if (!fs.exists(path)) Nil
+    if (!fs.exists(path)) (-1L, Nil)
     else {
       val statuses = fs.listStatus(path).toSeq.filter(_.isDirectory)
       val cutoff = statuses
@@ -86,12 +98,12 @@ object BatchDirs {
           case _ => None
         })
         .maxOption.getOrElse(-1L)
-      statuses
+      (cutoff, statuses
         .filter(s =>
           BatchName.pattern.matcher(s.getPath.getName).matches() &&
           fs.exists(new Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.getName.stripPrefix("batch=").toLong)
-        .filter(_ > cutoff)
+        .filter(_ > cutoff))
     }
   }
 
@@ -118,11 +130,16 @@ object BatchDirs {
       .filter(_.isDirectory)
       .flatMap(s => s.getPath.getName match {
         case CompactName(cutoff, n) =>
-          val marker = new Path(s.getPath, "_SUCCESS")
-          if (fs.exists(marker))
-            Some((cutoff.toLong, n.toInt,
-              fs.getFileStatus(marker).getModificationTime))
-          else None
+          // single getFileStatus, FNF = not committed: an exists()
+          // probe followed by getFileStatus would race the sweep
+          // (a grace dir deleted between the two calls crashes the
+          // reader instead of dropping out of the view)
+          try {
+            val m = fs.getFileStatus(new Path(s.getPath, "_SUCCESS"))
+            Some((cutoff.toLong, n.toInt, m.getModificationTime))
+          } catch {
+            case _: java.io.FileNotFoundException => None
+          }
         case _ => None
       })
       .sortBy { case (c, n, t) => (c, t, n) }.lastOption

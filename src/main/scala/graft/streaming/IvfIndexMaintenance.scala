@@ -72,9 +72,11 @@ object IvfIndexMaintenance {
     * `newDir` — triggered when the [[ProgressMetrics]] gauges
     * (`ivf.mean_dist` climb, `ivf.entropy` collapse) say the
     * bootstrap quantizer no longer fits the ingest distribution.
-    * One batch job, the same scale shape as the per-batch append:
-    * a broadcast-centroid argmax over the postings scan, NO shuffle
-    * of the index (the write re-partitions nothing). The result
+    * One batch job: a broadcast-centroid argmax over the postings
+    * scan. Unlike the per-batch append (batch-sized), here the batch
+    * IS the index — the argmax's groupBy(vec_id) exchange carries one
+    * row per posting (embedding riding in the max-struct), so budget
+    * a full O(index) shuffle for a production rebuild. The result
     * lands as `batch=0` with the usual commit marker, so every
     * reader face works unchanged; `oldDir` is untouched — in-flight
     * readers drain against it, then it retires. Resume the stream

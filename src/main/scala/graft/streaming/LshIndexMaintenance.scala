@@ -157,10 +157,22 @@ object LshIndexMaintenance {
     * the index's compaction cutoff (folded bands — committed by the
     * coverage rule) or among the index's committed batch dirs. */
   def pairsSoFar(spark: SparkSession, pairsDir: String,
-    indexDir: String): DataFrame = {
-    val coveredThrough = BatchDirs.compactedThrough(spark, indexDir)
-    val ok = BatchDirs.committedIds(spark, indexDir)
-    BatchDirs.readCommitted(spark, pairsDir) match {
+    indexDir: String): DataFrame =
+    gatedPairs(spark, indexDir,
+      BatchDirs.readCommitted(spark, pairsDir))
+
+  /** The band-commit visibility gate shared by [[pairsSoFar]] and
+    * [[pairsFor]] — ONE definition so the two read faces can never
+    * disagree on which pairs are visible. The index dir's (cutoff,
+    * committed ids) come from a single listing
+    * ([[BatchDirs.committedState]]): resolving them separately races
+    * a concurrent index compaction — a new cutoff paired with the
+    * pre-fold id list makes just-folded batches vanish from the
+    * disjunction for one read. */
+  private def gatedPairs(spark: SparkSession, indexDir: String,
+    read: Option[DataFrame]): DataFrame = {
+    val (coveredThrough, ok) = BatchDirs.committedState(spark, indexDir)
+    read match {
       case None => // schema-stable empty frame
         import spark.implicits._
         Seq.empty[(Long, Long, Long)]
@@ -190,29 +202,25 @@ object LshIndexMaintenance {
   def pairsFor(spark: SparkSession, pairsDir: String,
     indexDir: String, docIds: Seq[Long]): DataFrame = {
     import spark.implicits._
-    val coveredThrough = BatchDirs.compactedThrough(spark, indexDir)
-    val ok = BatchDirs.committedIds(spark, indexDir)
     val info = BatchDirs.compactInfo(spark, pairsDir)
-    // the bucket set is derived with the IDENTICAL hash compact()
-    // wrote (BatchDirs.bucketOf over LongType doc_a — xxhash64 is
-    // type-width-sensitive), via a local ≤|docIds|-row job
-    val buckets = info.map { case (_, n) =>
-      docIds.toDF("doc_a")
-        .select(BatchDirs.bucketOf(col("doc_a"), n).as("b"))
+    // the bucket set must be derived with the IDENTICAL hash
+    // compact() wrote — xxhash64 is type-width-sensitive, so the
+    // lookup ids are first try_cast to the STORED doc_a type (one
+    // compact-dir footer read; an id outside the stored domain
+    // try_casts to NULL, whose junk bucket is harmless — the final
+    // typed isin filter excludes it). A local ≤|docIds|-row job.
+    val buckets = info.map { case (c, n) =>
+      val stored = spark.read
+        .parquet(s"$pairsDir/compact=$c.n$n").schema("doc_a").dataType
+      docIds.toDF("raw")
+        .select(BatchDirs.bucketOf(
+          expr(s"try_cast(raw as ${stored.sql})"), n).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq
     }
-    BatchDirs.readCommittedAt(spark, pairsDir, info,
-      pbuckets = buckets) match {
-      case None =>
-        Seq.empty[(Long, Long, Long)]
-          .toDF("doc_a", "doc_b", "n_shared_bands")
-      case Some(df) =>
-        val inDirs =
-          if (ok.isEmpty) lit(false) else col("batch").isin(ok: _*)
-        df.filter(col("batch") <= coveredThrough || inDirs)
-          .filter(col("doc_a").isin(docIds: _*))
-          .select("doc_a", "doc_b", "n_shared_bands")
-    }
+    gatedPairs(spark, indexDir,
+      BatchDirs.readCommittedAt(spark, pairsDir, info,
+        pbuckets = buckets))
+      .filter(col("doc_a").isin(docIds: _*))
   }
 
   /** The band index accumulated so far, `batch` column included.

@@ -266,6 +266,35 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       .count() == 0L)
   }
 
+  test("pairsFor prunes correctly when the stream's doc ids are " +
+    "not LongType: the bucket hash derives on the STORED type") {
+    import graft.streaming.BatchDirs
+    val (ix, pr) = dirs("pint")
+    // an IntegerType id stream: xxhash64 is type-width-sensitive, so
+    // compact() buckets by the INT hash — a LongType-derived lookup
+    // bucket set would prune to the wrong dirs and silently lose
+    // compact-resident pairs
+    def run(batch: Seq[(Int, String)], id: Long): Unit =
+      LshIndexMaintenance.processBatch(batch.toDF("doc_id", "text"),
+        id, "doc_id", "text", ix, pr, compactEvery = 2, nBuckets = 8)
+    run(b1.map { case (k, v) => (k.toInt, v) }, 0L)
+    run(b2.map { case (k, v) => (k.toInt, v) }, 1L)
+    assert(BatchDirs.compactedThrough(spark, pr) == 0L,
+      "fixture should compact the int-keyed pairs")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("cast(doc_a as long)", "cast(doc_b as long)",
+        "n_shared_bands")
+      .as[(Long, Long, Long)].collect().toSet
+    val all = norm(LshIndexMaintenance.pairsSoFar(spark, pr, ix))
+    assert(all.nonEmpty)
+    all.map(_._1).foreach { id =>
+      val got = norm(LshIndexMaintenance.pairsFor(spark, pr, ix,
+        Seq(id)))
+      assert(got == all.filter(_._1 == id),
+        s"int-keyed lookup for doc_a=$id diverged: $got")
+    }
+  }
+
   test("compaction safety: uncommitted compact dirs are invisible; " +
     "stray batch=tmp debris never wedges a reader") {
     import graft.streaming.BatchDirs
