@@ -1,0 +1,152 @@
+package graft
+
+import graft.streaming.BatchDirs
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import org.scalacheck.Gen
+
+/** Randomized state-machine property test for the batch-dir
+  * compaction layer: arbitrary interleavings of appends, empty
+  * commits, torn writes, stray debris, and folds (varying byte-ratio
+  * governor and bucket counts, including mid-stream re-bucketing)
+  * against a driver-side reference model. The governor's fold/defer
+  * choice depends on real parquet bytes, so the model asserts the
+  * invariants that must hold on EVERY path through the state space
+  * rather than predicting fold decisions:
+  *
+  *  1. content: readCommitted returns every committed row exactly
+  *     once, keyed by (batch, k) — no loss, no double count, in any
+  *     fold/grace/debris state;
+  *  2. committedState is a consistent single-listing snapshot: the
+  *     reported ids are exactly the committed ids above the reported
+  *     cutoff;
+  *  3. the cutoff is monotone non-decreasing and compact() returns
+  *     it;
+  *  4. an empty pruned read (pbuckets = ∅) returns exactly the rows
+  *     ABOVE the cutoff — the compacted part fully prunes, the
+  *     cadence-bounded tail never does;
+  *  5. torn dirs and stray names never crash a reader or change any
+  *     of the above. */
+class BatchDirsPropertiesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def forAll[T](gen: Gen[T], n: Int)(f: T => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(4242L)
+    (0 until n).foreach { _ =>
+      f(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  private sealed trait Op
+  private case class Append(rows: Int) extends Op
+  private case object AppendEmpty extends Op
+  private case object TornThenAppend extends Op
+  private case object Debris extends Op
+  private case class Compact(ratio: Double, nBuckets: Int) extends Op
+
+  private val opGen: Gen[Op] = Gen.frequency(
+    5 -> Gen.choose(1, 40).map(Append(_)),
+    1 -> Gen.const(AppendEmpty),
+    1 -> Gen.const(TornThenAppend),
+    1 -> Gen.const(Debris),
+    4 -> (for {
+      ratio <- Gen.oneOf(0.0, 0.0, 0.1, 0.5)
+      n <- Gen.oneOf(2, 4, 8)
+    } yield Compact(ratio, n)))
+
+  private val caseGen: Gen[List[Op]] = for {
+    n <- Gen.choose(6, 14)
+    ops <- Gen.listOfN(n, opGen)
+  } yield ops
+
+  test("random op interleavings preserve the content, snapshot, " +
+    "monotonicity, and pruning invariants") {
+    forAll(caseGen, n = 8) { ops =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("bd_prop").toString + "/ix"
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // reference model: committed batch id -> its key range
+      var model = Map.empty[Long, Range]
+      var nextId = 0L
+      var nextKey = 0
+      var lastCutoff = -1L
+
+      def append(rows: Int): Unit = {
+        spark.range(rows)
+          .select((col("id") + nextKey).as("k"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/batch=$nextId")
+        model += nextId -> (nextKey until nextKey + rows)
+        nextId += 1; nextKey += rows
+      }
+
+      def check(): Unit = {
+        val (cutoff, ids) = BatchDirs.committedState(spark, dir)
+        // 3: monotone cutoff
+        assert(cutoff >= lastCutoff, s"cutoff regressed: " +
+          s"$lastCutoff -> $cutoff (ops=$ops)")
+        lastCutoff = cutoff
+        // 2: snapshot consistency vs the model
+        assert(ids.sorted ==
+          model.keys.filter(_ > cutoff).toSeq.sorted,
+          s"ids=$ids cutoff=$cutoff model=${model.keys} (ops=$ops)")
+        // 1: exact content, keyed (batch, k)
+        val want = model.toSeq.flatMap { case (b, ks) =>
+          ks.map(k => (b, k.toLong)) }.toSet
+        val got = BatchDirs.readCommitted(spark, dir)
+          .map(_.select(col("batch"), col("k"))
+            .as[(Long, Long)].collect().toSet)
+          .getOrElse(Set.empty)
+        assert(got == want,
+          s"content diverged: missing=${want -- got} " +
+            s"extra=${got -- want} (ops=$ops)")
+        // 4: empty pruned read = exactly the above-cutoff tail
+        if (cutoff >= 0) {
+          val tail = BatchDirs.readCommitted(spark, dir,
+            pbuckets = Some(Seq.empty))
+            .map(_.select(col("batch"), col("k"))
+              .as[(Long, Long)].collect().toSet)
+            .getOrElse(Set.empty)
+          assert(tail == want.filter(_._1 > cutoff),
+            s"empty-bucket read wrong: $tail (cutoff=$cutoff ops=$ops)")
+        }
+      }
+
+      ops.foreach {
+        case Append(rows) => append(rows); check()
+        case AppendEmpty =>
+          // marker-only commit (a watermark-only trigger): counts as
+          // committed, contributes no rows, must not wedge readers
+          fs.mkdirs(new Path(s"$dir/batch=$nextId"))
+          fs.create(new Path(s"$dir/batch=$nextId/_SUCCESS"), true)
+            .close()
+          model += nextId -> (0 until 0)
+          nextId += 1
+          check()
+        case TornThenAppend =>
+          // a crashed write (no marker) is invisible, then the
+          // replay overwrites it
+          fs.mkdirs(new Path(s"$dir/batch=$nextId"))
+          check()
+          append(7)
+          check()
+        case Debris =>
+          fs.mkdirs(new Path(s"$dir/batch=tmp"))
+          fs.create(new Path(s"$dir/batch=tmp/_SUCCESS"), true).close()
+          fs.mkdirs(new Path(s"$dir/compact=9999.n4")) // torn fold
+          check()
+        case Compact(ratio, n) if nextId > 0 =>
+          val upTo = nextId - 1
+          val ret = BatchDirs.compact(spark, dir, upTo, "k",
+            nBuckets = n, minFoldRatio = ratio)
+          assert(ret == BatchDirs.compactedThrough(spark, dir),
+            s"compact() return != observed cutoff (ops=$ops)")
+          check()
+        case Compact(_, _) => () // nothing committed yet
+      }
+      fs.delete(new Path(dir), true)
+    }
+  }
+}

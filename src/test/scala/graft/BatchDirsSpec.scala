@@ -142,6 +142,48 @@ class BatchDirsSpec extends SparkTestBase {
     assert(BatchDirs.readCommitted(spark, dir).get.count() == 250)
   }
 
+  test("pbuckets is a PARTITION filter on the compacted scan: " +
+    "pruning happens at file listing, not post-scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("bd_plan").toString + "/ix"
+    writeBatch(dir, 0L, rows = 400)
+    assert(BatchDirs.compact(spark, dir, 0L, "k", nBuckets = 4) == 0L)
+    assert(BatchDirs.compact(spark, dir, 0L, "k", nBuckets = 4) == 0L)
+    // AQE re-instantiates the plan it executes, so the scan whose
+    // metrics fill is not the one a pre-execution collect sees —
+    // disable it for the metric read (the assertion is about the
+    // scan's listing, not about adaptivity)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val filesOf = (df: org.apache.spark.sql.DataFrame) => {
+        // drive THIS QueryExecution (df.count() would build and
+        // execute a different one, leaving these metrics at zero)
+        df.queryExecution.toRdd.count()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.sum
+      }
+      val pruned = BatchDirs.readCommitted(spark, dir,
+        pbuckets = Some(Seq(1L, 2L))).get
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "no file scan in the pruned plan")
+      assert(scans.exists(_.partitionFilters
+        .exists(_.references.exists(_.name == "pbucket"))),
+        s"pbucket is not a partition filter: " +
+          s"${scans.map(_.partitionFilters)}")
+      // the listing really shrank: 2 of 4 pbucket dirs read
+      val nPruned = filesOf(pruned)
+      val nFull = filesOf(BatchDirs.readCommitted(spark, dir).get)
+      assert(nPruned > 0 && nPruned < nFull,
+        s"pruned scan read $nPruned of $nFull files")
+    } finally spark.conf.set(aqeKey, aqePrev)
+  }
+
   test("a pruned reader pinned to a resolved generation survives " +
     "one subsequent compaction — the grace window's contract") {
     val dir = java.nio.file.Files
