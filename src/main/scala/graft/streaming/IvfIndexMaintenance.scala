@@ -148,9 +148,20 @@ object IvfIndexMaintenance {
     // replay into a full (wasted) rebuild; earlier batches are in
     // the engine's commit log and can never replay.
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      BatchDirs.compact(spark, indexDir, batchId - 1, "cluster_id",
-        nBuckets, minFoldRatio = 0.1)
+      compactNow(spark, indexDir, batchId - 1, nBuckets)
   }
+
+  /** Out-of-band fold of committed batches ≤ `upTo` — same contract
+    * as [[LshIndexMaintenance.compactNow]]: run it from a separate
+    * maintenance job to keep the O(index) rewrite out of the
+    * micro-batch path (disable the cadence, one compactor at a
+    * time, `upTo` at most the engine's newest committed batch minus
+    * one; concurrent readers are generation-pinned + grace-window
+    * safe). */
+  def compactNow(spark: SparkSession, indexDir: String,
+    upTo: Long, nBuckets: Int = 64): Long =
+    BatchDirs.compact(spark, indexDir, upTo, "cluster_id",
+      nBuckets, minFoldRatio = 0.1)
 
   /** The postings accumulated so far, search-ready. None before the
     * first commit. */

@@ -101,14 +101,21 @@ object LshIndexMaintenance {
         // compacted, prune its scan to the k1 buckets this batch
         // probes (bounded driver collect: ≤ nBuckets values); earlier
         // doc first only when ids order that way — canonical
-        // (least, greatest)
-        val probeBuckets = BatchDirs.compactInfo(spark, indexDir)
+        // (least, greatest). The read is PINNED to the generation the
+        // buckets were derived from (readCommittedAt): with in-band
+        // cadence folds this is a no-op (processBatch serializes
+        // them), but it makes an out-of-band [[compactNow]] landing
+        // mid-batch safe — a re-resolved layout with a different
+        // modulus under buckets computed for the old one would
+        // silently drop matches
+        val info = BatchDirs.compactInfo(spark, indexDir)
+        val probeBuckets = info
           .map { case (_, n) =>
             bands.select(BatchDirs.bucketOf(col("k1"), n).as("b"))
               .distinct().collect().map(_.getLong(0)).toSeq
           }
-        val cross = readIndex(spark, indexDir, excludeBatch = batchId,
-          pbuckets = probeBuckets)
+        val cross = BatchDirs.readCommittedAt(spark, indexDir, info,
+          excludeBatch = batchId, pbuckets = probeBuckets)
           .map { ix =>
             ix.join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
                 Seq("band", "k1", "k2"))
@@ -139,12 +146,34 @@ object LshIndexMaintenance {
     // The pairs fold is capped at the BAND cutoff actually reached
     // (folds defer independently under the ratio governor), keeping
     // the documented invariant pairsCutoff ≤ bandCutoff structural.
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-      val bandCutoff = BatchDirs.compact(spark, indexDir, batchId - 1,
-        "k1", nBuckets, minFoldRatio = 0.1)
-      BatchDirs.compact(spark, pairsDir, bandCutoff, "doc_a", nBuckets,
-        minFoldRatio = 0.1)
-    }
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactNow(spark, indexDir, pairsDir, batchId - 1, nBuckets)
+  }
+
+  /** Fold committed batches ≤ `upTo` now — the OUT-OF-BAND face of
+    * the cadence compaction: an in-band fold is an O(index) rewrite
+    * running inside a micro-batch (the StreamLadder rung shows it
+    * spiking the triggering batch's latency), which at production
+    * index sizes can blow the trigger interval. Running this from a
+    * separate maintenance job between micro-batches keeps per-batch
+    * cost flat; it is safe against concurrent `processBatch` calls
+    * because (a) `upTo` must be ≤ the newest batch the ENGINE has
+    * committed minus one (same rule as the cadence path: never the
+    * possibly-replaying current batch), (b) face 2's pruned read is
+    * pinned to the generation its probe buckets came from, and (c)
+    * the two-phase sweep keeps any generation a concurrent reader
+    * resolved alive for one more fold. At most ONE compactor may run
+    * at a time (compact() is not concurrency-safe against itself) —
+    * disable the cadence (`compactEvery = 0`) when folding
+    * out-of-band. Band fold first, then pairs capped at the band
+    * cutoff reached, keeping pairsCutoff ≤ bandCutoff structural. */
+  def compactNow(spark: SparkSession, indexDir: String,
+    pairsDir: String, upTo: Long, nBuckets: Int = 64): Long = {
+    val bandCutoff = BatchDirs.compact(spark, indexDir, upTo,
+      "k1", nBuckets, minFoldRatio = 0.1)
+    BatchDirs.compact(spark, pairsDir, bandCutoff, "doc_a", nBuckets,
+      minFoldRatio = 0.1)
+    bandCutoff
   }
 
   /** Every candidate pair emitted by COMMITTED batches — union of

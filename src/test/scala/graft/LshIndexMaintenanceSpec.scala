@@ -231,6 +231,37 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     assert(got3 == batch, s"stream=$got3\nbatch=$batch")
   }
 
+  test("out-of-band compactNow between micro-batches: same candidate " +
+    "set as the batch operator, cross-compaction pairs included") {
+    val (ix, pr) = dirs("oob")
+    // cadence OFF — folds come only from the maintenance-job face
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      LshIndexMaintenance.processBatch(batch.toDF("doc_id", "text"),
+        id, "doc_id", "text", ix, pr, compactEvery = 0, nBuckets = 8)
+    run(b1, 0L); run(b2, 1L)
+    // a maintenance job folds through batch 0 between micro-batches
+    // (first fold always proceeds)
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 0L, 8) == 0L)
+    // the next micro-batch probes the COMPACTED index (face 2's
+    // pinned pruned read) and must still find cross-batch pairs
+    run(b3, 2L)
+    // another out-of-band fold; the byte-ratio governor may fold or
+    // defer here — both are correct, the view must not change either
+    // way
+    LshIndexMaintenance.compactNow(spark, ix, pr, 1L, 8)
+    val streamed = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    val corpus = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val batch = MinHashLsh.candidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.operators.Broadcasting.releaseAll()
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // the pair probing across the fold boundary really happened:
+    // doc 1 (batch 0, folded) ⋈ doc 3 (batch 1, post-fold tail)
+    assert(streamed.exists { case (a, b, _) => a == 1L && b == 3L },
+      s"cross-compaction pair missing: $streamed")
+  }
+
   test("pairsFor prunes the compacted pairs scan to the canonical " +
     "ids' buckets and equals the pairsSoFar filter everywhere") {
     import graft.streaming.BatchDirs
