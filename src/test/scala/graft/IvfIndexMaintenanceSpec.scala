@@ -229,6 +229,46 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     assert(IvfIndexMaintenance.index(spark, dir).get.count() == 60L)
   }
 
+  test("checkpoint restart across a compaction boundary: batch ids " +
+    "resume over the compacted layout, index intact") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_rsc").toString + "/index"
+    val ck = java.nio.file.Files
+      .createTempDirectory("ivf_rsc_ck").toString
+    val centroids = IvfIndex.buildCentroids(
+      corpus.filter(col("vec_id") < 20), k = 4, iters = 2)
+    val rows = corpus.as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    def start() = IvfIndexMaintenance.maintain(
+        in.toDF().toDF("vec_id", "embedding"), centroids, dir,
+        compactEvery = 2, nBuckets = 8)
+      .option("checkpointLocation", ck).start()
+    // run 1: two waves — the cadence folds through batch 0, the
+    // stream stops on a compacted layout + grace debris
+    val q1 = start()
+    try {
+      Seq(rows.filter(_._1 < 20), rows.filter(r => r._1 >= 20 &&
+        r._1 < 40)).foreach { w =>
+        in.addData(w.toSeq: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(graft.streaming.BatchDirs
+      .compactedThrough(spark, dir) == 0L,
+      "fixture must stop on a compacted index")
+    // run 2: same checkpoint resumes at batch 2 over the compact dir
+    val q2 = start()
+    try { in.addData(rows.filter(_._1 >= 40).toSeq: _*)
+      q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = IvfIndexMaintenance.index(spark, dir).get
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    val batch = IvfIndex.build(corpus, centroids)
+      .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 60,
+      "restart across compaction lost or duplicated postings")
+  }
+
   test("rebuild re-keys every committed posting to retrained " +
     "centroids in a fresh dir; the resumed stream appends above " +
     "the bootstrap via idOffset") {

@@ -100,6 +100,53 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       "batch ids did not resume across the restart")
   }
 
+  test("checkpoint restart across a compaction boundary: batch ids " +
+    "resume, nothing re-emits, the compacted view stays intact") {
+    implicit val sql = spark.sqlContext
+    val (ix, pr) = dirs("rs_compact")
+    val ck = java.nio.file.Files
+      .createTempDirectory("lsh_rsc_ck").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = LshIndexMaintenance.maintain(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", ix, pr,
+        compactEvery = 2, nBuckets = 8)
+      .option("checkpointLocation", ck).start()
+    // run 1: waves 0 and 1 — the cadence fires after batch 1 and
+    // folds through batch 0, so the stream STOPS holding a compacted
+    // index + grace debris + batch 1
+    val q1 = start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        in.addData(b: _*); q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(graft.streaming.BatchDirs.compactedThrough(spark, ix) == 0L,
+      "fixture must stop on a compacted index")
+    // run 2: the SAME checkpoint resumes at batch 2; its face 2
+    // probes the compacted index and its cadence fires again
+    val q2 = start()
+    try {
+      in.addData(b3: _*); q2.processAllAvailable()
+      in.addData(30L -> "fresh unrelated text about woodworking")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val streamed = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    val corpus = (b1 ++ b2 ++ b3 ++
+      Seq(30L -> "fresh unrelated text about woodworking"))
+      .toDF("doc_id", "text")
+    val batch = MinHashLsh.candidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    graft.operators.Broadcasting.releaseAll()
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+    // every doc's 4 bands exactly once across restart + compaction
+    assert(LshIndexMaintenance.readIndex(spark, ix).get.count()
+      == (b1 ++ b2 ++ b3).size * 4L + 4L)
+    // the cross-restart, cross-compaction pair: doc 1 folded in run
+    // 1, doc 3 arrived after the restart
+    assert(streamed.exists { case (a, b, _) => a == 1L && b == 3L },
+      s"cross-restart pair missing: $streamed")
+  }
+
   test("replaying a committed batch is a no-op; a half-written batch " +
     "overwrites cleanly") {
     val (ix, pr) = dirs("replay")
