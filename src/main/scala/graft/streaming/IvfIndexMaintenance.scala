@@ -154,14 +154,24 @@ object IvfIndexMaintenance {
   /** Out-of-band fold of committed batches ≤ `upTo` — same contract
     * as [[LshIndexMaintenance.compactNow]]: run it from a separate
     * maintenance job to keep the O(index) rewrite out of the
-    * micro-batch path (disable the cadence, one compactor at a
-    * time, `upTo` at most the engine's newest committed batch minus
-    * one; concurrent readers are generation-pinned + grace-window
-    * safe). */
+    * micro-batch path. Disable the cadence, one compactor at a time,
+    * `upTo` STRICTLY below the newest committed batch (enforced —
+    * folding the possibly-replaying newest batch destroys its replay
+    * marker and the replay double-appends its postings), and space
+    * invocations at least one micro-batch / external-reader duration
+    * apart: the grace window covers ONE fold per in-flight pinned
+    * read. */
   def compactNow(spark: SparkSession, indexDir: String,
-    upTo: Long, nBuckets: Int = 64): Long =
+    upTo: Long, nBuckets: Int = 64): Long = {
+    val (cut, ids) = BatchDirs.committedState(spark, indexDir)
+    val newest = ids.maxOption.getOrElse(cut)
+    require(upTo < newest,
+      s"compactNow(upTo=$upTo) must stay strictly below the newest " +
+        s"committed batch ($newest): the newest batch may still " +
+        "replay, and folding it destroys its replay marker")
     BatchDirs.compact(spark, indexDir, upTo, "cluster_id",
       nBuckets, minFoldRatio = 0.1)
+  }
 
   /** The postings accumulated so far, search-ready. None before the
     * first commit. */
@@ -215,10 +225,15 @@ object IvfIndexMaintenance {
           IvfIndex.probeClusters(centroids, probes, nProbe).persist())
         // bucketOf over the ORIGINAL cluster_id column type —
         // xxhash64 is type-width-sensitive, so the bucket must be
-        // computed on the same type compact() hashed
-        val buckets = pc
-          .select(BatchDirs.bucketOf(col("cluster_id"), n).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+        // computed on the same type compact() hashed. One collect
+        // yields both the bucket set (partition pruning of the
+        // compacted dirs) and the probed cluster ids themselves
+        val probed = pc
+          .select(col("cluster_id"),
+            BatchDirs.bucketOf(col("cluster_id"), n).as("b"))
+          .distinct().collect()
+        val buckets = probed.map(_.getLong(1)).distinct.toSeq
+        val cids = probed.map(_.get(0)).distinct.toSeq
         // readCommittedAt pins the read to the generation the
         // buckets were computed for: a concurrent re-bucketing
         // compaction must not swap the modulus under the filter
@@ -229,6 +244,12 @@ object IvfIndexMaintenance {
           .getOrElse(throw new IllegalStateException(
             s"no committed index batches under $indexDir"))
           .select("cluster_id", "vec_id", "embedding")
+          // probed-cluster DATA predicate (≤ k values): parquet
+          // row-group skipping inside the probed buckets and —
+          // crucially — on the recent TAIL, which is not bucketed
+          // and is otherwise scanned whole. No result change: the
+          // candidate join restricts on cluster_id anyway
+          .filter(col("cluster_id").isin(cids: _*))
         IvfIndex.searchFrom(pc, ix, topK)
     }
   }

@@ -157,18 +157,32 @@ object LshIndexMaintenance {
     * index sizes can blow the trigger interval. Running this from a
     * separate maintenance job between micro-batches keeps per-batch
     * cost flat; it is safe against concurrent `processBatch` calls
-    * because (a) `upTo` must be ≤ the newest batch the ENGINE has
-    * committed minus one (same rule as the cadence path: never the
-    * possibly-replaying current batch), (b) face 2's pruned read is
-    * pinned to the generation its probe buckets came from, and (c)
-    * the two-phase sweep keeps any generation a concurrent reader
-    * resolved alive for one more fold. At most ONE compactor may run
-    * at a time (compact() is not concurrency-safe against itself) —
-    * disable the cadence (`compactEvery = 0`) when folding
-    * out-of-band. Band fold first, then pairs capped at the band
-    * cutoff reached, keeping pairsCutoff ≤ bandCutoff structural. */
+    * because (a) `upTo` must stay STRICTLY below the newest
+    * dir-committed batch (enforced here — same rule as the cadence
+    * path: folding the batch the engine may still replay destroys
+    * the replay marker, and the replayed batch would re-join its own
+    * folded bands, permanently double-counting its pairs), (b)
+    * face 2's pruned read is pinned to the generation its probe
+    * buckets came from, and (c) the two-phase sweep keeps any
+    * generation a concurrent reader resolved alive for ONE more
+    * fold — so space invocations at least one micro-batch (and one
+    * external-reader) duration apart: two calls landing inside a
+    * single in-flight read exhaust its grace window (the second
+    * call's sweep deletes the generation the read is pinned to, and
+    * it fails with FileNotFoundException — crash/retry, not
+    * corruption). At most ONE compactor may run at a time (compact()
+    * is not concurrency-safe against itself) — disable the cadence
+    * (`compactEvery = 0`) when folding out-of-band. Band fold first,
+    * then pairs capped at the band cutoff reached, keeping
+    * pairsCutoff ≤ bandCutoff structural. */
   def compactNow(spark: SparkSession, indexDir: String,
     pairsDir: String, upTo: Long, nBuckets: Int = 64): Long = {
+    val (cut, ids) = BatchDirs.committedState(spark, indexDir)
+    val newest = ids.maxOption.getOrElse(cut)
+    require(upTo < newest,
+      s"compactNow(upTo=$upTo) must stay strictly below the newest " +
+        s"committed batch ($newest): the newest batch may still " +
+        "replay, and folding it destroys its replay marker")
     val bandCutoff = BatchDirs.compact(spark, indexDir, upTo,
       "k1", nBuckets, minFoldRatio = 0.1)
     BatchDirs.compact(spark, pairsDir, bandCutoff, "doc_a", nBuckets,

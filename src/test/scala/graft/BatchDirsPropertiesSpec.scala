@@ -30,14 +30,6 @@ import org.scalacheck.Gen
 class BatchDirsPropertiesSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def forAll[T](gen: Gen[T], n: Int)(f: T => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(4242L)
-    (0 until n).foreach { _ =>
-      f(gen.pureApply(Gen.Parameters.default, seed))
-      seed = seed.next
-    }
-  }
-
   private sealed trait Op
   private case class Append(rows: Int) extends Op
   private case object AppendEmpty extends Op
@@ -62,7 +54,7 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
 
   test("random op interleavings preserve the content, snapshot, " +
     "monotonicity, and pruning invariants") {
-    forAll(caseGen, n = 8) { ops =>
+    seededForAll(caseGen, 8, 4242L) { ops =>
       val dir = java.nio.file.Files
         .createTempDirectory("bd_prop").toString + "/ix"
       val fs = new Path(dir)

@@ -292,6 +292,12 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     // the next micro-batch probes the COMPACTED index (face 2's
     // pinned pruned read) and must still find cross-batch pairs
     run(b3, 2L)
+    // folding the NEWEST committed batch is refused: it may still
+    // replay, and folding it would destroy the replay marker (the
+    // guard is the API's enforcement of the cadence-path rule)
+    intercept[IllegalArgumentException] {
+      LshIndexMaintenance.compactNow(spark, ix, pr, 2L, 8)
+    }
     // another out-of-band fold; the byte-ratio governor may fold or
     // defer here — both are correct, the view must not change either
     // way

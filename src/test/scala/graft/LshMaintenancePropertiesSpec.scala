@@ -19,14 +19,6 @@ import org.scalacheck.Gen
 class LshMaintenancePropertiesSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def forAll[T](gen: Gen[T], n: Int)(f: T => Unit): Unit = {
-    var seed = org.scalacheck.rng.Seed(9090L)
-    (0 until n).foreach { _ =>
-      f(gen.pureApply(Gen.Parameters.default, seed))
-      seed = seed.next
-    }
-  }
-
   private val pool = Vector("spark", "plans", "shuffle", "exchange",
     "broadcast", "join", "scale", "stream", "batch", "index", "band",
     "bucket", "fold", "grace", "marker", "replay", "commit", "sweep")
@@ -63,7 +55,7 @@ class LshMaintenancePropertiesSpec extends SparkTestBase {
 
   test("random interleavings of batches, replays, and out-of-band " +
     "folds always equal the batch operator") {
-    forAll(caseGen, n = 6) { case (corpus, nBatches, steps) =>
+    seededForAll(caseGen, 6, 9090L) { case (corpus, nBatches, steps) =>
       val base = java.nio.file.Files
         .createTempDirectory("lsh_prop").toString
       val (ix, pr) = (s"$base/index", s"$base/pairs")
