@@ -158,6 +158,31 @@ object BatchDirs {
   def compactedThrough(spark: SparkSession, baseDir: String): Long =
     compactInfo(spark, baseDir).map(_._1).getOrElse(-1L)
 
+  /** Precondition check for OUT-OF-BAND folds (callers other than
+    * the single in-band writer, whose `upTo = batchId − 1` holds by
+    * construction): `upTo` must stay strictly below the newest
+    * committed batch — the newest batch may still replay, and
+    * folding it destroys the replay marker that makes the replay a
+    * no-op (the replay would then re-emit on top of its folded
+    * rows, silently double-counting). Returns false — fold is a
+    * no-op — when nothing is committed yet, so a maintenance job
+    * racing stream startup doesn't crash; throws on an actual
+    * violation. ONE listing; shared by both maintainers so the
+    * contract can never diverge between them. */
+  def foldableUpTo(spark: SparkSession, baseDir: String,
+    upTo: Long): Boolean = {
+    val (cut, ids) = committedState(spark, baseDir)
+    val newest = ids.maxOption.getOrElse(cut)
+    if (newest < 0) false // nothing committed yet: no-op, not error
+    else {
+      require(upTo < newest,
+        s"out-of-band fold upTo=$upTo must stay strictly below the " +
+          s"newest committed batch ($newest): the newest batch may " +
+          "still replay, and folding it destroys its replay marker")
+      true
+    }
+  }
+
   /** An all-empty-batches compaction commits a marker-only dir; the
     * parquet reader must skip it (same rationale as the per-batch
     * part-file guard). Data, when present, lives under `pbucket=*`. */

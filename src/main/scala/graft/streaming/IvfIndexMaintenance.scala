@@ -147,8 +147,12 @@ object IvfIndexMaintenance {
     // marker a post-crash replay checks — folding it would turn the
     // replay into a full (wasted) rebuild; earlier batches are in
     // the engine's commit log and can never replay.
+    // in-band cadence: guard skipped — upTo = batchId − 1 < batchId
+    // holds by construction (batch committed above), and the guard's
+    // extra listing has no business inside the foreachBatch body
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      compactNow(spark, indexDir, batchId - 1, nBuckets)
+      BatchDirs.compact(spark, indexDir, batchId - 1, "cluster_id",
+        nBuckets, minFoldRatio = 0.1)
   }
 
   /** Out-of-band fold of committed batches ≤ `upTo` — same contract
@@ -162,16 +166,10 @@ object IvfIndexMaintenance {
     * apart: the grace window covers ONE fold per in-flight pinned
     * read. */
   def compactNow(spark: SparkSession, indexDir: String,
-    upTo: Long, nBuckets: Int = 64): Long = {
-    val (cut, ids) = BatchDirs.committedState(spark, indexDir)
-    val newest = ids.maxOption.getOrElse(cut)
-    require(upTo < newest,
-      s"compactNow(upTo=$upTo) must stay strictly below the newest " +
-        s"committed batch ($newest): the newest batch may still " +
-        "replay, and folding it destroys its replay marker")
-    BatchDirs.compact(spark, indexDir, upTo, "cluster_id",
+    upTo: Long, nBuckets: Int = 64): Long =
+    if (!BatchDirs.foldableUpTo(spark, indexDir, upTo)) -1L
+    else BatchDirs.compact(spark, indexDir, upTo, "cluster_id",
       nBuckets, minFoldRatio = 0.1)
-  }
 
   /** The postings accumulated so far, search-ready. None before the
     * first commit. */

@@ -146,8 +146,12 @@ object LshIndexMaintenance {
     // The pairs fold is capped at the BAND cutoff actually reached
     // (folds defer independently under the ratio governor), keeping
     // the documented invariant pairsCutoff ≤ bandCutoff structural.
+    // the in-band cadence path skips the out-of-band guard: upTo =
+    // batchId − 1 < batchId (committed two lines above) holds by
+    // construction, and the guard's extra listing has no business
+    // inside the latency-sensitive foreachBatch body
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      compactNow(spark, indexDir, pairsDir, batchId - 1, nBuckets)
+      foldBoth(spark, indexDir, pairsDir, batchId - 1, nBuckets)
   }
 
   /** Fold committed batches ≤ `upTo` now — the OUT-OF-BAND face of
@@ -172,17 +176,20 @@ object LshIndexMaintenance {
     * it fails with FileNotFoundException — crash/retry, not
     * corruption). At most ONE compactor may run at a time (compact()
     * is not concurrency-safe against itself) — disable the cadence
-    * (`compactEvery = 0`) when folding out-of-band. Band fold first,
+    * (`compactEvery = 0`) when folding out-of-band. A dir with
+    * nothing committed yet is a no-op returning −1 (a maintenance
+    * job racing stream startup must not crash). Band fold first,
     * then pairs capped at the band cutoff reached, keeping
     * pairsCutoff ≤ bandCutoff structural. */
   def compactNow(spark: SparkSession, indexDir: String,
-    pairsDir: String, upTo: Long, nBuckets: Int = 64): Long = {
-    val (cut, ids) = BatchDirs.committedState(spark, indexDir)
-    val newest = ids.maxOption.getOrElse(cut)
-    require(upTo < newest,
-      s"compactNow(upTo=$upTo) must stay strictly below the newest " +
-        s"committed batch ($newest): the newest batch may still " +
-        "replay, and folding it destroys its replay marker")
+    pairsDir: String, upTo: Long, nBuckets: Int = 64): Long =
+    if (!BatchDirs.foldableUpTo(spark, indexDir, upTo)) -1L
+    else foldBoth(spark, indexDir, pairsDir, upTo, nBuckets)
+
+  /** Band fold then pairs fold capped at the band cutoff reached —
+    * the shared body of the cadence path and [[compactNow]]. */
+  private def foldBoth(spark: SparkSession, indexDir: String,
+    pairsDir: String, upTo: Long, nBuckets: Int): Long = {
     val bandCutoff = BatchDirs.compact(spark, indexDir, upTo,
       "k1", nBuckets, minFoldRatio = 0.1)
     BatchDirs.compact(spark, pairsDir, bandCutoff, "doc_a", nBuckets,

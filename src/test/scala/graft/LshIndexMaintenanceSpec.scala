@@ -298,6 +298,11 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       LshIndexMaintenance.compactNow(spark, ix, pr, 2L, 8)
     }
+    // …but a maintenance job racing stream startup (empty dir) is a
+    // graceful no-op, not a crash
+    val (ix2, pr2) = dirs("oob_empty")
+    assert(LshIndexMaintenance.compactNow(spark, ix2, pr2, 0L, 8)
+      == -1L)
     // another out-of-band fold; the byte-ratio governor may fold or
     // defer here — both are correct, the view must not change either
     // way
