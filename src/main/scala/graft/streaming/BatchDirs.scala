@@ -14,37 +14,87 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Why compaction: a directory per micro-batch means every read (and
   * every `processBatch` index scan) pays an O(batches) driver
   * `listStatus`, and days of 1-minute triggers leave 10⁴–10⁵ tiny
-  * dirs — the small-files shape that kills a 100 TB stream. [[compact]]
-  * folds every committed batch ≤ cutoff into ONE consolidated dir,
+  * dirs — the small-files shape that kills a 100 TB stream.
   *
-  *   `<dir>/compact=<cutoff>.n<buckets>/pbucket=<b>/…`
+  * == Two tiers ==
   *
-  * hash-bucketed by the caller's join key (`pbucket =
-  * pmod(xxhash64(key), buckets)` — k1 for LSH bands, cluster_id for
-  * IVF postings), so a reader that knows which key values it probes
-  * can prune the scan to the touched buckets. The original `batch` id
-  * survives as a data column (cast long), so gating semantics are
-  * unchanged.
+  * The folded layout is LSM-shaped, two levels:
   *
-  * Compaction commit protocol, same marker discipline as the batches:
-  *  1. write `compact=<newCutoff>` (parquet `overwrite` → `_SUCCESS`
-  *     is the commit);
-  *  2. only then sweep — TWO-PHASE: delete what the PREVIOUS
-  *     generation made redundant; dirs folded into THIS generation
-  *     survive one more compaction as a grace window for concurrent
-  *     readers (see [[compact]]). A lazy frame from [[readCommitted]]
-  *     must therefore be CONSUMED within one compaction cadence of
-  *     being built — past two generations its pinned file listing can
-  *     hit swept dirs (materialize eagerly if it must live longer).
+  *   `<dir>/l0=<cutoff>.n<buckets>/pbucket=<b>/…`      (minor fold)
+  *   `<dir>/compact=<cutoff>.n<buckets>/pbucket=<b>/…` (major merge)
+  *
+  * A MINOR fold ([[compactTiered]]) consolidates the recent batch-dir
+  * tail into one L0 run — O(tail) bytes written, the main compacted
+  * table untouched. A MAJOR merge folds the compact dir + every L0
+  * run + the tail into a fresh compact dir — O(index), paid only when
+  * the accumulated upper tiers reach `majorRatio` of the compact
+  * bytes (the LSM write-amplification discipline: every byte lands in
+  * its batch dir once, one L0 run once, and O(log n / log(1+r))
+  * compact rewrites), when the L0 run count reaches `maxL0Runs` (the
+  * listing backstop), or when the caller changes the bucket count
+  * (all tiers of a generation share ONE modulus — see below). The
+  * single-tier [[compact]] face (every fold is a major) remains for
+  * callers that want the flat layout and as the measured baseline the
+  * tiered mode is compared against (`graft.StreamLadder`). Without
+  * tiering, the 64-dir listing backstop and the byte-ratio governor
+  * conflict at production shapes: many small micro-batches hit the
+  * dir backstop long before the byte ratio, forcing a full O(index)
+  * rewrite per 64 tiny batches. Tiering resolves the conflict — the
+  * dir pressure is absorbed by O(tail) minors.
+  *
+  * Both folded kinds are hash-bucketed by the caller's join key
+  * (`pbucket = pmod(xxhash64(key), buckets)` — k1 for LSH bands,
+  * cluster_id for IVF postings), so a reader that knows which key
+  * values it probes can prune the scan of EVERY folded tier to the
+  * touched buckets; only the cadence-bounded raw tail is read whole.
+  * The original `batch` id survives as a data column (cast long), so
+  * gating semantics are unchanged. All folded dirs of one generation
+  * carry the same bucket count — a modulus change forces a major
+  * merge — so one bucket derivation prunes every tier; a reader that
+  * ever meets a mixed-modulus generation (out-of-contract debris)
+  * reads the mismatched dir whole rather than mis-pruning it.
+  *
+  * == Commit protocol and sweep ==
+  *
+  * Same marker discipline as the batches:
+  *  1. write the folded dir (parquet `overwrite` → `_SUCCESS` is the
+  *     commit);
+  *  2. only then sweep — TWO-PHASE: delete what was ALREADY redundant
+  *     when this call resolved the directory state (dirs a previous
+  *     fold covered); dirs folded into THIS generation survive until
+  *     the next compactor call as a grace window for concurrent
+  *     readers. A lazy frame from [[readCommitted]] must therefore be
+  *     CONSUMED within one compactor call of being built — past two
+  *     calls its pinned file listing can hit swept dirs (see
+  *     [[materialized]] for consumers that must hold frames longer).
   * A crash inside (1) leaves an unmarked dir readers ignore; a crash
   * inside (2) leaves debris that readers also ignore (they read the
-  * HIGHEST committed compact + batch dirs STRICTLY ABOVE its cutoff)
-  * and the next compact call sweeps. Coverage rule after compaction:
-  * every batch id ≤ cutoff is committed — sound because [[compact]]
-  * only ever folds committed batches and the streaming engine runs
-  * batch n+1 only after n committed (synthetic-id backfills that
-  * leave holes below the cutoff are out of contract, as documented on
-  * the maintainers). */
+  * resolved [[Gen]] + batch dirs STRICTLY ABOVE its coverage) and the
+  * next compactor call sweeps — every call, fold or no-op, runs the
+  * (listing-only) sweep, so governor-deferred cadences do not let
+  * debris outlive one call. Coverage rule after any fold: every batch
+  * id ≤ [[Gen.coveredThrough]] is committed — sound because folds only
+  * ever cover committed batches and the streaming engine runs batch
+  * n+1 only after n committed (synthetic-id backfills that leave holes
+  * below the coverage are out of contract, as documented on the
+  * maintainers).
+  *
+  * == Single-compactor lease ==
+  *
+  * Folds are not safe against a concurrent fold of the same dir, so
+  * every fold call holds the compactor lease: a JVM-wide mutex per
+  * qualified base path (exact within one process — `local[*]` and
+  * any driver-side maintenance thread), plus a `_COMPACTING` marker
+  * created with `overwrite = false` (atomic on HDFS and
+  * precondition-capable object stores; best-effort on a raw local
+  * FS) for cross-process exclusion. A marker older than
+  * `leaseStaleMs` is presumed abandoned by a crashed compactor and
+  * taken over — size the timeout ABOVE the longest plausible fold.
+  * On contention the in-band cadence path defers silently (folding
+  * is opportunistic there; the next cadence retries) and the
+  * out-of-band faces fail loudly (`failIfBusy = true` →
+  * `IllegalStateException`) so a misconfigured double-cron is
+  * impossible to miss. */
 object BatchDirs {
 
   /** `batch=<digits>` only — a stray `batch=tmp` (editor leftover,
@@ -53,6 +103,16 @@ object BatchDirs {
     * same directory set. */
   private val BatchName = "batch=(\\d+)".r
   private val CompactName = "compact=(\\d+)\\.n(\\d+)".r
+  private val L0Name = "l0=(\\d+)\\.n(\\d+)".r
+
+  /** Cross-process compactor lease marker (class doc). */
+  val LeaseName = "_COMPACTING"
+
+  /** Default stale-lease takeover horizon: one hour. A crashed
+    * compactor blocks folds (never reads) for at most this long;
+    * a LIVE fold running longer than this can have its lease stolen,
+    * so raise it for indexes whose major merge exceeds the hour. */
+  val DefaultLeaseStaleMs: Long = 60L * 60L * 1000L
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -62,101 +122,142 @@ object BatchDirs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** One committed fold generation: the highest committed compact
+    * (L1) dir plus the committed L0 runs strictly above its cutoff,
+    * ascending. Runs are created sequentially by the lease-serialized
+    * compactor, so run i's coverage is exactly
+    * (previous tier's cutoff, cutoff_i] and the union of the tiers
+    * covers every batch id ≤ [[coveredThrough]]. */
+  final case class Gen(compact: Option[(Long, Int)],
+    l0: Seq[(Long, Int)]) {
+    /** Every batch id ≤ this is committed and folded (−1 when empty). */
+    def coveredThrough: Long =
+      (compact.map(_._1).toSeq ++ l0.map(_._1)).maxOption.getOrElse(-1L)
+    /** The generation's shared bucket count (class doc: one modulus
+      * per generation, a change forces a major merge). Defensively
+      * the NEWEST tier wins, so a pruned reader facing out-of-contract
+      * mixed-modulus debris derives buckets it can safely apply — the
+      * reader skips pruning on any dir whose count differs. */
+    def modulus: Option[Int] =
+      l0.lastOption.map(_._2).orElse(compact.map(_._2))
+    def isEmpty: Boolean = compact.isEmpty && l0.isEmpty
+    /** Directory names of every tier, for sweep keep-sets. */
+    def dirNames: Seq[String] =
+      compact.map { case (c, n) => s"compact=$c.n$n" }.toSeq ++
+        l0.map { case (h, n) => s"l0=$h.n$n" }
+  }
+
   /** Ids of the batches whose OWN directory under `baseDir` carries
     * the commit marker (empty batches included — a commit is a
     * commit; only READING their parquet needs the part-file guard
-    * below). Batches folded into a compact dir no longer appear here,
-    * EVEN while their directory lingers in the two-phase sweep's
-    * one-generation grace window: ids ≤ [[compactedThrough]] are
-    * filtered out (they are committed by the coverage rule, and
-    * reporting them here would double-represent them to any consumer
-    * that unions this list with the compacted view). One `listStatus`
-    * — the cutoff is computed from the same directory listing. */
+    * below). Batches folded into a compact or L0 dir no longer appear
+    * here, EVEN while their directory lingers in the two-phase
+    * sweep's grace window: ids ≤ [[compactedThrough]] are filtered
+    * out (they are committed by the coverage rule, and reporting them
+    * here would double-represent them to any consumer that unions
+    * this list with the folded view). One `listStatus` — the coverage
+    * is computed from the same directory listing. */
   def committedIds(spark: SparkSession, baseDir: String): Seq[Long] =
     committedState(spark, baseDir)._2
 
-  /** (compact cutoff, committed batch ids above it) from ONE
-    * directory listing — the pair every visibility gate needs.
-    * Resolving the two through separate listings is a race: a
-    * compaction committing in between yields a NEW cutoff with the
-    * OLD (pre-fold) id list, and ids the fold just covered vanish
-    * from `cutoff ∨ ids`-style gates (batches silently invisible for
-    * one read). One snapshot keeps the pair mutually consistent —
-    * cutoff only ever grows, so the union face stays monotone. */
+  /** (fold coverage, committed batch ids above it) from ONE directory
+    * listing — the pair every visibility gate needs. Resolving the
+    * two through separate listings is a race: a fold committing in
+    * between yields a NEW coverage with the OLD (pre-fold) id list,
+    * and ids the fold just covered vanish from `coverage ∨ ids`-style
+    * gates (batches silently invisible for one read). One snapshot
+    * keeps the pair mutually consistent — coverage only ever grows,
+    * so the union face stays monotone. */
   def committedState(spark: SparkSession, baseDir: String)
     : (Long, Seq[Long]) = {
+    val (gen, ids) = listState(spark, baseDir)
+    (gen.coveredThrough, ids)
+  }
+
+  /** The committed fold generation under `baseDir` (empty [[Gen]]
+    * before the first fold). One `listStatus` of the base dir — never
+    * of the folded dirs.
+    *
+    * Two committed dirs of one kind can share a cutoff: an explicit
+    * bucket-count change refolds the same coverage under a new
+    * modulus, and the superseded dir survives one call (sweep grace
+    * window) — or a crash leaves both until the next call converges.
+    * The pick is DETERMINISTIC: latest `_SUCCESS` mtime (the commit
+    * instant) wins, higher bucket count breaking a same-instant tie.
+    * Both candidates hold complete coverage of the cutoff, so even a
+    * granularity-collapsed mtime tie picks a CORRECT layout — the
+    * pick only decides which modulus pruned readers compute with, and
+    * they read with the same generation they resolved. */
+  def generation(spark: SparkSession, baseDir: String): Gen =
+    listState(spark, baseDir)._1
+
+  /** Highest committed compact (L1) dir: (cutoff, buckets), None
+    * before the first major merge. Prefer [[generation]] — this face
+    * is blind to L0 runs. */
+  def compactInfo(spark: SparkSession, baseDir: String)
+    : Option[(Long, Int)] = generation(spark, baseDir).compact
+
+  /** The whole directory state from ONE listing: the resolved
+    * generation and the committed batch ids above its coverage. */
+  private def listState(spark: SparkSession, baseDir: String)
+    : (Gen, Seq[Long]) = {
     val path = new Path(baseDir)
     val fs = fsOf(spark, baseDir)
-    if (!fs.exists(path)) (-1L, Nil)
+    if (!fs.exists(path)) (Gen(None, Nil), Nil)
     else {
       val statuses = fs.listStatus(path).toSeq.filter(_.isDirectory)
-      val cutoff = statuses
+      // single getFileStatus, FNF = not committed: an exists() probe
+      // followed by getFileStatus would race the sweep (a grace dir
+      // deleted between the two calls crashes the resolver instead of
+      // dropping out of the view)
+      def commitMtime(p: Path): Option[Long] =
+        try Some(fs.getFileStatus(new Path(p, "_SUCCESS"))
+          .getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      val compact = statuses
         .flatMap(s => s.getPath.getName match {
-          case CompactName(c, _)
-            if fs.exists(new Path(s.getPath, "_SUCCESS")) =>
-            Some(c.toLong)
+          case CompactName(c, n) =>
+            commitMtime(s.getPath).map(t => (c.toLong, n.toInt, t))
           case _ => None
         })
-        .maxOption.getOrElse(-1L)
-      (cutoff, statuses
+        .sortBy { case (c, n, t) => (c, t, n) }.lastOption
+        .map { case (c, n, _) => (c, n) }
+      val cCut = compact.map(_._1).getOrElse(-1L)
+      val l0 = statuses
+        .flatMap(s => s.getPath.getName match {
+          case L0Name(h, n) if h.toLong > cCut =>
+            commitMtime(s.getPath).map(t => (h.toLong, n.toInt, t))
+          case _ => None
+        })
+        .groupBy(_._1).valuesIterator
+        .map(_.maxBy { case (_, n, t) => (t, n) })
+        .map { case (h, n, _) => (h, n) }
+        .toSeq.sortBy(_._1)
+      val gen = Gen(compact, l0)
+      val covered = gen.coveredThrough
+      (gen, statuses
         .filter(s =>
           BatchName.pattern.matcher(s.getPath.getName).matches() &&
           fs.exists(new Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.getName.stripPrefix("batch=").toLong)
-        .filter(_ > cutoff))
+        .filter(_ > covered))
     }
   }
 
-  /** Highest committed compaction under `baseDir`: (cutoff, buckets),
-    * None before the first compaction. One `listStatus` of the base
-    * dir — never of the batch dirs.
-    *
-    * Two committed dirs can share a cutoff: an explicit bucket-count
-    * change refolds the same coverage under a new modulus, and the
-    * superseded dir survives one generation (sweep grace window) — or
-    * a crash leaves both until the next call converges. The pick is
-    * DETERMINISTIC: latest `_SUCCESS` mtime (the commit instant)
-    * wins, higher bucket count breaking a same-instant tie. Both
-    * candidates hold complete coverage of the cutoff, so even a
-    * granularity-collapsed mtime tie picks a CORRECT layout — the
-    * pick only decides which modulus pruned readers compute with, and
-    * they read with the same generation they resolved. */
-  def compactInfo(spark: SparkSession, baseDir: String)
-    : Option[(Long, Int)] = {
-    val path = new Path(baseDir)
-    val fs = fsOf(spark, baseDir)
-    if (!fs.exists(path)) None
-    else fs.listStatus(path).toSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName match {
-        case CompactName(cutoff, n) =>
-          // single getFileStatus, FNF = not committed: an exists()
-          // probe followed by getFileStatus would race the sweep
-          // (a grace dir deleted between the two calls crashes the
-          // reader instead of dropping out of the view)
-          try {
-            val m = fs.getFileStatus(new Path(s.getPath, "_SUCCESS"))
-            Some((cutoff.toLong, n.toInt, m.getModificationTime))
-          } catch {
-            case _: java.io.FileNotFoundException => None
-          }
-        case _ => None
-      })
-      .sortBy { case (c, n, t) => (c, t, n) }.lastOption
-      .map { case (c, n, _) => (c, n) }
-  }
-
-  /** Recent-tail directory budget: even when the byte-ratio governor
-    * defers a fold (tail too small to pay an O(index) rewrite), the
-    * tail must never regrow the O(batches)-listing problem compaction
-    * exists to solve — once the tail REACHES this many committed
-    * batch dirs the fold proceeds regardless of byte ratio
-    * (boundary spec-pinned: 63 deferrable dirs defer, 64 force). */
+  /** Recent-tail directory budget for the single-tier [[compact]]
+    * face: even when the byte-ratio governor defers a fold (tail too
+    * small to pay an O(index) rewrite), the tail must never regrow
+    * the O(batches)-listing problem compaction exists to solve — once
+    * the tail REACHES this many committed batch dirs the fold
+    * proceeds regardless of byte ratio (boundary spec-pinned: 63
+    * deferrable dirs defer, 64 force). [[compactTiered]] needs no
+    * such backstop: its minor folds are O(tail) and never deferred,
+    * so dir pressure never has to buy a full rewrite. */
   private val MaxTailDirs = 64
 
-  /** Every batch id ≤ this is committed (−1 before any compaction). */
+  /** Every batch id ≤ this is committed (−1 before any fold). */
   def compactedThrough(spark: SparkSession, baseDir: String): Long =
-    compactInfo(spark, baseDir).map(_._1).getOrElse(-1L)
+    generation(spark, baseDir).coveredThrough
 
   /** Precondition check for OUT-OF-BAND folds (callers other than
     * the single in-band writer, whose `upTo = batchId − 1` holds by
@@ -165,32 +266,51 @@ object BatchDirs {
     * folding it destroys the replay marker that makes the replay a
     * no-op (the replay would then re-emit on top of its folded
     * rows, silently double-counting). Returns false — fold is a
-    * no-op — when nothing is committed yet, so a maintenance job
-    * racing stream startup doesn't crash; throws on an actual
-    * violation. ONE listing; shared by both maintainers so the
-    * contract can never diverge between them. */
+    * no-op — when nothing is committed yet OR when everything
+    * committed is already folded (no batch dir above the coverage):
+    * a maintenance cron racing stream startup, or re-running after a
+    * quiet period whose batches a previous fold fully covered, must
+    * not crash. Throws only on an actual violation against an
+    * existing foldable tail. ONE listing; shared by both maintainers
+    * so the contract can never diverge between them. */
   def foldableUpTo(spark: SparkSession, baseDir: String,
     upTo: Long): Boolean = {
-    val (cut, ids) = committedState(spark, baseDir)
-    val newest = ids.maxOption.getOrElse(cut)
-    if (newest < 0) false // nothing committed yet: no-op, not error
-    else {
-      require(upTo < newest,
-        s"out-of-band fold upTo=$upTo must stay strictly below the " +
-          s"newest committed batch ($newest): the newest batch may " +
-          "still replay, and folding it destroys its replay marker")
-      true
+    val (_, ids) = committedState(spark, baseDir)
+    ids.maxOption match {
+      case None => false // nothing (left) to fold: no-op, not error
+      case Some(newest) =>
+        require(upTo < newest,
+          s"out-of-band fold upTo=$upTo must stay strictly below the " +
+            s"newest committed batch ($newest): the newest batch may " +
+            "still replay, and folding it destroys its replay marker")
+        true
     }
   }
 
-  /** An all-empty-batches compaction commits a marker-only dir; the
-    * parquet reader must skip it (same rationale as the per-batch
-    * part-file guard). Data, when present, lives under `pbucket=*`. */
+  /** An all-empty-batches fold commits a marker-only dir; the parquet
+    * reader must skip it (same rationale as the per-batch part-file
+    * guard). Data, when present, lives under `pbucket=*`. */
   private def compactHasData(fs: FileSystem, dir: String): Boolean =
     fs.listStatus(new Path(dir)).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("pbucket="))
 
-  /** The hash-bucket column a compacted layout partitions by. Public
+  /** The generation's tier dirs that actually hold data, as
+    * (path, bucket count) — marker-only tiers (all-empty-batch folds)
+    * skipped. Public so lookup faces that derive something from the
+    * stored schema (e.g. the key type the buckets were hashed on)
+    * have a data file to read it from — and a well-defined "no data
+    * anywhere" answer instead of a schema-inference crash on a
+    * marker-only dir. */
+  def genDataDirs(spark: SparkSession, baseDir: String, gen: Gen)
+    : Seq[(String, Int)] = {
+    val fs = fsOf(spark, baseDir)
+    (gen.compact.toSeq.map { case (c, n) =>
+      (s"$baseDir/compact=$c.n$n", n) } ++
+      gen.l0.map { case (h, n) => (s"$baseDir/l0=$h.n$n", n) })
+      .filter { case (d, _) => compactHasData(fs, d) }
+  }
+
+  /** The hash-bucket column a folded layout partitions by. Public
     * so pruned readers compute probe buckets with the IDENTICAL
     * function (a modulus mismatch would silently drop matches). */
   def bucketOf(key: Column, nBuckets: Int): Column =
@@ -214,175 +334,367 @@ object BatchDirs {
       .map(_.getPath.toString)
   }
 
-  /** Everything committed under `baseDir` as one frame — the highest
-    * committed compact dir (if any) plus the committed, non-empty
-    * `batch=*` dirs above its cutoff; None when both are absent.
-    * `batch` is a LongType data column in every row (partition-
-    * inferred ints are cast, so the two sides union without a
-    * coercion surprise). Half-written directories (no marker) are
-    * excluded, so a reader never sees a torn batch — and so are
-    * committed-but-EMPTY batches (marker, zero part files: an empty
-    * micro-batch, e.g. a watermark-only trigger, can commit without
-    * writing any data file, and feeding a file-less directory to the
-    * parquet reader throws on schema inference, wedging every
-    * subsequent batch).
+  /** Everything committed under `baseDir` as one frame — the resolved
+    * generation's tiers plus the committed, non-empty `batch=*` dirs
+    * above its coverage; None when all are absent. `batch` is a
+    * LongType data column in every row (partition-inferred ints are
+    * cast, so the tiers union without a coercion surprise).
+    * Half-written directories (no marker) are excluded, so a reader
+    * never sees a torn batch — and so are committed-but-EMPTY batches
+    * (marker, zero part files: an empty micro-batch, e.g. a
+    * watermark-only trigger, can commit without writing any data
+    * file, and feeding a file-less directory to the parquet reader
+    * throws on schema inference, wedging every subsequent batch).
     *
     * `pbuckets`: when the caller knows which join-key buckets it will
-    * probe ([[bucketOf]] over the same key and the compact layout's
-    * bucket count), the compact scan prunes to those partition dirs;
-    * the recent (uncompacted) batches are always read whole — they
-    * are bounded by the compaction cadence, not by stream lifetime. */
+    * probe ([[bucketOf]] over the same key and the generation's
+    * [[Gen.modulus]]), every folded tier prunes to those partition
+    * dirs; the recent (uncompacted) batches are always read whole —
+    * they are bounded by the compaction cadence, not by stream
+    * lifetime.
+    *
+    * The returned frame's folded-tier file listings are pinned to the
+    * generation resolved here, which the two-phase sweep keeps alive
+    * for ONE subsequent compactor call — consume within a cadence, or
+    * [[materialized]] when it must live longer. */
   def readCommitted(spark: SparkSession, baseDir: String,
     excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
     : Option[DataFrame] =
-    readCommittedAt(spark, baseDir, compactInfo(spark, baseDir),
+    readCommittedAt(spark, baseDir, generation(spark, baseDir),
       excludeBatch, pbuckets)
 
-  /** [[readCommitted]] pinned to an already-RESOLVED compact
-    * generation — for callers that derive something from the
-    * generation's bucket count (a pruned scan) before reading: a
-    * concurrent compaction with a different bucket count must not be
-    * re-resolved between the derivation and the read (buckets
-    * computed for the old modulus against the new layout would
-    * silently drop matches). Safe because the sweep is two-phase: a
-    * superseded compact dir survives one full compaction generation
-    * (see [[compact]]). */
+  /** [[readCommitted]] pinned to an already-RESOLVED generation — for
+    * callers that derive something from the generation's bucket count
+    * (a pruned scan) before reading: a concurrent fold with a
+    * different bucket count must not be re-resolved between the
+    * derivation and the read (buckets computed for the old modulus
+    * against the new layout would silently drop matches). Safe
+    * because the sweep is two-phase: a superseded tier dir survives
+    * one full compactor call (see [[compactTiered]]). Only the raw
+    * batch tail lists fresh — new L0 runs committed after the pin are
+    * invisible, and their source batch dirs (still present, grace)
+    * are read instead, so the view stays exact. */
   def readCommittedAt(spark: SparkSession,
-    baseDir: String, info: Option[(Long, Int)],
+    baseDir: String, gen: Gen,
     excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
     : Option[DataFrame] = {
     val fs = fsOf(spark, baseDir)
-    val cutoff = info.map(_._1).getOrElse(-1L)
-    val compactPart = info
-      .filter { case (c, n) =>
-        compactHasData(fs, s"$baseDir/compact=$c.n$n") }
-      .map { case (c, n) =>
-        val df = spark.read.parquet(s"$baseDir/compact=$c.n$n")
-        pbuckets.fold(df)(bs => df.filter(col("pbucket").isin(bs: _*)))
-          .drop("pbucket")
+    val tierParts = genDataDirs(spark, baseDir, gen).map { case (d, n) =>
+      val df = spark.read.parquet(d)
+      // prune only tiers whose bucket count matches the modulus the
+      // caller derived `pbuckets` with — a mixed-modulus generation
+      // is out of contract, but mis-pruning it would silently drop
+      // rows where reading the odd tier whole merely costs bytes
+      val pruned = pbuckets match {
+        case Some(bs) if gen.modulus.contains(n) =>
+          df.filter(col("pbucket").isin(bs: _*))
+        case _ => df
       }
-    val recentDirs = committedDataDirs(fs, baseDir, cutoff, excludeBatch)
+      pruned.drop("pbucket")
+    }
+    val recentDirs = committedDataDirs(fs, baseDir,
+      gen.coveredThrough, excludeBatch)
     val recentPart =
       if (recentDirs.isEmpty) None
       else Some(spark.read.option("basePath", baseDir)
         .parquet(recentDirs: _*)
         .withColumn("batch", col("batch").cast("long")))
-    (compactPart, recentPart) match {
-      case (Some(c), Some(r)) => Some(c.unionByName(r))
-      case (c, r) => c.orElse(r)
+    (tierParts ++ recentPart).reduceOption(_.unionByName(_))
+  }
+
+  /** Detach a frame from the files it was resolved over: an eager
+    * local checkpoint materializes the rows into executor storage, so
+    * the result outlives any number of compaction sweeps. This is the
+    * opt-in face of the consumption deadline documented on
+    * [[readCommitted]] — a consumer that must hold a result across
+    * more than one compactor call pays the one materialization here
+    * instead of crashing on a swept file later. The cost is a full
+    * execution of the plan NOW plus caching the output, so reserve it
+    * for long-lived handles, not per-batch reads. */
+  def materialized(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = true)
+
+  // ---------------------------------------------------------------
+  // Writers
+  // ---------------------------------------------------------------
+
+  /** JVM-wide single-compactor mutex keyed by qualified base path
+    * (class doc: exact in-process, marker-based cross-process). */
+  private val jvmLeases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Runs `body` under the compactor lease; None when the lease is
+    * busy and `failIfBusy` is false. */
+  private def withCompactorLease[A](spark: SparkSession,
+    baseDir: String, staleMs: Long, failIfBusy: Boolean)
+    (body: => A): Option[A] = {
+    val fs = fsOf(spark, baseDir)
+    val base = new Path(baseDir)
+    fs.mkdirs(base) // the marker needs a parent even before batch 0
+    val marker = new Path(base, LeaseName)
+    def busy(detail: String): Option[A] =
+      if (!failIfBusy) None
+      else throw new IllegalStateException(
+        s"another compactor holds the lease on $baseDir ($detail); " +
+          "one compactor at a time — if its process crashed, the " +
+          s"lease is taken over after ${staleMs}ms or can be removed " +
+          s"manually: $marker")
+    val key = fs.makeQualified(base).toString
+    if (!jvmLeases.add(key)) busy("held in this process")
+    else try {
+      def tryCreate(): Boolean =
+        try { fs.create(marker, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      val acquired = tryCreate() || {
+        val stale =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(marker).getModificationTime > staleMs
+          catch { // released between the probes: retry the create
+            case _: java.io.FileNotFoundException => true
+          }
+        stale && { fs.delete(marker, false); tryCreate() }
+      }
+      if (!acquired) busy("marker held by another process")
+      else
+        try Some(body)
+        finally fs.delete(marker, false)
+    } finally { jvmLeases.remove(key); () }
+  }
+
+  /** Write `compact=<cutoff>.n<nBuckets>` from the generation's tiers
+    * plus the committed data batches in (coverage, cutoff]. */
+  private def writeMajor(spark: SparkSession, fs: FileSystem,
+    baseDir: String, gen: Gen, cutoff: Long, bucketKey: String,
+    nBuckets: Int): Unit = {
+    val target = s"$baseDir/compact=$cutoff.n$nBuckets"
+    val tierParts = genDataDirs(spark, baseDir, gen)
+      .map { case (d, _) => spark.read.parquet(d).drop("pbucket") }
+    val dirs = committedDataDirs(fs, baseDir, gen.coveredThrough, -1L)
+      .filter(_.split("batch=").last.toLong <= cutoff)
+    val dataPart =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", baseDir)
+        .parquet(dirs: _*)
+        .withColumn("batch", col("batch").cast("long")))
+    (tierParts ++ dataPart).reduceOption(_.unionByName(_)) match {
+      case Some(df) =>
+        df.withColumn("pbucket", bucketOf(col(bucketKey), nBuckets))
+          .write.mode("overwrite").partitionBy("pbucket")
+          .parquet(target)
+      case None =>
+        // only empty batches in range: commit an empty dir (marker
+        // only) so the coverage rule advances past them
+        fs.mkdirs(new Path(target))
+        fs.create(new Path(target, "_SUCCESS"), true).close()
     }
   }
 
-  /** Fold every committed batch ≤ `upTo` (plus the previous compact
-    * content) into `compact=<cutoff>.n<buckets>`, partitioned by
-    * [[bucketOf]] `bucketKey`, then sweep the folded dirs. Idempotent
-    * and crash-safe (commit protocol in the class doc); re-running
-    * after any crash converges. Returns the effective cutoff (−1 when
-    * there is nothing to compact). NOT concurrency-safe against
-    * itself — call it from the single writer (the maintainers trigger
-    * it inside `processBatch`, which Structured Streaming serializes
-    * per query).
-    *
-    * `minFoldRatio` is the write-amplification governor: a fold
-    * REWRITES the whole compacted table, so folding on a fixed batch
-    * cadence alone would cost O(index) per fold — quadratic total
-    * writes over the stream's life. With the ratio set (the
-    * maintainers pass 0.1), a fold only proceeds once the recent
-    * batch dirs' bytes reach that fraction of the compact dir's —
-    * the LSM discipline: every byte is rewritten O(log n / log(1+r))
-    * times total, while the recent tail stays bounded at r·index
-    * (reads stay O(compacted + bounded tail)). The FIRST fold (no
-    * compact dir yet) always proceeds. */
-  def compact(spark: SparkSession, baseDir: String, upTo: Long,
-    bucketKey: String, nBuckets: Int = 64,
-    minFoldRatio: Double = 0.0): Long = {
-    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val fs = fsOf(spark, baseDir)
-    val prev = compactInfo(spark, baseDir)
-    val prevCutoff = prev.map(_._1).getOrElse(-1L)
-    val foldIds = committedIds(spark, baseDir)
-      .filter(id => id > prevCutoff && id <= upTo)
-    val cutoff = if (foldIds.isEmpty) prevCutoff
-      else math.max(prevCutoff, foldIds.max)
-    if (cutoff < 0) return -1L // nothing committed yet, nothing to do
-    if (cutoff > prevCutoff && minFoldRatio > 0.0 && prev.isDefined &&
-      foldIds.size < MaxTailDirs) { // past the dir budget, always fold
-      val compactBytes = prev.map { case (c, n) =>
-        fs.getContentSummary(new Path(s"$baseDir/compact=$c.n$n"))
-          .getLength }.getOrElse(0L)
-      val recentBytes = committedDataDirs(fs, baseDir, prevCutoff, -1L)
-        .filter(_.split("batch=").last.toLong <= cutoff)
-        .map(d => fs.getContentSummary(new Path(d)).getLength).sum
-      if (recentBytes < compactBytes * minFoldRatio)
-        return prevCutoff // defer: tail too small to pay a rewrite
-    }
-    val target = s"$baseDir/compact=$cutoff.n$nBuckets"
-    if (cutoff > prevCutoff || !committed(spark, target)) {
-      // fold: previous compact + committed data dirs in (prev, cutoff]
-      val prevPart = prev
-        .filter { case (c, n) =>
-          compactHasData(fs, s"$baseDir/compact=$c.n$n") }
-        .map { case (c, n) =>
-          spark.read.parquet(s"$baseDir/compact=$c.n$n").drop("pbucket")
-        }
-      val dirs = committedDataDirs(fs, baseDir, prevCutoff, -1L)
-        .filter(_.split("batch=").last.toLong <= cutoff)
-      val dataPart =
-        if (dirs.isEmpty) None
-        else Some(spark.read.option("basePath", baseDir)
-          .parquet(dirs: _*)
-          .withColumn("batch", col("batch").cast("long")))
-      val folded = (prevPart, dataPart) match {
-        case (Some(p), Some(d)) => Some(p.unionByName(d))
-        case (p, d) => p.orElse(d)
-      }
-      folded match {
-        case Some(df) =>
-          df.withColumn("pbucket", bucketOf(col(bucketKey), nBuckets))
-            .write.mode("overwrite").partitionBy("pbucket")
-            .parquet(target)
-        case None =>
-          // only empty batches in range: commit an empty compact dir
-          // (marker only) so the coverage rule advances past them
-          fs.mkdirs(new Path(target))
-          fs.create(new Path(target, "_SUCCESS"), true).close()
-      }
-    }
-    // TWO-PHASE sweep: delete only what the PREVIOUS generation
-    // already made redundant (batch dirs ≤ prevCutoff, compact dirs
-    // at or below prevCutoff other than the generation resolved at
-    // entry). Dirs folded into THIS generation survive one more
-    // compaction as a grace window for concurrent readers — a reader
-    // that listed directories before this commit can still open every
-    // file it saw, and a pruned reader pinned to the previous
-    // generation ([[readCommittedAt]]) still finds its compact dir —
-    // INCLUDING a same-cutoff predecessor superseded by an explicit
-    // bucket-count change (deleting it in the same call would yank
-    // the modulus out from under a pinned pruned reader;
-    // [[compactInfo]]'s mtime pick keeps the two-generations state
-    // unambiguous). Readers never DUPLICATE retained dirs (the
-    // strictly-above-cutoff rule excludes batch grace dirs; only the
-    // resolved compact generation is ever read), so the grace debris
-    // costs one cadence of extra listing, bounded. A crash mid-sweep
-    // just leaves debris for the next call.
-    val keepCompact = Set(s"compact=$cutoff.n$nBuckets") ++
-      prev.map { case (c, n) => s"compact=$c.n$n" }
+  /** Write `l0=<cutoff>.n<nBuckets>` from the committed data batches
+    * in (coverage, cutoff] ONLY — the generation's tiers are not
+    * read, which is the whole point of a minor fold. */
+  private def writeMinor(spark: SparkSession, fs: FileSystem,
+    baseDir: String, gen: Gen, cutoff: Long, bucketKey: String,
+    nBuckets: Int): Unit = {
+    val target = s"$baseDir/l0=$cutoff.n$nBuckets"
+    val dirs = committedDataDirs(fs, baseDir, gen.coveredThrough, -1L)
+      .filter(_.split("batch=").last.toLong <= cutoff)
+    if (dirs.isEmpty) {
+      fs.mkdirs(new Path(target))
+      fs.create(new Path(target, "_SUCCESS"), true).close()
+    } else
+      spark.read.option("basePath", baseDir).parquet(dirs: _*)
+        .withColumn("batch", col("batch").cast("long"))
+        .withColumn("pbucket", bucketOf(col(bucketKey), nBuckets))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(target)
+  }
+
+  /** TWO-PHASE sweep: delete only what was ALREADY redundant when
+    * this call resolved the state at entry (batch dirs at or below
+    * the entry coverage, folded tiers at or below it that are not
+    * part of the entry generation or the new target). Dirs folded
+    * into THIS call's target survive one more compactor call as a
+    * grace window for concurrent readers — a reader that listed
+    * directories before this commit can still open every file it
+    * saw, and a pruned reader pinned to the entry generation
+    * ([[readCommittedAt]]) still finds its tier dirs — INCLUDING a
+    * same-cutoff predecessor superseded by an explicit bucket-count
+    * change (deleting it in the same call would yank the modulus out
+    * from under a pinned pruned reader; [[generation]]'s mtime pick
+    * keeps the two-generations state unambiguous). Readers never
+    * DUPLICATE retained dirs (the strictly-above-coverage rule
+    * excludes batch grace dirs; only the resolved generation's tiers
+    * are ever read), so the grace debris costs one call of extra
+    * listing, bounded. A crash mid-sweep just leaves debris for the
+    * next call. */
+  private def sweep(fs: FileSystem, baseDir: String,
+    entryCovered: Long, keep: Set[String]): Unit = {
     val base = new Path(baseDir)
     fs.listStatus(base).foreach { s =>
       s.getPath.getName match {
-        case BatchName(id) if id.toLong <= prevCutoff =>
+        case BatchName(id) if id.toLong <= entryCovered =>
           // only committed dirs: a torn batch dir (no marker) at or
-          // below the cutoff is out-of-contract debris, but deleting
-          // a dir a concurrent writer is mid-writing would corrupt
-          // its commit — leave it
+          // below the coverage is out-of-contract debris, but
+          // deleting a dir a concurrent writer is mid-writing would
+          // corrupt its commit — leave it
           if (fs.exists(new Path(s.getPath, "_SUCCESS")))
             fs.delete(s.getPath, true)
-        case CompactName(c, _) if c.toLong <= prevCutoff &&
-          !keepCompact(s.getPath.getName) =>
+        case CompactName(c, _) if c.toLong <= entryCovered &&
+          !keep(s.getPath.getName) =>
+          fs.delete(s.getPath, true)
+        case L0Name(h, _) if h.toLong <= entryCovered &&
+          !keep(s.getPath.getName) =>
           fs.delete(s.getPath, true)
         case _ => ()
       }
     }
-    cutoff
+  }
+
+  /** Single-tier fold: every committed batch ≤ `upTo` (plus the
+    * previous tiers' content) into `compact=<cutoff>.n<buckets>`,
+    * partitioned by [[bucketOf]] `bucketKey`, then sweep. Idempotent
+    * and crash-safe (commit protocol in the class doc); re-running
+    * after any crash converges. Returns the effective coverage (−1
+    * when there is nothing to compact). Lease-guarded (class doc):
+    * on contention it defers — no fold, no sweep — and reports the
+    * current coverage, unless `failIfBusy`.
+    *
+    * `minFoldRatio` is the write-amplification governor: a fold
+    * REWRITES the whole compacted table, so folding on a fixed batch
+    * cadence alone would cost O(index) per fold — quadratic total
+    * writes over the stream's life. With the ratio set, a fold only
+    * proceeds once the upper tiers' bytes (L0 runs + recent batch
+    * dirs) reach that fraction of the compact dir's — the LSM
+    * discipline: every byte is rewritten O(log n / log(1+r)) times
+    * total, while the recent tail stays bounded at r·index (reads
+    * stay O(compacted + bounded tail)). The FIRST fold (no compact
+    * dir yet) always proceeds, and the [[MaxTailDirs]] backstop
+    * forces a deferred fold before the tail regrows the O(batches)
+    * listing. Production maintainers use [[compactTiered]], which
+    * resolves the governor-vs-backstop conflict at small-batch
+    * shapes; this face is the flat-layout baseline. */
+  def compact(spark: SparkSession, baseDir: String, upTo: Long,
+    bucketKey: String, nBuckets: Int = 64,
+    minFoldRatio: Double = 0.0,
+    leaseStaleMs: Long = DefaultLeaseStaleMs,
+    failIfBusy: Boolean = false): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    withCompactorLease(spark, baseDir, leaseStaleMs, failIfBusy) {
+      val fs = fsOf(spark, baseDir)
+      val (gen, tailIds) = listState(spark, baseDir)
+      val covered = gen.coveredThrough
+      val foldIds = tailIds.filter(_ <= upTo)
+      val cutoff =
+        if (foldIds.isEmpty) covered
+        else math.max(covered, foldIds.max)
+      if (cutoff < 0) -1L // nothing committed yet, nothing to do
+      else {
+        val targetName = s"compact=$cutoff.n$nBuckets"
+        val defer = cutoff > covered && minFoldRatio > 0.0 &&
+          gen.compact.isDefined && foldIds.size < MaxTailDirs && {
+            val compactBytes = gen.compact.map { case (c, n) =>
+              fs.getContentSummary(
+                new Path(s"$baseDir/compact=$c.n$n")).getLength
+            }.getOrElse(0L)
+            val upperBytes = gen.l0.map { case (h, n) =>
+              fs.getContentSummary(
+                new Path(s"$baseDir/l0=$h.n$n")).getLength }.sum +
+              committedDataDirs(fs, baseDir, covered, -1L)
+                .filter(_.split("batch=").last.toLong <= cutoff)
+                .map(d => fs.getContentSummary(new Path(d)).getLength)
+                .sum
+            upperBytes < compactBytes * minFoldRatio
+          }
+        if (!defer &&
+          (cutoff > covered ||
+            !committed(spark, s"$baseDir/$targetName")))
+          writeMajor(spark, fs, baseDir, gen, cutoff, bucketKey,
+            nBuckets)
+        // every call sweeps — deferred folds included, so debris
+        // never outlives one compactor call (grace contract above)
+        sweep(fs, baseDir, covered, gen.dirNames.toSet + targetName)
+        if (defer) covered else cutoff
+      }
+    }.getOrElse(compactedThrough(spark, baseDir))
+  }
+
+  /** Tiered fold (class doc): a MINOR fold consolidates the committed
+    * batch tail ≤ `upTo` into one L0 run without touching the
+    * compacted table; a MAJOR merge (everything → a fresh compact
+    * dir) happens only when the upper tiers' bytes reach `majorRatio`
+    * of the compact dir's, when the L0 run count would exceed
+    * `maxL0Runs`, or when `nBuckets` differs from the generation's
+    * modulus (one modulus per generation — pruned readers derive one
+    * bucket set for every tier). Returns the coverage reached (−1
+    * when nothing is committed). Idempotent and crash-safe like
+    * [[compact]]; lease-guarded, deferring (or failing, with
+    * `failIfBusy`) on contention; every non-deferred call sweeps.
+    *
+    * Listing bound per read under a cadence-driven caller:
+    * O(1 compact + ≤ maxL0Runs L0 runs + one cadence of batch dirs +
+    * one call of grace debris). Write bound per byte: one batch
+    * write + one L0 write + O(log n / log(1+majorRatio)) compact
+    * rewrites — the backstop-forced full rewrites of the single-tier
+    * face (every 64 small batches, regardless of bytes) do not
+    * exist here, which is the measured win (`graft.StreamLadder`,
+    * BASELINE.md). */
+  def compactTiered(spark: SparkSession, baseDir: String, upTo: Long,
+    bucketKey: String, nBuckets: Int = 64,
+    majorRatio: Double = 0.1, maxL0Runs: Int = 16,
+    leaseStaleMs: Long = DefaultLeaseStaleMs,
+    failIfBusy: Boolean = false): Long = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(maxL0Runs > 0, s"maxL0Runs must be positive: $maxL0Runs")
+    withCompactorLease(spark, baseDir, leaseStaleMs, failIfBusy) {
+      val fs = fsOf(spark, baseDir)
+      val (gen, tailIds) = listState(spark, baseDir)
+      val covered = gen.coveredThrough
+      val foldIds = tailIds.filter(_ <= upTo)
+      val cutoff =
+        if (foldIds.isEmpty) covered
+        else math.max(covered, foldIds.max)
+      if (cutoff < 0) -1L
+      else {
+        val modulusChange = gen.modulus.exists(_ != nBuckets)
+        val runsAfterMinor =
+          gen.l0.size + (if (foldIds.nonEmpty) 1 else 0)
+        val ratioHit = gen.compact.exists { case (c, n) =>
+          val compactBytes = fs.getContentSummary(
+            new Path(s"$baseDir/compact=$c.n$n")).getLength
+          val upperBytes = gen.l0.map { case (h, nb) =>
+            fs.getContentSummary(
+              new Path(s"$baseDir/l0=$h.n$nb")).getLength }.sum +
+            committedDataDirs(fs, baseDir, covered, -1L)
+              .filter(_.split("batch=").last.toLong <= cutoff)
+              .map(d => fs.getContentSummary(new Path(d)).getLength)
+              .sum
+          upperBytes >= compactBytes * majorRatio && upperBytes > 0
+        }
+        if (modulusChange || runsAfterMinor > maxL0Runs || ratioHit) {
+          val targetName = s"compact=$cutoff.n$nBuckets"
+          // skip the rewrite when the resolved compact already IS the
+          // target and nothing would fold into it (crash-retry path)
+          if (!(gen.compact.contains((cutoff, nBuckets)) &&
+            gen.l0.isEmpty && foldIds.isEmpty))
+            writeMajor(spark, fs, baseDir, gen, cutoff, bucketKey,
+              nBuckets)
+          sweep(fs, baseDir, covered, gen.dirNames.toSet + targetName)
+          cutoff
+        } else if (foldIds.nonEmpty) {
+          val minorCutoff = foldIds.max
+          val targetName = s"l0=$minorCutoff.n$nBuckets"
+          if (!committed(spark, s"$baseDir/$targetName"))
+            writeMinor(spark, fs, baseDir, gen, minorCutoff, bucketKey,
+              nBuckets)
+          sweep(fs, baseDir, covered, gen.dirNames.toSet + targetName)
+          cutoff
+        } else {
+          // nothing to fold: still sweep, so grace debris never
+          // outlives one compactor call
+          sweep(fs, baseDir, covered, gen.dirNames.toSet)
+          covered
+        }
+      }
+    }.getOrElse(compactedThrough(spark, baseDir))
   }
 }

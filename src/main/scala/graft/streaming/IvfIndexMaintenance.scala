@@ -44,13 +44,14 @@ object IvfIndexMaintenance {
   /** Start maintaining: wire to `.option("checkpointLocation", …)
     * .start()`. `centroids` should be the (small, localized) frame
     * `IvfIndex.buildCentroids` returns. `compactEvery` ≤ 0 disables
-    * compaction; with it on, every N committed batches fold into one
-    * consolidated dir hash-bucketed by `cluster_id` — the posting-
-    * list key ([[BatchDirs.compact]], same commit-marker replay
-    * safety). Listing bound per read: O(compacted dirs) + a tail
-    * bounded by min(0.1 × index bytes — the fold-ratio governor —
-    * and BatchDirs' 64-dir backstop) + one generation of
-    * swept-next-call grace debris; never O(stream age).
+    * compaction; with it on, every N committed batches the tail
+    * folds into an L0 run hash-bucketed by `cluster_id` — the
+    * posting-list key — with major merges on the byte-ratio/run-count
+    * triggers ([[BatchDirs.compactTiered]]; `tiered = false` selects
+    * the single-tier baseline, same commit-marker replay safety
+    * either way). Listing bound per read: O(1 compact + ≤ maxL0Runs
+    * L0 runs + one cadence of batch dirs + one call of grace debris);
+    * never O(stream age).
     *
     * `idOffset` shifts the engine's batch ids before they key the
     * layout: a stream resumed over a [[rebuild]]-bootstrapped dir
@@ -60,11 +61,12 @@ object IvfIndexMaintenance {
   def maintain(emb: DataFrame, centroids: DataFrame,
     indexDir: String, compactEvery: Int = 0, nBuckets: Int = 64,
     metrics: Option[ProgressMetrics] = None,
-    idOffset: Long = 0L): DataStreamWriter[Row] =
+    idOffset: Long = 0L, tiered: Boolean = true)
+    : DataStreamWriter[Row] =
     emb.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId + idOffset, centroids, indexDir,
-          compactEvery, nBuckets, metrics)
+          compactEvery, nBuckets, metrics, tiered)
     }
 
   /** The drift caveat's operational answer, as an operator: re-key
@@ -79,19 +81,35 @@ object IvfIndexMaintenance {
     * a full O(index) shuffle for a production rebuild. The result
     * lands as `batch=0` with the usual commit marker, so every
     * reader face works unchanged; `oldDir` is untouched — in-flight
-    * readers drain against it, then it retires. Resume the stream
-    * over `newDir` with a fresh checkpoint and `maintain(idOffset =
-    * 1)` (class doc on the collision). Returns the posting count
-    * (sanity: equals the old index's row count). */
+    * readers drain against it, then it retires. `newDir` must hold
+    * no committed index state (fail-fast — leftover batch or folded
+    * dirs from an earlier aborted rebuild into the same path would
+    * silently merge into the rebuilt view, since every reader unions
+    * committed dirs); pick a fresh path per rebuild. Resume the
+    * stream over `newDir` with a fresh checkpoint and
+    * `maintain(idOffset = 1)` (class doc on the collision). Returns
+    * the posting count (sanity: equals the old index's row count),
+    * counted from the persisted assignment the write itself
+    * materialized — NOT a second O(index) scan of the fresh dir. */
   def rebuild(spark: SparkSession, oldDir: String,
     newCentroids: DataFrame, newDir: String): Long = {
+    val (covered, ids) = BatchDirs.committedState(spark, newDir)
+    require(covered < 0 && ids.isEmpty,
+      s"rebuild target $newDir already holds committed index state " +
+        s"(coverage $covered, batch dirs ${ids.sorted.mkString(",")})" +
+        " — readers union every committed dir, so an aborted earlier " +
+        "rebuild's leftovers would silently merge into the rebuilt " +
+        "view; rebuild into a fresh directory")
     val postings = index(spark, oldDir).getOrElse(
       throw new IllegalStateException(
         s"no committed index batches under $oldDir"))
-    IvfIndex.build(
-        postings.select(col("vec_id"), col("embedding")), newCentroids)
-      .write.mode("overwrite").parquet(s"$newDir/batch=0")
-    spark.read.parquet(s"$newDir/batch=0").count()
+    val assigned = IvfIndex.build(
+      postings.select(col("vec_id"), col("embedding")), newCentroids)
+      .persist()
+    try {
+      assigned.write.mode("overwrite").parquet(s"$newDir/batch=0")
+      assigned.count() // served from the cache the write populated
+    } finally { assigned.unpersist(); () }
   }
 
   /** One micro-batch: assign, append, compact on cadence. Public for
@@ -101,7 +119,8 @@ object IvfIndexMaintenance {
   def processBatch(batch: DataFrame, batchId: Long,
     centroids: DataFrame, indexDir: String,
     compactEvery: Int = 0, nBuckets: Int = 64,
-    metrics: Option[ProgressMetrics] = None): Unit = {
+    metrics: Option[ProgressMetrics] = None,
+    tiered: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val dir = s"$indexDir/batch=$batchId"
     if (!BatchDirs.committed(spark, dir)) {
@@ -141,35 +160,49 @@ object IvfIndexMaintenance {
             }.sum)
       }
     }
-    // idempotent on replay, like the append itself; 0.1 fold ratio =
-    // the write-amplification governor (BatchDirs doc). upTo =
+    // idempotent on replay, like the append itself. upTo =
     // batchId − 1: the current batch's dir carries the _SUCCESS
     // marker a post-crash replay checks — folding it would turn the
     // replay into a full (wasted) rebuild; earlier batches are in
     // the engine's commit log and can never replay.
-    // in-band cadence: guard skipped — upTo = batchId − 1 < batchId
-    // holds by construction (batch committed above), and the guard's
-    // extra listing has no business inside the foreachBatch body
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      BatchDirs.compact(spark, indexDir, batchId - 1, "cluster_id",
-        nBuckets, minFoldRatio = 0.1)
+    // The in-band cadence path skips the out-of-band guard: upTo =
+    // batchId − 1 < batchId (committed above) holds by construction,
+    // and the guard's extra listing has no business inside the
+    // foreachBatch body. On compactor-lease contention (an
+    // out-of-band fold in flight) the fold defers silently — the
+    // next cadence retries.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      if (tiered)
+        BatchDirs.compactTiered(spark, indexDir, batchId - 1,
+          "cluster_id", nBuckets)
+      else
+        BatchDirs.compact(spark, indexDir, batchId - 1, "cluster_id",
+          nBuckets, minFoldRatio = 0.1)
+      ()
+    }
   }
 
   /** Out-of-band fold of committed batches ≤ `upTo` — same contract
     * as [[LshIndexMaintenance.compactNow]]: run it from a separate
-    * maintenance job to keep the O(index) rewrite out of the
-    * micro-batch path. Disable the cadence, one compactor at a time,
-    * `upTo` STRICTLY below the newest committed batch (enforced —
-    * folding the possibly-replaying newest batch destroys its replay
-    * marker and the replay double-appends its postings), and space
-    * invocations at least one micro-batch / external-reader duration
-    * apart: the grace window covers ONE fold per in-flight pinned
-    * read. */
+    * maintenance job to keep a major merge out of the micro-batch
+    * path. `upTo` STRICTLY below the newest committed batch
+    * (enforced — folding the possibly-replaying newest batch destroys
+    * its replay marker and the replay double-appends its postings);
+    * the single-compactor lease serializes this against the in-band
+    * cadence (which defers to it) and fails loudly against another
+    * out-of-band fold; space invocations at least one micro-batch /
+    * external-reader duration apart: the grace window covers ONE
+    * compactor call per in-flight pinned read
+    * ([[BatchDirs.materialized]] for longer-lived handles). */
   def compactNow(spark: SparkSession, indexDir: String,
-    upTo: Long, nBuckets: Int = 64): Long =
+    upTo: Long, nBuckets: Int = 64, tiered: Boolean = true): Long =
     if (!BatchDirs.foldableUpTo(spark, indexDir, upTo)) -1L
-    else BatchDirs.compact(spark, indexDir, upTo, "cluster_id",
-      nBuckets, minFoldRatio = 0.1)
+    else if (tiered)
+      BatchDirs.compactTiered(spark, indexDir, upTo, "cluster_id",
+        nBuckets, failIfBusy = true)
+    else
+      BatchDirs.compact(spark, indexDir, upTo, "cluster_id",
+        nBuckets, minFoldRatio = 0.1, failIfBusy = true)
 
   /** The postings accumulated so far, search-ready. None before the
     * first commit. */
@@ -188,30 +221,33 @@ object IvfIndexMaintenance {
           s"no committed index batches under $indexDir")),
       centroids, probes, nProbe, topK)
 
-  /** [[search]] with the compacted part of the scan PRUNED to the
+  /** [[search]] with the folded tiers of the scan PRUNED to the
     * hash buckets the probed clusters land in — the payoff of the
-    * cluster_id-bucketed compact layout: a search touches
+    * cluster_id-bucketed fold layout: a search touches
     * O(probed buckets + recent tail) of the index, not O(index).
     * Identical results to [[search]] by construction (a candidate
     * must share its probe's cluster_id, hence its bucket;
     * spec-pinned). Falls back to the full scan before the first
-    * compaction. The probed-cluster collect is ≤ k rows — the same
+    * fold. The probed-cluster collect is ≤ k rows — the same
     * bounded-by-design budget as IvfIndex's centroid localization.
     *
-    * Consumption deadline: the returned frame's compact-dir file
+    * Consumption deadline: the returned frame's folded-tier file
     * listing is pinned to the generation resolved HERE, which the
-    * two-phase sweep guarantees for ONE subsequent compaction — a
+    * two-phase sweep guarantees for ONE subsequent compactor call — a
     * caller holding the frame lazy across two or more maintainer
-    * compaction cadences can hit swept files; consume within a
-    * cadence, or materialize eagerly when it must live longer. */
+    * compaction calls can hit swept files; consume within a cadence,
+    * or pass `materialize = true` to detach the result from the
+    * pinned files ([[BatchDirs.materialized]] — an eager local
+    * checkpoint, paid once) when it must live longer. */
   def searchPruned(spark: SparkSession, indexDir: String,
     centroids: DataFrame, probes: DataFrame,
-    nProbe: Int, topK: Int): DataFrame = {
-    val info = BatchDirs.compactInfo(spark, indexDir)
-    info match {
+    nProbe: Int, topK: Int, materialize: Boolean = false)
+    : DataFrame = {
+    val gen = BatchDirs.generation(spark, indexDir)
+    val out = gen.modulus match {
       case None => search(spark, indexDir, centroids, probes,
         nProbe, topK)
-      case Some((_, n)) =>
+      case Some(n) =>
         // ONE probes×centroids scoring pass: the same frame derives
         // the bucket filter and feeds the candidate join
         // (searchFrom). Persisted — the bucket collect materializes
@@ -225,7 +261,7 @@ object IvfIndexMaintenance {
         // xxhash64 is type-width-sensitive, so the bucket must be
         // computed on the same type compact() hashed. One collect
         // yields both the bucket set (partition pruning of the
-        // compacted dirs) and the probed cluster ids themselves
+        // folded tiers) and the probed cluster ids themselves
         val probed = pc
           .select(col("cluster_id"),
             BatchDirs.bucketOf(col("cluster_id"), n).as("b"))
@@ -234,10 +270,10 @@ object IvfIndexMaintenance {
         val cids = probed.map(_.get(0)).distinct.toSeq
         // readCommittedAt pins the read to the generation the
         // buckets were computed for: a concurrent re-bucketing
-        // compaction must not swap the modulus under the filter
-        // (the two-phase sweep keeps the pinned dir alive)
+        // fold must not swap the modulus under the filter
+        // (the two-phase sweep keeps the pinned dirs alive)
         val ix = BatchDirs
-          .readCommittedAt(spark, indexDir, info,
+          .readCommittedAt(spark, indexDir, gen,
             pbuckets = Some(buckets))
           .getOrElse(throw new IllegalStateException(
             s"no committed index batches under $indexDir"))
@@ -250,5 +286,6 @@ object IvfIndexMaintenance {
           .filter(col("cluster_id").isin(cids: _*))
         IvfIndex.searchFrom(pc, ix, topK)
     }
+    if (materialize) BatchDirs.materialized(out) else out
   }
 }

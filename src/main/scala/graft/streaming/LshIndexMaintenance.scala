@@ -39,23 +39,24 @@ import org.apache.spark.sql.Row
   *
   * Compaction (`compactEvery`): a directory per micro-batch is an
   * O(batches) listing per read and an unbounded small-files pile —
-  * every `compactEvery` committed batches, [[BatchDirs.compact]]
-  * folds the index (bucketed by `k1`, the band-bucket join key) and
-  * the pairs (bucketed by `doc_a`) into one consolidated dir each,
-  * with the same commit-marker replay safety. Listing bound per
-  * read: O(compacted dirs) + an uncompacted tail bounded by
-  * min(0.1 × index bytes — the fold-ratio governor, which defers a
-  * rewrite the tail hasn't paid for — and BatchDirs' 64-dir
-  * backstop), plus one generation of swept-next-call grace debris;
-  * never O(stream age). The bucketed
-  * layout also lets face 2 PRUNE the index scan to the k1 hash
-  * buckets the batch actually probes ([[BatchDirs.bucketOf]] on both
-  * sides — a micro-batch touches at most its own band count of
-  * buckets, so at production index sizes the scan reads a fraction
-  * of the compacted table, plus the whole — cadence-bounded — recent
-  * tail. Index compaction runs BEFORE pairs compaction, so the pairs
-  * cutoff never exceeds the band cutoff and [[pairsSoFar]]'s gate
-  * stays uniform. */
+  * every `compactEvery` committed batches, [[BatchDirs.compactTiered]]
+  * folds the index tail (bucketed by `k1`, the band-bucket join key)
+  * and the pairs tail (bucketed by `doc_a`) into L0 runs, with major
+  * merges on the byte-ratio/run-count triggers and the same
+  * commit-marker replay safety (tiering rationale and bounds:
+  * [[BatchDirs]] class doc). Listing bound per read: O(1 compact +
+  * ≤ maxL0Runs L0 runs + one cadence of batch dirs + one call of
+  * grace debris); never O(stream age). The bucketed layout also lets
+  * face 2 PRUNE every folded tier to the k1 hash buckets the batch
+  * actually probes ([[BatchDirs.bucketOf]] on both sides — a
+  * micro-batch touches at most its own band count of buckets, so at
+  * production index sizes the scan reads a fraction of the folded
+  * table, plus the whole — cadence-bounded — recent tail). Index
+  * compaction runs BEFORE pairs compaction, so the pairs coverage
+  * never exceeds the band coverage and [[pairsSoFar]]'s gate stays
+  * uniform. `tiered = false` selects the single-tier fold
+  * ([[BatchDirs.compact]]) — the flat-layout baseline the ladder
+  * probe compares against. */
 object LshIndexMaintenance {
 
   /** Start maintaining: wire to `.option("checkpointLocation", …)
@@ -65,11 +66,11 @@ object LshIndexMaintenance {
     * streams want it at, say, 32. */
   def maintain(docs: DataFrame, idCol: String, textCol: String,
     indexDir: String, pairsDir: String, compactEvery: Int = 0,
-    nBuckets: Int = 64): DataStreamWriter[Row] =
+    nBuckets: Int = 64, tiered: Boolean = true): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexDir,
-          pairsDir, compactEvery, nBuckets)
+          pairsDir, compactEvery, nBuckets, tiered)
     }
 
   /** One micro-batch: emit pairs, append bands, compact on cadence.
@@ -77,7 +78,8 @@ object LshIndexMaintenance {
     * a backfill job can call it with synthetic batch ids. */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
     textCol: String, indexDir: String, pairsDir: String,
-    compactEvery: Int = 0, nBuckets: Int = 64): Unit = {
+    compactEvery: Int = 0, nBuckets: Int = 64,
+    tiered: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val bandDir = s"$indexDir/batch=$batchId"
     val pairDir = s"$pairsDir/batch=$batchId"
@@ -97,8 +99,8 @@ object LshIndexMaintenance {
           .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
           .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         // face 2 — new ⋈ indexed-so-far: broadcast the batch bands so
-        // the index never shuffles (class doc); when the index is
-        // compacted, prune its scan to the k1 buckets this batch
+        // the index never shuffles (class doc); when the index holds
+        // folded tiers, prune their scan to the k1 buckets this batch
         // probes (bounded driver collect: ≤ nBuckets values); earlier
         // doc first only when ids order that way — canonical
         // (least, greatest). The read is PINNED to the generation the
@@ -108,13 +110,13 @@ object LshIndexMaintenance {
         // mid-batch safe — a re-resolved layout with a different
         // modulus under buckets computed for the old one would
         // silently drop matches
-        val info = BatchDirs.compactInfo(spark, indexDir)
-        val probeBuckets = info
-          .map { case (_, n) =>
+        val gen = BatchDirs.generation(spark, indexDir)
+        val probeBuckets = gen.modulus
+          .map { n =>
             bands.select(BatchDirs.bucketOf(col("k1"), n).as("b"))
               .distinct().collect().map(_.getLong(0)).toSeq
           }
-        val cross = BatchDirs.readCommittedAt(spark, indexDir, info,
+        val cross = BatchDirs.readCommittedAt(spark, indexDir, gen,
           excludeBatch = batchId, pbuckets = probeBuckets)
           .map { ix =>
             ix.join(broadcast(bands.withColumnRenamed("doc_id", "new_id")),
@@ -132,69 +134,81 @@ object LshIndexMaintenance {
       } finally bands.unpersist()
     }
     // cadence-gated compaction AFTER the band commit; a replayed
-    // committed batch re-runs it, which is an idempotent sweep. The
-    // 0.1 fold ratio is the write-amplification governor (BatchDirs
-    // doc): a fold rewrites the whole compacted table, so it only
-    // pays once the recent tail reaches a tenth of it.
+    // committed batch re-runs it, which is an idempotent sweep.
     // upTo = batchId - 1, NEVER the current batch: folding (and
     // eventually sweeping) batch=<batchId> would destroy the very
     // _SUCCESS marker that makes a post-crash replay of THIS batch a
     // no-op — the replay would reprocess and join its own bands back
-    // against the compacted index, triple-counting its pairs. Batches
+    // against the folded index, triple-counting its pairs. Batches
     // ≤ batchId−1 are in the engine's commit log by the time this
     // batch runs, so they can never replay.
-    // The pairs fold is capped at the BAND cutoff actually reached
-    // (folds defer independently under the ratio governor), keeping
-    // the documented invariant pairsCutoff ≤ bandCutoff structural.
-    // the in-band cadence path skips the out-of-band guard: upTo =
-    // batchId − 1 < batchId (committed two lines above) holds by
-    // construction, and the guard's extra listing has no business
-    // inside the latency-sensitive foreachBatch body
+    // The pairs fold is capped at the BAND coverage actually reached
+    // (majors defer independently under the ratio governor), keeping
+    // the documented invariant pairsCoverage ≤ bandCoverage
+    // structural. The in-band cadence path skips the out-of-band
+    // guard: upTo = batchId − 1 < batchId (committed two lines above)
+    // holds by construction, and the guard's extra listing has no
+    // business inside the latency-sensitive foreachBatch body. On
+    // compactor-lease contention (an out-of-band fold in flight) the
+    // fold defers silently — the next cadence retries.
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-      foldBoth(spark, indexDir, pairsDir, batchId - 1, nBuckets)
+      foldBoth(spark, indexDir, pairsDir, batchId - 1, nBuckets,
+        tiered, failIfBusy = false)
   }
 
   /** Fold committed batches ≤ `upTo` now — the OUT-OF-BAND face of
-    * the cadence compaction: an in-band fold is an O(index) rewrite
-    * running inside a micro-batch (the StreamLadder rung shows it
-    * spiking the triggering batch's latency), which at production
-    * index sizes can blow the trigger interval. Running this from a
-    * separate maintenance job between micro-batches keeps per-batch
-    * cost flat; it is safe against concurrent `processBatch` calls
-    * because (a) `upTo` must stay STRICTLY below the newest
-    * dir-committed batch (enforced here — same rule as the cadence
-    * path: folding the batch the engine may still replay destroys
-    * the replay marker, and the replayed batch would re-join its own
-    * folded bands, permanently double-counting its pairs), (b)
-    * face 2's pruned read is pinned to the generation its probe
-    * buckets came from, and (c) the two-phase sweep keeps any
+    * the cadence compaction: an in-band fold is a potentially
+    * O(index) job running inside a micro-batch (the StreamLadder rung
+    * shows a major merge spiking the triggering batch's latency),
+    * which at production index sizes can blow the trigger interval.
+    * Running this from a separate maintenance job between
+    * micro-batches keeps per-batch cost flat; it is safe against
+    * concurrent `processBatch` calls because (a) `upTo` must stay
+    * STRICTLY below the newest dir-committed batch (enforced here —
+    * same rule as the cadence path: folding the batch the engine may
+    * still replay destroys the replay marker, and the replayed batch
+    * would re-join its own folded bands, permanently double-counting
+    * its pairs), (b) face 2's pruned read is pinned to the generation
+    * its probe buckets came from, (c) the two-phase sweep keeps any
     * generation a concurrent reader resolved alive for ONE more
-    * fold — so space invocations at least one micro-batch (and one
-    * external-reader) duration apart: two calls landing inside a
-    * single in-flight read exhaust its grace window (the second
-    * call's sweep deletes the generation the read is pinned to, and
-    * it fails with FileNotFoundException — crash/retry, not
-    * corruption). At most ONE compactor may run at a time (compact()
-    * is not concurrency-safe against itself) — disable the cadence
-    * (`compactEvery = 0`) when folding out-of-band. A dir with
-    * nothing committed yet is a no-op returning −1 (a maintenance
-    * job racing stream startup must not crash). Band fold first,
-    * then pairs capped at the band cutoff reached, keeping
-    * pairsCutoff ≤ bandCutoff structural. */
+    * compactor call — so space invocations at least one micro-batch
+    * (and one external-reader) duration apart: two calls landing
+    * inside a single in-flight read exhaust its grace window (the
+    * second call's sweep deletes the generation the read is pinned
+    * to, and it fails with FileNotFoundException — crash/retry, not
+    * corruption; see [[BatchDirs.materialized]] for long-lived
+    * handles), and (d) the single-compactor LEASE
+    * ([[BatchDirs]] class doc) serializes this against the in-band
+    * cadence: the cadence defers to a running out-of-band fold, and a
+    * second out-of-band fold FAILS LOUDLY (`IllegalStateException`)
+    * rather than corrupting — a misconfigured double-cron surfaces on
+    * its first collision. A dir with nothing (left) to fold is a
+    * no-op returning −1 (a maintenance job racing stream startup, or
+    * re-running after a fully-folded quiet period, must not crash).
+    * Band fold first, then pairs capped at the band coverage reached,
+    * keeping pairsCoverage ≤ bandCoverage structural. */
   def compactNow(spark: SparkSession, indexDir: String,
-    pairsDir: String, upTo: Long, nBuckets: Int = 64): Long =
+    pairsDir: String, upTo: Long, nBuckets: Int = 64,
+    tiered: Boolean = true): Long =
     if (!BatchDirs.foldableUpTo(spark, indexDir, upTo)) -1L
-    else foldBoth(spark, indexDir, pairsDir, upTo, nBuckets)
+    else foldBoth(spark, indexDir, pairsDir, upTo, nBuckets, tiered,
+      failIfBusy = true)
 
-  /** Band fold then pairs fold capped at the band cutoff reached —
+  /** Band fold then pairs fold capped at the band coverage reached —
     * the shared body of the cadence path and [[compactNow]]. */
   private def foldBoth(spark: SparkSession, indexDir: String,
-    pairsDir: String, upTo: Long, nBuckets: Int): Long = {
-    val bandCutoff = BatchDirs.compact(spark, indexDir, upTo,
-      "k1", nBuckets, minFoldRatio = 0.1)
-    BatchDirs.compact(spark, pairsDir, bandCutoff, "doc_a", nBuckets,
-      minFoldRatio = 0.1)
-    bandCutoff
+    pairsDir: String, upTo: Long, nBuckets: Int, tiered: Boolean,
+    failIfBusy: Boolean): Long = {
+    def fold(dir: String, key: String, limit: Long): Long =
+      if (tiered)
+        BatchDirs.compactTiered(spark, dir, limit, key, nBuckets,
+          failIfBusy = failIfBusy)
+      else
+        BatchDirs.compact(spark, dir, limit, key, nBuckets,
+          minFoldRatio = 0.1, failIfBusy = failIfBusy)
+    val bandCoverage = fold(indexDir, "k1", upTo)
+    fold(pairsDir, "doc_a", bandCoverage)
+    bandCoverage
   }
 
   /** Every candidate pair emitted by COMMITTED batches — union of
@@ -204,7 +218,7 @@ object LshIndexMaintenance {
     * will re-run — exposing it would show candidates whose bands are
     * absent from [[readIndex]] (a torn view). The sibling index dir
     * is the gate: a pairs batch is visible iff its id is at or below
-    * the index's compaction cutoff (folded bands — committed by the
+    * the index's fold coverage (folded bands — committed by the
     * coverage rule) or among the index's committed batch dirs. */
   def pairsSoFar(spark: SparkSession, pairsDir: String,
     indexDir: String): DataFrame =
@@ -213,10 +227,10 @@ object LshIndexMaintenance {
 
   /** The band-commit visibility gate shared by [[pairsSoFar]] and
     * [[pairsFor]] — ONE definition so the two read faces can never
-    * disagree on which pairs are visible. The index dir's (cutoff,
+    * disagree on which pairs are visible. The index dir's (coverage,
     * committed ids) come from a single listing
     * ([[BatchDirs.committedState]]): resolving them separately races
-    * a concurrent index compaction — a new cutoff paired with the
+    * a concurrent index compaction — a new coverage paired with the
     * pre-fold id list makes just-folded batches vanish from the
     * disjunction for one read. */
   private def gatedPairs(spark: SparkSession, indexDir: String,
@@ -237,45 +251,58 @@ object LshIndexMaintenance {
 
   /** The candidate pairs whose CANONICAL (lesser) member is in
     * `docIds` — the dedup-cluster point-lookup face ("what does
-    * canonical doc X subsume"), and the payoff of the pairs compact
-    * layout's `doc_a` bucketing: the compacted scan PRUNES to the
+    * canonical doc X subsume"), and the payoff of the pairs fold
+    * layout's `doc_a` bucketing: the folded-tier scan PRUNES to the
     * buckets the requested ids hash into, so a lookup touches
     * O(|docIds| buckets + cadence-bounded recent tail) of the pairs
     * table, not O(pairs). Same band-commit gate as [[pairsSoFar]];
-    * the read is pinned to the compact generation the buckets were
-    * computed for ([[BatchDirs.readCommittedAt]]). `docIds` is a
-    * bounded lookup set (it becomes an `isin` filter and a
-    * driver-side bucket derivation) — for a frame-scale probe, join
-    * against [[pairsSoFar]] instead. Pairs are stored once, keyed by
-    * least id: a by-EITHER-member lookup is a different, unbucketed
-    * access path — filter [[pairsSoFar]]. */
+    * the read is pinned to the generation the buckets were computed
+    * for ([[BatchDirs.readCommittedAt]]). `docIds` is a bounded
+    * lookup set (it becomes an `isin` filter and a driver-side bucket
+    * derivation) — for a frame-scale probe, join against
+    * [[pairsSoFar]] instead. Pairs are stored once, keyed by least
+    * id: a by-EITHER-member lookup is a different, unbucketed access
+    * path — filter [[pairsSoFar]].
+    *
+    * `materialize = true` detaches the result from the pinned files
+    * ([[BatchDirs.materialized]]) for consumers holding it across
+    * more than one compactor call. */
   def pairsFor(spark: SparkSession, pairsDir: String,
-    indexDir: String, docIds: Seq[Long]): DataFrame = {
+    indexDir: String, docIds: Seq[Long],
+    materialize: Boolean = false): DataFrame = {
     import spark.implicits._
-    val info = BatchDirs.compactInfo(spark, pairsDir)
+    val gen = BatchDirs.generation(spark, pairsDir)
     // the bucket set must be derived with the IDENTICAL hash
     // compact() wrote — xxhash64 is type-width-sensitive, so the
     // lookup ids are first try_cast to the STORED doc_a type (one
-    // compact-dir footer read; an id outside the stored domain
-    // try_casts to NULL, whose junk bucket is harmless — the final
-    // typed isin filter excludes it). A local ≤|docIds|-row job.
-    val buckets = info.map { case (c, n) =>
-      val stored = spark.read
-        .parquet(s"$pairsDir/compact=$c.n$n").schema("doc_a").dataType
+    // footer read from a tier dir that actually HOLDS data — an
+    // all-empty-batches fold commits marker-only dirs with no schema
+    // to infer, in which case the read falls back to unpruned; an id
+    // outside the stored domain try_casts to NULL, whose junk bucket
+    // is harmless — the final typed isin filter excludes it). A
+    // local ≤|docIds|-row job.
+    val buckets = for {
+      n <- gen.modulus
+      (dataDir, _) <- BatchDirs.genDataDirs(spark, pairsDir, gen)
+        .headOption
+    } yield {
+      val stored =
+        spark.read.parquet(dataDir).schema("doc_a").dataType
       docIds.toDF("raw")
         .select(BatchDirs.bucketOf(
           expr(s"try_cast(raw as ${stored.sql})"), n).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq
     }
-    gatedPairs(spark, indexDir,
-      BatchDirs.readCommittedAt(spark, pairsDir, info,
+    val out = gatedPairs(spark, indexDir,
+      BatchDirs.readCommittedAt(spark, pairsDir, gen,
         pbuckets = buckets))
       .filter(col("doc_a").isin(docIds: _*))
+    if (materialize) BatchDirs.materialized(out) else out
   }
 
   /** The band index accumulated so far, `batch` column included.
     * None before the first commit ([[BatchDirs]]). `pbuckets` prunes
-    * the compacted part of the scan to the given
+    * the folded tiers of the scan to the given
     * [[BatchDirs.bucketOf]] k1 buckets. */
   def readIndex(spark: SparkSession, indexDir: String,
     excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)

@@ -36,16 +36,26 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
   private case object TornThenAppend extends Op
   private case object Debris extends Op
   private case class Compact(ratio: Double, nBuckets: Int) extends Op
+  private case class Tiered(ratio: Double, nBuckets: Int,
+    maxL0Runs: Int) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.choose(1, 40).map(Append(_)),
     1 -> Gen.const(AppendEmpty),
     1 -> Gen.const(TornThenAppend),
     1 -> Gen.const(Debris),
-    4 -> (for {
+    2 -> (for {
       ratio <- Gen.oneOf(0.0, 0.0, 0.1, 0.5)
       n <- Gen.oneOf(2, 4, 8)
-    } yield Compact(ratio, n)))
+    } yield Compact(ratio, n)),
+    // tiered folds interleaved with single-tier ones: minor L0 runs,
+    // run-count-backstop majors, ratio majors, and modulus-change
+    // majors all mix freely against the same invariants
+    2 -> (for {
+      ratio <- Gen.oneOf(0.0, 0.1, 1e9)
+      n <- Gen.oneOf(2, 4, 8)
+      runs <- Gen.oneOf(1, 2, 16)
+    } yield Tiered(ratio, n, runs)))
 
   private val caseGen: Gen[List[Op]] = for {
     n <- Gen.choose(6, 14)
@@ -134,9 +144,26 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
           val ret = BatchDirs.compact(spark, dir, upTo, "k",
             nBuckets = n, minFoldRatio = ratio)
           assert(ret == BatchDirs.compactedThrough(spark, dir),
-            s"compact() return != observed cutoff (ops=$ops)")
+            s"compact() return != observed coverage (ops=$ops)")
           check()
-        case Compact(_, _) => () // nothing committed yet
+        case Tiered(ratio, n, runs) if nextId > 0 =>
+          val upTo = nextId - 1
+          val ret = BatchDirs.compactTiered(spark, dir, upTo, "k",
+            nBuckets = n, majorRatio = ratio, maxL0Runs = runs)
+          assert(ret == BatchDirs.compactedThrough(spark, dir),
+            s"compactTiered() return != observed coverage (ops=$ops)")
+          // the run-count backstop is an invariant, not a prediction:
+          // the resolved generation never holds more than maxL0Runs
+          // runs is not assertable here (maxL0Runs varies per op), but
+          // the generation must be single-modulus — the contract every
+          // pruned reader derives ONE bucket set from
+          val gen = BatchDirs.generation(spark, dir)
+          val moduli = (gen.compact.map(_._2).toSeq ++
+            gen.l0.map(_._2)).distinct
+          assert(moduli.size <= 1,
+            s"mixed-modulus generation $gen (ops=$ops)")
+          check()
+        case Compact(_, _) | Tiered(_, _, _) => () // nothing committed
       }
       fs.delete(new Path(dir), true)
     }

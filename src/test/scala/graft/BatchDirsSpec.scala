@@ -44,16 +44,18 @@ class BatchDirsSpec extends SparkTestBase {
       minFoldRatio = 0.1) == 0L)
     assert(names(dir) == Seq("batch=0", "compact=0.n4") && total == 500)
     // a 1-row tail is far under 10% of 500 — the fold must DEFER:
-    // cutoff stays 0, the batch dir stays, the reader still sees all
+    // cutoff stays 0, the tail dir stays, the reader still sees all.
+    // The deferred call still runs the (listing-only) sweep, so the
+    // PREVIOUS generation's grace debris (batch=0) is gone — debris
+    // never outlives one compactor call, deferred or not
     writeBatch(dir, 1L, rows = 1, offset = 500)
     assert(BatchDirs.compact(spark, dir, 1L, "k", nBuckets = 4,
       minFoldRatio = 0.1) == 0L,
       "tiny tail must not trigger an O(index) rewrite")
-    assert(names(dir) == Seq("batch=0", "batch=1", "compact=0.n4"))
+    assert(names(dir) == Seq("batch=1", "compact=0.n4"))
     assert(total == 501 && BatchDirs.compactedThrough(spark, dir) == 0L)
-    // grow the tail past the ratio: the fold proceeds, and the sweep
-    // removes exactly the PREVIOUS generation's debris (batch=0) —
-    // the dirs folded THIS call keep their one-generation grace
+    // grow the tail past the ratio: the fold proceeds; the dirs
+    // folded THIS call keep their one-call grace
     writeBatch(dir, 2L, rows = 500, offset = 501)
     assert(BatchDirs.compact(spark, dir, 2L, "k", nBuckets = 4,
       minFoldRatio = 0.1) == 2L)
@@ -87,8 +89,9 @@ class BatchDirsSpec extends SparkTestBase {
     BatchDirs.compact(spark, dir, 2L, "k", nBuckets = 4,
       minFoldRatio = 0.1) // defers
     assert(BatchDirs.compactedThrough(spark, dir) == 1L)
-    // batch=0/1 linger as grace debris, but the committedIds CONTRACT
-    // excludes folded ids — only the uncovered tail is reported
+    // the committedIds CONTRACT excludes folded ids — only the
+    // uncovered tail is reported (batch=0/1 were folded; whether
+    // their grace dirs were swept yet is irrelevant to the view)
     assert(BatchDirs.committedIds(spark, dir) == Seq(2L))
     val df = BatchDirs.readCommitted(spark, dir).get
     assert(df.count() == 801)
@@ -194,9 +197,9 @@ class BatchDirsSpec extends SparkTestBase {
     // a reader resolves the current generation and builds (but does
     // not yet consume) a pruned frame over it — its parquet file
     // listing is fixed HERE
-    val info = BatchDirs.compactInfo(spark, dir)
-    assert(info.contains((0L, 4)))
-    val pinned = BatchDirs.readCommittedAt(spark, dir, info,
+    val gen = BatchDirs.generation(spark, dir)
+    assert(gen.compact.contains((0L, 4)) && gen.l0.isEmpty)
+    val pinned = BatchDirs.readCommittedAt(spark, dir, gen,
       pbuckets = Some(0L until 4L)).get
     // a compaction supersedes the generation mid-flight — with a NEW
     // bucket count, the hostile case: modulus AND file layout change

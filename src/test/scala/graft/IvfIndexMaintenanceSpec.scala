@@ -148,21 +148,21 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
       .listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).toSeq.sorted
     // processBatch folds up to batchId−1 (the current batch's marker
-    // must survive for replay), so the cutoff lands at 2; the
-    // two-phase sweep retains one generation of grace debris
-    // (batch=1/2 and compact=0 folded this call; batch=0 was swept as
-    // the PREVIOUS generation's debris) — bounded, and the
-    // strictly-above-cutoff read rule below proves it is never
-    // double-counted
+    // must survive for replay), so the coverage lands at 2; the
+    // tiered default folds each cadence's tail into an L0 run
+    // (batch=1/2 this call — their dirs keep one call of grace;
+    // batch=0 was swept as the PREVIOUS call's debris) — bounded,
+    // and the strictly-above-coverage read rule below proves nothing
+    // is ever double-counted
     assert(names == Seq("batch=1", "batch=2", "batch=3",
-      "compact=0.n8", "compact=2.n8"),
-      s"expected cutoff-2 compact + one grace generation: $names")
+      "l0=0.n8", "l0=2.n8"),
+      s"expected coverage-2 L0 runs + one grace generation: $names")
     // the production layout sentence, as directories: postings
-    // bucketed by (hashed) cluster_id
+    // bucketed by (hashed) cluster_id in every folded tier
     val sub = fs.listStatus(
-      new org.apache.hadoop.fs.Path(s"$dir/compact=2.n8"))
+      new org.apache.hadoop.fs.Path(s"$dir/l0=2.n8"))
       .map(_.getPath.getName).filter(_.startsWith("pbucket=")).toSeq
-    assert(sub.nonEmpty, "compact dir is not pbucket-partitioned")
+    assert(sub.nonEmpty, "L0 run is not pbucket-partitioned")
     val got = IvfIndexMaintenance.index(spark, dir).get
       .select("cluster_id", "vec_id").as[(Int, Long)].collect().toSet
     val want = IvfIndexMaintenance.index(spark, ref).get
@@ -199,7 +199,7 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     IvfIndexMaintenance.processBatch(
       corpus.filter(col("vec_id") >= 45L), 3L, centroids, dir,
       compactEvery = 2, nBuckets = 8)
-    assert(names == Seq("batch=3", "compact=2.n8"),
+    assert(names == Seq("batch=3", "l0=0.n8", "l0=2.n8"),
       s"replay's sweep should clear the grace debris: $names")
     assert(IvfIndexMaintenance.index(spark, dir).get
       .select("cluster_id", "vec_id").as[(Int, Long)].collect()

@@ -203,13 +203,15 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     // ids 0-2 with cadence 3 → compaction fires after batch 2, and
     // folds THROUGH batch 1 only: the in-flight batch's dir is its
     // replay marker and is never folded; folded dirs survive one
-    // grace generation for concurrent readers (two-phase sweep)
+    // grace generation for concurrent readers (two-phase sweep).
+    // The tiered default folds the tail into an L0 run — the main
+    // compacted table (none yet) is never rewritten by a minor fold
     Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
       run((ix, pr), b, i.toLong, every = 3)
       run((ix0, pr0), b, i.toLong, every = 0)
     }
     assert(lsNames(ix).sorted ==
-      Seq("batch=0", "batch=1", "batch=2", "compact=1.n8"),
+      Seq("batch=0", "batch=1", "batch=2", "l0=1.n8"),
       s"first generation: fold ≤ batchId-1, retain grace dirs: " +
         s"${lsNames(ix)}")
     val got = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
@@ -235,7 +237,7 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     run((ix0, pr0), b4, 3L, every = 0)
     run((ix0, pr0), b5, 4L, every = 0)
     assert(lsNames(ix).sorted == Seq("batch=0", "batch=1", "batch=2",
-      "batch=3", "batch=4", "compact=1.n8"),
+      "batch=3", "batch=4", "l0=1.n8"),
       s"no cadence point passed — listing unchanged + 2 recents: " +
         s"${lsNames(ix)}")
     val got2 = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
@@ -247,21 +249,24 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     // dir, 4 arrived after — the pruned face-2 scan must find it
     assert(got2.exists { case (a, b, _) => a == 1L && b == 4L },
       s"pair probing the COMPACTED index is missing: $got2")
-    // second generation folds compact + grace dirs and sweeps the
-    // FIRST generation's debris (two-phase): listing stays bounded
-    // by 2 compacts + 2 cadences of batch dirs at any point
+    // the second minor fold appends another L0 run and sweeps the
+    // FIRST fold's debris (two-phase): listing stays bounded by the
+    // L0 run count + 2 cadences of batch dirs at any point
     run((ix, pr), Seq(31L -> "one more row to trip the cadence"), 5L,
       every = 3)
     assert(lsNames(ix).sorted == Seq("batch=2", "batch=3", "batch=4",
-      "batch=5", "compact=1.n8", "compact=4.n8"), s"${lsNames(ix)}")
+      "batch=5", "l0=1.n8", "l0=4.n8"), s"${lsNames(ix)}")
     val got3 = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet
-    // direct folds (ratio 0) converge the layout to a single dir in
-    // two calls — call N sweeps what call N-1 made redundant — and
+    // direct single-tier folds (ratio 0 → every fold a major)
+    // converge the whole tiered layout to a single compact dir in
+    // two calls — call N sweeps what call N-1 made redundant (the
+    // L0 runs folded by the major survive one call as grace) — and
     // never change the view; idempotent at the fixpoint
     val c1 = BatchDirs.compact(spark, ix, 5L, "k1", 8)
     assert(c1 == 5L && lsNames(ix).sorted ==
-      Seq("batch=5", "compact=4.n8", "compact=5.n8"), s"${lsNames(ix)}")
+      Seq("batch=5", "compact=5.n8", "l0=1.n8", "l0=4.n8"),
+      s"${lsNames(ix)}")
     val c2 = BatchDirs.compact(spark, ix, 5L, "k1", 8)
     assert(c2 == 5L && lsNames(ix) == Seq("compact=5.n8"),
       s"${lsNames(ix)}")
