@@ -1,31 +1,47 @@
 package graft
 
-import graft.streaming.{BatchDirs, IvfIndexMaintenance, LshIndexMaintenance}
+import graft.streaming.{IvfIndexMaintenance, LshIndexMaintenance}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming-index maintenance scale probe: drives the LSH and IVF
-  * maintainers over many micro-batches and times EACH batch, with
-  * compaction on vs off — the empirical face of the BatchDirs claim
-  * that per-batch cost stays flat under compaction while the
-  * uncompacted layout degrades with stream age (O(batches) listing +
-  * footer reads on the face-2 index scan). Not part of the driver
-  * contract — a diagnostic main backing BASELINE.md's ladder table,
-  * like [[ScaleLadder]].
+  * maintainers over many micro-batches and times EACH batch, across
+  * three maintenance modes — compaction OFF, single-tier (every fold
+  * a governed major rewrite), and TIERED (L0 minors + triggered
+  * majors) — the empirical face of the BatchDirs claims that
+  * per-batch cost stays flat under compaction while the uncompacted
+  * layout degrades with stream age (O(batches) listing + footer reads
+  * on the face-2 index scan), and that tiering removes the
+  * backstop-forced full rewrites, cutting cumulative WRITE bytes at
+  * equal read latency. Not part of the driver contract — a diagnostic
+  * main backing BASELINE.md's ladder table, like [[ScaleLadder]].
   *
   * Method notes: batches are hash-salted slices of the real
   * documents/embeddings tables (uniform sizes, corpus-like content);
-  * both modes process IDENTICAL batch streams; each mode ends with a
+  * all modes process IDENTICAL batch streams; each mode ends with a
   * full `pairsSoFar`/`index` read timing plus an equality check, so
   * the speed comparison is also a correctness witness. Quartile means
   * of per-batch wall time are the headline (Q1 = stream young, Q4 =
-  * stream old): flat Q4/Q1 under compaction, growing without. */
+  * stream old): flat Q4/Q1 under compaction, growing without.
+  * Cumulative write bytes per mode come from the Hadoop local-FS
+  * statistics (parquet data + markers; shuffle files bypass the
+  * Hadoop FS layer, so the counter isolates exactly the layout's
+  * write amplification). */
 object StreamLadder {
 
   private def timeMs[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
     val a = f
     ((System.nanoTime() - t0) / 1e6, a)
+  }
+
+  /** JVM-wide bytes written through the Hadoop `file` scheme —
+    * snapshot before/after a mode run; the delta is the mode's total
+    * write volume (batch dirs + every fold rewrite). */
+  private def fsBytesWritten: Long = {
+    import scala.jdk.CollectionConverters._
+    org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+      .filter(_.getScheme == "file").map(_.getBytesWritten).sum
   }
 
   // even index-range split (NOT grouped(n/4).take(4), which drops up
@@ -52,51 +68,69 @@ object StreamLadder {
     fs.delete(p, true); ()
   }
 
+  /** Mode label for the report lines. */
+  private def modeName(compactEvery: Int, tiered: Boolean): String =
+    if (compactEvery <= 0) "off   "
+    else if (tiered) "tiered"
+    else "single"
+
   def lshRun(spark: SparkSession, docs: DataFrame, nBatches: Int,
-    compactEvery: Int, base: String, nBuckets: Int = 8)
+    compactEvery: Int, base: String, nBuckets: Int = 8,
+    tiered: Boolean = true)
     : (Seq[Double], Set[(Long, Long, Long)]) = {
     import spark.implicits._
     val (ix, pr) = (s"$base/index", s"$base/pairs")
     clean(spark, ix); clean(spark, pr)
+    val w0 = fsBytesWritten
     val times = (0 until nBatches).map { id =>
       val b = docs.filter(
         pmod(xxhash64(col("doc_id")), lit(nBatches)) === id)
       val (ms, _) = timeMs(LshIndexMaintenance.processBatch(
         b, id.toLong, "doc_id", "text", ix, pr,
-        compactEvery = compactEvery, nBuckets = nBuckets))
+        compactEvery = compactEvery, nBuckets = nBuckets,
+        tiered = tiered))
       ms
     }
+    val written = fsBytesWritten - w0
     val (readMs, pairs) = timeMs(
       LshIndexMaintenance.pairsSoFar(spark, pr, ix)
         .as[(Long, Long, Long)].collect().toSet)
-    println(f"[stream-ladder] lsh every=$compactEvery%-2d " +
+    println(f"[stream-ladder] lsh ${modeName(compactEvery, tiered)} " +
+      f"every=$compactEvery%-2d " +
       f"batchMs Q1/Q2/Q3/Q4 ${fmtQ(times)}  last ${times.last}%.0f  " +
       f"indexDirs ${dirCount(spark, ix)}  pairsDirs ${dirCount(spark, pr)}  " +
+      f"written ${written / 1e6}%.1fMB  " +
       f"pairsRead ${readMs}%.0fms (${pairs.size} pairs)")
     (times, pairs)
   }
 
   def ivfRun(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
-    nBatches: Int, compactEvery: Int, base: String, nBuckets: Int = 8)
+    nBatches: Int, compactEvery: Int, base: String, nBuckets: Int = 8,
+    tiered: Boolean = true)
     : (Seq[Double], Set[(Int, Long)]) = {
     import spark.implicits._
     val ix = s"$base/index"
     clean(spark, ix)
+    val w0 = fsBytesWritten
     val times = (0 until nBatches).map { id =>
       val b = emb.filter(
         pmod(xxhash64(col("vec_id")), lit(nBatches)) === id)
       val (ms, _) = timeMs(IvfIndexMaintenance.processBatch(
         b, id.toLong, centroids, ix,
-        compactEvery = compactEvery, nBuckets = nBuckets))
+        compactEvery = compactEvery, nBuckets = nBuckets,
+        tiered = tiered))
       ms
     }
+    val written = fsBytesWritten - w0
     val (readMs, rows) = timeMs(
       IvfIndexMaintenance.index(spark, ix).get
         .select("cluster_id", "vec_id").as[(Int, Long)]
         .collect().toSet)
-    println(f"[stream-ladder] ivf every=$compactEvery%-2d " +
+    println(f"[stream-ladder] ivf ${modeName(compactEvery, tiered)} " +
+      f"every=$compactEvery%-2d " +
       f"batchMs Q1/Q2/Q3/Q4 ${fmtQ(times)}  last ${times.last}%.0f  " +
       f"indexDirs ${dirCount(spark, ix)}  " +
+      f"written ${written / 1e6}%.1fMB  " +
       f"indexRead ${readMs}%.0fms (${rows.size} postings)")
     (times, rows)
   }
@@ -113,6 +147,9 @@ object StreamLadder {
     // footer overhead swamp the byte-ratio governor (it compares
     // real bytes) and defer every fold
     val buckets = if (args.length > 1) args(1).toInt else 8
+    // skip the IVF family when the third arg says so (big rungs run
+    // the LSH family alone to bound wall-clock)
+    val runIvf = args.length <= 2 || args(2).toBoolean
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -125,33 +162,44 @@ object StreamLadder {
     val out = "target/stream_ladder"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
-    // warmup: one throwaway 2-batch run absorbs codegen/classload
-    lshRun(spark, docs, 2, 0, s"$out/lsh_warm", buckets)
-    val (tOn, pOn) =
-      lshRun(spark, docs, nBatches, 8, s"$out/lsh_on", buckets)
-    val (tOff, pOff) =
-      lshRun(spark, docs, nBatches, 0, s"$out/lsh_off", buckets)
-    require(pOn == pOff,
-      s"compacted and uncompacted pair sets differ: ${pOn.size} vs ${pOff.size}")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding")
-    val centroids = graft.operators.IvfIndex
-      .buildCentroids(emb, k = 16, iters = 3).persist()
-    centroids.count()
-    ivfRun(spark, emb, centroids, 2, 0, s"$out/ivf_warm", buckets)
-    val (vOn, iOn) =
-      ivfRun(spark, emb, centroids, nBatches, 8, s"$out/ivf_on", buckets)
-    val (vOff, iOff) =
-      ivfRun(spark, emb, centroids, nBatches, 0, s"$out/ivf_off", buckets)
-    require(iOn == iOff,
-      s"compacted and uncompacted postings differ: ${iOn.size} vs ${iOff.size}")
     def q4q1(ts: Seq[Double]): Double = {
       val q = quartiles(ts); q.last / q.head
     }
-    println(f"[stream-ladder] degradation Q4/Q1 " +
-      f"lsh on ${q4q1(tOn)}%.2f off ${q4q1(tOff)}%.2f; " +
-      f"ivf on ${q4q1(vOn)}%.2f off ${q4q1(vOff)}%.2f " +
-      f"($nBatches batches)")
+    // warmup: one throwaway 2-batch run absorbs codegen/classload
+    lshRun(spark, docs, 2, 0, s"$out/lsh_warm", buckets)
+    val (tTier, pTier) = lshRun(spark, docs, nBatches, 8,
+      s"$out/lsh_tiered", buckets, tiered = true)
+    val (tOn, pOn) = lshRun(spark, docs, nBatches, 8,
+      s"$out/lsh_single", buckets, tiered = false)
+    val (tOff, pOff) =
+      lshRun(spark, docs, nBatches, 0, s"$out/lsh_off", buckets)
+    require(pOn == pOff && pTier == pOff,
+      s"pair sets differ across modes: tiered=${pTier.size} " +
+        s"single=${pOn.size} off=${pOff.size}")
+    println(f"[stream-ladder] degradation Q4/Q1 lsh " +
+      f"tiered ${q4q1(tTier)}%.2f single ${q4q1(tOn)}%.2f " +
+      f"off ${q4q1(tOff)}%.2f ($nBatches batches)")
+    if (runIvf) {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val centroids = graft.operators.IvfIndex
+        .buildCentroids(emb, k = 16, iters = 3).persist()
+      centroids.count()
+      ivfRun(spark, emb, centroids, 2, 0, s"$out/ivf_warm", buckets)
+      val (vTier, iTier) = ivfRun(spark, emb, centroids, nBatches, 8,
+        s"$out/ivf_tiered", buckets, tiered = true)
+      val (vOn, iOn) = ivfRun(spark, emb, centroids, nBatches, 8,
+        s"$out/ivf_single", buckets, tiered = false)
+      val (vOff, iOff) =
+        ivfRun(spark, emb, centroids, nBatches, 0, s"$out/ivf_off",
+          buckets)
+      require(iOn == iOff && iTier == iOff,
+        s"postings differ across modes: tiered=${iTier.size} " +
+          s"single=${iOn.size} off=${iOff.size}")
+      println(f"[stream-ladder] degradation Q4/Q1 ivf " +
+        f"tiered ${q4q1(vTier)}%.2f single ${q4q1(vOn)}%.2f " +
+        f"off ${q4q1(vOff)}%.2f ($nBatches batches)")
+    }
     graft.operators.Broadcasting.releaseAll()
     spark.stop()
   }

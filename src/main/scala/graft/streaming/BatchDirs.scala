@@ -379,19 +379,36 @@ object BatchDirs {
     excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
     : Option[DataFrame] = {
     val fs = fsOf(spark, baseDir)
-    val tierParts = genDataDirs(spark, baseDir, gen).map { case (d, n) =>
-      val df = spark.read.parquet(d)
-      // prune only tiers whose bucket count matches the modulus the
-      // caller derived `pbuckets` with — a mixed-modulus generation
-      // is out of contract, but mis-pruning it would silently drop
-      // rows where reading the odd tier whole merely costs bytes
-      val pruned = pbuckets match {
-        case Some(bs) if gen.modulus.contains(n) =>
-          df.filter(col("pbucket").isin(bs: _*))
-        case _ => df
-      }
-      pruned.drop("pbucket")
+    // ONE parquet read across every tier, rooted at the pbucket LEAF
+    // dirs (which hold plain part files, so no partition discovery
+    // runs — sibling `compact=`/`l0=` roots would make Spark's
+    // common-base inference throw CONFLICTING_DIRECTORY_STRUCTURES):
+    // k tiers as k separate reads would pay k file-index listings, k
+    // schema inferences, and a k-way union per read — measured as
+    // the dominant per-batch cost once the L0 run count grows
+    // (StreamLadder). Pruning selects which leaf dirs are read AT
+    // LISTING TIME — the probed buckets' dirs are the only ones ever
+    // listed, stronger than a post-listing partition filter. A tier
+    // whose bucket count differs from the generation modulus
+    // (out-of-contract mixed-modulus debris) is never pruned —
+    // mis-pruning would silently drop rows where reading it whole
+    // merely costs bytes.
+    val leaves = genDataDirs(spark, baseDir, gen).flatMap {
+      case (d, n) =>
+        val prune = pbuckets.filter(_ => gen.modulus.contains(n))
+          .map(_.toSet)
+        fs.listStatus(new Path(d)).toSeq
+          .filter { s =>
+            s.isDirectory &&
+            s.getPath.getName.startsWith("pbucket=") &&
+            prune.forall(_.contains(
+              s.getPath.getName.stripPrefix("pbucket=").toLong))
+          }
+          .map(_.getPath.toString)
     }
+    val tierPart =
+      if (leaves.isEmpty) None
+      else Some(spark.read.parquet(leaves: _*))
     val recentDirs = committedDataDirs(fs, baseDir,
       gen.coveredThrough, excludeBatch)
     val recentPart =
@@ -399,7 +416,7 @@ object BatchDirs {
       else Some(spark.read.option("basePath", baseDir)
         .parquet(recentDirs: _*)
         .withColumn("batch", col("batch").cast("long")))
-    (tierParts ++ recentPart).reduceOption(_.unionByName(_))
+    (tierPart.toSeq ++ recentPart).reduceOption(_.unionByName(_))
   }
 
   /** Detach a frame from the files it was resolved over: an eager
@@ -442,9 +459,29 @@ object BatchDirs {
     val key = fs.makeQualified(base).toString
     if (!jvmLeases.add(key)) busy("held in this process")
     else try {
+      // the marker carries a per-acquisition token so release can
+      // tell OUR marker from one a takeover replaced it with — an
+      // unconditional delete after a (legitimately) stolen lease
+      // would unlock the thief's fold for a third compactor
+      val token = java.util.UUID.randomUUID().toString
       def tryCreate(): Boolean =
-        try { fs.create(marker, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        try {
+          val out = fs.create(marker, false)
+          out.write(token.getBytes(java.nio.charset.StandardCharsets
+            .UTF_8))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      def markerToken(): Option[String] =
+        try {
+          val in = fs.open(marker)
+          try {
+            val buf = new Array[Byte](64)
+            val n = in.read(buf)
+            Some(new String(buf, 0, math.max(n, 0),
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally in.close()
+        } catch { case _: java.io.IOException => None }
       val acquired = tryCreate() || {
         val stale =
           try System.currentTimeMillis() -
@@ -452,13 +489,50 @@ object BatchDirs {
           catch { // released between the probes: retry the create
             case _: java.io.FileNotFoundException => true
           }
-        stale && { fs.delete(marker, false); tryCreate() }
+        // takeover via RENAME, not delete-then-create: two processes
+        // that both judged the marker stale would each delete (the
+        // second delete killing the first's FRESH marker) and both
+        // acquire — rename of the observed stale marker succeeds for
+        // exactly ONE of them, the loser falls through to busy
+        stale && {
+          val graveyard = new Path(base,
+            s"$LeaseName.stale.$token")
+          val won = try fs.rename(marker, graveyard)
+          catch { case _: java.io.IOException => false }
+          if (won) fs.delete(graveyard, false)
+          won && tryCreate()
+        }
       }
       if (!acquired) busy("marker held by another process")
       else
         try Some(body)
-        finally fs.delete(marker, false)
+        finally {
+          // release only OUR marker: if the fold overran staleMs and
+          // a takeover replaced it, the thief's lease must survive
+          if (markerToken().forall(_ == token))
+            fs.delete(marker, false)
+        }
     } finally { jvmLeases.remove(key); () }
+  }
+
+  /** The byte-ratio governor's two sides: (compact-dir bytes, upper
+    * bytes = L0 runs + committed data batches in (coverage, cutoff]).
+    * One definition for both fold faces, so the single-tier and
+    * tiered governors can never diverge on what counts as "upper". */
+  private def governorBytes(fs: FileSystem, baseDir: String,
+    gen: Gen, cutoff: Long): (Long, Long) = {
+    val compactBytes = gen.compact.map { case (c, n) =>
+      fs.getContentSummary(
+        new Path(s"$baseDir/compact=$c.n$n")).getLength
+    }.getOrElse(0L)
+    val upperBytes = gen.l0.map { case (h, n) =>
+      fs.getContentSummary(new Path(s"$baseDir/l0=$h.n$n")).getLength
+    }.sum +
+      committedDataDirs(fs, baseDir, gen.coveredThrough, -1L)
+        .filter(_.split("batch=").last.toLong <= cutoff)
+        .map(d => fs.getContentSummary(new Path(d)).getLength)
+        .sum
+    (compactBytes, upperBytes)
   }
 
   /** Write `compact=<cutoff>.n<nBuckets>` from the generation's tiers
@@ -467,8 +541,20 @@ object BatchDirs {
     baseDir: String, gen: Gen, cutoff: Long, bucketKey: String,
     nBuckets: Int): Unit = {
     val target = s"$baseDir/compact=$cutoff.n$nBuckets"
-    val tierParts = genDataDirs(spark, baseDir, gen)
-      .map { case (d, _) => spark.read.parquet(d).drop("pbucket") }
+    // one read across all tiers' pbucket leaf dirs (read whole — a
+    // major rebuckets everything, so the old bucketing is irrelevant;
+    // leaf roots avoid the sibling-root partition-discovery conflict,
+    // see readCommittedAt)
+    val tierLeaves = genDataDirs(spark, baseDir, gen).flatMap {
+      case (d, _) =>
+        fs.listStatus(new Path(d)).toSeq
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("pbucket="))
+          .map(_.getPath.toString)
+    }
+    val tierPart =
+      if (tierLeaves.isEmpty) None
+      else Some(spark.read.parquet(tierLeaves: _*))
     val dirs = committedDataDirs(fs, baseDir, gen.coveredThrough, -1L)
       .filter(_.split("batch=").last.toLong <= cutoff)
     val dataPart =
@@ -476,7 +562,7 @@ object BatchDirs {
       else Some(spark.read.option("basePath", baseDir)
         .parquet(dirs: _*)
         .withColumn("batch", col("batch").cast("long")))
-    (tierParts ++ dataPart).reduceOption(_.unionByName(_)) match {
+    (tierPart.toSeq ++ dataPart).reduceOption(_.unionByName(_)) match {
       case Some(df) =>
         df.withColumn("pbucket", bucketOf(col(bucketKey), nBuckets))
           .write.mode("overwrite").partitionBy("pbucket")
@@ -592,17 +678,8 @@ object BatchDirs {
         val targetName = s"compact=$cutoff.n$nBuckets"
         val defer = cutoff > covered && minFoldRatio > 0.0 &&
           gen.compact.isDefined && foldIds.size < MaxTailDirs && {
-            val compactBytes = gen.compact.map { case (c, n) =>
-              fs.getContentSummary(
-                new Path(s"$baseDir/compact=$c.n$n")).getLength
-            }.getOrElse(0L)
-            val upperBytes = gen.l0.map { case (h, n) =>
-              fs.getContentSummary(
-                new Path(s"$baseDir/l0=$h.n$n")).getLength }.sum +
-              committedDataDirs(fs, baseDir, covered, -1L)
-                .filter(_.split("batch=").last.toLong <= cutoff)
-                .map(d => fs.getContentSummary(new Path(d)).getLength)
-                .sum
+            val (compactBytes, upperBytes) =
+              governorBytes(fs, baseDir, gen, cutoff)
             upperBytes < compactBytes * minFoldRatio
           }
         if (!defer &&
@@ -625,8 +702,12 @@ object BatchDirs {
     * of the compact dir's, when the L0 run count would exceed
     * `maxL0Runs`, or when `nBuckets` differs from the generation's
     * modulus (one modulus per generation — pruned readers derive one
-    * bucket set for every tier). Returns the coverage reached (−1
-    * when nothing is committed). Idempotent and crash-safe like
+    * bucket set for every tier). `maxL0Runs` is the LSM read/write
+    * knob: every read lists (and a pruned read opens one bucket of)
+    * each run, while every run deferred postpones an O(index) major
+    * rewrite — the default 8 balanced the two in the StreamLadder
+    * A/B. Returns the coverage reached (−1 when nothing is
+    * committed). Idempotent and crash-safe like
     * [[compact]]; lease-guarded, deferring (or failing, with
     * `failIfBusy`) on contention; every non-deferred call sweeps.
     *
@@ -640,7 +721,7 @@ object BatchDirs {
     * BASELINE.md). */
   def compactTiered(spark: SparkSession, baseDir: String, upTo: Long,
     bucketKey: String, nBuckets: Int = 64,
-    majorRatio: Double = 0.1, maxL0Runs: Int = 16,
+    majorRatio: Double = 0.1, maxL0Runs: Int = 8,
     leaseStaleMs: Long = DefaultLeaseStaleMs,
     failIfBusy: Boolean = false): Long = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
@@ -658,16 +739,12 @@ object BatchDirs {
         val modulusChange = gen.modulus.exists(_ != nBuckets)
         val runsAfterMinor =
           gen.l0.size + (if (foldIds.nonEmpty) 1 else 0)
-        val ratioHit = gen.compact.exists { case (c, n) =>
-          val compactBytes = fs.getContentSummary(
-            new Path(s"$baseDir/compact=$c.n$n")).getLength
-          val upperBytes = gen.l0.map { case (h, nb) =>
-            fs.getContentSummary(
-              new Path(s"$baseDir/l0=$h.n$nb")).getLength }.sum +
-            committedDataDirs(fs, baseDir, covered, -1L)
-              .filter(_.split("batch=").last.toLong <= cutoff)
-              .map(d => fs.getContentSummary(new Path(d)).getLength)
-              .sum
+        // def, not val: when a modulus change or the run-count
+        // backstop already forces the major, the decision must not
+        // still pay a recursive content-summary scan of every tier
+        def ratioHit: Boolean = gen.compact.isDefined && {
+          val (compactBytes, upperBytes) =
+            governorBytes(fs, baseDir, gen, cutoff)
           upperBytes >= compactBytes * majorRatio && upperBytes > 0
         }
         if (modulusChange || runsAfterMinor > maxL0Runs || ratioHit) {

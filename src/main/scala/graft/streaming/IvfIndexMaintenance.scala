@@ -188,9 +188,12 @@ object IvfIndexMaintenance {
     * path. `upTo` STRICTLY below the newest committed batch
     * (enforced — folding the possibly-replaying newest batch destroys
     * its replay marker and the replay double-appends its postings);
-    * the single-compactor lease serializes this against the in-band
-    * cadence (which defers to it) and fails loudly against another
-    * out-of-band fold; space invocations at least one micro-batch /
+    * the single-compactor lease serializes all folds — the in-band
+    * cadence defers to this face, while this face fails loudly
+    * (`IllegalStateException`) against ANY concurrent holder,
+    * including a mid-flight cadence fold: catch and retry later, the
+    * collision is transient and never corrupts. Space invocations at
+    * least one micro-batch /
     * external-reader duration apart: the grace window covers ONE
     * compactor call per in-flight pinned read
     * ([[BatchDirs.materialized]] for longer-lived handles). */

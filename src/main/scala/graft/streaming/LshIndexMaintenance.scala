@@ -178,11 +178,15 @@ object LshIndexMaintenance {
     * to, and it fails with FileNotFoundException — crash/retry, not
     * corruption; see [[BatchDirs.materialized]] for long-lived
     * handles), and (d) the single-compactor LEASE
-    * ([[BatchDirs]] class doc) serializes this against the in-band
-    * cadence: the cadence defers to a running out-of-band fold, and a
-    * second out-of-band fold FAILS LOUDLY (`IllegalStateException`)
-    * rather than corrupting — a misconfigured double-cron surfaces on
-    * its first collision. A dir with nothing (left) to fold is a
+    * ([[BatchDirs]] class doc) serializes all folds: the in-band
+    * cadence defers to a running out-of-band fold, while THIS face
+    * FAILS LOUDLY (`IllegalStateException`) against ANY concurrent
+    * lease holder — a cadence fold that happens to be mid-flight
+    * (transient: catch and retry after a batch) as well as a
+    * misconfigured second cron (persistent: surfaces on its first
+    * collision). Corruption is off the table either way; callers
+    * that co-run the cadence should treat the exception as a retry
+    * signal, not a failure. A dir with nothing (left) to fold is a
     * no-op returning −1 (a maintenance job racing stream startup, or
     * re-running after a fully-folded quiet period, must not crash).
     * Band fold first, then pairs capped at the band coverage reached,

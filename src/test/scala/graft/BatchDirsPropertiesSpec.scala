@@ -7,9 +7,10 @@ import org.scalacheck.Gen
 
 /** Randomized state-machine property test for the batch-dir
   * compaction layer: arbitrary interleavings of appends, empty
-  * commits, torn writes, stray debris, and folds (varying byte-ratio
-  * governor and bucket counts, including mid-stream re-bucketing)
-  * against a driver-side reference model. The governor's fold/defer
+  * commits, torn writes, stray debris, single-tier folds, and TIERED
+  * folds (varying byte-ratio governor, bucket counts — including
+  * mid-stream re-bucketing, which forces a major merge — and L0
+  * run-count backstops) against a driver-side reference model. The governor's fold/defer
   * choice depends on real parquet bytes, so the model asserts the
   * invariants that must hold on EVERY path through the state space
   * rather than predicting fold decisions:

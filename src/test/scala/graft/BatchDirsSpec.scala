@@ -145,8 +145,8 @@ class BatchDirsSpec extends SparkTestBase {
     assert(BatchDirs.readCommitted(spark, dir).get.count() == 250)
   }
 
-  test("pbuckets is a PARTITION filter on the compacted scan: " +
-    "pruning happens at file listing, not post-scan") {
+  test("pbuckets prunes the folded scan AT FILE LISTING: only the " +
+    "probed buckets' leaf dirs are ever handed to the reader") {
     val dir = java.nio.file.Files
       .createTempDirectory("bd_plan").toString + "/ix"
     writeBatch(dir, 0L, rows = 400)
@@ -169,21 +169,25 @@ class BatchDirsSpec extends SparkTestBase {
             s.metrics("numFiles").value
         }.sum
       }
+      // pruning is structural — the scan's ROOT PATHS are already
+      // restricted to the probed buckets' pbucket dirs (pruning at
+      // listing time, before any filter could run), so the file
+      // count shrinks and the content is exactly the probed buckets'
       val pruned = BatchDirs.readCommitted(spark, dir,
         pbuckets = Some(Seq(1L, 2L))).get
-      val scans = pruned.queryExecution.executedPlan.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-      }
-      assert(scans.nonEmpty, "no file scan in the pruned plan")
-      assert(scans.exists(_.partitionFilters
-        .exists(_.references.exists(_.name == "pbucket"))),
-        s"pbucket is not a partition filter: " +
-          s"${scans.map(_.partitionFilters)}")
-      // the listing really shrank: 2 of 4 pbucket dirs read
       val nPruned = filesOf(pruned)
       val nFull = filesOf(BatchDirs.readCommitted(spark, dir).get)
       assert(nPruned > 0 && nPruned < nFull,
         s"pruned scan read $nPruned of $nFull files")
+      // exactness: the pruned view is the full view restricted to
+      // rows hashing into the probed buckets
+      import spark.implicits._
+      val want = BatchDirs.readCommitted(spark, dir).get
+        .filter(BatchDirs.bucketOf(col("k"), 4).isin(1L, 2L))
+        .select("k").as[Long].collect().toSet
+      val got = pruned.select("k").as[Long].collect().toSet
+      assert(got == want && got.nonEmpty,
+        s"pruned content wrong: ${got.size} vs ${want.size} rows")
     } finally spark.conf.set(aqeKey, aqePrev)
   }
 
