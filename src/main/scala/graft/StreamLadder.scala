@@ -150,6 +150,12 @@ object StreamLadder {
     // skip the IVF family when the third arg says so (big rungs run
     // the LSH family alone to bound wall-clock)
     val runIvf = args.length <= 2 || args(2).toBoolean
+    // optional 4th arg: comma-separated mode subset — re-measuring
+    // one mode after a change to its fold path only, without paying
+    // the (slow, unchanged) other modes again
+    val modes: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("tiered", "single", "off")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -167,18 +173,20 @@ object StreamLadder {
     }
     // warmup: one throwaway 2-batch run absorbs codegen/classload
     lshRun(spark, docs, 2, 0, s"$out/lsh_warm", buckets)
-    val (tTier, pTier) = lshRun(spark, docs, nBatches, 8,
-      s"$out/lsh_tiered", buckets, tiered = true)
-    val (tOn, pOn) = lshRun(spark, docs, nBatches, 8,
-      s"$out/lsh_single", buckets, tiered = false)
-    val (tOff, pOff) =
-      lshRun(spark, docs, nBatches, 0, s"$out/lsh_off", buckets)
-    require(pOn == pOff && pTier == pOff,
-      s"pair sets differ across modes: tiered=${pTier.size} " +
-        s"single=${pOn.size} off=${pOff.size}")
-    println(f"[stream-ladder] degradation Q4/Q1 lsh " +
-      f"tiered ${q4q1(tTier)}%.2f single ${q4q1(tOn)}%.2f " +
-      f"off ${q4q1(tOff)}%.2f ($nBatches batches)")
+    val lsh = Seq(
+      "tiered" -> (() => lshRun(spark, docs, nBatches, 8,
+        s"$out/lsh_tiered", buckets, tiered = true)),
+      "single" -> (() => lshRun(spark, docs, nBatches, 8,
+        s"$out/lsh_single", buckets, tiered = false)),
+      "off" -> (() => lshRun(spark, docs, nBatches, 0,
+        s"$out/lsh_off", buckets)))
+      .collect { case (m, run) if modes(m) => m -> run() }.toMap
+    require(lsh.values.map(_._2).toSet.size <= 1,
+      s"pair sets differ across modes: " +
+        lsh.map { case (m, (_, p)) => s"$m=${p.size}" }.mkString(" "))
+    println("[stream-ladder] degradation Q4/Q1 lsh " +
+      lsh.map { case (m, (ts, _)) => f"$m ${q4q1(ts)}%.2f" }
+        .mkString(" ") + s" ($nBatches batches)")
     if (runIvf) {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
@@ -186,19 +194,20 @@ object StreamLadder {
         .buildCentroids(emb, k = 16, iters = 3).persist()
       centroids.count()
       ivfRun(spark, emb, centroids, 2, 0, s"$out/ivf_warm", buckets)
-      val (vTier, iTier) = ivfRun(spark, emb, centroids, nBatches, 8,
-        s"$out/ivf_tiered", buckets, tiered = true)
-      val (vOn, iOn) = ivfRun(spark, emb, centroids, nBatches, 8,
-        s"$out/ivf_single", buckets, tiered = false)
-      val (vOff, iOff) =
-        ivfRun(spark, emb, centroids, nBatches, 0, s"$out/ivf_off",
-          buckets)
-      require(iOn == iOff && iTier == iOff,
-        s"postings differ across modes: tiered=${iTier.size} " +
-          s"single=${iOn.size} off=${iOff.size}")
-      println(f"[stream-ladder] degradation Q4/Q1 ivf " +
-        f"tiered ${q4q1(vTier)}%.2f single ${q4q1(vOn)}%.2f " +
-        f"off ${q4q1(vOff)}%.2f ($nBatches batches)")
+      val ivf = Seq(
+        "tiered" -> (() => ivfRun(spark, emb, centroids, nBatches, 8,
+          s"$out/ivf_tiered", buckets, tiered = true)),
+        "single" -> (() => ivfRun(spark, emb, centroids, nBatches, 8,
+          s"$out/ivf_single", buckets, tiered = false)),
+        "off" -> (() => ivfRun(spark, emb, centroids, nBatches, 0,
+          s"$out/ivf_off", buckets)))
+        .collect { case (m, run) if modes(m) => m -> run() }.toMap
+      require(ivf.values.map(_._2).toSet.size <= 1,
+        s"postings differ across modes: " +
+          ivf.map { case (m, (_, p)) => s"$m=${p.size}" }.mkString(" "))
+      println("[stream-ladder] degradation Q4/Q1 ivf " +
+        ivf.map { case (m, (ts, _)) => f"$m ${q4q1(ts)}%.2f" }
+          .mkString(" ") + s" ($nBatches batches)")
     }
     graft.operators.Broadcasting.releaseAll()
     spark.stop()

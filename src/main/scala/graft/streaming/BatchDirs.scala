@@ -25,14 +25,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * A MINOR fold ([[compactTiered]]) consolidates the recent batch-dir
   * tail into one L0 run — O(tail) bytes written, the main compacted
-  * table untouched. A MAJOR merge folds the compact dir + every L0
-  * run + the tail into a fresh compact dir — O(index), paid only when
-  * the accumulated upper tiers reach `majorRatio` of the compact
-  * bytes (the LSM write-amplification discipline: every byte lands in
-  * its batch dir once, one L0 run once, and O(log n / log(1+r))
-  * compact rewrites), when the L0 run count reaches `maxL0Runs` (the
-  * listing backstop), or when the caller changes the bucket count
-  * (all tiers of a generation share ONE modulus — see below). The
+  * table untouched — then SIZE-TIERS the run stack: adjacent runs
+  * merge while the older is not `mergeFactor`× larger than the
+  * newer, so run sizes stay geometric, the stack depth stays
+  * O(log L0 bytes), and every L0 byte is rewritten O(log) times.
+  * Each run's name carries its coverage interval
+  * (`l0=<hi>.f<lo>`), so readers reconstruct the current chain from
+  * one listing even while a merge's superseded inputs linger in
+  * their grace window. A MAJOR merge folds the compact dir + every
+  * L0 run + the tail into a fresh compact dir — O(index), paid only
+  * when the accumulated upper tiers reach `majorRatio` of the
+  * compact bytes (the LSM write-amplification discipline: every byte
+  * lands in its batch dir once, O(log) L0 runs, and
+  * O(log n / log(1+r)) compact rewrites), when the L0 run count
+  * would exceed `maxL0Runs` (the listing backstop), or when the
+  * caller changes the bucket count (all tiers of a generation share
+  * ONE modulus — see below). The
   * single-tier [[compact]] face (every fold is a major) remains for
   * callers that want the flat layout and as the measured baseline the
   * tiered mode is compared against (`graft.StreamLadder`). Without
@@ -103,7 +111,13 @@ object BatchDirs {
     * same directory set. */
   private val BatchName = "batch=(\\d+)".r
   private val CompactName = "compact=(\\d+)\\.n(\\d+)".r
-  private val L0Name = "l0=(\\d+)\\.n(\\d+)".r
+  // l0=<hi>.f<lo>.n<buckets>: the run covers batch ids in (lo, hi].
+  // The lower bound is IN THE NAME because size-tiered run merging
+  // writes runs that supersede several predecessors — a reader must
+  // reconstruct coverage from the listing alone, and "each run covers
+  // down to the previous run's cutoff" stops holding the moment a
+  // merged run and its superseded inputs coexist (grace window).
+  private val L0Name = "l0=(\\d+)\\.f(-?\\d+)\\.n(\\d+)".r
 
   /** Cross-process compactor lease marker (class doc). */
   val LeaseName = "_COMPACTING"
@@ -122,29 +136,40 @@ object BatchDirs {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** One L0 run: covers batch ids in (lo, hi], bucketed by
+    * [[bucketOf]] modulo `nBuckets`. */
+  final case class L0Run(lo: Long, hi: Long, nBuckets: Int) {
+    def name: String = s"l0=$hi.f$lo.n$nBuckets"
+  }
+
   /** One committed fold generation: the highest committed compact
-    * (L1) dir plus the committed L0 runs strictly above its cutoff,
-    * ascending. Runs are created sequentially by the lease-serialized
-    * compactor, so run i's coverage is exactly
-    * (previous tier's cutoff, cutoff_i] and the union of the tiers
-    * covers every batch id ≤ [[coveredThrough]]. */
+    * (L1) dir plus a CONTIGUOUS CHAIN of committed L0 runs covering
+    * (compact cutoff, coveredThrough], ascending by `hi`. Runs are
+    * created and merged only under the compactor lease, and each
+    * run's coverage interval is in its name, so the chain is
+    * reconstructed from one listing: walk down from the highest `hi`,
+    * each step requiring a run whose `hi` equals the previous run's
+    * `lo` — superseded runs (inputs of a size-tiered merge, still
+    * present as sweep grace) overlap the chain and drop out
+    * naturally. */
   final case class Gen(compact: Option[(Long, Int)],
-    l0: Seq[(Long, Int)]) {
+    l0: Seq[L0Run]) {
     /** Every batch id ≤ this is committed and folded (−1 when empty). */
     def coveredThrough: Long =
-      (compact.map(_._1).toSeq ++ l0.map(_._1)).maxOption.getOrElse(-1L)
+      (compact.map(_._1).toSeq ++ l0.map(_.hi)).maxOption
+        .getOrElse(-1L)
     /** The generation's shared bucket count (class doc: one modulus
       * per generation, a change forces a major merge). Defensively
       * the NEWEST tier wins, so a pruned reader facing out-of-contract
       * mixed-modulus debris derives buckets it can safely apply — the
       * reader skips pruning on any dir whose count differs. */
     def modulus: Option[Int] =
-      l0.lastOption.map(_._2).orElse(compact.map(_._2))
+      l0.lastOption.map(_.nBuckets).orElse(compact.map(_._2))
     def isEmpty: Boolean = compact.isEmpty && l0.isEmpty
     /** Directory names of every tier, for sweep keep-sets. */
     def dirNames: Seq[String] =
       compact.map { case (c, n) => s"compact=$c.n$n" }.toSeq ++
-        l0.map { case (h, n) => s"l0=$h.n$n" }
+        l0.map(_.name)
   }
 
   /** Ids of the batches whose OWN directory under `baseDir` carries
@@ -223,17 +248,36 @@ object BatchDirs {
         .sortBy { case (c, n, t) => (c, t, n) }.lastOption
         .map { case (c, n, _) => (c, n) }
       val cCut = compact.map(_._1).getOrElse(-1L)
-      val l0 = statuses
+      val cands = statuses
         .flatMap(s => s.getPath.getName match {
-          case L0Name(h, n) if h.toLong > cCut =>
-            commitMtime(s.getPath).map(t => (h.toLong, n.toInt, t))
+          case L0Name(hi, lo, n) if hi.toLong > cCut =>
+            commitMtime(s.getPath)
+              .map(t => (L0Run(lo.toLong, hi.toLong, n.toInt), t))
           case _ => None
         })
-        .groupBy(_._1).valuesIterator
-        .map(_.maxBy { case (_, n, t) => (t, n) })
-        .map { case (h, n, _) => (h, n) }
-        .toSeq.sortBy(_._1)
-      val gen = Gen(compact, l0)
+      // chain walk, top down: among the runs ending at the needed
+      // point, the widest (smallest lo) wins — it is the merge that
+      // superseded the narrower ones; mtime then bucket count break
+      // exact ties (same interval refolds, crash debris). Runs that
+      // overlap the chosen chain (merge inputs in their grace window)
+      // are skipped; a chain that cannot reach the compact cutoff
+      // would mean swept coverage — out of contract, fail loudly
+      // rather than silently drop rows.
+      val chain = List.newBuilder[L0Run]
+      var need = cands.map(_._1.hi).maxOption
+      while (need.exists(_ > cCut)) {
+        val step = cands
+          .filter(_._1.hi == need.get)
+          .sortBy { case (r, t) => (-r.lo, t, r.nBuckets) }
+          .lastOption.map(_._1)
+          .getOrElse(throw new IllegalStateException(
+            s"L0 chain broken under $baseDir: no committed run ends " +
+              s"at ${need.get} (compact cutoff $cCut; runs " +
+              s"${cands.map(_._1.name).mkString(",")})"))
+        chain += step
+        need = Some(step.lo)
+      }
+      val gen = Gen(compact, chain.result().reverse)
       val covered = gen.coveredThrough
       (gen, statuses
         .filter(s =>
@@ -306,7 +350,7 @@ object BatchDirs {
     val fs = fsOf(spark, baseDir)
     (gen.compact.toSeq.map { case (c, n) =>
       (s"$baseDir/compact=$c.n$n", n) } ++
-      gen.l0.map { case (h, n) => (s"$baseDir/l0=$h.n$n", n) })
+      gen.l0.map(r => (s"$baseDir/${r.name}", r.nBuckets)))
       .filter { case (d, _) => compactHasData(fs, d) }
   }
 
@@ -525,8 +569,8 @@ object BatchDirs {
       fs.getContentSummary(
         new Path(s"$baseDir/compact=$c.n$n")).getLength
     }.getOrElse(0L)
-    val upperBytes = gen.l0.map { case (h, n) =>
-      fs.getContentSummary(new Path(s"$baseDir/l0=$h.n$n")).getLength
+    val upperBytes = gen.l0.map { r =>
+      fs.getContentSummary(new Path(s"$baseDir/${r.name}")).getLength
     }.sum +
       committedDataDirs(fs, baseDir, gen.coveredThrough, -1L)
         .filter(_.split("batch=").last.toLong <= cutoff)
@@ -575,22 +619,46 @@ object BatchDirs {
     }
   }
 
-  /** Write `l0=<cutoff>.n<nBuckets>` from the committed data batches
-    * in (coverage, cutoff] ONLY — the generation's tiers are not
-    * read, which is the whole point of a minor fold. */
+  /** Write the L0 run `run` from the committed data batches in
+    * (run.lo, run.hi] ONLY — the generation's tiers are not read,
+    * which is the whole point of a minor fold. */
   private def writeMinor(spark: SparkSession, fs: FileSystem,
-    baseDir: String, gen: Gen, cutoff: Long, bucketKey: String,
-    nBuckets: Int): Unit = {
-    val target = s"$baseDir/l0=$cutoff.n$nBuckets"
-    val dirs = committedDataDirs(fs, baseDir, gen.coveredThrough, -1L)
-      .filter(_.split("batch=").last.toLong <= cutoff)
+    baseDir: String, run: L0Run, bucketKey: String): Unit = {
+    val target = s"$baseDir/${run.name}"
+    val dirs = committedDataDirs(fs, baseDir, run.lo, -1L)
+      .filter(_.split("batch=").last.toLong <= run.hi)
     if (dirs.isEmpty) {
       fs.mkdirs(new Path(target))
       fs.create(new Path(target, "_SUCCESS"), true).close()
     } else
       spark.read.option("basePath", baseDir).parquet(dirs: _*)
         .withColumn("batch", col("batch").cast("long"))
-        .withColumn("pbucket", bucketOf(col(bucketKey), nBuckets))
+        .withColumn("pbucket", bucketOf(col(bucketKey), run.nBuckets))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(target)
+  }
+
+  /** Fold two adjacent L0 runs into one covering their union — the
+    * size-tiered merge step. Reads the inputs' pbucket leaf dirs as
+    * one relation; marker-only when both inputs are data-less. */
+  private def mergeRuns(spark: SparkSession, fs: FileSystem,
+    baseDir: String, a: L0Run, b: L0Run, merged: L0Run,
+    bucketKey: String): Unit = {
+    val target = s"$baseDir/${merged.name}"
+    val leaves = Seq(a, b).flatMap { r =>
+      val p = new Path(s"$baseDir/${r.name}")
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("pbucket="))
+        .map(_.getPath.toString)
+    }
+    if (leaves.isEmpty) {
+      fs.mkdirs(new Path(target))
+      fs.create(new Path(target, "_SUCCESS"), true).close()
+    } else
+      spark.read.parquet(leaves: _*)
+        .withColumn("pbucket",
+          bucketOf(col(bucketKey), merged.nBuckets))
         .write.mode("overwrite").partitionBy("pbucket")
         .parquet(target)
   }
@@ -628,7 +696,7 @@ object BatchDirs {
         case CompactName(c, _) if c.toLong <= entryCovered &&
           !keep(s.getPath.getName) =>
           fs.delete(s.getPath, true)
-        case L0Name(h, _) if h.toLong <= entryCovered &&
+        case L0Name(hi, _, _) if hi.toLong <= entryCovered &&
           !keep(s.getPath.getName) =>
           fs.delete(s.getPath, true)
         case _ => ()
@@ -702,12 +770,16 @@ object BatchDirs {
     * of the compact dir's, when the L0 run count would exceed
     * `maxL0Runs`, or when `nBuckets` differs from the generation's
     * modulus (one modulus per generation — pruned readers derive one
-    * bucket set for every tier). `maxL0Runs` is the LSM read/write
-    * knob: every read lists (and a pruned read opens one bucket of)
-    * each run, while every run deferred postpones an O(index) major
-    * rewrite — the default 8 balanced the two in the StreamLadder
-    * A/B. Returns the coverage reached (−1 when nothing is
-    * committed). Idempotent and crash-safe like
+    * bucket set for every tier). `maxL0Runs` is the listing
+    * backstop, NOT the intended major trigger: the byte ratio is —
+    * a run-count-forced major is byte-ungoverned and reintroduces
+    * exactly the forced-full-rewrite pathology tiering removes (the
+    * StreamLadder A/B measured a tight cap DOUBLING cumulative write
+    * bytes). The default 64 matches the single-tier face's
+    * MaxTailDirs budget: reads stay O(64 dir listings) worst-case,
+    * and since the leaf-rooted scan reads all runs as ONE relation,
+    * a deep run stack costs listings, not per-run reads. Returns the
+    * coverage reached (−1 when nothing is committed). Idempotent and crash-safe like
     * [[compact]]; lease-guarded, deferring (or failing, with
     * `failIfBusy`) on contention; every non-deferred call sweeps.
     *
@@ -721,7 +793,8 @@ object BatchDirs {
     * BASELINE.md). */
   def compactTiered(spark: SparkSession, baseDir: String, upTo: Long,
     bucketKey: String, nBuckets: Int = 64,
-    majorRatio: Double = 0.1, maxL0Runs: Int = 8,
+    majorRatio: Double = 0.1, maxL0Runs: Int = 64,
+    mergeFactor: Double = 2.0,
     leaseStaleMs: Long = DefaultLeaseStaleMs,
     failIfBusy: Boolean = false): Long = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
@@ -758,12 +831,34 @@ object BatchDirs {
           sweep(fs, baseDir, covered, gen.dirNames.toSet + targetName)
           cutoff
         } else if (foldIds.nonEmpty) {
-          val minorCutoff = foldIds.max
-          val targetName = s"l0=$minorCutoff.n$nBuckets"
-          if (!committed(spark, s"$baseDir/$targetName"))
-            writeMinor(spark, fs, baseDir, gen, minorCutoff, bucketKey,
-              nBuckets)
-          sweep(fs, baseDir, covered, gen.dirNames.toSet + targetName)
+          val fresh = L0Run(covered, foldIds.max, nBuckets)
+          if (!committed(spark, s"$baseDir/${fresh.name}"))
+            writeMinor(spark, fs, baseDir, fresh, bucketKey)
+          // size-tiered cascade: while the previous run is not
+          // substantially larger than the newest, fold the two into
+          // one run covering their union. Sizes end up geometric
+          // (each ≥ mergeFactor× the one above), so the run count is
+          // O(log L0 bytes) and every L0 byte is rewritten O(log)
+          // times — the classic LSM discipline. Superseded inputs
+          // stay one call as grace; the chain resolution skips them
+          // (their intervals overlap the merged run's).
+          def len(r: L0Run): Long = fs.getContentSummary(
+            new Path(s"$baseDir/${r.name}")).getLength
+          var runs = gen.l0 :+ fresh
+          var keepExtra = Set(fresh.name)
+          var cascading = mergeFactor > 0
+          while (cascading && runs.size >= 2) {
+            val prev = runs(runs.size - 2)
+            val last = runs.last
+            if (len(prev) <= mergeFactor * len(last)) {
+              val merged = L0Run(prev.lo, last.hi, nBuckets)
+              mergeRuns(spark, fs, baseDir, prev, last, merged,
+                bucketKey)
+              keepExtra += merged.name
+              runs = runs.dropRight(2) :+ merged
+            } else cascading = false
+          }
+          sweep(fs, baseDir, covered, gen.dirNames.toSet ++ keepExtra)
           cutoff
         } else {
           // nothing to fold: still sweep, so grace debris never

@@ -160,7 +160,7 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
           // pruned reader derives ONE bucket set from
           val gen = BatchDirs.generation(spark, dir)
           val moduli = (gen.compact.map(_._2).toSeq ++
-            gen.l0.map(_._2)).distinct
+            gen.l0.map(_.nBuckets)).distinct
           assert(moduli.size <= 1,
             s"mixed-modulus generation $gen (ops=$ops)")
           check()

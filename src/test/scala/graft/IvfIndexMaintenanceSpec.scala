@@ -154,13 +154,15 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     // batch=0 was swept as the PREVIOUS call's debris) — bounded,
     // and the strictly-above-coverage read rule below proves nothing
     // is ever double-counted
+    // the cascade merged the comparable second run into the first:
+    // the chain is l0=2.f-1; its two inputs keep one call of grace
     assert(names == Seq("batch=1", "batch=2", "batch=3",
-      "l0=0.n8", "l0=2.n8"),
-      s"expected coverage-2 L0 runs + one grace generation: $names")
+      "l0=0.f-1.n8", "l0=2.f-1.n8", "l0=2.f0.n8"),
+      s"expected coverage-2 L0 chain + one grace generation: $names")
     // the production layout sentence, as directories: postings
     // bucketed by (hashed) cluster_id in every folded tier
     val sub = fs.listStatus(
-      new org.apache.hadoop.fs.Path(s"$dir/l0=2.n8"))
+      new org.apache.hadoop.fs.Path(s"$dir/l0=2.f-1.n8"))
       .map(_.getPath.getName).filter(_.startsWith("pbucket=")).toSeq
     assert(sub.nonEmpty, "L0 run is not pbucket-partitioned")
     val got = IvfIndexMaintenance.index(spark, dir).get
@@ -199,7 +201,7 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     IvfIndexMaintenance.processBatch(
       corpus.filter(col("vec_id") >= 45L), 3L, centroids, dir,
       compactEvery = 2, nBuckets = 8)
-    assert(names == Seq("batch=3", "l0=0.n8", "l0=2.n8"),
+    assert(names == Seq("batch=3", "l0=2.f-1.n8"),
       s"replay's sweep should clear the grace debris: $names")
     assert(IvfIndexMaintenance.index(spark, dir).get
       .select("cluster_id", "vec_id").as[(Int, Long)].collect()
@@ -314,6 +316,15 @@ class IvfIndexMaintenanceSpec extends SparkTestBase {
     // the old dir is untouched — in-flight readers drain against it
     assert(IvfIndexMaintenance.index(spark, oldDir).get.count()
       == 120L)
+    // a rebuild must FAIL FAST into any dir already holding committed
+    // index state: readers union every committed dir, so an aborted
+    // earlier rebuild's leftovers would silently merge into the view
+    intercept[IllegalArgumentException] {
+      IvfIndexMaintenance.rebuild(spark, oldDir, c2, newDir)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndexMaintenance.rebuild(spark, oldDir, c2, oldDir)
+    }
     // resume the stream over the rebuilt dir through a REAL query
     // with a fresh checkpoint: idOffset=1 keys the engine's batch 0
     // as batch=1, so the bootstrap's batch=0 commit marker is not

@@ -211,7 +211,7 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       run((ix0, pr0), b, i.toLong, every = 0)
     }
     assert(lsNames(ix).sorted ==
-      Seq("batch=0", "batch=1", "batch=2", "l0=1.n8"),
+      Seq("batch=0", "batch=1", "batch=2", "l0=1.f-1.n8"),
       s"first generation: fold ≤ batchId-1, retain grace dirs: " +
         s"${lsNames(ix)}")
     val got = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
@@ -237,7 +237,7 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     run((ix0, pr0), b4, 3L, every = 0)
     run((ix0, pr0), b5, 4L, every = 0)
     assert(lsNames(ix).sorted == Seq("batch=0", "batch=1", "batch=2",
-      "batch=3", "batch=4", "l0=1.n8"),
+      "batch=3", "batch=4", "l0=1.f-1.n8"),
       s"no cadence point passed — listing unchanged + 2 recents: " +
         s"${lsNames(ix)}")
     val got2 = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
@@ -254,8 +254,12 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     // L0 run count + 2 cadences of batch dirs at any point
     run((ix, pr), Seq(31L -> "one more row to trip the cadence"), 5L,
       every = 3)
+    // the second minor's run was size-comparable to the first, so
+    // the cascade merged them: the chain is ONE run covering (-1, 4],
+    // with both inputs lingering one call as grace
     assert(lsNames(ix).sorted == Seq("batch=2", "batch=3", "batch=4",
-      "batch=5", "l0=1.n8", "l0=4.n8"), s"${lsNames(ix)}")
+      "batch=5", "l0=1.f-1.n8", "l0=4.f-1.n8", "l0=4.f1.n8"),
+      s"${lsNames(ix)}")
     val got3 = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet
     // direct single-tier folds (ratio 0 → every fold a major)
@@ -265,7 +269,7 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
     // never change the view; idempotent at the fixpoint
     val c1 = BatchDirs.compact(spark, ix, 5L, "k1", 8)
     assert(c1 == 5L && lsNames(ix).sorted ==
-      Seq("batch=5", "compact=5.n8", "l0=1.n8", "l0=4.n8"),
+      Seq("batch=5", "compact=5.n8", "l0=4.f-1.n8"),
       s"${lsNames(ix)}")
     val c2 = BatchDirs.compact(spark, ix, 5L, "k1", 8)
     assert(c2 == 5L && lsNames(ix) == Seq("compact=5.n8"),
@@ -387,6 +391,38 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       assert(got == all.filter(_._1 == id),
         s"int-keyed lookup for doc_a=$id diverged: $got")
     }
+  }
+
+  test("pairsFor survives a marker-only pairs fold: all-empty-batch " +
+    "ranges commit no data files, and the stored-type derivation " +
+    "must fall back instead of crashing on schema inference") {
+    import graft.streaming.BatchDirs
+    import org.apache.spark.sql.functions.col
+    val (ix, pr) = dirs("pempty")
+    // three mutually-unrelated docs: bands commit, ZERO pairs — the
+    // pairs batch dirs carry markers but no part files
+    def run(docs: Seq[(Long, String)], id: Long): Unit =
+      LshIndexMaintenance.processBatch(docs.toDF("doc_id", "text"),
+        id, "doc_id", "text", ix, pr, compactEvery = 0, nBuckets = 8)
+    run(Seq(1L -> "entirely solitary prose about glaciers"), 0L)
+    run(Seq(2L -> "unrelated notes on fermentation timing"), 1L)
+    // fold through batch 0: the pairs tier is committed MARKER-ONLY
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 0L, 8) == 0L)
+    assert(BatchDirs.compactedThrough(spark, pr) == 0L)
+    assert(BatchDirs.genDataDirs(spark, pr,
+      BatchDirs.generation(spark, pr)).isEmpty,
+      "fixture must produce a data-less pairs fold")
+    // the lookup face on the marker-only layout: no crash, no rows
+    assert(LshIndexMaintenance.pairsFor(spark, pr, ix, Seq(1L))
+      .count() == 0L)
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix).count() == 0L)
+    // and once real pairs arrive on the tail, the same faces see them
+    run(Seq(3L -> "entirely solitary prose about glaciers too"), 2L)
+    val got = LshIndexMaintenance.pairsFor(spark, pr, ix, Seq(1L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == LshIndexMaintenance
+      .pairsSoFar(spark, pr, ix).filter(col("doc_a") === 1L)
+      .as[(Long, Long, Long)].collect().toSet)
   }
 
   test("compaction safety: uncommitted compact dirs are invisible; " +

@@ -70,13 +70,18 @@ class TieredCompactionSpec extends SparkTestBase {
     assert(BatchDirs.compactTiered(spark, dir, 4L, "k", nBuckets = 4,
       majorRatio = Never) == 4L)
     val gen = BatchDirs.generation(spark, dir)
+    // the second minor's fresh run (50 rows) was comparable to its
+    // 100-row predecessor, so the size-tiered cascade merged the two
+    // into ONE run covering (1, 4] — the chain reads it, and the
+    // superseded inputs linger one call as grace
     assert(gen.compact.contains((1L, 4)) &&
-      gen.l0 == Seq((3L, 4), (4L, 4)) && gen.modulus.contains(4),
+      gen.l0 == Seq(BatchDirs.L0Run(1L, 4L, 4)) &&
+      gen.modulus.contains(4),
       s"gen after two minors: $gen")
     // batch=2/3 were folded by the first minor and swept by the
     // second (one-call grace); batch=4 keeps its grace
-    assert(names(dir) ==
-      Seq("batch=4", "compact=1.n4", "l0=3.n4", "l0=4.n4"))
+    assert(names(dir) == Seq("batch=4", "compact=1.n4",
+      "l0=3.f1.n4", "l0=4.f1.n4", "l0=4.f3.n4"))
     // THE tiered claim: the L1 file set is byte-identical across
     // both minor folds — no rewrite happened
     assert(compactFiles == l1Before,
@@ -99,7 +104,7 @@ class TieredCompactionSpec extends SparkTestBase {
     assert(total(dir) == 760)
     // the merged-away tiers survive one call as grace, then converge
     assert(names(dir) == Seq("batch=5", "compact=1.n4",
-      "compact=5.n4", "l0=3.n4", "l0=4.n4"))
+      "compact=5.n4", "l0=4.f1.n4"))
     assert(BatchDirs.compactTiered(spark, dir, 5L, "k", nBuckets = 4,
       majorRatio = 0.0) == 5L)
     assert(names(dir) == Seq("compact=5.n4") && total(dir) == 760)
@@ -109,15 +114,17 @@ class TieredCompactionSpec extends SparkTestBase {
     "the cap forces a major merge instead of a new run") {
     val dir = java.nio.file.Files
       .createTempDirectory("tc_runs").toString + "/ix"
+    // mergeFactor 0 disables the size-tiered cascade: this test
+    // isolates the run-COUNT backstop, which needs runs to pile up
     def fold(upTo: Long): Long =
       BatchDirs.compactTiered(spark, dir, upTo, "k", nBuckets = 4,
-        majorRatio = Never, maxL0Runs = 2)
+        majorRatio = Never, maxL0Runs = 2, mergeFactor = 0.0)
     writeBatch(dir, 0L, rows = 20)
     assert(fold(0L) == 0L)
     writeBatch(dir, 1L, rows = 20, offset = 20)
     assert(fold(1L) == 1L)
     // two runs: AT the cap — still minor territory
-    assert(BatchDirs.generation(spark, dir).l0.map(_._1)
+    assert(BatchDirs.generation(spark, dir).l0.map(_.hi)
       == Seq(0L, 1L))
     // a third run would exceed the cap → this fold is a MAJOR merge
     writeBatch(dir, 2L, rows = 20, offset = 40)
@@ -134,10 +141,10 @@ class TieredCompactionSpec extends SparkTestBase {
       .createTempDirectory("tc_mod").toString + "/ix"
     writeBatch(dir, 0L, rows = 100)
     assert(BatchDirs.compactTiered(spark, dir, 0L, "k", nBuckets = 4,
-      majorRatio = Never) == 0L)
+      majorRatio = Never, mergeFactor = 0.0) == 0L)
     writeBatch(dir, 1L, rows = 100, offset = 100)
     assert(BatchDirs.compactTiered(spark, dir, 1L, "k", nBuckets = 4,
-      majorRatio = Never) == 1L)
+      majorRatio = Never, mergeFactor = 0.0) == 1L)
     assert(BatchDirs.generation(spark, dir).l0.size == 2)
     // same call shape, new modulus: must merge, not append a mixed run
     writeBatch(dir, 2L, rows = 100, offset = 200)
@@ -152,6 +159,50 @@ class TieredCompactionSpec extends SparkTestBase {
     val viaBuckets = BatchDirs.readCommitted(spark, dir,
       pbuckets = Some(0L until 8L)).get.count()
     assert(full == 300 && viaBuckets == 300)
+  }
+
+  test("size-tiered cascade: a fresh run does NOT merge into a much " +
+    "larger predecessor, DOES merge into a comparable one, and the " +
+    "coverage-interval chain keeps superseded inputs out of the view") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("tc_cascade").toString + "/ix"
+    // incompressible keys (sha2 strings): run sizes are data-driven,
+    // so the 5000-vs-10-row asymmetry dominates parquet footers and
+    // both cascade decisions below are deterministic
+    def writeBig(id: Long, rows: Long, offset: Long): Unit =
+      spark.range(rows)
+        .select(sha2((col("id") + offset).cast("string"), 256).as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$id")
+    def fold(upTo: Long): Long =
+      BatchDirs.compactTiered(spark, dir, upTo, "k", nBuckets = 4,
+        majorRatio = Never)
+    def runsOf: Seq[BatchDirs.L0Run] =
+      BatchDirs.generation(spark, dir).l0
+    writeBig(0L, rows = 5000, offset = 0)
+    assert(fold(0L) == 0L && runsOf == Seq(BatchDirs.L0Run(-1L, 0L, 4)))
+    // a 10-row run lands on a 5000-row run: sizes differ far beyond
+    // mergeFactor → the stack keeps both (geometric shape)
+    writeBig(1L, rows = 10, offset = 5000)
+    assert(fold(1L) == 1L)
+    assert(runsOf == Seq(BatchDirs.L0Run(-1L, 0L, 4),
+      BatchDirs.L0Run(0L, 1L, 4)),
+      s"small-onto-large must not merge: $runsOf")
+    // a second 5000-row run: the 10-row run merges into it, and the
+    // merged (0,2] run is then comparable to the (−1,0] base — the
+    // cascade collapses the stack to ONE run covering (−1, 2]
+    writeBig(2L, rows = 5000, offset = 5010)
+    assert(fold(2L) == 2L)
+    assert(runsOf == Seq(BatchDirs.L0Run(-1L, 2L, 4)),
+      s"comparable runs must cascade-merge: $runsOf")
+    // exactness through all of it: every row exactly once (the
+    // superseded inputs still on disk as grace never double-count)
+    assert(total(dir) == 10010)
+    import spark.implicits._
+    assert(BatchDirs.readCommitted(spark, dir).get
+      .select("k").as[String].collect().toSet.size == 10010)
+    // and one more call sweeps the superseded inputs
+    assert(fold(2L) == 2L)
+    assert(names(dir) == Seq("l0=2.f-1.n4"))
   }
 
   test("the compactor lease: a held lease defers the fold (or fails " +
@@ -185,7 +236,7 @@ class TieredCompactionSpec extends SparkTestBase {
     fs.setTimes(new Path(dir, BatchDirs.LeaseName), 1000L, -1L)
     assert(BatchDirs.compactTiered(spark, dir, 0L, "k",
       nBuckets = 4) == 0L)
-    assert(names(dir) == Seq("batch=0", "l0=0.n4"))
+    assert(names(dir) == Seq("batch=0", "l0=0.f-1.n4"))
     assert(!fs.exists(new Path(dir, BatchDirs.LeaseName)),
       "the lease must be released after the fold")
     assert(total(dir) == 50)
