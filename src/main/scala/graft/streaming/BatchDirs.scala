@@ -516,35 +516,65 @@ object BatchDirs {
           out.close()
           true
         } catch { case _: java.io.IOException => false }
-      def markerToken(): Option[String] =
+      // Some(None) = marker absent; Some(Some(t)) = its full token;
+      // None = marker EXISTS but is unreadable (transient IO error) —
+      // callers must fail CLOSED on that case (a wrong delete here
+      // unlocks a live fold for a third compactor). The read loops to
+      // EOF: a short read would truncate the token and make release
+      // skip deleting our OWN marker, wedging folds for staleMs.
+      def markerToken(): Option[Option[String]] =
         try {
           val in = fs.open(marker)
           try {
+            val out = new java.io.ByteArrayOutputStream()
             val buf = new Array[Byte](64)
-            val n = in.read(buf)
-            Some(new String(buf, 0, math.max(n, 0),
-              java.nio.charset.StandardCharsets.UTF_8))
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            Some(Some(new String(out.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8)))
           } finally in.close()
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          case _: java.io.FileNotFoundException => Some(None)
+          case _: java.io.IOException => None
+        }
       val acquired = tryCreate() || {
-        val stale =
-          try System.currentTimeMillis() -
-            fs.getFileStatus(marker).getModificationTime > staleMs
-          catch { // released between the probes: retry the create
-            case _: java.io.FileNotFoundException => true
+        val staleMtime =
+          try {
+            val m = fs.getFileStatus(marker).getModificationTime
+            if (System.currentTimeMillis() - m > staleMs) Some(m)
+            else None
+          } catch { case _: java.io.FileNotFoundException =>
+            Some(-1L) // released between the probes
           }
-        // takeover via RENAME, not delete-then-create: two processes
-        // that both judged the marker stale would each delete (the
-        // second delete killing the first's FRESH marker) and both
-        // acquire — rename of the observed stale marker succeeds for
-        // exactly ONE of them, the loser falls through to busy
-        stale && {
-          val graveyard = new Path(base,
-            s"$LeaseName.stale.$token")
-          val won = try fs.rename(marker, graveyard)
-          catch { case _: java.io.IOException => false }
-          if (won) fs.delete(graveyard, false)
-          won && tryCreate()
+        staleMtime.exists { m =>
+          if (m < 0) tryCreate() // marker gone: plain re-create race
+          else {
+            // takeover via RENAME, not delete-then-create: two
+            // processes that both judged the marker stale would each
+            // delete (the second delete killing the first's FRESH
+            // marker) and both acquire. The rename grabs whatever
+            // sits at the path, so the winner RE-VERIFIES the
+            // graveyard's mtime: a fresh mtime means a racing
+            // takeover already replaced the stale marker and we
+            // renamed a LIVE one — restore it and back off
+            val graveyard = new Path(base, s"$LeaseName.stale.$token")
+            val won = try fs.rename(marker, graveyard)
+            catch { case _: java.io.IOException => false }
+            won && {
+              val reallyStale =
+                try System.currentTimeMillis() - fs
+                  .getFileStatus(graveyard).getModificationTime > staleMs
+                catch { case _: java.io.IOException => false }
+              if (!reallyStale) {
+                try fs.rename(graveyard, marker)
+                catch { case _: java.io.IOException => () }
+                false
+              } else {
+                fs.delete(graveyard, false)
+                tryCreate()
+              }
+            }
+          }
         }
       }
       if (!acquired) busy("marker held by another process")
@@ -552,9 +582,14 @@ object BatchDirs {
         try Some(body)
         finally {
           // release only OUR marker: if the fold overran staleMs and
-          // a takeover replaced it, the thief's lease must survive
-          if (markerToken().forall(_ == token))
-            fs.delete(marker, false)
+          // a takeover replaced it, the thief's lease must survive —
+          // and an UNREADABLE marker fails closed (no delete; the
+          // stale horizon cleans up if it really was ours)
+          markerToken() match {
+            case Some(Some(t)) if t == token =>
+              fs.delete(marker, false); ()
+            case _ => ()
+          }
         }
     } finally { jvmLeases.remove(key); () }
   }
@@ -845,7 +880,6 @@ object BatchDirs {
           def len(r: L0Run): Long = fs.getContentSummary(
             new Path(s"$baseDir/${r.name}")).getLength
           var runs = gen.l0 :+ fresh
-          var keepExtra = Set(fresh.name)
           var cascading = mergeFactor > 0
           while (cascading && runs.size >= 2) {
             val prev = runs(runs.size - 2)
@@ -854,11 +888,14 @@ object BatchDirs {
               val merged = L0Run(prev.lo, last.hi, nBuckets)
               mergeRuns(spark, fs, baseDir, prev, last, merged,
                 bucketKey)
-              keepExtra += merged.name
               runs = runs.dropRight(2) :+ merged
             } else cascading = false
           }
-          sweep(fs, baseDir, covered, gen.dirNames.toSet ++ keepExtra)
+          // the fresh run and every cascade product end at
+          // foldIds.max > entryCovered, so the sweep (which only
+          // touches dirs at or below entryCovered) cannot reach
+          // them — no extra keep entries needed
+          sweep(fs, baseDir, covered, gen.dirNames.toSet)
           cutoff
         } else {
           // nothing to fold: still sweep, so grace debris never
