@@ -93,11 +93,32 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * every fold call holds the compactor lease: a JVM-wide mutex per
   * qualified base path (exact within one process — `local[*]` and
   * any driver-side maintenance thread), plus a `_COMPACTING` marker
-  * created with `overwrite = false` (atomic on HDFS and
-  * precondition-capable object stores; best-effort on a raw local
-  * FS) for cross-process exclusion. A marker older than
+  * created with `overwrite = false` for cross-process exclusion.
+  * CROSS-PROCESS exclusion is only as strong as the filesystem's
+  * exclusive create: atomic on HDFS and precondition-capable object
+  * stores; on a raw local FS the create is check-then-write
+  * (TOCTOU), so raw-local deployments are single-process territory —
+  * there the JVM mutex is the real guard. A marker older than
   * `leaseStaleMs` is presumed abandoned by a crashed compactor and
-  * taken over — size the timeout ABOVE the longest plausible fold.
+  * taken over — size the timeout ABOVE the longest plausible fold: a
+  * LIVE fold that overruns it can have its lease stolen, and every
+  * residual race below lives strictly inside that overrun window.
+  * Takeover and release share one atomic-grab discipline: RENAME the
+  * marker to a private token-named graveyard, verify the grabbed
+  * file (mtime for takeover, token for release), then delete it —
+  * never a bare read-then-delete, whose window a concurrent takeover
+  * could land in. When the verify says the grab was wrong (a racing
+  * takeover already replaced the marker), the graveyard is renamed
+  * back; if even the rename-back fails (a third compactor created a
+  * fresh marker while the path was momentarily empty — possible only
+  * inside the overrun window), the grabbed file is deleted and the
+  * call FAILS LOUDLY (`IllegalStateException` naming both markers)
+  * rather than silently continuing with the protocol state torn.
+  * Graveyard files a crashed compactor leaves behind
+  * (`_COMPACTING.stale.*` / `_COMPACTING.rel.*`) are deleted by the
+  * sweep; a sweep racing a live takeover of the SWEEPER's own
+  * overrun lease can abort that takeover (it retries) — again
+  * confined to the overrun window.
   * On contention the in-band cadence path defers silently (folding
   * is opportunistic there; the next cadence retries) and the
   * out-of-band faces fail loudly (`failIfBusy = true` →
@@ -121,6 +142,11 @@ object BatchDirs {
 
   /** Cross-process compactor lease marker (class doc). */
   val LeaseName = "_COMPACTING"
+
+  // token-named graveyard files of the lease's atomic-grab takeover
+  // and release steps (class doc); normally deleted by the step that
+  // made them, swept here only when a compactor crashed mid-step
+  private val GraveName = "_COMPACTING\\.(?:stale|rel)\\..+".r
 
   /** Default stale-lease takeover horizon: one hour. A crashed
     * compactor blocks folds (never reads) for at most this long;
@@ -417,12 +443,62 @@ object BatchDirs {
     * one full compactor call (see [[compactTiered]]). Only the raw
     * batch tail lists fresh — new L0 runs committed after the pin are
     * invisible, and their source batch dirs (still present, grace)
-    * are read instead, so the view stays exact. */
+    * are read instead, so the view stays exact.
+    *
+    * EXACTNESS GUARD: that "read the grace dirs instead" argument
+    * only holds while the pin is within its one-call grace window. A
+    * `gen` held across TWO OR MORE compactor calls can be silently
+    * incomplete — batches folded after the pin get their dirs swept
+    * on the second call, while the pinned tiers often remain live
+    * chain members (no FileNotFoundException ever fires). This face
+    * therefore FAILS LOUDLY instead: every committed folded tier in
+    * the fresh listing whose cutoff lies above the pinned coverage
+    * must still have its cutoff batch's directory present (the fold's
+    * newest input, alive for exactly one call of grace) — a missing
+    * one proves a second compactor call ran since the pin, and the
+    * call throws `IllegalStateException` (re-resolve and retry)
+    * rather than return a silently-short view. The guard is
+    * conservative (it can fire when every swept batch was empty) and
+    * evidence-bounded: once later calls sweep the intermediate tiers
+    * themselves (three or more calls since the pin), the omission is
+    * no longer detectable — the one-call deadline is a hard contract,
+    * with [[materialized]]/[[materializedTo]] as the escape. */
   def readCommittedAt(spark: SparkSession,
     baseDir: String, gen: Gen,
     excludeBatch: Long = -1L, pbuckets: Option[Seq[Long]] = None)
     : Option[DataFrame] = {
     val fs = fsOf(spark, baseDir)
+    val basePath = new Path(baseDir)
+    if (fs.exists(basePath)) {
+      val statuses = fs.listStatus(basePath).toSeq.filter(_.isDirectory)
+      def isCommitted(p: Path): Boolean =
+        try { fs.getFileStatus(new Path(p, "_SUCCESS")); true }
+        catch { case _: java.io.FileNotFoundException => false }
+      val newCutoffs = statuses.flatMap(s => s.getPath.getName match {
+        case CompactName(c, _) if c.toLong > gen.coveredThrough =>
+          Some((c.toLong, s.getPath))
+        case L0Name(hi, _, _) if hi.toLong > gen.coveredThrough =>
+          Some((hi.toLong, s.getPath))
+        case _ => None
+      }).filter { case (_, p) => isCommitted(p) }.map(_._1).distinct
+      if (newCutoffs.nonEmpty) {
+        val present = statuses.flatMap(s => s.getPath.getName match {
+          case BatchName(id) => Some((id.toLong, s.getPath))
+          case _ => None
+        }).filter { case (_, p) => isCommitted(p) }.map(_._1).toSet
+        newCutoffs.filterNot(present).foreach { c =>
+          throw new IllegalStateException(
+            s"pinned generation outlived its grace window under " +
+              s"$baseDir: a fold committed coverage $c after the pin " +
+              s"(pinned coverage ${gen.coveredThrough}) and batch=$c " +
+              "has already been swept — at least two compactor calls " +
+              "ran since the pin, so a read against it could silently " +
+              "omit their batches. Re-resolve the generation and " +
+              "retry (or hold results via BatchDirs.materialized/" +
+              "materializedTo instead of a lazy frame)")
+        }
+      }
+    }
     // ONE parquet read across every tier, rooted at the pbucket LEAF
     // dirs (which hold plain part files, so no partition discovery
     // runs — sibling `compact=`/`l0=` roots would make Spark's
@@ -471,9 +547,28 @@ object BatchDirs {
     * more than one compactor call pays the one materialization here
     * instead of crashing on a swept file later. The cost is a full
     * execution of the plan NOW plus caching the output, so reserve it
-    * for long-lived handles, not per-batch reads. */
+    * for long-lived handles, not per-batch reads.
+    *
+    * DURABILITY caveat: a local checkpoint stores blocks on the
+    * executors with TRUNCATED lineage — lose an executor (crash,
+    * dynamic-allocation decommission) and the handle is unrecoverable
+    * (the job fails; it cannot recompute). It outlives sweeps, not
+    * executors. On a cluster with dynamic allocation, or for a handle
+    * that must survive executor churn, use [[materializedTo]]. */
   def materialized(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = true)
+
+  /** The RELIABLE sibling of [[materialized]]: write the frame to
+    * `path` (overwrite) and return a reader over it. Survives
+    * compaction sweeps AND executor loss — the rows live in the
+    * caller's filesystem, outside the compacted layout, so no sweep
+    * ever touches them and any executor can re-read them. Costs one
+    * full write + the read-back; the caller owns `path`'s lifecycle
+    * (delete it when the handle is done). */
+  def materializedTo(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 
   // ---------------------------------------------------------------
   // Writers
@@ -485,8 +580,10 @@ object BatchDirs {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Runs `body` under the compactor lease; None when the lease is
-    * busy and `failIfBusy` is false. */
-  private def withCompactorLease[A](spark: SparkSession,
+    * busy and `failIfBusy` is false. `private[graft]` so the lease
+    * protocol spec can drive acquire/release with an injected body
+    * (the fold faces are the only production callers). */
+  private[graft] def withCompactorLease[A](spark: SparkSession,
     baseDir: String, staleMs: Long, failIfBusy: Boolean)
     (body: => A): Option[A] = {
     val fs = fsOf(spark, baseDir)
@@ -516,15 +613,15 @@ object BatchDirs {
           out.close()
           true
         } catch { case _: java.io.IOException => false }
-      // Some(None) = marker absent; Some(Some(t)) = its full token;
-      // None = marker EXISTS but is unreadable (transient IO error) —
+      // Some(None) = file absent; Some(Some(t)) = its full token;
+      // None = file EXISTS but is unreadable (transient IO error) —
       // callers must fail CLOSED on that case (a wrong delete here
       // unlocks a live fold for a third compactor). The read loops to
       // EOF: a short read would truncate the token and make release
       // skip deleting our OWN marker, wedging folds for staleMs.
-      def markerToken(): Option[Option[String]] =
+      def tokenOf(p: Path): Option[Option[String]] =
         try {
-          val in = fs.open(marker)
+          val in = fs.open(p)
           try {
             val out = new java.io.ByteArrayOutputStream()
             val buf = new Array[Byte](64)
@@ -537,6 +634,32 @@ object BatchDirs {
           case _: java.io.FileNotFoundException => Some(None)
           case _: java.io.IOException => None
         }
+      // restore a wrongly-grabbed LIVE marker from its graveyard; on
+      // restore failure (a third compactor's fresh marker landed
+      // while the path was empty) delete the graveyard — it must not
+      // leak, and the live holder it held will fail its own release
+      // token check harmlessly — and FAIL LOUDLY: the protocol state
+      // is torn (two processes now believe they hold the lease) and
+      // silently continuing hides exactly the double-fold hazard the
+      // lease exists to prevent (class doc: confined to folds that
+      // overran staleMs)
+      def restoreOrDie(graveyard: Path, detail: String): Unit = {
+        val restored =
+          try fs.rename(graveyard, marker)
+          catch { case _: java.io.IOException => false }
+        if (!restored) {
+          try fs.delete(graveyard, false)
+          catch { case _: java.io.IOException => () }
+          throw new IllegalStateException(
+            s"compactor lease protocol torn on $baseDir ($detail): " +
+              s"grabbed a live marker but could not restore it — a " +
+              s"third compactor created $marker while the path was " +
+              "empty. Two holders may now run concurrently; this " +
+              "happens only when a fold overran the leaseStaleMs " +
+              s"(${staleMs}ms) horizon — size it above the longest " +
+              "fold and retry")
+        }
+      }
       val acquired = tryCreate() || {
         val staleMtime =
           try {
@@ -556,7 +679,9 @@ object BatchDirs {
             // sits at the path, so the winner RE-VERIFIES the
             // graveyard's mtime: a fresh mtime means a racing
             // takeover already replaced the stale marker and we
-            // renamed a LIVE one — restore it and back off
+            // renamed a LIVE one — restore it and back off (failing
+            // loudly, never silently, when even the restore loses a
+            // race: restoreOrDie)
             val graveyard = new Path(base, s"$LeaseName.stale.$token")
             val won = try fs.rename(marker, graveyard)
             catch { case _: java.io.IOException => false }
@@ -566,8 +691,8 @@ object BatchDirs {
                   .getFileStatus(graveyard).getModificationTime > staleMs
                 catch { case _: java.io.IOException => false }
               if (!reallyStale) {
-                try fs.rename(graveyard, marker)
-                catch { case _: java.io.IOException => () }
+                restoreOrDie(graveyard, "stale takeover grabbed a " +
+                  "marker a racing takeover had just refreshed")
                 false
               } else {
                 fs.delete(graveyard, false)
@@ -581,13 +706,39 @@ object BatchDirs {
       else
         try Some(body)
         finally {
-          // release only OUR marker: if the fold overran staleMs and
-          // a takeover replaced it, the thief's lease must survive —
-          // and an UNREADABLE marker fails closed (no delete; the
-          // stale horizon cleans up if it really was ours)
-          markerToken() match {
+          // release only OUR marker, by the same atomic-grab
+          // discipline as takeover (class doc): RENAME the marker to
+          // a private graveyard, verify the grabbed file's token,
+          // delete only on a match. A bare read-token-then-delete
+          // has a window — a takeover replacing the marker between
+          // the read and the delete (possible only when the fold
+          // overran staleMs) would have its fresh marker deleted,
+          // unlocking a third compactor. The grab is atomic and the
+          // grabbed file immutable, so the verify is exact; a
+          // grabbed THIEF marker is restored (fail-loud on a lost
+          // restore race, like takeover). An UNREADABLE or absent
+          // marker fails closed — no grab, no delete; the stale
+          // horizon cleans up if it really was ours.
+          tokenOf(marker) match {
             case Some(Some(t)) if t == token =>
-              fs.delete(marker, false); ()
+              val grave = new Path(base, s"$LeaseName.rel.$token")
+              val grabbed =
+                try fs.rename(marker, grave)
+                catch { case _: java.io.IOException => false }
+              if (grabbed) tokenOf(grave) match {
+                case Some(Some(t2)) if t2 == token =>
+                  fs.delete(grave, false); ()
+                case Some(Some(_)) =>
+                  restoreOrDie(grave, "release grabbed a marker a " +
+                    "takeover had just replaced")
+                case _ =>
+                  // grave unreadable/vanished (a concurrent sweep of
+                  // graveyard debris): nothing provable to restore —
+                  // best-effort delete so it cannot leak
+                  try fs.delete(grave, false)
+                  catch { case _: java.io.IOException => () }
+                  ()
+              }
             case _ => ()
           }
         }
@@ -734,6 +885,16 @@ object BatchDirs {
         case L0Name(hi, _, _) if hi.toLong <= entryCovered &&
           !keep(s.getPath.getName) =>
           fs.delete(s.getPath, true)
+        case GraveName() if s.isFile =>
+          // orphaned lease graveyard (compactor crashed between the
+          // grab and the delete/restore): without this it leaks
+          // forever — no other path matches the token-named file.
+          // The sweep runs under the lease, so the only LIVE
+          // graveyard this could race belongs to a takeover of the
+          // sweeper's own overrun lease (class doc: that takeover
+          // aborts loudly and retries — confined to folds that
+          // overran staleMs)
+          fs.delete(s.getPath, false)
         case _ => ()
       }
     }

@@ -173,10 +173,15 @@ object LshIndexMaintenance {
     * generation a concurrent reader resolved alive for ONE more
     * compactor call — so space invocations at least one micro-batch
     * (and one external-reader) duration apart: two calls landing
-    * inside a single in-flight read exhaust its grace window (the
-    * second call's sweep deletes the generation the read is pinned
-    * to, and it fails with FileNotFoundException — crash/retry, not
-    * corruption; see [[BatchDirs.materialized]] for long-lived
+    * inside a single in-flight read exhaust its grace window and the
+    * read FAILS LOUDLY, never returns a short answer — a frame built
+    * before the folds hits swept files at execution
+    * (FileNotFoundException), and a read BUILT against an
+    * already-outdated pin is rejected up front by
+    * [[BatchDirs.readCommittedAt]]'s exactness guard
+    * (IllegalStateException) — crash/retry either way, not
+    * corruption; see [[BatchDirs.materialized]] /
+    * [[BatchDirs.materializedTo]] for long-lived
     * handles), and (d) the single-compactor LEASE
     * ([[BatchDirs]] class doc) serializes all folds: the in-band
     * cadence defers to a running out-of-band fold, while THIS face
@@ -190,28 +195,47 @@ object LshIndexMaintenance {
     * no-op returning −1 (a maintenance job racing stream startup, or
     * re-running after a fully-folded quiet period, must not crash).
     * Band fold first, then pairs capped at the band coverage reached,
-    * keeping pairsCoverage ≤ bandCoverage structural. */
+    * keeping pairsCoverage ≤ bandCoverage structural. When the INDEX
+    * side has nothing left to fold, the pairs side may still carry a
+    * tail — a single-tier pairs major the byte-ratio governor
+    * deferred on an earlier call, or a crash between the two folds —
+    * so the pairs fold still runs, capped at the band coverage
+    * already reached (the invariant is unchanged); the call then
+    * returns −1 to report the index no-op. */
   def compactNow(spark: SparkSession, indexDir: String,
     pairsDir: String, upTo: Long, nBuckets: Int = 64,
     tiered: Boolean = true): Long =
-    if (!BatchDirs.foldableUpTo(spark, indexDir, upTo)) -1L
-    else foldBoth(spark, indexDir, pairsDir, upTo, nBuckets, tiered,
-      failIfBusy = true)
+    if (BatchDirs.foldableUpTo(spark, indexDir, upTo))
+      foldBoth(spark, indexDir, pairsDir, upTo, nBuckets, tiered,
+        failIfBusy = true)
+    else {
+      val bandCoverage = BatchDirs.compactedThrough(spark, indexDir)
+      val cap = math.min(upTo, bandCoverage)
+      if (cap >= 0 && BatchDirs.foldableUpTo(spark, pairsDir, cap))
+        foldOne(spark, pairsDir, "doc_a", cap, nBuckets, tiered,
+          failIfBusy = true)
+      -1L
+    }
 
   /** Band fold then pairs fold capped at the band coverage reached —
     * the shared body of the cadence path and [[compactNow]]. */
+  private def foldOne(spark: SparkSession, dir: String, key: String,
+    limit: Long, nBuckets: Int, tiered: Boolean,
+    failIfBusy: Boolean): Long =
+    if (tiered)
+      BatchDirs.compactTiered(spark, dir, limit, key, nBuckets,
+        failIfBusy = failIfBusy)
+    else
+      BatchDirs.compact(spark, dir, limit, key, nBuckets,
+        minFoldRatio = 0.1, failIfBusy = failIfBusy)
+
   private def foldBoth(spark: SparkSession, indexDir: String,
     pairsDir: String, upTo: Long, nBuckets: Int, tiered: Boolean,
     failIfBusy: Boolean): Long = {
-    def fold(dir: String, key: String, limit: Long): Long =
-      if (tiered)
-        BatchDirs.compactTiered(spark, dir, limit, key, nBuckets,
-          failIfBusy = failIfBusy)
-      else
-        BatchDirs.compact(spark, dir, limit, key, nBuckets,
-          minFoldRatio = 0.1, failIfBusy = failIfBusy)
-    val bandCoverage = fold(indexDir, "k1", upTo)
-    fold(pairsDir, "doc_a", bandCoverage)
+    val bandCoverage = foldOne(spark, indexDir, "k1", upTo, nBuckets,
+      tiered, failIfBusy)
+    foldOne(spark, pairsDir, "doc_a", bandCoverage, nBuckets, tiered,
+      failIfBusy)
     bandCoverage
   }
 

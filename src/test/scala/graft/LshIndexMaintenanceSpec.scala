@@ -464,4 +464,42 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet == before,
       "compaction changed the candidate-pair view")
   }
+
+  test("compactNow with a fully-folded index still catches up a " +
+    "lagging pairs tail (crash between the two folds), capped at " +
+    "the band coverage") {
+    import graft.streaming.BatchDirs
+    val (ix, pr) = dirs("pcatch")
+    def run(batch: Seq[(Long, String)], id: Long): Unit =
+      LshIndexMaintenance.processBatch(batch.toDF("doc_id", "text"),
+        id, "doc_id", "text", ix, pr, compactEvery = 0, nBuckets = 8)
+    run(b1, 0L); run(b2, 1L); run(b3, 2L)
+    val before = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(before.nonEmpty)
+    // simulate a backfill-style fold that covered EVERY index batch
+    // (the quiet-period state: no committed index dir above the
+    // coverage) while the pairs side stayed untouched — e.g. a crash
+    // between foldBoth's two folds after a fold-everything backfill
+    assert(BatchDirs.compactTiered(spark, ix, 2L, "k1",
+      nBuckets = 8) == 2L)
+    assert(BatchDirs.compactedThrough(spark, pr) == -1L,
+      "fixture broken: pairs must start unfolded")
+    // the re-run: the index side has nothing left to fold (returns
+    // −1, the documented no-op) — but the pairs tail must still be
+    // folded, capped at min(upTo, band coverage) (this skipped the
+    // pairs fold entirely before the catch-up branch)
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 1L, 8) == -1L)
+    assert(BatchDirs.compactedThrough(spark, pr) == 1L,
+      "pairs tail was not caught up to the band coverage")
+    // the invariant held throughout, and the view is unchanged
+    assert(BatchDirs.compactedThrough(spark, pr) <=
+      BatchDirs.compactedThrough(spark, ix))
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet == before,
+      "pairs catch-up changed the candidate-pair view")
+    // idempotent: nothing left on either side is a clean no-op
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 1L, 8) == -1L)
+    assert(BatchDirs.compactedThrough(spark, pr) == 1L)
+  }
 }

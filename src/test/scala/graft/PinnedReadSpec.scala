@@ -108,4 +108,70 @@ class PinnedReadSpec extends SparkTestBase {
       == expected, "materialized search handle diverged")
     graft.operators.Broadcasting.releaseAll()
   }
+
+  test("readCommittedAt rejects a generation that outlived its " +
+    "grace window (two folds since the pin) instead of silently " +
+    "omitting the swept batches; one fold stays exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("pin_guard").toString + "/ix"
+    def writeBatch(id: Long, rows: Long, offset: Long): Unit =
+      spark.range(rows).select((col("id") + offset).as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch=$id")
+    writeBatch(0L, 100, 0)
+    assert(BatchDirs.compactTiered(spark, dir, 0L, "k",
+      nBuckets = 4) == 0L)
+    val gen = BatchDirs.generation(spark, dir)
+    // ONE fold after the pin: the folded batches keep their one-call
+    // grace, so a read built against the pin is still EXACT — the
+    // guard must not fire on the contract's happy path
+    writeBatch(1L, 100, 100)
+    assert(BatchDirs.compactTiered(spark, dir, 1L, "k",
+      nBuckets = 4) == 1L)
+    assert(BatchDirs.readCommittedAt(spark, dir, gen).get.count()
+      == 200L)
+    // a SECOND fold sweeps batch=1 (the first fold's newest input):
+    // a read built against the stale pin would silently return 100
+    // rows — it must throw instead. The danger is real: the pinned
+    // tier (l0=0) is still a live chain member, so no
+    // FileNotFoundException would ever fire
+    writeBatch(2L, 100, 200)
+    assert(BatchDirs.compactTiered(spark, dir, 2L, "k",
+      nBuckets = 4) == 2L)
+    val ex = intercept[IllegalStateException] {
+      BatchDirs.readCommittedAt(spark, dir, gen)
+    }
+    assert(ex.getMessage.contains("grace window"), ex.getMessage)
+    // a fresh resolve reads everything
+    assert(BatchDirs.readCommitted(spark, dir).get.count() == 300L)
+  }
+
+  test("materializedTo: the durable handle survives folds AND lives " +
+    "in the caller's own path, outside every sweep") {
+    val base = java.nio.file.Files
+      .createTempDirectory("pin_matto").toString
+    val (ix, pr) = (s"$base/index", s"$base/pairs")
+    def run(docs: Seq[(Long, String)], id: Long): Unit =
+      LshIndexMaintenance.processBatch(docs.toDF("doc_id", "text"),
+        id, "doc_id", "text", ix, pr, compactEvery = 0, nBuckets = 8)
+    run(fams.take(2), 0L)
+    run(fams.drop(2), 1L)
+    val expected = LshIndexMaintenance.pairsFor(spark, pr, ix, Seq(0L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+    val durable = BatchDirs.materializedTo(
+      LshIndexMaintenance.pairsFor(spark, pr, ix, Seq(0L)),
+      s"$base/handle")
+    // exhaust the grace window: two folds, exactly as in the lazy
+    // test above — the durable handle must still answer from disk
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 0L, 8) == 0L)
+    run(Seq(3L -> "woodwind maintenance schedules and reed shaving"),
+      2L)
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 1L, 8) == 1L)
+    assert(durable.as[(Long, Long, Long)].collect().toSet == expected)
+    // and the handle's files are the caller's: under base/handle,
+    // not under the compacted layout
+    assert(durable.inputFiles.nonEmpty &&
+      durable.inputFiles.forall(_.contains("/handle")),
+      durable.inputFiles.mkString(","))
+  }
 }
