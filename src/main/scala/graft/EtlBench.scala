@@ -1,6 +1,6 @@
 package graft
 
-import graft.incremental.Ledger
+import graft.incremental.{BatchLedger, Ledger}
 import graft.pipelines.{MongoMarksPipeline, TtlFileSink}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   * first (Ledger.pending, the reference's should_process check,
   * mongodb_to_rdf.py:149-152) and must find ~0 pending marks. Two
   * JSON lines are printed, each carrying n_pending.
+  *
+  * With a 5th arg (nWaves) the incremental face runs as nWaves
+  * WAVES with LSM ledger maintenance in the loop — the
+  * compacted-regime figure for the reference-shaped pipeline: each
+  * wave sees a growing slice of the corpus, anti-joins the
+  * BatchLedger for the still-pending executions, processes exactly
+  * those marks, records the wave, and folds the ledger tail
+  * (BatchDirs.compactTiered on the never-the-newest cadence). One
+  * JSON line reports overall marks/sec plus the fold count and the
+  * final (bounded) ledger dir count.
   */
 object EtlBench {
   def main(args: Array[String]): Unit = {
@@ -86,6 +96,51 @@ object EtlBench {
         val rate = nMarks / secs
         println(s"""{"metric":"etl_marks_per_sec","value":$rate,""" +
           s""""unit":"marks/sec","n_marks":$nMarks,"secs":$secs,""" +
+          s""""n_analyses":$nAnalyses}""")
+      case Some(ledgerDir) if args.length > 4 =>
+        val nWaves = args(4).toInt
+        val t0 = System.nanoTime()
+        var processed = 0L
+        var folds = 0
+        (0 until nWaves).foreach { w =>
+          // the corpus visible so far grows wave over wave; the
+          // anti-join narrows it to the executions not yet recorded,
+          // so each wave processes exactly its new slice
+          val work = marks
+            .withColumn("_exec", col("provenance.analysis.execution_id"))
+            .filter(pmod(xxhash64(
+              col("provenance.analysis.execution_id")),
+              lit(nWaves.toLong)) <= w)
+          val todo = BatchLedger.pending(work, ledgerDir, "_exec")
+          val nPending = todo.count()
+          if (nPending > 0) {
+            val docs = MongoMarksPipeline.documents(
+              todo.drop("_exec"), analyses, hashes)
+            TtlFileSink.write(docs.select("rel_path", "ttl"),
+              s"$outDir/wave$w")
+            BatchLedger.record(todo.select("_exec").distinct(),
+              ledgerDir, w, runId = s"etlbench-wave$w")
+          }
+          processed += nPending
+          // fold the tail on the never-the-newest cadence: wave w is
+          // the newest recorded id and may re-run after a crash.
+          // foldEvery (6th arg, default 1, 0 = never) is the A/B
+          // lever isolating the fold's share of the wave cost
+          val foldEvery = args.lift(5).map(_.toInt).getOrElse(1)
+          if (w > 0 && foldEvery > 0 && w % foldEvery == 0) {
+            BatchLedger.fold(spark, ledgerDir, w - 1L); folds += 1
+          }
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val ledgerDirs = {
+          val p = new org.apache.hadoop.fs.Path(ledgerDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.listStatus(p).length else 0
+        }
+        println(s"""{"metric":"etl_marks_per_sec","value":${processed / secs},""" +
+          s""""unit":"marks/sec","n_waves":$nWaves,"folds":$folds,""" +
+          s""""ledger_dirs":$ledgerDirs,"n_marks":$nMarks,""" +
+          s""""n_processed":$processed,"secs":$secs,""" +
           s""""n_analyses":$nAnalyses}""")
       case Some(ledgerDir) =>
         Seq(1, 2).foreach { run =>

@@ -68,15 +68,25 @@ object StreamLadder {
     fs.delete(p, true); ()
   }
 
-  /** Mode label for the report lines. */
-  private def modeName(compactEvery: Int, tiered: Boolean): String =
-    if (compactEvery <= 0) "off   "
-    else if (tiered) "tiered"
-    else "single"
+  /** One maintenance configuration under measurement: compaction
+    * cadence, fold shape, and the tiered fold's two levers
+    * (major-merge byte trigger, L0 cascade factor). */
+  final case class Mode(name: String, every: Int, tiered: Boolean,
+    majorRatio: Double = 0.1, mergeFactor: Double = 2.0)
+
+  /** The measurable design space. `tiered`/`single`/`off` are the
+    * default ladder; `nocascade` (cascade off, run-count backstop
+    * only) and `lazy` (majorRatio 1.0 — majors wait until the upper
+    * tiers match the compact bytes) bracket the tiered levers. */
+  val Modes: Seq[Mode] = Seq(
+    Mode("tiered", 8, tiered = true),
+    Mode("nocascade", 8, tiered = true, mergeFactor = 0.0),
+    Mode("lazy", 8, tiered = true, majorRatio = 1.0),
+    Mode("single", 8, tiered = false),
+    Mode("off", 0, tiered = true))
 
   def lshRun(spark: SparkSession, docs: DataFrame, nBatches: Int,
-    compactEvery: Int, base: String, nBuckets: Int = 8,
-    tiered: Boolean = true)
+    mode: Mode, base: String, nBuckets: Int = 8)
     : (Seq[Double], Set[(Long, Long, Long)]) = {
     import spark.implicits._
     val (ix, pr) = (s"$base/index", s"$base/pairs")
@@ -87,16 +97,17 @@ object StreamLadder {
         pmod(xxhash64(col("doc_id")), lit(nBatches)) === id)
       val (ms, _) = timeMs(LshIndexMaintenance.processBatch(
         b, id.toLong, "doc_id", "text", ix, pr,
-        compactEvery = compactEvery, nBuckets = nBuckets,
-        tiered = tiered))
+        compactEvery = mode.every, nBuckets = nBuckets,
+        tiered = mode.tiered, majorRatio = mode.majorRatio,
+        mergeFactor = mode.mergeFactor))
       ms
     }
     val written = fsBytesWritten - w0
     val (readMs, pairs) = timeMs(
       LshIndexMaintenance.pairsSoFar(spark, pr, ix)
         .as[(Long, Long, Long)].collect().toSet)
-    println(f"[stream-ladder] lsh ${modeName(compactEvery, tiered)} " +
-      f"every=$compactEvery%-2d " +
+    println(f"[stream-ladder] lsh ${mode.name}%-9s " +
+      f"every=${mode.every}%-2d " +
       f"batchMs Q1/Q2/Q3/Q4 ${fmtQ(times)}  last ${times.last}%.0f  " +
       f"indexDirs ${dirCount(spark, ix)}  pairsDirs ${dirCount(spark, pr)}  " +
       f"written ${written / 1e6}%.1fMB  " +
@@ -105,8 +116,7 @@ object StreamLadder {
   }
 
   def ivfRun(spark: SparkSession, emb: DataFrame, centroids: DataFrame,
-    nBatches: Int, compactEvery: Int, base: String, nBuckets: Int = 8,
-    tiered: Boolean = true)
+    nBatches: Int, mode: Mode, base: String, nBuckets: Int = 8)
     : (Seq[Double], Set[(Int, Long)]) = {
     import spark.implicits._
     val ix = s"$base/index"
@@ -117,8 +127,9 @@ object StreamLadder {
         pmod(xxhash64(col("vec_id")), lit(nBatches)) === id)
       val (ms, _) = timeMs(IvfIndexMaintenance.processBatch(
         b, id.toLong, centroids, ix,
-        compactEvery = compactEvery, nBuckets = nBuckets,
-        tiered = tiered))
+        compactEvery = mode.every, nBuckets = nBuckets,
+        tiered = mode.tiered, majorRatio = mode.majorRatio,
+        mergeFactor = mode.mergeFactor))
       ms
     }
     val written = fsBytesWritten - w0
@@ -126,8 +137,8 @@ object StreamLadder {
       IvfIndexMaintenance.index(spark, ix).get
         .select("cluster_id", "vec_id").as[(Int, Long)]
         .collect().toSet)
-    println(f"[stream-ladder] ivf ${modeName(compactEvery, tiered)} " +
-      f"every=$compactEvery%-2d " +
+    println(f"[stream-ladder] ivf ${mode.name}%-9s " +
+      f"every=${mode.every}%-2d " +
       f"batchMs Q1/Q2/Q3/Q4 ${fmtQ(times)}  last ${times.last}%.0f  " +
       f"indexDirs ${dirCount(spark, ix)}  " +
       f"written ${written / 1e6}%.1fMB  " +
@@ -156,6 +167,18 @@ object StreamLadder {
     val modes: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet
       else Set("tiered", "single", "off")
+    // optional 5th arg: SYNTHETIC corpus size — the data-dominated
+    // rung. The sf0.1 documents table (5k rows) keeps per-fold band
+    // volume under the per-run parquet footer floor (~2 KB/bucket
+    // file), where the size-tiered cascade degenerates (every run
+    // looks "comparable" to the byte test and L0 re-merges each
+    // fold). A synthetic corpus of sha2-token texts is incompressible
+    // and as large as asked, so run sizes are data-driven and the
+    // cascade's geometric behavior (and its write bytes vs the other
+    // modes) is measured, not spec-pinned. Ids < 64 form 8 near-dup
+    // families so the cross-mode pair-equality witness stays
+    // nonempty; all other texts are hash-distinct (no LSH structure).
+    val synthDocs = if (args.length > 4) args(4).toLong else 0L
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -166,21 +189,32 @@ object StreamLadder {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = "target/stream_ladder"
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text")
+    val docs =
+      if (synthDocs <= 0)
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+      else
+        spark.range(synthDocs).select(col("id").as("doc_id"),
+          when(col("id") < 64,
+            concat(lit("shared family words that all the siblings " +
+              "carry together fam"),
+              (col("id") % 8).cast("string"), lit(" variant "),
+              col("id").cast("string")))
+            .otherwise(concat_ws(" ", (0 until 8).map(i =>
+              sha2(concat(col("id").cast("string"), lit(s"-$i")),
+                256)): _*))
+            .as("text"))
     def q4q1(ts: Seq[Double]): Double = {
       val q = quartiles(ts); q.last / q.head
     }
     // warmup: one throwaway 2-batch run absorbs codegen/classload
-    lshRun(spark, docs, 2, 0, s"$out/lsh_warm", buckets)
-    val lsh = Seq(
-      "tiered" -> (() => lshRun(spark, docs, nBatches, 8,
-        s"$out/lsh_tiered", buckets, tiered = true)),
-      "single" -> (() => lshRun(spark, docs, nBatches, 8,
-        s"$out/lsh_single", buckets, tiered = false)),
-      "off" -> (() => lshRun(spark, docs, nBatches, 0,
-        s"$out/lsh_off", buckets)))
-      .collect { case (m, run) if modes(m) => m -> run() }.toMap
+    lshRun(spark, docs, 2, Mode("off", 0, tiered = true),
+      s"$out/lsh_warm", buckets)
+    val lsh = Modes
+      .collect { case m if modes(m.name) =>
+        m.name -> lshRun(spark, docs, nBatches, m,
+          s"$out/lsh_${m.name}", buckets)
+      }.toMap
     require(lsh.values.map(_._2).toSet.size <= 1,
       s"pair sets differ across modes: " +
         lsh.map { case (m, (_, p)) => s"$m=${p.size}" }.mkString(" "))
@@ -193,15 +227,13 @@ object StreamLadder {
       val centroids = graft.operators.IvfIndex
         .buildCentroids(emb, k = 16, iters = 3).persist()
       centroids.count()
-      ivfRun(spark, emb, centroids, 2, 0, s"$out/ivf_warm", buckets)
-      val ivf = Seq(
-        "tiered" -> (() => ivfRun(spark, emb, centroids, nBatches, 8,
-          s"$out/ivf_tiered", buckets, tiered = true)),
-        "single" -> (() => ivfRun(spark, emb, centroids, nBatches, 8,
-          s"$out/ivf_single", buckets, tiered = false)),
-        "off" -> (() => ivfRun(spark, emb, centroids, nBatches, 0,
-          s"$out/ivf_off", buckets)))
-        .collect { case (m, run) if modes(m) => m -> run() }.toMap
+      ivfRun(spark, emb, centroids, 2, Mode("off", 0, tiered = true),
+        s"$out/ivf_warm", buckets)
+      val ivf = Modes
+        .collect { case m if modes(m.name) =>
+          m.name -> ivfRun(spark, emb, centroids, nBatches, m,
+            s"$out/ivf_${m.name}", buckets)
+        }.toMap
       require(ivf.values.map(_._2).toSet.size <= 1,
         s"postings differ across modes: " +
           ivf.map { case (m, (_, p)) => s"$m=${p.size}" }.mkString(" "))

@@ -61,12 +61,14 @@ object IvfIndexMaintenance {
   def maintain(emb: DataFrame, centroids: DataFrame,
     indexDir: String, compactEvery: Int = 0, nBuckets: Int = 64,
     metrics: Option[ProgressMetrics] = None,
-    idOffset: Long = 0L, tiered: Boolean = true)
+    idOffset: Long = 0L, tiered: Boolean = true,
+    majorRatio: Double = 0.1, mergeFactor: Double = 2.0)
     : DataStreamWriter[Row] =
     emb.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId + idOffset, centroids, indexDir,
-          compactEvery, nBuckets, metrics, tiered)
+          compactEvery, nBuckets, metrics, tiered, majorRatio,
+          mergeFactor)
     }
 
   /** The drift caveat's operational answer, as an operator: re-key
@@ -120,7 +122,8 @@ object IvfIndexMaintenance {
     centroids: DataFrame, indexDir: String,
     compactEvery: Int = 0, nBuckets: Int = 64,
     metrics: Option[ProgressMetrics] = None,
-    tiered: Boolean = true): Unit = {
+    tiered: Boolean = true, majorRatio: Double = 0.1,
+    mergeFactor: Double = 2.0): Unit = {
     val spark = batch.sparkSession
     val dir = s"$indexDir/batch=$batchId"
     if (!BatchDirs.committed(spark, dir)) {
@@ -174,7 +177,8 @@ object IvfIndexMaintenance {
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       if (tiered)
         BatchDirs.compactTiered(spark, indexDir, batchId - 1,
-          "cluster_id", nBuckets)
+          "cluster_id", nBuckets, majorRatio = majorRatio,
+          mergeFactor = mergeFactor)
       else
         BatchDirs.compact(spark, indexDir, batchId - 1, "cluster_id",
           nBuckets, minFoldRatio = 0.1)
@@ -198,11 +202,13 @@ object IvfIndexMaintenance {
     * compactor call per in-flight pinned read
     * ([[BatchDirs.materialized]] for longer-lived handles). */
   def compactNow(spark: SparkSession, indexDir: String,
-    upTo: Long, nBuckets: Int = 64, tiered: Boolean = true): Long =
+    upTo: Long, nBuckets: Int = 64, tiered: Boolean = true,
+    majorRatio: Double = 0.1, mergeFactor: Double = 2.0): Long =
     if (!BatchDirs.foldableUpTo(spark, indexDir, upTo)) -1L
     else if (tiered)
       BatchDirs.compactTiered(spark, indexDir, upTo, "cluster_id",
-        nBuckets, failIfBusy = true)
+        nBuckets, majorRatio = majorRatio, mergeFactor = mergeFactor,
+        failIfBusy = true)
     else
       BatchDirs.compact(spark, indexDir, upTo, "cluster_id",
         nBuckets, minFoldRatio = 0.1, failIfBusy = true)

@@ -56,7 +56,10 @@ import org.apache.spark.sql.Row
   * never exceeds the band coverage and [[pairsSoFar]]'s gate stays
   * uniform. `tiered = false` selects the single-tier fold
   * ([[BatchDirs.compact]]) — the flat-layout baseline the ladder
-  * probe compares against. */
+  * probe compares against; `majorRatio`/`mergeFactor` pass through
+  * to [[BatchDirs.compactTiered]] (major-merge byte trigger, L0
+  * cascade factor — the write-amplification/read-depth trade the
+  * StreamLadder measures per setting). */
 object LshIndexMaintenance {
 
   /** Start maintaining: wire to `.option("checkpointLocation", …)
@@ -66,11 +69,14 @@ object LshIndexMaintenance {
     * streams want it at, say, 32. */
   def maintain(docs: DataFrame, idCol: String, textCol: String,
     indexDir: String, pairsDir: String, compactEvery: Int = 0,
-    nBuckets: Int = 64, tiered: Boolean = true): DataStreamWriter[Row] =
+    nBuckets: Int = 64, tiered: Boolean = true,
+    majorRatio: Double = 0.1, mergeFactor: Double = 2.0)
+    : DataStreamWriter[Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, indexDir,
-          pairsDir, compactEvery, nBuckets, tiered)
+          pairsDir, compactEvery, nBuckets, tiered, majorRatio,
+          mergeFactor)
     }
 
   /** One micro-batch: emit pairs, append bands, compact on cadence.
@@ -79,7 +85,8 @@ object LshIndexMaintenance {
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
     textCol: String, indexDir: String, pairsDir: String,
     compactEvery: Int = 0, nBuckets: Int = 64,
-    tiered: Boolean = true): Unit = {
+    tiered: Boolean = true, majorRatio: Double = 0.1,
+    mergeFactor: Double = 2.0): Unit = {
     val spark = batch.sparkSession
     val bandDir = s"$indexDir/batch=$batchId"
     val pairDir = s"$pairsDir/batch=$batchId"
@@ -153,7 +160,7 @@ object LshIndexMaintenance {
     // fold defers silently — the next cadence retries.
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       foldBoth(spark, indexDir, pairsDir, batchId - 1, nBuckets,
-        tiered, failIfBusy = false)
+        tiered, majorRatio, mergeFactor, failIfBusy = false)
   }
 
   /** Fold committed batches ≤ `upTo` now — the OUT-OF-BAND face of
@@ -204,26 +211,28 @@ object LshIndexMaintenance {
     * returns −1 to report the index no-op. */
   def compactNow(spark: SparkSession, indexDir: String,
     pairsDir: String, upTo: Long, nBuckets: Int = 64,
-    tiered: Boolean = true): Long =
+    tiered: Boolean = true, majorRatio: Double = 0.1,
+    mergeFactor: Double = 2.0): Long =
     if (BatchDirs.foldableUpTo(spark, indexDir, upTo))
       foldBoth(spark, indexDir, pairsDir, upTo, nBuckets, tiered,
-        failIfBusy = true)
+        majorRatio, mergeFactor, failIfBusy = true)
     else {
       val bandCoverage = BatchDirs.compactedThrough(spark, indexDir)
       val cap = math.min(upTo, bandCoverage)
       if (cap >= 0 && BatchDirs.foldableUpTo(spark, pairsDir, cap))
         foldOne(spark, pairsDir, "doc_a", cap, nBuckets, tiered,
-          failIfBusy = true)
+          majorRatio, mergeFactor, failIfBusy = true)
       -1L
     }
 
   /** Band fold then pairs fold capped at the band coverage reached —
     * the shared body of the cadence path and [[compactNow]]. */
   private def foldOne(spark: SparkSession, dir: String, key: String,
-    limit: Long, nBuckets: Int, tiered: Boolean,
-    failIfBusy: Boolean): Long =
+    limit: Long, nBuckets: Int, tiered: Boolean, majorRatio: Double,
+    mergeFactor: Double, failIfBusy: Boolean): Long =
     if (tiered)
       BatchDirs.compactTiered(spark, dir, limit, key, nBuckets,
+        majorRatio = majorRatio, mergeFactor = mergeFactor,
         failIfBusy = failIfBusy)
     else
       BatchDirs.compact(spark, dir, limit, key, nBuckets,
@@ -231,11 +240,12 @@ object LshIndexMaintenance {
 
   private def foldBoth(spark: SparkSession, indexDir: String,
     pairsDir: String, upTo: Long, nBuckets: Int, tiered: Boolean,
+    majorRatio: Double, mergeFactor: Double,
     failIfBusy: Boolean): Long = {
     val bandCoverage = foldOne(spark, indexDir, "k1", upTo, nBuckets,
-      tiered, failIfBusy)
+      tiered, majorRatio, mergeFactor, failIfBusy)
     foldOne(spark, pairsDir, "doc_a", bandCoverage, nBuckets, tiered,
-      failIfBusy)
+      majorRatio, mergeFactor, failIfBusy)
     bandCoverage
   }
 
