@@ -99,34 +99,46 @@ object EtlBench {
           s""""n_analyses":$nAnalyses}""")
       case Some(ledgerDir) if args.length > 4 =>
         val nWaves = args(4).toInt
+        // foldEvery (6th arg, default 1, 0 = never) is the A/B lever
+        // isolating the fold's share of the wave cost
+        val foldEvery = args.lift(5).map(_.toInt).getOrElse(1)
         val t0 = System.nanoTime()
         var processed = 0L
         var folds = 0
         (0 until nWaves).foreach { w =>
           // the corpus visible so far grows wave over wave; the
           // anti-join narrows it to the executions not yet recorded,
-          // so each wave processes exactly its new slice
+          // so each wave processes exactly its new slice. Persisted:
+          // the count, the pipeline run, and the ledger record all
+          // consume it — unpersisted they would each re-execute the
+          // cumulative scan + anti-join, inflating the wave cost the
+          // benchmark attributes to the ledger.
           val work = marks
             .withColumn("_exec", col("provenance.analysis.execution_id"))
             .filter(pmod(xxhash64(
               col("provenance.analysis.execution_id")),
               lit(nWaves.toLong)) <= w)
           val todo = BatchLedger.pending(work, ledgerDir, "_exec")
-          val nPending = todo.count()
-          if (nPending > 0) {
-            val docs = MongoMarksPipeline.documents(
-              todo.drop("_exec"), analyses, hashes)
-            TtlFileSink.write(docs.select("rel_path", "ttl"),
-              s"$outDir/wave$w")
+            .persist()
+          try {
+            val nPending = todo.count()
+            if (nPending > 0) {
+              val docs = MongoMarksPipeline.documents(
+                todo.drop("_exec"), analyses, hashes)
+              TtlFileSink.write(docs.select("rel_path", "ttl"),
+                s"$outDir/wave$w")
+            }
+            // record EVEN AN EMPTY wave: skipping it would (a) leave
+            // a hole below the fold coverage — out of the BatchDirs
+            // contract — and (b) let the next fold(w−1) cover the
+            // actual newest recorded dir, destroying the replay
+            // marker the never-the-newest rule protects
             BatchLedger.record(todo.select("_exec").distinct(),
               ledgerDir, w, runId = s"etlbench-wave$w")
-          }
-          processed += nPending
+            processed += nPending
+          } finally { todo.unpersist(); () }
           // fold the tail on the never-the-newest cadence: wave w is
-          // the newest recorded id and may re-run after a crash.
-          // foldEvery (6th arg, default 1, 0 = never) is the A/B
-          // lever isolating the fold's share of the wave cost
-          val foldEvery = args.lift(5).map(_.toInt).getOrElse(1)
+          // the newest recorded id and may re-run after a crash
           if (w > 0 && foldEvery > 0 && w % foldEvery == 0) {
             BatchLedger.fold(spark, ledgerDir, w - 1L); folds += 1
           }

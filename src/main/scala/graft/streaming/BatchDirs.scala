@@ -390,7 +390,17 @@ object BatchDirs {
     afterBatch: Long, excludeBatch: Long): Seq[String] = {
     val path = new Path(baseDir)
     if (!fs.exists(path)) Nil
-    else fs.listStatus(path).toSeq
+    else committedDataDirsFrom(fs, fs.listStatus(path).toSeq,
+      afterBatch, excludeBatch)
+  }
+
+  /** [[committedDataDirs]] over an ALREADY-LISTED base dir — so a
+    * caller that needs the listing for something else (the
+    * readCommittedAt exactness guard) pays ONE listStatus, not two. */
+  private def committedDataDirsFrom(fs: FileSystem,
+    statuses: Seq[org.apache.hadoop.fs.FileStatus],
+    afterBatch: Long, excludeBatch: Long): Seq[String] =
+    statuses
       .filter { s =>
         s.isDirectory &&
         BatchName.pattern.matcher(s.getPath.getName).matches() && {
@@ -402,7 +412,6 @@ object BatchDirs {
           f.isFile && f.getPath.getName.startsWith("part-"))
       }
       .map(_.getPath.toString)
-  }
 
   /** Everything committed under `baseDir` as one frame — the resolved
     * generation's tiers plus the committed, non-empty `batch=*` dirs
@@ -469,12 +478,19 @@ object BatchDirs {
     : Option[DataFrame] = {
     val fs = fsOf(spark, baseDir)
     val basePath = new Path(baseDir)
-    if (fs.exists(basePath)) {
-      val statuses = fs.listStatus(basePath).toSeq.filter(_.isDirectory)
+    // ONE base-dir listing serves both the exactness guard and the
+    // recent-tail selection below — the guard adds zero extra
+    // listStatus calls to the per-micro-batch hot path, and its
+    // _SUCCESS stats run only for tiers newer than the pin (none,
+    // when the caller resolved the generation in the same breath)
+    val baseStatuses =
+      if (fs.exists(basePath)) fs.listStatus(basePath).toSeq else Nil
+    val dirStatuses = baseStatuses.filter(_.isDirectory)
+    locally {
       def isCommitted(p: Path): Boolean =
         try { fs.getFileStatus(new Path(p, "_SUCCESS")); true }
         catch { case _: java.io.FileNotFoundException => false }
-      val newCutoffs = statuses.flatMap(s => s.getPath.getName match {
+      val newCutoffs = dirStatuses.flatMap(s => s.getPath.getName match {
         case CompactName(c, _) if c.toLong > gen.coveredThrough =>
           Some((c.toLong, s.getPath))
         case L0Name(hi, _, _) if hi.toLong > gen.coveredThrough =>
@@ -482,7 +498,7 @@ object BatchDirs {
         case _ => None
       }).filter { case (_, p) => isCommitted(p) }.map(_._1).distinct
       if (newCutoffs.nonEmpty) {
-        val present = statuses.flatMap(s => s.getPath.getName match {
+        val present = dirStatuses.flatMap(s => s.getPath.getName match {
           case BatchName(id) => Some((id.toLong, s.getPath))
           case _ => None
         }).filter { case (_, p) => isCommitted(p) }.map(_._1).toSet
@@ -529,7 +545,7 @@ object BatchDirs {
     val tierPart =
       if (leaves.isEmpty) None
       else Some(spark.read.parquet(leaves: _*))
-    val recentDirs = committedDataDirs(fs, baseDir,
+    val recentDirs = committedDataDirsFrom(fs, baseStatuses,
       gen.coveredThrough, excludeBatch)
     val recentPart =
       if (recentDirs.isEmpty) None
@@ -731,13 +747,20 @@ object BatchDirs {
                 case Some(Some(_)) =>
                   restoreOrDie(grave, "release grabbed a marker a " +
                     "takeover had just replaced")
-                case _ =>
-                  // grave unreadable/vanished (a concurrent sweep of
-                  // graveyard debris): nothing provable to restore —
-                  // best-effort delete so it cannot leak
-                  try fs.delete(grave, false)
-                  catch { case _: java.io.IOException => () }
+                case Some(None) =>
+                  // grave already gone (a concurrent graveyard
+                  // sweep): nothing held, nothing to leak
                   ()
+                case None =>
+                  // grave EXISTS but is unreadable (transient IO):
+                  // it could be OURS or a thief's LIVE marker — fail
+                  // CLOSED by restoring it to the marker path (ours
+                  // → a stale marker the horizon cleans in staleMs;
+                  // thief's → its lease preserved). Deleting here
+                  // would fail OPEN: destroying a live lease unlocks
+                  // a third compactor mid-fold.
+                  restoreOrDie(grave, "release grabbed a marker it " +
+                    "could not read back")
               }
             case _ => ()
           }

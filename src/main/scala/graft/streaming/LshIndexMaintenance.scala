@@ -218,10 +218,21 @@ object LshIndexMaintenance {
         majorRatio, mergeFactor, failIfBusy = true)
     else {
       val bandCoverage = BatchDirs.compactedThrough(spark, indexDir)
-      val cap = math.min(upTo, bandCoverage)
-      if (cap >= 0 && BatchDirs.foldableUpTo(spark, pairsDir, cap))
-        foldOne(spark, pairsDir, "doc_a", cap, nBuckets, tiered,
-          majorRatio, mergeFactor, failIfBusy = true)
+      // the pairs cap honors ALL THREE bounds: the caller's upTo, the
+      // band coverage (pairsCoverage ≤ bandCoverage), and the pairs
+      // side's own never-fold-the-newest rule — after a backfill that
+      // folded the index through its newest batch, bandCoverage can
+      // EQUAL the newest pairs id, and handing that straight to
+      // foldableUpTo would throw where this face promises a no-crash
+      // no-op (the newest pairs batch may still replay; its marker
+      // stays)
+      val (prCovered, prIds) = BatchDirs.committedState(spark, pairsDir)
+      prIds.maxOption.foreach { newestPair =>
+        val cap = Seq(upTo, bandCoverage, newestPair - 1).min
+        if (cap > prCovered && prIds.exists(_ <= cap))
+          foldOne(spark, pairsDir, "doc_a", cap, nBuckets, tiered,
+            majorRatio, mergeFactor, failIfBusy = true)
+      }
       -1L
     }
 

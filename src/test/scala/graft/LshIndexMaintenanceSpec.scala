@@ -485,21 +485,27 @@ class LshIndexMaintenanceSpec extends SparkTestBase {
       nBuckets = 8) == 2L)
     assert(BatchDirs.compactedThrough(spark, pr) == -1L,
       "fixture broken: pairs must start unfolded")
-    // the re-run: the index side has nothing left to fold (returns
-    // −1, the documented no-op) — but the pairs tail must still be
-    // folded, capped at min(upTo, band coverage) (this skipped the
-    // pairs fold entirely before the catch-up branch)
-    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 1L, 8) == -1L)
+    // the re-run, at the BOUNDARY upTo (== band coverage == newest
+    // pairs id): the index side has nothing left to fold (returns
+    // −1, the documented no-op) — the pairs tail must still be
+    // folded, and the cap must honor the pairs side's OWN
+    // never-fold-the-newest rule (batch 2 may replay; folding it
+    // here would destroy its marker — and handing upTo=2 straight
+    // to the guard crashed with IllegalArgumentException before the
+    // three-way cap)
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 2L, 8) == -1L)
     assert(BatchDirs.compactedThrough(spark, pr) == 1L,
-      "pairs tail was not caught up to the band coverage")
+      "pairs tail must catch up to newest−1, no further")
     // the invariant held throughout, and the view is unchanged
     assert(BatchDirs.compactedThrough(spark, pr) <=
       BatchDirs.compactedThrough(spark, ix))
     assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
       .as[(Long, Long, Long)].collect().toSet == before,
       "pairs catch-up changed the candidate-pair view")
-    // idempotent: nothing left on either side is a clean no-op
+    // idempotent: nothing left on either side is a clean no-op —
+    // at the capped upTo and at the boundary alike
     assert(LshIndexMaintenance.compactNow(spark, ix, pr, 1L, 8) == -1L)
+    assert(LshIndexMaintenance.compactNow(spark, ix, pr, 2L, 8) == -1L)
     assert(BatchDirs.compactedThrough(spark, pr) == 1L)
   }
 }
