@@ -158,9 +158,12 @@ object StreamLadder {
     // footer overhead swamp the byte-ratio governor (it compares
     // real bytes) and defer every fold
     val buckets = if (args.length > 1) args(1).toInt else 8
-    // skip the IVF family when the third arg says so (big rungs run
-    // the LSH family alone to bound wall-clock)
-    val runIvf = args.length <= 2 || args(2).toBoolean
+    // family selector (3rd arg): "true" = both, "false" = LSH only
+    // (big rungs run one family alone to bound wall-clock), "ivf" =
+    // IVF only
+    val fam = if (args.length > 2) args(2) else "true"
+    val runIvf = fam == "true" || fam == "ivf"
+    val runLsh = fam != "ivf"
     // optional 4th arg: comma-separated mode subset — re-measuring
     // one mode after a change to its fold path only, without paying
     // the (slow, unchanged) other modes again
@@ -207,23 +210,36 @@ object StreamLadder {
     def q4q1(ts: Seq[Double]): Double = {
       val q = quartiles(ts); q.last / q.head
     }
-    // warmup: one throwaway 2-batch run absorbs codegen/classload
-    lshRun(spark, docs, 2, Mode("off", 0, tiered = true),
-      s"$out/lsh_warm", buckets)
-    val lsh = Modes
-      .collect { case m if modes(m.name) =>
-        m.name -> lshRun(spark, docs, nBatches, m,
-          s"$out/lsh_${m.name}", buckets)
-      }.toMap
-    require(lsh.values.map(_._2).toSet.size <= 1,
-      s"pair sets differ across modes: " +
-        lsh.map { case (m, (_, p)) => s"$m=${p.size}" }.mkString(" "))
-    println("[stream-ladder] degradation Q4/Q1 lsh " +
-      lsh.map { case (m, (ts, _)) => f"$m ${q4q1(ts)}%.2f" }
-        .mkString(" ") + s" ($nBatches batches)")
+    if (runLsh) {
+      // warmup: one throwaway 2-batch run absorbs codegen/classload
+      lshRun(spark, docs, 2, Mode("off", 0, tiered = true),
+        s"$out/lsh_warm", buckets)
+      val lsh = Modes
+        .collect { case m if modes(m.name) =>
+          m.name -> lshRun(spark, docs, nBatches, m,
+            s"$out/lsh_${m.name}", buckets)
+        }.toMap
+      require(lsh.values.map(_._2).toSet.size <= 1,
+        s"pair sets differ across modes: " +
+          lsh.map { case (m, (_, p)) => s"$m=${p.size}" }.mkString(" "))
+      println("[stream-ladder] degradation Q4/Q1 lsh " +
+        lsh.map { case (m, (ts, _)) => f"$m ${q4q1(ts)}%.2f" }
+          .mkString(" ") + s" ($nBatches batches)")
+    }
     if (runIvf) {
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .select("vec_id", "embedding")
+      // the synthetic face mirrors the docs one: deterministic
+      // hash-derived 16-dim vectors, as many as asked — posting rows
+      // (vec_id + embedding) carry real byte weight, so fold sizes
+      // are data-driven
+      val emb =
+        if (synthDocs <= 0)
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select("vec_id", "embedding")
+        else
+          spark.range(synthDocs).select(col("id").as("vec_id"),
+            expr("transform(sequence(0, 15), i -> " +
+              "cast(pmod(xxhash64(id, i), 1000) / 1000.0 as float))")
+              .as("embedding"))
       val centroids = graft.operators.IvfIndex
         .buildCentroids(emb, k = 16, iters = 3).persist()
       centroids.count()

@@ -66,6 +66,37 @@ object BatchLedger {
     work.join(done, Seq(keyCol), "left_anti")
   }
 
+  /** The subset of `keys` already done — the point-lookup face, and
+    * the payoff of the key-bucketed fold layout: the folded tiers of
+    * the scan PRUNE to the buckets the asked keys hash into
+    * ([[BatchDirs.bucketOf]] over the stored string key type), so an
+    * "is THIS analysis done?" probe touches O(|keys| buckets +
+    * cadence-bounded tail) of the ledger, not O(ledger). `keys` is a
+    * bounded driver-known set (it becomes an `isin` filter and a
+    * driver-side bucket derivation); for a frame-scale probe use
+    * [[pending]]. The read is pinned to the generation the buckets
+    * were computed for ([[BatchDirs.readCommittedAt]]). */
+  def doneOf(spark: SparkSession, ledgerDir: String,
+    keys: Seq[String],
+    statuses: Seq[String] = Seq(Ledger.Completed, Ledger.Failed))
+    : DataFrame = {
+    import spark.implicits._
+    val gen = BatchDirs.generation(spark, ledgerDir)
+    val buckets = gen.modulus.map { n =>
+      keys.toDF("raw")
+        .select(BatchDirs.bucketOf(col("raw"), n).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    }
+    BatchDirs.readCommittedAt(spark, ledgerDir, gen,
+      pbuckets = buckets) match {
+      case None => Seq.empty[String].toDF("key")
+      case Some(df) =>
+        df.filter(col("status").isin(statuses: _*))
+          .filter(col("key").isin(keys: _*))
+          .select("key").distinct()
+    }
+  }
+
   /** Fold committed waves ≤ `upTo` ([[BatchDirs.compactTiered]],
     * bucketed by `key`). Call on a cadence from the job that owns the
     * ledger — `upTo = currentWave − 1`, the same

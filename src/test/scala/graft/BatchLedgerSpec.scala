@@ -61,4 +61,27 @@ class BatchLedgerSpec extends SparkTestBase {
       .map(_.getPath.getName).count(_.startsWith("batch="))
     assert(batchDirs <= 2, s"unfolded tail too deep: $batchDirs dirs")
   }
+
+  test("doneOf point lookup: exact subset over the folded layout, " +
+    "pruned to the asked keys' buckets; status filter honored") {
+    val d = dir()
+    BatchLedger.record(Seq("a", "b").toDF("k"), d, 0L)
+    // pre-fold (no generation yet): full-scan fallback, still exact
+    assert(BatchLedger.doneOf(spark, d, Seq("a", "x"))
+      .as[String].collect().toSet == Set("a"))
+    BatchLedger.record(Seq("c").toDF("k"), d, 1L,
+      status = Ledger.Failed)
+    BatchLedger.record(Seq("e", "f").toDF("k"), d, 2L)
+    BatchLedger.fold(spark, d, 1L, nBuckets = 4)
+    // post-fold: pruned read over tiers + raw tail, one frame
+    assert(BatchLedger.doneOf(spark, d, Seq("a", "c", "e", "nope"))
+      .as[String].collect().toSet == Set("a", "c", "e"))
+    // completed-only excludes the failed key
+    assert(BatchLedger.doneOf(spark, d, Seq("a", "c"),
+      Seq(Ledger.Completed)).as[String].collect().toSet == Set("a"))
+    // pruning is structural: an asked-key set whose buckets miss a
+    // stored key must not surface it (bucket filter + isin agree)
+    assert(BatchLedger.doneOf(spark, d, Seq("nope"))
+      .as[String].collect().isEmpty)
+  }
 }
