@@ -27,7 +27,18 @@ import org.scalacheck.Gen
   *     ABOVE the cutoff — the compacted part fully prunes, the
   *     cadence-bounded tail never does;
   *  5. torn dirs and stray names never crash a reader or change any
-  *     of the above. */
+  *     of the above;
+  *  6. PINNED READS are loud-or-exact: a generation pinned at a
+  *     random point and read back after every subsequent op must
+  *     answer EXACTLY the current content through its one-call grace
+  *     window (and, by the exactness guard's two-call evidence, at
+  *     age 2 as well — at 2 calls the first fold's tier is still
+  *     listed while its cutoff batch is swept, so the guard fires);
+  *     past that it may instead fail loudly (the guard's
+  *     IllegalStateException or a swept-file FileNotFoundException),
+  *     and beyond the guard's documented evidence horizon (3+ calls)
+  *     it may silently OMIT folded batches but must never invent or
+  *     double-count a row. */
 class BatchDirsPropertiesSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -39,12 +50,14 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
   private case class Compact(ratio: Double, nBuckets: Int) extends Op
   private case class Tiered(ratio: Double, nBuckets: Int,
     maxL0Runs: Int) extends Op
+  private case object Pin extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     5 -> Gen.choose(1, 40).map(Append(_)),
     1 -> Gen.const(AppendEmpty),
     1 -> Gen.const(TornThenAppend),
     1 -> Gen.const(Debris),
+    2 -> Gen.const(Pin),
     2 -> (for {
       ratio <- Gen.oneOf(0.0, 0.0, 0.1, 0.5)
       n <- Gen.oneOf(2, 4, 8)
@@ -75,6 +88,56 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
       var nextId = 0L
       var nextKey = 0
       var lastCutoff = -1L
+      // invariant 6 state: the pinned generation and its age in
+      // COMPACTOR CALLS (every executed fold call counts — deferred
+      // ones too, since every call sweeps)
+      var pinned = Option.empty[(BatchDirs.Gen, Int)]
+
+      def isFnf(t: Throwable): Boolean = {
+        var c: Throwable = t
+        while (c != null) {
+          if (c.isInstanceOf[java.io.FileNotFoundException] ||
+            Option(c.getMessage).exists(_.contains("FileNotFound")))
+            return true
+          c = if (c.getCause == c) null else c.getCause
+        }
+        false
+      }
+
+      def modelContent: Set[(Long, Long)] =
+        model.toSeq.flatMap { case (b, ks) =>
+          ks.map(k => (b, k.toLong)) }.toSet
+
+      def checkPinned(): Unit = pinned.foreach { case (g, age) =>
+        val want = modelContent
+        val res =
+          try Right(BatchDirs.readCommittedAt(spark, dir, g)
+            .map(_.select(col("batch"), col("k"))
+              .as[(Long, Long)].collect().toSet)
+            .getOrElse(Set.empty[(Long, Long)]))
+          catch { case e: Exception => Left(e) }
+        res match {
+          case Right(got) if age <= 2 =>
+            // inside the grace window (and the guard's two-call
+            // evidence): an answering read must be CURRENT-exact
+            assert(got == want, s"pinned read (age $age calls) " +
+              s"wrong: missing=${want -- got} extra=${got -- want} " +
+              s"(ops=$ops)")
+          case Right(got) =>
+            // beyond the guard's evidence horizon: omission of folded
+            // batches is the documented blind spot, but a pinned read
+            // must NEVER invent or double-count a row
+            assert((got -- want).isEmpty, s"pinned read (age $age) " +
+              s"produced extra rows: ${got -- want} (ops=$ops)")
+          case Left(e) =>
+            val loud = isFnf(e) ||
+              (e.isInstanceOf[IllegalStateException] &&
+                Option(e.getMessage).exists(_.contains("grace window")))
+            assert(age >= 2 && loud, s"pinned read (age $age calls) " +
+              s"threw unexpectedly: $e (ops=$ops)")
+            pinned = None // dead pin; a later Pin re-arms the check
+        }
+      }
 
       def append(rows: Int): Unit = {
         spark.range(rows)
@@ -118,7 +181,10 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
       }
 
       ops.foreach {
-        case Append(rows) => append(rows); check()
+        case Pin =>
+          pinned = Some((BatchDirs.generation(spark, dir), 0))
+          checkPinned()
+        case Append(rows) => append(rows); check(); checkPinned()
         case AppendEmpty =>
           // marker-only commit (a watermark-only trigger): counts as
           // committed, contributes no rows, must not wedge readers
@@ -128,6 +194,7 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
           model += nextId -> (0 until 0)
           nextId += 1
           check()
+          checkPinned()
         case TornThenAppend =>
           // a crashed write (no marker) is invisible, then the
           // replay overwrites it
@@ -135,18 +202,22 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
           check()
           append(7)
           check()
+          checkPinned()
         case Debris =>
           fs.mkdirs(new Path(s"$dir/batch=tmp"))
           fs.create(new Path(s"$dir/batch=tmp/_SUCCESS"), true).close()
           fs.mkdirs(new Path(s"$dir/compact=9999.n4")) // torn fold
           check()
+          checkPinned()
         case Compact(ratio, n) if nextId > 0 =>
           val upTo = nextId - 1
           val ret = BatchDirs.compact(spark, dir, upTo, "k",
             nBuckets = n, minFoldRatio = ratio)
           assert(ret == BatchDirs.compactedThrough(spark, dir),
             s"compact() return != observed coverage (ops=$ops)")
+          pinned = pinned.map { case (g, age) => (g, age + 1) }
           check()
+          checkPinned()
         case Tiered(ratio, n, runs) if nextId > 0 =>
           val upTo = nextId - 1
           val ret = BatchDirs.compactTiered(spark, dir, upTo, "k",
@@ -163,7 +234,9 @@ class BatchDirsPropertiesSpec extends SparkTestBase {
             gen.l0.map(_.nBuckets)).distinct
           assert(moduli.size <= 1,
             s"mixed-modulus generation $gen (ops=$ops)")
+          pinned = pinned.map { case (g, age) => (g, age + 1) }
           check()
+          checkPinned()
         case Compact(_, _) | Tiered(_, _, _) => () // nothing committed
       }
       fs.delete(new Path(dir), true)
