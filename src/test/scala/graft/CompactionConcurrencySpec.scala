@@ -100,4 +100,102 @@ class CompactionConcurrencySpec extends SparkTestBase {
     assert(BatchDirs.compactedThrough(spark, ix) >= 0L,
       s"no fold ever landed (folds=$folds) — the race never happened")
   }
+
+  test("concurrent pairsSoFar readers racing cadence folds: every " +
+    "read is bracketed by the committed prefixes (never silently " +
+    "short, never inventing), or fails loudly on an exhausted grace") {
+    val base = java.nio.file.Files
+      .createTempDirectory("cc_readers").toString
+    val (ix, pr) = (s"$base/index", s"$base/pairs")
+    val docs = (0 until 12).map { i =>
+      val fam = i % 3
+      (i.toLong, s"family $fam shares almost all of its words with " +
+        s"its siblings variant token$i")
+    }
+    // the oracle: candidate pairs over each PREFIX of the stream —
+    // by the completeness contract, the union of per-batch outputs
+    // over the first m committed batches equals the batch operator
+    // on the first m docs, so a read that starts after m batches
+    // completed must contain expect(m), and one that ends before m'
+    // completed must stay inside expect(m')
+    val expect: IndexedSeq[Set[(Long, Long, Long)]] =
+      (0 to docs.size).map { m =>
+        if (m == 0) Set.empty[(Long, Long, Long)]
+        else MinHashLsh
+          .candidatePairs(docs.take(m).toDF("doc_id", "text"),
+            "doc_id", "text")
+          .as[(Long, Long, Long)].collect().toSet
+      }
+    assert(expect.last.nonEmpty, "fixture produced no pairs")
+    @volatile var completed = 0
+    @volatile var streamDone = false
+    val violations =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    var reads, loudReads = 0
+    def isFnf(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(c.getMessage).exists(_.contains("FileNotFound")))
+          return true
+        c = if (c.getCause == c) null else c.getCause
+      }
+      false
+    }
+    val reader = new Thread(() => {
+      while (!streamDone) {
+        val m0 = completed
+        try {
+          val got = LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+            .as[(Long, Long, Long)].collect().toSet
+          // upper bracket is m1 + 1: the batch IN FLIGHT when the
+          // collect ends commits its output before the driver loop
+          // bumps `completed`, so its pairs may legitimately be
+          // visible one step early — anything beyond that one batch
+          // would be invented
+          val m1 = math.min(completed + 1, docs.size)
+          reads += 1
+          if (!expect(m0).subsetOf(got))
+            violations.add(s"read after $m0 batches MISSING " +
+              s"${expect(m0) -- got}")
+          if (!got.subsetOf(expect(m1)))
+            violations.add(s"read inside $m1 batches INVENTED " +
+              s"${got -- expect(m1)}")
+        } catch {
+          // a lazy read overlapping two compactor calls exhausts its
+          // grace window: loud (FNF / the exactness guard), never a
+          // wrong answer — tolerated, counted
+          case e: Exception
+            if isFnf(e) || (e.isInstanceOf[IllegalStateException] &&
+              Option(e.getMessage).exists(_.contains("grace window"))) =>
+            loudReads += 1
+          case t: Throwable =>
+            violations.add(s"reader crashed unexpectedly: $t")
+        }
+        Thread.sleep(2)
+      }
+    }, "pairs-reader")
+    reader.start()
+    try {
+      docs.zipWithIndex.foreach { case (d, id) =>
+        LshIndexMaintenance.processBatch(Seq(d).toDF("doc_id", "text"),
+          id.toLong, "doc_id", "text", ix, pr, compactEvery = 3,
+          nBuckets = 8)
+        completed = id + 1
+      }
+    } finally {
+      streamDone = true
+      reader.join(60000)
+    }
+    assert(!reader.isAlive, "reader thread wedged")
+    assert(violations.isEmpty, s"read-visibility violations:\n  " +
+      violations.toArray.mkString("\n  ") +
+      s"\n(reads=$reads loud=$loudReads)")
+    assert(reads >= 3, s"only $reads successful reads — the race " +
+      "never exercised the reader path")
+    // and the settled view is the full batch answer
+    assert(LshIndexMaintenance.pairsSoFar(spark, pr, ix)
+      .as[(Long, Long, Long)].collect().toSet == expect.last)
+    graft.operators.Broadcasting.releaseAll()
+  }
 }
