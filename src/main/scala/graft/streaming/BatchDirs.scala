@@ -621,14 +621,32 @@ object BatchDirs {
       // unconditional delete after a (legitimately) stolen lease
       // would unlock the thief's fold for a third compactor
       val token = java.util.UUID.randomUUID().toString
-      def tryCreate(): Boolean =
-        try {
-          val out = fs.create(marker, false)
-          out.write(token.getBytes(java.nio.charset.StandardCharsets
-            .UTF_8))
-          out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      def tryCreate(): Boolean = {
+        // a create failure is CONTENTION (someone else's marker —
+        // leave it); a write/close failure AFTER the exclusive
+        // create succeeded is a half-written marker that is provably
+        // OURS — delete it before reporting failure, or a transient
+        // IO hiccup would wedge every fold behind an orphan marker
+        // for the full staleMs horizon
+        val created =
+          try Some(fs.create(marker, false))
+          catch { case _: java.io.IOException => None }
+        created.exists { out =>
+          try {
+            out.write(token.getBytes(java.nio.charset.StandardCharsets
+              .UTF_8))
+            out.close()
+            true
+          } catch {
+            case _: java.io.IOException =>
+              try out.close()
+              catch { case _: java.io.IOException => () }
+              try fs.delete(marker, false)
+              catch { case _: java.io.IOException => () }
+              false
+          }
+        }
+      }
       // Some(None) = file absent; Some(Some(t)) = its full token;
       // None = file EXISTS but is unreadable (transient IO error) —
       // callers must fail CLOSED on that case (a wrong delete here

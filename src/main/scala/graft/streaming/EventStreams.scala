@@ -26,6 +26,21 @@ object EventStreams {
 
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
+  /** The e6 score quantization shared by every scored stateful
+    * operator (leaderboard ranks, session totals) — ONE spelling so
+    * cross-operator score comparability stays replay-exact by
+    * construction. A NaN value has no meaningful quantization
+    * (`NaN.toLong` is silently 0, which would seat an ingest defect
+    * on the leaderboard at score 0 and evict real history): it fails
+    * loudly here; feeds that can carry NaN pre-filter with
+    * `!isnan(value)`. */
+  private def quantizeE6(v: Double): Long = {
+    require(!v.isNaN,
+      "event value is NaN — no meaningful e6 quantization exists " +
+        "(ingest defect); pre-filter !isnan(value) on dirty feeds")
+    math.floor(v * 1e6 + 0.5).toLong
+  }
+
   /** Tumbling 1-hour counts per event type; late data beyond the
     * watermark is dropped (no late-data handling exists in the
     * reference — SURVEY §2.10). */
@@ -103,7 +118,7 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (etype: String, rows: Iterator[Event], state: GroupState[BoardState]) =>
           val batchBest = rows.foldLeft(Map.empty[Long, Long]) { (m, e) =>
-            val s = math.floor(e.value * 1e6 + 0.5).toLong
+            val s = quantizeE6(e.value)
             m.updated(e.user_id,
               math.max(s, m.getOrElse(e.user_id, Long.MinValue)))
           }
@@ -254,7 +269,7 @@ object EventStreams {
       var early: SessState = null
       evs.foreach { e =>
         val t = e.ts.getTime
-        val v = math.floor(e.value * 1e6 + 0.5).toLong
+        val v = quantizeE6(e.value)
         if (cur == null) cur = SessState(t, t, 1L, v)
         else if (t > cur.lastMs + gapMs) {
           if (early != null) { out ::= closed(userId, early); early = null }

@@ -130,38 +130,43 @@ object IvfIndexMaintenance {
       val postings = IvfIndex.build(
         batch.select(col("vec_id"), col("embedding")), centroids)
       val kept = if (metrics.isDefined) postings.persist() else postings
-      kept.write.mode("overwrite").parquet(dir)
-      metrics.foreach { m =>
-        // one aggregation pass over the (persisted) batch postings;
-        // the collect is ≤ k rows — bounded by design, same budget
-        // as the centroid localization in IvfIndex
-        graft.expressions.GraftFunctions.register(spark)
-        // nd/d count and sum only DEFINED distances: a zero-norm
-        // embedding (real ingest-defect mode) has no cosine — its
-        // NULL must neither NPE the stream nor silently deflate the
-        // mean. It still counts in n, so entropy sees the assignment.
-        val dist = expr(
-          """1.0 - graft_dot(embedding, centroid)
-            | / (sqrt(graft_dot(embedding, embedding))
-            |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin)
-        val per = kept.join(broadcast(centroids), Seq("cluster_id"))
-          .groupBy(col("cluster_id"))
-          .agg(count(lit(1)).as("n"), count(dist).as("nd"),
-            sum(dist).as("d"))
-          .select(col("n"), col("nd"), col("d")).collect()
-        kept.unpersist()
-        val n = per.map(_.getLong(0)).sum
-        val nd = per.map(_.getLong(1)).sum
-        if (nd > 0)
-          m.recordGauge("ivf.mean_dist", batchId,
-            per.filterNot(_.isNullAt(2)).map(_.getDouble(2)).sum / nd)
-        if (n > 0)
-          m.recordGauge("ivf.entropy", batchId,
-            -per.map { r =>
-              val p = r.getLong(0).toDouble / n
-              p * math.log(p)
-            }.sum)
-      }
+      // unpersist in a finally (like the LSH twin's bands): a metrics
+      // failure after the parquet commit must not leak the cached
+      // postings — the batch is committed, so a replay skips the
+      // whole block and would never release them
+      try {
+        kept.write.mode("overwrite").parquet(dir)
+        metrics.foreach { m =>
+          // one aggregation pass over the (persisted) batch postings;
+          // the collect is ≤ k rows — bounded by design, same budget
+          // as the centroid localization in IvfIndex
+          graft.expressions.GraftFunctions.register(spark)
+          // nd/d count and sum only DEFINED distances: a zero-norm
+          // embedding (real ingest-defect mode) has no cosine — its
+          // NULL must neither NPE the stream nor silently deflate the
+          // mean. It still counts in n, so entropy sees the assignment.
+          val dist = expr(
+            """1.0 - graft_dot(embedding, centroid)
+              | / (sqrt(graft_dot(embedding, embedding))
+              |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin)
+          val per = kept.join(broadcast(centroids), Seq("cluster_id"))
+            .groupBy(col("cluster_id"))
+            .agg(count(lit(1)).as("n"), count(dist).as("nd"),
+              sum(dist).as("d"))
+            .select(col("n"), col("nd"), col("d")).collect()
+          val n = per.map(_.getLong(0)).sum
+          val nd = per.map(_.getLong(1)).sum
+          if (nd > 0)
+            m.recordGauge("ivf.mean_dist", batchId,
+              per.filterNot(_.isNullAt(2)).map(_.getDouble(2)).sum / nd)
+          if (n > 0)
+            m.recordGauge("ivf.entropy", batchId,
+              -per.map { r =>
+                val p = r.getLong(0).toDouble / n
+                p * math.log(p)
+              }.sum)
+        }
+      } finally if (metrics.isDefined) { kept.unpersist(); () }
     }
     // idempotent on replay, like the append itself. upTo =
     // batchId − 1: the current batch's dir carries the _SUCCESS

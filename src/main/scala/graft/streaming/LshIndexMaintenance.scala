@@ -286,10 +286,23 @@ object LshIndexMaintenance {
     read: Option[DataFrame]): DataFrame = {
     val (coveredThrough, ok) = BatchDirs.committedState(spark, indexDir)
     read match {
-      case None => // schema-stable empty frame
+      case None =>
+        // schema-stable empty frame: the id columns inherit the
+        // caller's idCol type once real pairs exist, so the empty
+        // face derives that type from the committed INDEX's doc_id
+        // when it can (reachable: a batch can commit bands while
+        // producing zero pairs — marker-only pairs dirs read as
+        // None). Before ANY commit nothing stores the type and the
+        // ids default to bigint (the common case; string-id streams
+        // should gate unions on nonEmpty until first commit).
         import spark.implicits._
+        val idType = BatchDirs.readCommitted(spark, indexDir)
+          .map(_.schema("doc_id").dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType)
         Seq.empty[(Long, Long, Long)]
           .toDF("doc_a", "doc_b", "n_shared_bands")
+          .select(col("doc_a").cast(idType),
+            col("doc_b").cast(idType), col("n_shared_bands"))
       case Some(df) =>
         val inDirs =
           if (ok.isEmpty) lit(false) else col("batch").isin(ok: _*)

@@ -62,21 +62,38 @@ final class ProgressMetrics extends StreamingQueryListener {
   // distance-to-assigned-centroid and assignment entropy, the
   // observable trigger behind its rebuild-don't-mutate caveat.
   // Bounded: one double per (gauge, batch).
-  private val gauges =
-    new ConcurrentHashMap[String, ConcurrentHashMap[Long, Double]]()
+  private final class Series {
+    val byBatch = new ConcurrentHashMap[Long, Double]()
+    // highest-batchId entry, maintained on write so the alerting
+    // face is O(1) — an always-on monitor polling lastGauge every
+    // trigger must not re-sort the stream-lifetime series each time
+    val last = new java.util.concurrent.atomic
+      .AtomicReference[(Long, Double)](null)
+  }
+  private val gauges = new ConcurrentHashMap[String, Series]()
 
-  def recordGauge(name: String, batchId: Long, value: Double): Unit =
-    gauges.computeIfAbsent(name, _ => new ConcurrentHashMap[Long, Double]())
-      .put(batchId, value)
+  def recordGauge(name: String, batchId: Long, value: Double): Unit = {
+    val s = gauges.computeIfAbsent(name, _ => new Series)
+    s.byBatch.put(batchId, value)
+    s.last.updateAndGet(p =>
+      if (p == null || batchId >= p._1) (batchId, value) else p)
+    ()
+  }
 
-  /** The gauge's full (batchId, value) series, batch-ordered. */
+  /** The gauge's full (batchId, value) series, batch-ordered — the
+    * debugging/plotting face. Holds one double per (gauge, batch)
+    * for the stream's lifetime: O(n log n) to materialize, and on a
+    * months-long always-on stream the series itself is the bound —
+    * poll [[lastGauge]] for alerting, it never touches this. */
   def gauge(name: String): Seq[(Long, Double)] =
     Option(gauges.get(name)).toSeq
-      .flatMap(_.asScala.toSeq).sortBy(_._1)
+      .flatMap(_.byBatch.asScala.toSeq).sortBy(_._1)
 
-  /** Latest value — the alerting face ("did assignment drift?"). */
+  /** Latest value — the alerting face ("did assignment drift?").
+    * O(1): served from the write-maintained last entry. */
   def lastGauge(name: String): Option[Double] =
-    gauge(name).lastOption.map(_._2)
+    Option(gauges.get(name)).flatMap(s => Option(s.last.get()))
+      .map(_._2)
 }
 
 object ProgressMetrics {

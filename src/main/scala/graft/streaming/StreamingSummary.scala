@@ -20,9 +20,11 @@ import graft.operators.IncrementalAgg
   * FileContext's atomic overwrite rename — a crash between the two
   * leaves the old pointer naming the old complete generation.
   * Exactly-once across restarts comes from the batch-id guard: a
-  * replayed micro-batch (id ≤ the pointer's lastBatchId) is a no-op,
-  * so Spark's checkpoint replay after failure cannot double-apply a
-  * delta (the Ledger/StreamingTtlEtl idempotence model).
+  * replayed micro-batch (id == the pointer's lastBatchId — the only
+  * id legitimate recovery ever re-presents) is a no-op, so Spark's
+  * checkpoint replay after failure cannot double-apply a delta (the
+  * Ledger/StreamingTtlEtl idempotence model); an id BELOW it is the
+  * fresh-checkpoint signature and fails loudly (applyBatch).
   */
 object StreamingSummary {
 
@@ -100,13 +102,16 @@ object StreamingSummary {
     groupCols: Seq[String], sumCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
     val cur = current(spark, dir)
-    // Checkpoint recovery re-presents at most the LAST batch id (a
-    // regression of 0 or 1) — a no-op under the replay guard. A
-    // regression LARGER than 1 means the stream was restarted with a
-    // FRESH checkpoint (ids reset to 0) against an existing summary
-    // dir; silently no-opping would drop every delta until the new
-    // ids caught up, so fail loudly instead.
-    cur.filter(_._2 > batchId + 1).foreach { case (_, applied) =>
+    // Checkpoint recovery re-presents at most the LAST applied id
+    // (regression 0): the pointer swings DURING a batch, so it can
+    // only run AHEAD of the engine's commit log, and batch N+1 only
+    // ever runs after N committed — the engine can never re-present
+    // N−1 once the pointer says N. ANY regression below the applied
+    // id therefore means the stream restarted with a FRESH checkpoint
+    // (ids reset to 0) against an existing summary dir; silently
+    // no-opping would drop every delta until the new ids caught up
+    // (with ≤ 2 applied batches: FOREVER), so fail loudly instead.
+    cur.filter(_._2 > batchId).foreach { case (_, applied) =>
       throw new IllegalStateException(
         s"StreamingSummary: batch id $batchId regressed below the " +
           s"applied $applied in $dir — the stream restarted with a " +

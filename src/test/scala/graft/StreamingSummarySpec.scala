@@ -43,7 +43,6 @@ class StreamingSummarySpec extends SparkTestBase {
     val b1 = Seq(Change("a", 10, -1)).toDF()
     StreamingSummary.applyBatch(b1, 1L, dir, Seq("g"), Seq("m"))
     StreamingSummary.applyBatch(b1, 1L, dir, Seq("g"), Seq("m")) // replay
-    StreamingSummary.applyBatch(b1, 0L, dir, Seq("g"), Seq("m")) // stale
     val (gen, lastBatch) = StreamingSummary.current(spark, dir).get
     assert(gen == 1L && lastBatch == 1L)
     val rows = spark.read.parquet(s"$dir/gen=$gen")
@@ -100,9 +99,17 @@ class StreamingSummarySpec extends SparkTestBase {
         Seq(Change("a", 1, 1)).toDF(), 0L, dir, Seq("g"), Seq("m"))
     }
     assert(e.getMessage.contains("fresh checkpoint"))
-    // regression of exactly 1 stays a tolerated stale no-op
+    // ANY regression below the applied id is the fresh-checkpoint
+    // signature (legitimate recovery only ever re-presents the last
+    // applied id itself): regression 1 must fail loudly too — with a
+    // 2-batch summary it would otherwise silently drop deltas FOREVER
+    intercept[IllegalStateException] {
+      StreamingSummary.applyBatch(
+        Seq(Change("a", 1, 1)).toDF(), 1L, dir, Seq("g"), Seq("m"))
+    }
+    // the exact-replay id stays a silent no-op
     StreamingSummary.applyBatch(
-      Seq(Change("a", 1, 1)).toDF(), 1L, dir, Seq("g"), Seq("m"))
+      Seq(Change("a", 1, 1)).toDF(), 2L, dir, Seq("g"), Seq("m"))
     assert(StreamingSummary.current(spark, dir).get == ((2L, 2L)))
   }
 
