@@ -93,18 +93,23 @@ object Ledger {
     * concurrent READER is active (a reader that planned against a
     * snapshotted file could hit FileNotFound mid-scan). */
   def compact(spark: SparkSession, ledgerDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(ledgerDir)
-    if (!Files.exists(src)) return
-    val snapshot = Files.list(src).toArray.map(_.toString)
-      .filter(_.endsWith(".parquet"))
+    // Hadoop FS, not java.nio: the production ledger lives on
+    // HDFS/object storage (the 100 TB shape this scaladoc targets),
+    // where a local-path API would silently no-op and the small-file
+    // pile would grow forever
+    val path = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val snapshot = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
     if (snapshot.length <= 1) return
-    spark.read.parquet(snapshot: _*)
+    spark.read.parquet(snapshot.map(_.toString): _*)
       .select("key", "status").distinct()
       .withColumn("run_id", lit("compacted"))
       .repartition(1)
       .write.mode(SaveMode.Append).parquet(ledgerDir)
-    snapshot.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    snapshot.foreach(p => fs.delete(p, false))
   }
 
   /** Bloom-filter pre-pass (SURVEY §7.4's 100 TB escape hatch): when
@@ -128,9 +133,18 @@ object Ledger {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     require(!work.columns.contains("_ledger_done_key"),
       "column _ledger_done_key collides with the bloom pre-pass")
-    val done = doneKeys(work.sparkSession, ledgerDir)
-      .select(col("key").cast(work.schema(keyCol).dataType)
-        .as("_ledger_done_key"))
+    // persisted: the count (sizing), the bloom build, and the exact
+    // anti-join of candidates all consume this frame — unpersisted
+    // they would each re-scan and re-distinct the whole append-only
+    // ledger directory, 3× the I/O on exactly the hot path this
+    // method exists to cheapen. Tracked via Broadcasting so the
+    // operator-wide releaseAll() discipline frees it (unpersisting
+    // here would drop the cache before the returned lazy frame runs).
+    val done = graft.operators.Broadcasting.track(
+      doneKeys(work.sparkSession, ledgerDir)
+        .select(col("key").cast(work.schema(keyCol).dataType)
+          .as("_ledger_done_key"))
+        .persist())
     val n = math.max(done.count(), 1L)
     // standard sizing: m = -n·ln(fpp)/ln²2 (rounded up to words),
     // k = (m/n)·ln2

@@ -27,6 +27,10 @@ import scala.jdk.CollectionConverters._
 object Bson {
   private val nf = JsonNodeFactory.instance
 
+  /** MongoDB's own per-document cap, mirrored here as the outer
+    * length field's plausibility bound (read()). */
+  private val MaxDocBytes = 16 * 1024 * 1024
+
   /** Encode one document. */
   def encode(doc: JsonNode): Array[Byte] = {
     require(doc.isObject, s"BSON document must be an object, got $doc")
@@ -99,7 +103,12 @@ object Bson {
     if (b0 < 0) return null
     val len = b0 | (readByte(din) << 8) | (readByte(din) << 16) |
       (readByte(din) << 24)
-    require(len >= 5, s"invalid BSON document length $len")
+    // upper plausibility bound BEFORE allocating: a corrupted length
+    // field must surface as the codec's loud protocol error, not as
+    // an unbounded allocation/OOM. 16 MB is MongoDB's own document
+    // cap, which this wire mirrors.
+    require(len >= 5 && len <= MaxDocBytes,
+      s"invalid BSON document length $len (must be in [5, $MaxDocBytes])")
     val body = new Array[Byte](len - 4)
     din.readFully(body) // throws EOFException on truncation
     require(body(body.length - 1) == 0,
@@ -152,15 +161,26 @@ object Bson {
         i + 8)
     case 0x02 =>
       val len = int32(buf, i) // includes the trailing NUL
-      require(len >= 1, s"invalid BSON string length $len")
+      // bound against the BODY, not just non-negativity: a corrupted
+      // inner length must throw the codec's documented protocol error,
+      // not ArrayIndexOutOfBounds from deep inside String construction
+      require(len >= 1 && i + 4 + len <= buf.length,
+        s"invalid BSON string length $len at offset $i " +
+          s"(body ${buf.length} bytes)")
       (nf.textNode(new String(buf, i + 4, len - 1, UTF_8)), i + 4 + len)
     case 0x03 =>
       val len = int32(buf, i)
+      require(len >= 5 && i + len <= buf.length,
+        s"invalid embedded document length $len at offset $i " +
+          s"(body ${buf.length} bytes)")
       val (doc, consumed) = parseDoc(buf, i + 4, i + len - 1)
       require(consumed == i + len - 1, "embedded document length drift")
       (doc, i + len)
     case 0x04 =>
       val len = int32(buf, i)
+      require(len >= 5 && i + len <= buf.length,
+        s"invalid array document length $len at offset $i " +
+          s"(body ${buf.length} bytes)")
       val (doc, consumed) = parseDoc(buf, i + 4, i + len - 1)
       require(consumed == i + len - 1, "array document length drift")
       val arr = nf.arrayNode()

@@ -281,7 +281,8 @@ private[sources] object MarkSocketScan {
       SocketMarkStore.js(collection)}}"""
     val sock = new Socket(host, port)
     try {
-      val out = new PrintWriter(sock.getOutputStream, true)
+      val out = new PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, UTF_8), true)
       val in = new BufferedReader(
         new InputStreamReader(sock.getInputStream, UTF_8))
       out.println(req)
@@ -298,7 +299,8 @@ private[sources] object MarkSocketScan {
       SocketMarkStore.js(collection)},"n_splits":$nPartitions}"""
     val sock = new Socket(host, port)
     try {
-      val out = new PrintWriter(sock.getOutputStream, true)
+      val out = new PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, UTF_8), true)
       val in = new BufferedReader(
         new InputStreamReader(sock.getInputStream, UTF_8))
       out.println(req)
@@ -552,7 +554,8 @@ private[sources] class MarkRangeReader(p: MarkRangePartition,
       // includes _id regardless, like the real server).
       new MongoWire.MongoDocCursor(p.host, p.port, p.collection,
         p.batchSize, MongoWire.filterDoc(p.minId, p.maxId,
-          p.startFrom, p.execIds.map(_.toSeq), p.afterStart),
+          p.startFrom, p.execIds.map(_.toSeq), p.afterStart,
+          MarkSocketDataSource.execIdPath(p.collection)),
         projection = required.fieldNames.toSeq)
     case _ =>
       new JsonlDocCursor(SocketMarkStore.pageRange(

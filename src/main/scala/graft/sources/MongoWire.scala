@@ -93,10 +93,16 @@ object MongoWire {
   /** The find FILTER document for a range scan — a real Mongo filter:
     * conjunction of `_id` bounds and the indexed execution-id $in
     * (reference build_indexes.sh:18-36 is what makes both
-    * server-cheap). */
+    * server-cheap). `execPath` is the COLLECTION's dotted
+    * execution-id field ([[MarkSocketDataSource.execIdPath]]):
+    * marks nest it under provenance, analyses do not — the absorbed
+    * filter left no Catalyst residual, so emitting the wrong
+    * collection's path here would silently match zero documents on a
+    * real server. */
   private[sources] def filterDoc(minId: Option[String],
     maxId: Option[String], startFrom: Option[String],
-    execIds: Option[Seq[String]], afterId: Option[String]): ObjectNode = {
+    execIds: Option[Seq[String]], afterId: Option[String],
+    execPath: String): ObjectNode = {
     val f = nf.objectNode()
     val idCond = nf.objectNode()
     // $gte folds with startFrom (Java order — the connector only
@@ -109,7 +115,7 @@ object MongoWire {
     execIds.foreach { ids =>
       val in = nf.objectNode()
       val arr = in.putArray("$in"); ids.foreach(arr.add)
-      f.set[JsonNode]("provenance.analysis.execution_id", in)
+      f.set[JsonNode](execPath, in)
     }
     f
   }

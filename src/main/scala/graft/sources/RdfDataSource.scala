@@ -167,8 +167,19 @@ private[sources] class RdfScan(path: String, format: Option[String],
     val statuses = fs.globStatus(p) match {
       case null => Array.empty[org.apache.hadoop.fs.FileStatus]
       case arr => arr.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-        else Array(st)
+        if (st.isDirectory) {
+          // RECURSIVE: a corpus organized as <dir>/<subject>/*.ttl is
+          // the common layout (the reference's own output tree is
+          // 4 levels deep) — a one-level listing would silently drop
+          // every nested file from the scan
+          val out = Array.newBuilder[org.apache.hadoop.fs.FileStatus]
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.isFile) out += f
+          }
+          out.result()
+        } else Array(st)
       }
     }
     val files = statuses.map(_.getPath.toString).filter { f =>
@@ -187,33 +198,60 @@ private[sources] class RdfScan(path: String, format: Option[String],
         : InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new RdfReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the DRIVER's Hadoop conf to the readers (broadcast — once
+    // per executor): an executor-side `new Configuration()` would
+    // drop every session key (object-store credentials, endpoints,
+    // custom filesystem settings), so the listing would succeed on
+    // the driver and every reader would fail to open the same files
+    val spark = org.apache.spark.sql.SparkSession.active
+    new RdfReaderFactory(required.fieldNames,
+      spark.sparkContext.broadcast(new SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())))
+  }
 }
 
 private[sources] case class RdfFilePartition(file: String,
   format: String) extends InputPartition
 
-private[sources] class RdfReaderFactory(fields: Array[String])
+/** Java-serializable Hadoop Configuration carrier (Spark's own
+  * SerializableConfiguration is private[spark]): round-trips every
+  * conf key through writeObject/readFields so the driver's session
+  * conf reaches executor-side readers intact. */
+private[sources] class SerializableHadoopConf(
+  @transient var value: Configuration) extends java.io.Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] class RdfReaderFactory(fields: Array[String],
+  conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
     : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RdfFilePartition]
-    new RdfFileReader(p.file, p.format, fields)
+    new RdfFileReader(p.file, p.format, fields, conf.value.value)
   }
 }
 
 /** Reads ONE document: open (inflating .gz), parse with the shared
-  * Rdf.parseDocument, emit pruned rows. Executors rebuild a default
-  * Hadoop Configuration — file paths are absolute URIs (scheme
-  * included by the driver's listing), so no driver-side conf keys are
-  * needed to resolve them. */
+  * Rdf.parseDocument, emit pruned rows. Opens the file with the
+  * DRIVER's broadcast Hadoop conf, so object-store credentials and
+  * filesystem settings behave identically on both sides. */
 private[sources] class RdfFileReader(file: String, format: String,
-  fields: Array[String]) extends PartitionReader[InternalRow] {
+  fields: Array[String], conf: Configuration)
+  extends PartitionReader[InternalRow] {
 
   private val triples: Iterator[graft.ttl.Turtle.Triple] = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val raw = fs.open(p)
     val in = if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw
     val content =

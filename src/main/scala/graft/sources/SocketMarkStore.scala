@@ -99,7 +99,8 @@ final class SocketMarkStore(options: Map[String, String])
       SocketMarkStore.js(collection)},"n_splits":$nPartitions}"""
     val sock = new Socket(host, port)
     try {
-      val out = new PrintWriter(sock.getOutputStream, true)
+      val out = new PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, UTF_8), true)
       val in = new BufferedReader(
         new InputStreamReader(sock.getInputStream, UTF_8))
       out.println(req)
@@ -154,7 +155,8 @@ object SocketMarkStore {
     batchSize: Int, requestFor: Option[String] => String)
     extends Iterator[String] with AutoCloseable {
     private val sock = new Socket(host, port)
-    private val out = new PrintWriter(sock.getOutputStream, true)
+    private val out = new PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, UTF_8), true)
     private val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, UTF_8))
 

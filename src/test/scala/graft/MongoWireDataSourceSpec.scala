@@ -20,9 +20,21 @@ class MongoWireDataSourceSpec extends SparkTestBase {
         s""""image":{"imageid":"img-$i","slide":"slide-${i % 3}"}}}""")
   }
   private val marks = (1 to 20).map(markDoc)
+  private val analyses = Seq(
+    TcpMarkServer.Doc("a-001", "exec-1",
+      """{"_id":"a-001","analysis":{"execution_id":"exec-1",""" +
+        """"algorithm_params":{"image_width":100,"image_height":200,""" +
+        """"case_id":"c7"}},"image":{"imageid":"img-1","subject":"s",""" +
+        """"study":"st","slide":"slide-0"}}"""),
+    TcpMarkServer.Doc("a-002", "exec-2",
+      """{"_id":"a-002","analysis":{"execution_id":"exec-2",""" +
+        """"algorithm_params":{"image_width":100,"image_height":200,""" +
+        """"case_id":"c8"}},"image":{"imageid":"img-2","subject":"s",""" +
+        """"study":"st","slide":"slide-1"}}"""))
 
   private def withServer[A](f: (TcpMongoServer, Int) => A): A = {
-    val srv = new TcpMongoServer(Map("marks" -> marks))
+    val srv = new TcpMongoServer(Map(
+      "marks" -> marks, "analyses" -> analyses))
     val port = srv.start()
     try f(srv, port) finally srv.stop()
   }
@@ -48,6 +60,28 @@ class MongoWireDataSourceSpec extends SparkTestBase {
       assert(srv.requests.asScala.exists(_.contains("splitVector")))
       assert(srv.requests.asScala.exists(_.contains("getMore")),
         "no getMore issued: cursor paging untested")
+    }
+  }
+
+  test("analyses exec-id pushdown targets the collection's OWN " +
+    "dotted path — the marks path would match no analyses document") {
+    withServer { (srv, port) =>
+      // the test server is mongod-faithful (a filter on the wrong
+      // collection's exec-id path matches nothing), so this pins the
+      // connector emitting analysis.execution_id, not the marks path
+      val df = spark.read.format("graft.sources.MarkSocketDataSource")
+        .option("host", "127.0.0.1").option("port", port.toString)
+        .option("collection", "analyses").option("wire", "mongo")
+        .option("partitions", "1").option("batch.size", "4")
+        .load()
+        .filter(col("analysis.execution_id") === "exec-1")
+      assert(df.count() == 1)
+      assert(df.select("analysis.algorithm_params.case_id")
+        .collect().head.getString(0) == "c7")
+      assert(srv.requests.asScala.exists(r =>
+        r.contains(""""analysis.execution_id":{"$in":["exec-1"]}""")),
+        s"filter did not land on the analyses path: " +
+          srv.requests.asScala.filter(_.contains("find")).mkString("\n"))
     }
   }
 

@@ -48,6 +48,22 @@ class RdfDataSourceSpec extends SparkTestBase {
     assert(bnodes.size == 2)
   }
 
+  test("directory listing is RECURSIVE: nested subject dirs are " +
+    "scanned, not silently dropped") {
+    val dir = freshDir()
+    writeFile(dir, "top.ttl", Rdf.serialize(g1, "nt"))
+    Files.createDirectories(Paths.get(dir, "subjectA", "deep"))
+    writeFile(s"$dir/subjectA", "mid.ttl", Rdf.serialize(g2, "nt"))
+    writeFile(s"$dir/subjectA/deep", "leaf.ttl",
+      Rdf.serialize(Seq(Triple("<http://x/d>", "<http://x/p>",
+        "\"v3\"")), "nt"))
+    val df = spark.read.format(Fmt).load(dir)
+    assert(df.rdd.getNumPartitions == 3,
+      "nested files missing from the scan")
+    val got = df.select("o").as[String].collect().toSet
+    assert(Set("\"v1\"", "\"v2\"", "\"v3\"").subsetOf(got), s"$got")
+  }
+
   test("agrees with the Dataset-API loader (same parse, same tags)") {
     val dir = freshDir()
     writeFile(dir, "g1.ttl", Rdf.serialize(g1, "turtle"))

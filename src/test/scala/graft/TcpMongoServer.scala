@@ -47,8 +47,18 @@ final class TcpMongoServer(
 
   def stop(): Unit = { running = false; if (server != null) server.close() }
 
-  private def matches(d: TcpMarkServer.Doc, filter: JsonNode): Boolean = {
+  private def matches(collection: String, d: TcpMarkServer.Doc,
+    filter: JsonNode): Boolean = {
     if (filter == null || !filter.isObject) return true
+    // mongod-faithful: only the COLLECTION's actual dotted exec-id
+    // path matches — the wrong collection's path is just a field the
+    // documents don't have, matching nothing. (An earlier, laxer
+    // version accepted either path for any collection, which masked
+    // the connector emitting the marks path for analyses.)
+    val execPath = collection match {
+      case "marks" => "provenance.analysis.execution_id"
+      case _ => "analysis.execution_id"
+    }
     filter.properties().asScala.forall { e =>
       e.getKey match {
         case "_id" =>
@@ -56,10 +66,12 @@ final class TcpMongoServer(
           Option(c.get("$gte")).forall(v => d.id >= v.asText) &&
             Option(c.get("$gt")).forall(v => d.id > v.asText) &&
             Option(c.get("$lt")).forall(v => d.id < v.asText)
-        case "provenance.analysis.execution_id" |
-          "analysis.execution_id" =>
+        case p if p == execPath =>
           Option(e.getValue.get("$in")).forall(_.elements().asScala
             .exists(_.asText == d.execId))
+        case "provenance.analysis.execution_id" |
+          "analysis.execution_id" =>
+          false // the OTHER collection's path: field absent, no match
         case other =>
           throw new IllegalArgumentException(s"unsupported filter $other")
       }
@@ -89,7 +101,7 @@ final class TcpMongoServer(
         if (body.has("find")) {
           val coll = body.get("find").asText
           val docs = sorted.getOrElse(coll, Nil)
-            .filter(matches(_, body.get("filter")))
+            .filter(matches(coll, _, body.get("filter")))
           val desc = Option(body.get("sort"))
             .exists(s => Option(s.get("_id")).exists(_.asInt == -1))
           val ordered0 = if (desc) docs.reverse else docs
