@@ -112,14 +112,26 @@ case class DotProductDouble(left: Expression, right: Expression)
   * usable via `spark.sql.extensions=graft.expressions.GraftExtensions`.
   */
 object GraftFunctions {
+  /** Arity-checked builder: a wrong-arity SQL call must surface as a
+    * proper analysis error, not an IndexOutOfBoundsException from
+    * `exprs(1)`. */
+  private[expressions] def binary(name: String,
+    make: (Expression, Expression) => Expression)
+    : Seq[Expression] => Expression = {
+    case Seq(a, b) => make(a, b)
+    case exprs => throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map("functionName" -> name,
+        "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1)),
+      "graft_dot", binary("graft_dot", DotProductDouble(_, _)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_l2sq",
-      (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1)),
+      "graft_l2sq", binary("graft_l2sq", SquaredL2Long(_, _)),
       "built-in")
     // idempotent: extraOptimizations is tiny, guard by identity
     Seq(BoundLevenshtein, graft.plans.TopKRewrite,
@@ -141,12 +153,12 @@ class GraftExtensions
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductDouble].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProductDouble(exprs(0), exprs(1))))
+      GraftFunctions.binary("graft_dot", DotProductDouble(_, _))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_l2sq"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[SquaredL2Long].getName, "graft_l2sq"),
-      (exprs: Seq[Expression]) => SquaredL2Long(exprs(0), exprs(1))))
+      GraftFunctions.binary("graft_l2sq", SquaredL2Long(_, _))))
     ext.injectOptimizerRule(_ => BoundLevenshtein)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.GroupedTopKPushdown)

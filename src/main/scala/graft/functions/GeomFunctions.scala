@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object GeomFunctions {
 
-  /** Outer ring of a geometry (rings × points × 2). */
-  def outerRing(geom: Column): Column = element_at(geom, 1)
+  /** Outer ring of a geometry (rings × points × 2). `try_element_at`,
+    * not `element_at`: a zero-ring geometry (dirty input) must yield
+    * NULL, not fail the whole query with INVALID_ARRAY_INDEX under
+    * Spark 4's default ANSI mode — every st_* consumer then
+    * null-propagates via [[idx]]. */
+  def outerRing(geom: Column): Column = try_element_at(geom, lit(1))
 
   /** F2: parse `[x1:y1:x2:y2:…]` into a single closed ring.
     * Closes the ring iff first point != last point, exactly like
@@ -37,9 +41,12 @@ object GeomFunctions {
   /** Guarded 1..n index range: Spark's sequence(1, 0) DESCENDS ([1,0])
     * and would drive element_at(_, 0) into a hard error, so empty/
     * degenerate inputs must map to an empty array, not sequence(1,n). */
+  // A NULL size (null geometry or ring) propagates NULL — a null
+  // geometry's area/perimeter/point count is NULL, not 0 (SQL null
+  // propagation, and what the DuckDB oracle's list ops do).
   private def idx(n: Column): Column =
     when(n >= 1, sequence(lit(1), n.cast("int")))
-      .otherwise(array().cast("array<int>"))
+      .when(n.isNotNull, array().cast("array<int>"))
 
   private def expr_pts(cleaned: Column): Column = {
     val nums = split(cleaned, ":")

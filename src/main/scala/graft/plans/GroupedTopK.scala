@@ -40,7 +40,8 @@ import org.apache.spark.util.collection.GraftSorterShim
   *
   * Memory is BOUNDED even at extreme group cardinality, via the
   * live-group cap `spark.graft.topk.maxLiveGroups` (default 262144
-  * groups per task; at most cap × k retained rows):
+  * groups per task; at most (cap + 1) × k retained rows — the row
+  * that creates group cap+1 is admitted and ends the chunk):
   *  - the PARTIAL phase flushes its heaps to output and restarts
   *    when the cap trips — correct because a partition-wide top-k
   *    row is top-k in every chunk that contains it, so the union of
@@ -99,6 +100,29 @@ object GroupedTopKStrategy extends SparkStrategy {
   * (map-side pruning); `partial = false` demands co-location by
   * group and emits the exact per-group top-k. See the class doc for
   * the live-group cap / bounded-memory contract. */
+object GroupedTopKExec {
+  /** SQL-faithful key equality for floating group columns: one NaN
+    * bit pattern, -0.0 folded to 0.0 — what Spark's own (private)
+    * NormalizeFloatingNumbers does for Aggregate/Window keys. NULL
+    * passes through (both CASE branches are null-false). */
+  private[plans] def normalizeFloatKey(e: org.apache.spark.sql
+    .catalyst.expressions.Expression): org.apache.spark.sql.catalyst
+    .expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen,
+      EqualTo, IsNaN, Literal}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    e.dataType match {
+      case DoubleType => CaseWhen(Seq(
+        (IsNaN(e), Literal(Double.NaN)),
+        (EqualTo(e, Literal(0.0d)), Literal(0.0d))), e)
+      case FloatType => CaseWhen(Seq(
+        (IsNaN(e), Literal(Float.NaN)),
+        (EqualTo(e, Literal(0.0f)), Literal(0.0f))), e)
+      case _ => e
+    }
+  }
+}
+
 case class GroupedTopKExec(groupExprs: Seq[Attribute],
   orderExpr: Attribute, descending: Boolean, k: Int,
   child: SparkPlan, partial: Boolean) extends UnaryExecNode {
@@ -139,7 +163,16 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
       // from "no GroupedTopKExec in the plan", where the fallback
       // counters are indistinguishable (both read 0)
       gtkTasks += 1
-      val groupProj = UnsafeProjection.create(groupSeq, outSchema)
+      // group keys are compared as raw UnsafeRow bytes, so floating
+      // keys must be NORMALIZED first (-0.0 ≡ 0.0, one NaN pattern):
+      // Spark gives its own Aggregate/Window/Join this treatment
+      // (NormalizeFloatingNumbers — private[sql], hence the local
+      // spelling) and a bare projection would split SQL-equal keys
+      // into separate heaps. No-op on non-floating types; nested
+      // floats inside struct/array keys are not normalized (group
+      // keys here are attribute references — use atomic keys).
+      val groupProj = UnsafeProjection.create(
+        groupSeq.map(GroupedTopKExec.normalizeFloatKey), outSchema)
       // an AttributeReference is Unevaluable until bound to the
       // child's output ordinals
       val boundOrder = org.apache.spark.sql.catalyst.expressions
@@ -276,6 +309,13 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
         new Iterator[InternalRow] {
           private var out: Iterator[InternalRow] = Iterator.empty
           private def refill(): Unit = {
+            // <= is deliberate: rows of EXISTING groups keep
+            // admitting while the cap holds, and only the row that
+            // creates group cap+1 ends the chunk — so peak retention
+            // is (cap+1) heaps (documented), in exchange for far
+            // fewer flushes than a strict < (which would end a chunk
+            // the moment cap groups are live, existing-group rows
+            // included)
             while (iter.hasNext && heaps.size <= maxLiveGroups) {
               admit(iter.next())
             }
@@ -339,7 +379,12 @@ object GroupedTopK {
   /** [[topK]] plus a 1-based `rnk` column. The ranking window runs
     * AFTER the heap pruning, over at most groups × k surviving rows
     * — so the full-corpus sort the plain window spelling pays never
-    * happens; only the survivors sort. Same tie contract as topK. */
+    * happens; only the survivors sort. Same tie contract as topK.
+    * NULL order values rank LAST in BOTH directions — the window
+    * must spell the heap's null contract explicitly (`better()`
+    * treats null as worst either way), because Spark's bare `asc`
+    * defaults to NULLS FIRST and would rank a surviving null AHEAD
+    * of the real values the heap kept it behind. */
   def rankedTopK(df: DataFrame, groupCols: Seq[String],
     orderCol: String, k: Int, descending: Boolean = true,
     rankCol: String = "rnk"): DataFrame = {
@@ -348,7 +393,8 @@ object GroupedTopK {
     require(!df.columns.contains(rankCol),
       s"column $rankCol collides with the rank output")
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(if (descending) col(orderCol).desc else col(orderCol).asc)
+      .orderBy(if (descending) col(orderCol).desc_nulls_last
+        else col(orderCol).asc_nulls_last)
     topK(df, groupCols, orderCol, k, descending)
       .withColumn(rankCol, row_number().over(w).cast("long"))
   }

@@ -115,7 +115,11 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
           if ps == w.partitionSpec && os == w.orderSpec => grandchild
         case other => other
       }
-      if k >= 1 && k <= maxK && notAlreadyPruned(w.child, groups, k) &&
+      // gate on `base`, not w.child: a GroupedTopKPlan hidden under
+      // the (stripped) WindowGroupLimit is still already-pruned —
+      // checking the unstripped child would nest a second, redundant
+      // heap operator around it
+      if k >= 1 && k <= maxK && notAlreadyPruned(base, groups, k) &&
         ndvPermitsHeap(base, groups, requireStats)
     } yield {
       w.copy(child = GroupedTopKPlan(groups, ordAttr,

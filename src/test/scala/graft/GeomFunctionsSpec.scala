@@ -95,4 +95,20 @@ class GeomFunctionsSpec extends SparkTestBase {
     assert(one(safeWkt(lit(null).cast("string"))) == "POINT EMPTY")
     assert(one(safeWkt(lit("POLYGON EMPTY"))) == "POLYGON EMPTY")
   }
+
+  test("NULL and zero-ring geometries null-propagate through the " +
+    "st_* family — no ANSI INVALID_ARRAY_INDEX, no silent 0.0") {
+    val nullGeom = lit(null).cast("array<array<array<double>>>")
+    val emptyGeom = array().cast("array<array<array<double>>>")
+    // a null geometry's area/perimeter/point count is NULL (what the
+    // DuckDB oracle's list ops return), never 0
+    assert(one(stArea(nullGeom)) == null)
+    assert(one(stPerimeter(nullGeom)) == null)
+    assert(one(stNumPoints(nullGeom)) == null)
+    // an EMPTY rings array (dirty input) must not fail the query
+    // under Spark 4's default ANSI mode — outerRing is NULL-safe
+    assert(one(stArea(emptyGeom)) == null)
+    assert(one(stNumPoints(emptyGeom)) == null)
+    assert(one(stContains(emptyGeom, lit(1.0), lit(1.0))) == null)
+  }
 }

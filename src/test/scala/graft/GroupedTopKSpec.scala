@@ -296,4 +296,32 @@ class GroupedTopKSpec extends SparkTestBase {
       assert(seen.getOrDefault("graft topk tasks", 0L) > 0, seen.toString)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("rankedTopK ascending ranks surviving nulls LAST — the " +
+    "window spells the heap's null contract, not Spark's asc " +
+    "NULLS FIRST default") {
+    val df = Seq(("a", Some(7L)), ("a", None), ("a", None))
+      .toDF("g", "v")
+    val got = GroupedTopK.rankedTopK(df, Seq("g"), "v", k = 2,
+      descending = false)
+      .select("v", "rnk").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1))).toSet
+    // the heap keeps {7, null} (null is worst in both directions);
+    // the rank must agree: 7 first, null second
+    assert(got == Set((Some(7L), 1L), (None, 2L)), s"$got")
+  }
+
+  test("SQL-equal floating group keys share one heap: -0.0 and 0.0 " +
+    "are one group, NaN bit patterns are one group") {
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L),
+      (Double.NaN, 4L),
+      (java.lang.Double.longBitsToDouble(0x7ff8000000000001L), 5L))
+      .toDF("g", "v")
+    val got = GroupedTopK.topK(df, Seq("g"), "v", k = 1).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    // one row per SQL-distinct key: the zero group keeps v=3, the
+    // NaN group keeps v=5 — byte-distinct keys would emit 4 rows
+    assert(got.map(_._2) == Set(3L, 5L), s"$got")
+  }
 }
