@@ -79,6 +79,18 @@ case class GroupedTopKPlan(groupExprs: Seq[Attribute],
   orderExpr: Attribute, descending: Boolean, k: Int,
   child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  // group keys are compared as raw UnsafeRow bytes: top-level float/
+  // double keys get SQL-faithful normalization (normalizeFloatKey),
+  // but a float nested inside a struct/array/map key would still be
+  // byte-compared, splitting SQL-equal groups (-0.0 vs 0.0, NaN bit
+  // patterns) into separate heaps. Fail loudly rather than group
+  // wrongly; TopKRewrite declines such keys before reaching here.
+  groupExprs.find(g => GroupedTopKExec.hasNestedFloat(g.dataType))
+    .foreach(g => throw new IllegalArgumentException(
+      s"GroupedTopK group key ${g.name}: floating-point values " +
+        s"nested inside ${g.dataType.simpleString} are compared by " +
+        "raw bytes, which diverges from SQL equality (-0.0/NaN); " +
+        "use atomic group keys or pre-normalize the nested floats"))
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan)
@@ -119,6 +131,28 @@ object GroupedTopKExec {
         (IsNaN(e), Literal(Float.NaN)),
         (EqualTo(e, Literal(0.0f)), Literal(0.0f))), e)
       case _ => e
+    }
+  }
+
+  /** True iff `dt` transitively contains a float/double INSIDE a
+    * non-atomic type (struct/array/map). Top-level FloatType/
+    * DoubleType are fine — [[normalizeFloatKey]] handles those;
+    * nested ones would be byte-compared unnormalized. */
+  private[plans] def hasNestedFloat(dt: org.apache.spark.sql.types
+    .DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def inside(t: DataType): Boolean = t match {
+      case FloatType | DoubleType => true
+      case s: StructType => s.fields.exists(f => inside(f.dataType))
+      case a: ArrayType => inside(a.elementType)
+      case m: MapType => inside(m.keyType) || inside(m.valueType)
+      case _ => false
+    }
+    dt match {
+      case s: StructType => s.fields.exists(f => inside(f.dataType))
+      case a: ArrayType => inside(a.elementType)
+      case m: MapType => inside(m.keyType) || inside(m.valueType)
+      case _ => false
     }
   }
 }
@@ -168,9 +202,9 @@ case class GroupedTopKExec(groupExprs: Seq[Attribute],
       // Spark gives its own Aggregate/Window/Join this treatment
       // (NormalizeFloatingNumbers — private[sql], hence the local
       // spelling) and a bare projection would split SQL-equal keys
-      // into separate heaps. No-op on non-floating types; nested
-      // floats inside struct/array keys are not normalized (group
-      // keys here are attribute references — use atomic keys).
+      // into separate heaps. No-op on non-floating types; keys with
+      // floats NESTED in struct/array/map are rejected at plan
+      // construction (GroupedTopKPlan / hasNestedFloat).
       val groupProj = UnsafeProjection.create(
         groupSeq.map(GroupedTopKExec.normalizeFloatKey), outSchema)
       // an AttributeReference is Unevaluable until bound to the

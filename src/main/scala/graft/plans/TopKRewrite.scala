@@ -141,7 +141,14 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def attributeGroups(ps: Seq[Expression]): Option[Seq[Attribute]] = {
     val attrs = ps.collect { case a: Attribute => a }
-    if (attrs.nonEmpty && attrs.length == ps.length) Some(attrs) else None
+    // decline keys with floats nested in struct/array/map: the heap
+    // byte-compares group keys and only normalizes TOP-LEVEL floats,
+    // so a nested -0.0/NaN would split one SQL group into several —
+    // the vanilla window stays and keeps exact semantics
+    if (attrs.nonEmpty && attrs.length == ps.length &&
+      attrs.forall(a => !GroupedTopKExec.hasNestedFloat(a.dataType)))
+      Some(attrs)
+    else None
   }
 
   /** The heap's null contract is NULLS LAST (nulls fill only

@@ -163,14 +163,16 @@ object Bson {
       val len = int32(buf, i) // includes the trailing NUL
       // bound against the BODY, not just non-negativity: a corrupted
       // inner length must throw the codec's documented protocol error,
-      // not ArrayIndexOutOfBounds from deep inside String construction
-      require(len >= 1 && i + 4 + len <= buf.length,
+      // not ArrayIndexOutOfBounds from deep inside String construction.
+      // Long arithmetic: a len near Int.MaxValue would wrap i+4+len
+      // negative and sneak past an Int-typed bound.
+      require(len >= 1 && i.toLong + 4L + len <= buf.length,
         s"invalid BSON string length $len at offset $i " +
           s"(body ${buf.length} bytes)")
       (nf.textNode(new String(buf, i + 4, len - 1, UTF_8)), i + 4 + len)
     case 0x03 =>
       val len = int32(buf, i)
-      require(len >= 5 && i + len <= buf.length,
+      require(len >= 5 && i.toLong + len <= buf.length,
         s"invalid embedded document length $len at offset $i " +
           s"(body ${buf.length} bytes)")
       val (doc, consumed) = parseDoc(buf, i + 4, i + len - 1)
@@ -178,7 +180,7 @@ object Bson {
       (doc, i + len)
     case 0x04 =>
       val len = int32(buf, i)
-      require(len >= 5 && i + len <= buf.length,
+      require(len >= 5 && i.toLong + len <= buf.length,
         s"invalid array document length $len at offset $i " +
           s"(body ${buf.length} bytes)")
       val (doc, consumed) = parseDoc(buf, i + 4, i + len - 1)

@@ -199,15 +199,22 @@ private[sources] class RdfScan(path: String, format: Option[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // ship the DRIVER's Hadoop conf to the readers (broadcast — once
-    // per executor): an executor-side `new Configuration()` would
-    // drop every session key (object-store credentials, endpoints,
-    // custom filesystem settings), so the listing would succeed on
-    // the driver and every reader would fail to open the same files
+    // ship the DRIVER's Hadoop conf to the readers: an executor-side
+    // `new Configuration()` would drop every session key
+    // (object-store credentials, endpoints, custom filesystem
+    // settings), so the listing would succeed on the driver and every
+    // reader would fail to open the same files. The conf rides INSIDE
+    // the factory, not in an explicit sparkContext.broadcast: the
+    // factory is part of the stage's task binary, which Spark itself
+    // broadcasts once per stage AND garbage-collects via
+    // ContextCleaner — an explicit broadcast per scan is never
+    // destroyed and accumulates on long-lived sessions. Task binaries
+    // also always use Java serialization (closure serializer),
+    // so SerializableHadoopConf's writeObject hook is honored even
+    // under spark.serializer=KryoSerializer.
     val spark = org.apache.spark.sql.SparkSession.active
     new RdfReaderFactory(required.fieldNames,
-      spark.sparkContext.broadcast(new SerializableHadoopConf(
-        spark.sessionState.newHadoopConf())))
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
   }
 }
 
@@ -232,13 +239,14 @@ private[sources] class SerializableHadoopConf(
 }
 
 private[sources] class RdfReaderFactory(fields: Array[String],
-  conf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+  conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
     : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[RdfFilePartition]
-    new RdfFileReader(p.file, p.format, fields, conf.value.value)
+    new RdfFileReader(p.file, p.format, fields, conf.value)
   }
+  private[sources] def shippedConf: Configuration = conf.value
 }
 
 /** Reads ONE document: open (inflating .gz), parse with the shared

@@ -105,6 +105,30 @@ class BsonMarkDataSourceSpec extends SparkTestBase {
     }
   }
 
+  test("corrupt inner lengths near Int.MaxValue fail as the loud " +
+    "protocol error, not an overflow-masked index exception") {
+    val om = new ObjectMapper()
+    // offsets in the FULL encoding: [0-3 outer len][4 type]
+    // [5 name 'a'][6 NUL][7-10 inner length int32 LE]
+    def corrupt(json: String): Array[Byte] = {
+      val b = Bson.encode(om.readTree(json))
+      b(7) = 0xF0.toByte; b(8) = 0xFF.toByte
+      b(9) = 0xFF.toByte; b(10) = 0x7F.toByte // 0x7FFFFFF0
+      b
+    }
+    for ((json, marker) <- Seq(
+      ("""{"a":"hi"}""", "invalid BSON string length"),
+      ("""{"a":{"b":1}}""", "invalid embedded document length"),
+      ("""{"a":[1]}""", "invalid array document length"))) {
+      val ex = intercept[IllegalArgumentException] {
+        Bson.read(new java.io.ByteArrayInputStream(corrupt(json)))
+      }
+      // pre-fix, i + 4 + len wrapped negative, slipped past the Int
+      // bound, and died inside String/parse instead of the require
+      assert(ex.getMessage.contains(marker), s"$json -> $ex")
+    }
+  }
+
   test("streaming face works over the BSON wire") {
     val srv = new TcpBsonMarkServer(Map("marks" -> (1 to 6).map(markDoc)))
     val port = srv.start()

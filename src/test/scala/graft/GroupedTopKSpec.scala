@@ -324,4 +324,29 @@ class GroupedTopKSpec extends SparkTestBase {
     // NaN group keeps v=5 — byte-distinct keys would emit 4 rows
     assert(got.map(_._2) == Set(3L, 5L), s"$got")
   }
+
+  test("group keys with floats NESTED in struct/array are rejected " +
+    "loudly (only top-level floats are normalized)") {
+    // a -0.0 inside a struct key would be byte-compared, silently
+    // splitting one SQL group into two heaps — fail at plan build
+    val structKey = Seq((0.0, 1L), (-0.0, 2L)).toDF("x", "v")
+      .select(struct(col("x")).as("g"), col("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      GroupedTopK.topK(structKey, Seq("g"), "v", k = 1)
+    }
+    assert(e1.getMessage.contains("nested inside"), e1.getMessage)
+    val arrayKey = Seq((0.5f, 1L)).toDF("x", "v")
+      .select(array(col("x")).as("g"), col("v"))
+    val e2 = intercept[IllegalArgumentException] {
+      GroupedTopK.topK(arrayKey, Seq("g"), "v", k = 1)
+    }
+    assert(e2.getMessage.contains("nested inside"), e2.getMessage)
+    // non-float structs stay accepted: byte equality IS SQL equality
+    val okKey = Seq(("a", 1L, 10L), ("a", 1L, 20L), ("b", 2L, 5L))
+      .toDF("s", "i", "v")
+      .select(struct(col("s"), col("i")).as("g"), col("v"))
+    val got = GroupedTopK.topK(okKey, Seq("g"), "v", k = 1)
+      .select("v").as[Long].collect().toSet
+    assert(got == Set(20L, 5L), s"$got")
+  }
 }

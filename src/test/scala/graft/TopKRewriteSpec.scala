@@ -306,6 +306,25 @@ class TopKRewriteSpec extends SparkTestBase
     }
   }
 
+  test("float-bearing struct partition keys decline: the window " +
+    "stays and keeps recursive float normalization") {
+    // vanilla Window normalizes floats RECURSIVELY inside struct
+    // keys (-0.0 ≡ 0.0); the heap only normalizes top-level keys,
+    // so the rewrite must leave this shape alone rather than split
+    // one SQL group into two
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L))
+      .toDF("x", "v")
+      .select(struct(col("x")).as("g"), col("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").desc)))
+      .filter(col("rn") <= 1)
+    val p = physical(df)
+    assert(!p.contains("GroupedTopK"), p)
+    val got = df.select("v").collect().map(_.getLong(0)).toSet
+    // -0.0 and 0.0 are ONE group under SQL equality: top-1 keeps v=2
+    assert(got == Set(2L, 3L), s"$got")
+  }
+
   test("k above rewriteMaxK declines; conjunction with other predicates rewrites") {
     spark.conf.set(graft.plans.TopKRewrite.RewriteMaxKKey, "3")
     try {
