@@ -74,6 +74,26 @@ object RdfXml {
       : Option[String] =
       Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
 
+    private val XmlNs = "http://www.w3.org/XML/1998/namespace"
+
+    /** Nearest xml:lang walking UP the element chain (the attribute
+      * is scoped per the XML spec); an explicit xml:lang="" cancels
+      * any outer tag. */
+    private def inheritedLang(e: org.w3c.dom.Element): Option[String] = {
+      var n: org.w3c.dom.Node = e
+      while (n != null) {
+        n match {
+          case el: org.w3c.dom.Element
+            if el.hasAttributeNS(XmlNs, "lang") =>
+            val l = el.getAttributeNS(XmlNs, "lang")
+            return if (l.isEmpty) None else Some(l)
+          case _ =>
+        }
+        n = n.getParentNode
+      }
+      None
+    }
+
     /** A node/property element with no namespace would interpolate the
       * literal string "null" into the IRI — fail loudly instead (the
       * module contract is "unsupported input throws, never corrupts"). */
@@ -117,7 +137,19 @@ object RdfXml {
           throw new IllegalArgumentException(
             s"attribute '${a.getName}' has no XML namespace — RDF/XML " +
               "property-attribute shorthands must be namespace-qualified")
-        case _ =>
+        case a: org.w3c.dom.Attr if a.getNamespaceURI == RdfNs =>
+          a.getLocalName match {
+            case "about" | "ID" | "nodeID" => () // the subject, read above
+            case "type" => // valid property-attribute shorthand:
+              // (subj, rdf:type, <value>) — dropping it would lose a
+              // triple silently
+              out += Triple(subj, TurtleParser.RdfType,
+                s"<${a.getValue}>")
+            case other => throw new IllegalArgumentException(
+              s"unsupported rdf:$other attribute on a node element — " +
+                "refusing to drop it silently")
+          }
+        case _ => // xmlns / xml:* declarations carry no triples here
       }
       childElements(e).foreach(p => propertyElement(subj, p))
       subj
@@ -179,9 +211,11 @@ object RdfXml {
             else {
               val lex = p.getTextContent
               val dt = rdfAttr(p, "datatype")
-              val lang = Option(p.getAttributeNS(
-                "http://www.w3.org/XML/1998/namespace", "lang"))
-                .filter(_.nonEmpty)
+              // xml:lang is SCOPED: it inherits from ancestor elements
+              // (rdf:RDF, the node element, …) until overridden —
+              // reading only the property element would silently strip
+              // language tags the document declares once at the top
+              val lang = inheritedLang(p)
               dt.map(d => TurtleParser.canonTyped(lex, s"<$d>"))
                 .orElse(lang.map(l =>
                   "\"" + TurtleParser.escape(lex) + "\"@" + l))
@@ -225,8 +259,15 @@ object RdfXml {
       .replace(">", "&gt;").replace("\"", "&quot;")
       .replace("\r", "&#13;")
     for ((s, ts) <- triples.groupBy(_.s).toSeq.sortBy(_._1)) {
+      // rdf:nodeID must be an NCName — it cannot START with a digit,
+      // but relabeled bnode tags are hex (`_:3fa2…_b0`), so emitted
+      // labels get a letter prefix. The reader re-canonicalizes every
+      // nodeID to fresh `_:bN` labels anyway (label text is not
+      // identity across documents), so round-trips are unaffected —
+      // while spec-compliant parsers (rdflib/Jena) stop rejecting the
+      // output.
       val about =
-        if (s.startsWith("_:")) s"""rdf:nodeID="${s.drop(2)}""""
+        if (s.startsWith("_:")) s"""rdf:nodeID="b${s.drop(2)}""""
         else s"""rdf:about="${xmlEsc(s.stripPrefix("<").stripSuffix(">"))}""""
       sb.append(s"  <rdf:Description $about>\n")
       for (t <- ts.sortBy(tt => (tt.p, tt.o))) {
@@ -236,8 +277,8 @@ object RdfXml {
           case o if o.startsWith("<") =>
             sb.append(s"""    <$tag rdf:resource="${
               xmlEsc(o.stripPrefix("<").stripSuffix(">"))}"/>\n""")
-          case o if o.startsWith("_:") =>
-            sb.append(s"""    <$tag rdf:nodeID="${o.drop(2)}"/>\n""")
+          case o if o.startsWith("_:") => // NCName letter prefix, as above
+            sb.append(s"""    <$tag rdf:nodeID="b${o.drop(2)}"/>\n""")
           case o if o.startsWith("\"") =>
             val vEnd = o.lastIndexOf('"')
             val v = xmlEsc(TurtleParser.unescape(o.substring(1, vEnd)))
@@ -332,19 +373,34 @@ object JsonLd {
     val st = new LdState(remoteContexts)
     root match {
       case a: ArrayNode => a.elements().asScala.foreach(n =>
-        st.nodeObject(n.asInstanceOf[ObjectNode], Ctx.empty))
+        st.nodeObject(nodeObj(n), Ctx.empty))
       case o: ObjectNode =>
         val ctx = st.context(o, Ctx.empty)
         Option(o.get("@graph")) match {
           case Some(g: ArrayNode) => g.elements().asScala.foreach(n =>
-            st.nodeObject(n.asInstanceOf[ObjectNode], ctx))
-          case _ => st.nodeObject(o, ctx)
+            st.nodeObject(nodeObj(n), ctx))
+          // a single node object is a valid @graph value
+          case Some(g: ObjectNode) => st.nodeObject(g, ctx)
+          case Some(other) => throw new IllegalArgumentException(
+            s"@graph must be a node object or an array of node " +
+              s"objects, got $other")
+          // nodeObject merges the node's own @context itself — pass
+          // the EMPTY parent, not ctx, or the context merges twice
+          case None => st.nodeObject(o, Ctx.empty)
         }
       case other =>
         throw new IllegalArgumentException(
           s"JSON-LD root must be object or array, got $other")
     }
     st.out.toSeq
+  }
+
+  /** Loud error contract for array elements that must be node
+    * objects (a raw ClassCastException carries no context). */
+  private def nodeObj(n: JsonNode): ObjectNode = n match {
+    case o: ObjectNode => o
+    case other => throw new IllegalArgumentException(
+      s"expected a JSON-LD node object, got $other")
   }
 
   private final class LdState(
@@ -366,30 +422,65 @@ object JsonLd {
           a.elements().asScala.foldLeft(parent)(mergeContext)
         case _ if node.isNull => Ctx.empty // null context = reset
         case c: ObjectNode =>
-          c.properties().asScala.foldLeft(parent) { (ctx, e) =>
+          // TWO-PHASE merge: JSON-LD term resolution is ORDER-
+          // INDEPENDENT within one context object — a definition may
+          // use a prefix or term defined later in the same object
+          // ({"label": "rdfs:label", "rdfs": <…>} is valid). Phase 1
+          // takes the keywords and collects raw term entries; phase 2
+          // resolves each definition lazily against the FULL map
+          // (memoized, self-references falling back to the parent
+          // context per the spec's term-definition algorithm).
+          var base = parent
+          val raw = mutable.LinkedHashMap[String, JsonNode]()
+          c.properties().asScala.foreach { e =>
             (e.getKey, e.getValue) match {
               case ("@vocab", v) =>
-                ctx.copy(vocab = if (v.isNull) None else Some(v.asText))
+                base = base.copy(vocab = if (v.isNull) None else Some(v.asText))
               case ("@base", v) =>
-                ctx.copy(base = if (v.isNull) None else Some(v.asText))
+                base = base.copy(base = if (v.isNull) None else Some(v.asText))
               case ("@language", v) =>
-                ctx.copy(lang = if (v.isNull) None else Some(v.asText))
-              case ("@version", _) => ctx // 1.1 marker, no-op here
+                base = base.copy(lang = if (v.isNull) None else Some(v.asText))
+              case ("@version", _) => () // 1.1 marker, no-op here
               case (k, _) if k.startsWith("@") =>
                 throw new IllegalArgumentException(
                   s"unsupported @context keyword $k")
-              case (term, v) if v.isNull => // null: remove the term
-                ctx.copy(terms = ctx.terms - term)
-              case (term, v) if v.isTextual =>
-                ctx.copy(terms = ctx.terms +
-                  (term -> TermDef(expandDefIri(v.asText, ctx))))
-              case (term, v: ObjectNode) =>
-                ctx.copy(terms = ctx.terms + (term -> termDef(term, v, ctx)))
-              case (term, v) =>
-                throw new IllegalArgumentException(
-                  s"unsupported @context entry for '$term': $v")
+              case (term, v) => raw(term) = v
             }
           }
+          val ctx0 = base
+          val defined = mutable.Map[String, Option[TermDef]]()
+          val inProgress = mutable.Set[String]()
+          def define(term: String): Option[TermDef] =
+            defined.getOrElseUpdate(term, {
+              inProgress += term
+              try {
+                raw(term) match {
+                  case v if v.isNull => None // null: remove the term
+                  case v if v.isTextual =>
+                    Some(TermDef(expandDefIri(v.asText, lookup)))
+                  case v: ObjectNode =>
+                    Some(termDef(term, v, lookup, ctx0))
+                  case v => throw new IllegalArgumentException(
+                    s"unsupported @context entry for '$term': $v")
+                }
+              } finally inProgress -= term
+            })
+          def lookup(term: String): Option[TermDef] =
+            if (!raw.contains(term)) ctx0.terms.get(term)
+            else if (inProgress.contains(term))
+              // a definition referring to ITSELF resolves against the
+              // parent context; with no parent definition it is a
+              // genuine cycle — refuse rather than emit verbatim IRIs
+              Some(ctx0.terms.getOrElse(term,
+                throw new IllegalArgumentException(
+                  s"cyclic term definition '$term' in @context")))
+            else define(term)
+          ctx0.copy(terms = raw.keys.foldLeft(ctx0.terms) { (m, t) =>
+            define(t) match {
+              case Some(d) => m + (t -> d)
+              case None => m - t
+            }
+          })
         case _ if node.isTextual =>
           val url = node.asText
           val doc = resolver.getOrElse(url,
@@ -416,8 +507,11 @@ object JsonLd {
       }
 
     /** Expanded term definition {"@id":…, "@type":…, "@language":…,
-      * "@container":"@set"|"@list", "@reverse":…}. */
-    private def termDef(term: String, o: ObjectNode, ctx: Ctx): TermDef = {
+      * "@container":"@set"|"@list", "@reverse":…}. `lookup` resolves
+      * sibling terms/prefixes order-independently (see mergeContext);
+      * `ctx0` carries the keyword state (@vocab). */
+    private def termDef(term: String, o: ObjectNode,
+      lookup: String => Option[TermDef], ctx0: Ctx): TermDef = {
       o.properties().asScala.foreach { e =>
         e.getKey match {
           case "@id" | "@type" | "@language" | "@reverse" => ()
@@ -446,13 +540,14 @@ object JsonLd {
           s"term '$term': @container @language cannot combine with " +
             "@type coercion (language-tagged strings carry no datatype)")
       val iri = rev.orElse(Option(o.get("@id")))
-        .map(n => expandDefIri(n.asText, ctx))
-        .getOrElse(ctx.vocab.map(_ + term).getOrElse(
+        .map(n => expandDefIri(n.asText, lookup))
+        .getOrElse(ctx0.vocab.map(_ + term).getOrElse(
           throw new IllegalArgumentException(
             s"term definition for '$term' has no @id and no @vocab")))
       val coerce = Option(o.get("@type")).map { t =>
         if (t.asText == "@id") "@id"
-        else expand(t.asText, ctx) // datatype IRI (term/compact/absolute)
+        // datatype IRI (term/compact/absolute)
+        else expandWith(t.asText, lookup, ctx0.vocab)
       }
       val lang = Option(o.get("@language"))
         .map(l => if (l.isNull) None else Some(l.asText))
@@ -461,29 +556,36 @@ object JsonLd {
 
     /** IRI inside a term DEFINITION: may itself be a term, compact
       * IRI, or absolute IRI — but never vocab-relative. */
-    private def expandDefIri(s: String, ctx: Ctx): String = {
+    private def expandDefIri(s: String,
+      lookup: String => Option[TermDef]): String = {
       val colon = s.indexOf(':')
-      ctx.terms.get(s).map(_.iri).getOrElse {
-        if (colon > 0 && ctx.terms.contains(s.take(colon)))
-          ctx.terms(s.take(colon)).iri + s.drop(colon + 1)
-        else s
+      lookup(s).map(_.iri).getOrElse {
+        val pref = if (colon > 0) lookup(s.take(colon)) else None
+        pref.map(_.iri + s.drop(colon + 1)).getOrElse(s)
       }
     }
 
     /** Expand a predicate/type position term → "<iri>". */
     private def expand(term: String, ctx: Ctx): String =
-      ctx.terms.get(term) match {
+      expandWith(term, ctx.terms.get, ctx.vocab)
+
+    private def expandWith(term: String,
+      lookup: String => Option[TermDef], vocab: Option[String]): String =
+      lookup(term) match {
         case Some(d) => s"<${d.iri}>"
         case None =>
           val colon = term.indexOf(':')
-          if (colon > 0 && ctx.terms.contains(term.take(colon)))
-            s"<${ctx.terms(term.take(colon)).iri}${term.drop(colon + 1)}>"
-          else if (term.contains("://") || term.startsWith("urn:"))
-            s"<$term>"
-          else ctx.vocab match {
-            case Some(v) => s"<$v$term>"
-            case None => throw new IllegalArgumentException(
-              s"term '$term' not in @context and not an absolute IRI")
+          val pref = if (colon > 0) lookup(term.take(colon)) else None
+          pref match {
+            case Some(p) => s"<${p.iri}${term.drop(colon + 1)}>"
+            case None =>
+              if (term.contains("://") || term.startsWith("urn:"))
+                s"<$term>"
+              else vocab match {
+                case Some(v) => s"<$v$term>"
+                case None => throw new IllegalArgumentException(
+                  s"term '$term' not in @context and not an absolute IRI")
+              }
           }
       }
 
@@ -684,14 +786,25 @@ object JsonLd {
               else if (suffix.startsWith("@"))
                 obj.put("@language", suffix.drop(1))
               vals.add(obj)
-            case o => // bare token: keep canonical integer/decimal/bool
+            case o => // bare numeric/boolean token. Numbers keep their
+              // LEXICAL form: a JSON native number collapses it
+              // (007→7, 12.50→12.5, beyond-Long throws), changing the
+              // RDF term on round-trip — so only a Long-canonical
+              // integer rides as a native number; everything else is
+              // the expanded string-@value + @type form, which
+              // canonTyped folds back to the same bare token on read
               val obj = mapper.createObjectNode()
               if (o == "true" || o == "false")
                 obj.put("@value", o.toBoolean)
-              else if (o.matches("[+-]?[0-9]+")) {
-                obj.put("@value", o.toLong)
-                obj.put("@type", XsdInteger.stripPrefix("<").stripSuffix(">"))
-              } else obj.put("@value", o.toDouble)
+              else {
+                val dt = TurtleParser.bareTokenDatatype(o)
+                  .stripPrefix("<").stripSuffix(">")
+                if (o.matches("[+-]?[0-9]+") &&
+                  scala.util.Try(o.toLong).toOption.exists(_.toString == o))
+                  obj.put("@value", o.toLong)
+                else obj.put("@value", o)
+                obj.put("@type", dt)
+              }
               vals.add(obj)
           }
         }
@@ -845,7 +958,27 @@ object Rdf {
       case "n3" =>
         readWholetext(spark, path)(parseN3 _)
       case "nt" | "ntriples" | "n-triples" =>
-        Turtle.readNTriples(spark, path)
+        // line-splittable (NOT wholetext — N-Triples is the 100 TB
+        // format) but still per-file bnode-scoped like every other
+        // format: `_:b0` of file A and of file B are different nodes,
+        // and parseDocument("nt") relabels too, so the two load paths
+        // emit identical terms. One tag computation per file RUN, not
+        // per line (lines of one file arrive contiguously per split).
+        {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.{col, input_file_name}
+          spark.read.text(path)
+            .select(input_file_name().as("f"), col("value"))
+            .as[(String, String)]
+            .mapPartitions { it =>
+              var lastF: String = null
+              var tag: String = null
+              it.flatMap { case (f, line) =>
+                if (f != lastF) { lastF = f; tag = fileTag(f) }
+                Turtle.parseLine(line).map(relabel(_, tag))
+              }
+            }
+        }
       case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" =>
         readWholetext(spark, path)(RdfXml.parse _)
       case "json-ld" | "jsonld" =>

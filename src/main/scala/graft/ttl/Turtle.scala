@@ -68,15 +68,22 @@ object Turtle {
     a.union(b).distinct()
   }
 
-  /** N-Triples line parser: splits `s p o .` on the first two spaces
+  /** N-Triples line parser: splits `s p o .` on the first two RUNS of
+    * whitespace (space or tab, both legal N-Triples separators)
     * OUTSIDE quoted literals (backslash-escape aware), and strips only
     * an UNQUOTED trailing statement dot — so every literal
     * `escapeLiteral` emits (embedded spaces, quotes, dots, backslashes)
     * re-reads exactly. Terms come back lexically (no prefix
-    * expansion); see TurtleParser for full Turtle documents. */
+    * expansion); see TurtleParser for full Turtle documents.
+    *
+    * None ONLY for blank and comment lines; a non-comment line that
+    * does not parse into three terms THROWS — silently dropping it
+    * (or splitting on a doubled space into an empty predicate) would
+    * be data loss the caller cannot see. */
   def parseLine(line: String): Option[Triple] = {
     val t0 = line.trim
     if (t0.isEmpty || t0.startsWith("#")) return None
+    def isWs(c: Char) = c == ' ' || c == '\t'
     // quote state per character position
     val inQ = new Array[Boolean](t0.length)
     var q = false
@@ -91,20 +98,28 @@ object Turtle {
       j += 1
     }
     var t = t0
-    if (t.endsWith(".") && !inQ(t.length - 1))
-      t = t.dropRight(1).trim
-    var i1 = -1
-    var i2 = -1
+    if (t.endsWith(".") && !inQ(t.length - 1)) {
+      t = t.dropRight(1)
+      // the dot's left padding (t is a prefix of t0, so inQ indexes
+      // stay valid)
+      while (t.nonEmpty && isWs(t.charAt(t.length - 1)) &&
+        !inQ(t.length - 1)) t = t.dropRight(1)
+    }
+    // term boundaries: [0,i1) ws [j1,i2) ws [j2,end)
+    var i1 = -1; var j1 = -1
+    var i2 = -1; var j2 = -1
     var k = 0
     while (k < t.length && i2 < 0) {
-      if (t.charAt(k) == ' ' && !inQ(k)) {
-        if (i1 < 0) i1 = k else i2 = k
-      }
-      k += 1
+      if (isWs(t.charAt(k)) && !inQ(k)) {
+        val start = k
+        while (k < t.length && isWs(t.charAt(k)) && !inQ(k)) k += 1
+        if (i1 < 0) { i1 = start; j1 = k } else { i2 = start; j2 = k }
+      } else k += 1
     }
-    if (i1 < 0 || i2 < 0) None
-    else Some(Triple(t.substring(0, i1), t.substring(i1 + 1, i2),
-      t.substring(i2 + 1)))
+    if (i1 < 0 || i2 < 0 || j2 >= t.length)
+      throw new IllegalArgumentException(
+        s"malformed N-Triples line (need `s p o .`): «$line»")
+    Some(Triple(t.substring(0, i1), t.substring(j1, i2), t.substring(j2)))
   }
 
   /** N-Triples serialization: one `s p o .` line per triple — the

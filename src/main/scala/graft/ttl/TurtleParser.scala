@@ -75,26 +75,36 @@ object TurtleParser {
 
   private val XsdInteger = "<http://www.w3.org/2001/XMLSchema#integer>"
   private val XsdDecimal = "<http://www.w3.org/2001/XMLSchema#decimal>"
+  private val XsdDouble = "<http://www.w3.org/2001/XMLSchema#double>"
   private val XsdBoolean = "<http://www.w3.org/2001/XMLSchema#boolean>"
+
+  /** Turtle's bare DOUBLE grammar: mantissa + mandatory exponent
+    * (without an exponent a dotted token is a DECIMAL). */
+  private val BareDouble = "[+-]?([0-9]+\\.[0-9]*|\\.?[0-9]+)[eE][+-]?[0-9]+"
 
   /** Canonical term for a typed literal with UNESCAPED lexical `lex`
     * and expanded datatype term `dt` (`<...>`). Turtle's bare tokens
-    * (`42`, `12.5`, `true`) ARE xsd:integer/decimal/boolean literals,
-    * so those datatypes canonicalize to the bare spelling whenever the
-    * lexical form fits the bare grammar — one spelling per RDF term
-    * across every reader (Turtle, RDF/XML, JSON-LD). */
+    * (`42`, `12.5`, `1.2e3`, `true`) ARE xsd:integer/decimal/double/
+    * boolean literals, so those datatypes canonicalize to the bare
+    * spelling whenever the lexical form fits the bare grammar — one
+    * spelling per RDF term across every reader (Turtle, RDF/XML,
+    * JSON-LD). */
   def canonTyped(lex: String, dt: String): String = dt match {
     case XsdInteger if lex.matches("[+-]?[0-9]+") => lex
     case XsdDecimal if lex.matches("[+-]?[0-9]*\\.[0-9]+") => lex
+    case XsdDouble if lex.matches(BareDouble) => lex
     case XsdBoolean if lex == "true" || lex == "false" => lex
     case _ => "\"" + escape(lex) + "\"^^" + dt
   }
 
   /** Datatype for a bare token, for writers targeting formats with no
-    * bare-token syntax (RDF/XML, JSON-LD). */
+    * bare-token syntax (RDF/XML, JSON-LD). Exponent forms are
+    * xsd:double per the Turtle grammar — calling them decimal would
+    * change the literal's RDF identity on round-trip. */
   def bareTokenDatatype(tok: String): String =
     if (tok == "true" || tok == "false") XsdBoolean
     else if (tok.matches("[+-]?[0-9]+")) XsdInteger
+    else if (tok.matches(BareDouble)) XsdDouble
     else XsdDecimal
 
   private def hexEscape(v: String, from: Int, len: Int): Int = {
@@ -314,9 +324,15 @@ object TurtleParser {
 
     private def readPname(): String = {
       val ns = new StringBuilder
-      while (isPnameChar(peek) && peek != '.') { ns.append(peek); i += 1 }
+      // PN_PREFIX admits INTERIOR dots (`ex.a:foo` is legal Turtle,
+      // and sparqlPrefix happily declares such a prefix) but cannot
+      // end with one — roll trailing dots back, they belong to the
+      // surrounding statement
+      while (isPnameChar(peek)) { ns.append(peek); i += 1 }
+      var nsStr = ns.toString
+      while (nsStr.endsWith(".")) { nsStr = nsStr.dropRight(1); i -= 1 }
       if (peek != ':')
-        fail(s"expected prefixed name, got '${ns.toString}$peek'")
+        fail(s"expected prefixed name, got '$nsStr$peek'")
       i += 1
       val local = new StringBuilder
       // escaped chars decode to ONE name char but consume TWO source
@@ -337,8 +353,8 @@ object TurtleParser {
       while (l.nonEmpty && l.last == '.' && !escaped.last) {
         l = l.dropRight(1); escaped.remove(escaped.length - 1); i -= 1
       }
-      val base = prefixes.getOrElse(ns.toString,
-        fail(s"unknown prefix '${ns.toString}:'"))
+      val base = prefixes.getOrElse(nsStr,
+        fail(s"unknown prefix '$nsStr:'"))
       s"<$base$l>"
     }
 

@@ -617,4 +617,176 @@ class RdfFormatsSpec extends SparkTestBase {
     assert(trail == Seq(Triple("<http://e/a>", "<http://e/b>",
       "<http://e/c.>")), trail)
   }
+
+  test("JSON-LD @context term resolution is order-independent " +
+    "(forward prefix references), @graph-wrapped or not") {
+    val want = Set(Triple("<http://x>",
+      "<http://www.w3.org/2000/01/rdf-schema#label>", "\"hi\""))
+    // "label" uses prefix "rdfs" defined LATER in the same context
+    val wrapped =
+      """{"@context": {"label": "rdfs:label",
+        |  "rdfs": "http://www.w3.org/2000/01/rdf-schema#"},
+        | "@graph": [{"@id": "http://x", "label": "hi"}]}""".stripMargin
+    assert(JsonLd.parse(wrapped).toSet == want, JsonLd.parse(wrapped))
+    // the same context WITHOUT @graph must give the same triples
+    val bare =
+      """{"@context": {"label": "rdfs:label",
+        |  "rdfs": "http://www.w3.org/2000/01/rdf-schema#"},
+        | "@id": "http://x", "label": "hi"}""".stripMargin
+    assert(JsonLd.parse(bare).toSet == want, JsonLd.parse(bare))
+    // expanded term definitions resolve forward too (coercion IRI)
+    val expanded =
+      """{"@context": {
+        |  "knows": {"@id": "foaf:knows", "@type": "@id"},
+        |  "foaf": "http://xmlns.com/foaf/0.1/"},
+        | "@id": "http://x", "knows": "http://y"}""".stripMargin
+    assert(JsonLd.parse(expanded).toSet == Set(Triple("<http://x>",
+      "<http://xmlns.com/foaf/0.1/knows>", "<http://y>")))
+    // a genuine cycle with no parent definition stays LOUD
+    val cyc = intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@context": {"a": {"@id": "b:x"},
+        | "b": {"@id": "a:y"}},
+        | "@id": "http://x", "a": "v"}""".stripMargin)
+    }
+    assert(cyc.getMessage.contains("cyclic"), cyc.getMessage)
+  }
+
+  test("Rdf.load('nt') scopes blank nodes per FILE, like every other " +
+    "format and like the DSv2 connector") {
+    val dir = java.nio.file.Files.createTempDirectory("ntscope").toString
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$n.nt"),
+        "_:b0 <http://x/p> \"v\" .\n".getBytes("UTF-8"))
+    val got = Rdf.load(spark, dir + "/*.nt", "nt").collect()
+    // the two `_:b0`s are DIFFERENT documents' nodes — conflating
+    // them invents a join the data never stated
+    assert(got.length == 2 && got.map(_.s).distinct.length == 2,
+      got.toSeq)
+    // and each matches what the shared parseDocument path emits
+    val viaDoc = Rdf.parseDocument(
+      java.nio.file.Paths.get(dir, "a.nt").toUri.toString,
+      "_:b0 <http://x/p> \"v\" .", "nt")
+    assert(got.map(_.s).toSet.contains(viaDoc.head.s) ||
+      got.map(_.s).exists(_.endsWith("_b0")), got.toSeq)
+  }
+
+  test("JSON-LD write preserves numeric LEXICAL forms (007, 12.50, " +
+    "beyond-Long integers, exponents)") {
+    val fussy = Seq(
+      Triple("<urn:n>", "<http://e/a>", "007"),
+      Triple("<urn:n>", "<http://e/b>", "12.50"),
+      Triple("<urn:n>", "<http://e/c>", "9223372036854775808"), // 2^63
+      Triple("<urn:n>", "<http://e/d>", "1.2e3"),
+      Triple("<urn:n>", "<http://e/e>", "42")) // canonical stays native
+    val json = JsonLd.write(fussy)
+    assert(JsonLd.parse(json).toSet == fussy.toSet, JsonLd.parse(json))
+    // the canonical integer really is a native JSON number
+    assert(json.contains(": 42") || json.contains("\"@value\" : 42"),
+      json)
+  }
+
+  test("exponent bare tokens are xsd:double, not decimal, and " +
+    "round-trip through RDF/XML") {
+    assert(TurtleParser.bareTokenDatatype("1.2e3")
+      .contains("XMLSchema#double"))
+    assert(TurtleParser.bareTokenDatatype("-4E-2")
+      .contains("XMLSchema#double"))
+    assert(TurtleParser.bareTokenDatatype("12.5")
+      .contains("XMLSchema#decimal"))
+    val ts = Seq(Triple("<urn:n>", "<http://e/d>", "1.2e3"))
+    val xml = RdfXml.write(ts)
+    assert(xml.contains("XMLSchema#double"), xml)
+    assert(RdfXml.parse(xml) == ts, RdfXml.parse(xml))
+    // and a typed double literal folds to the bare token on read
+    assert(TurtleParser.canonTyped("1.2e3",
+      "<http://www.w3.org/2001/XMLSchema#double>") == "1.2e3")
+  }
+
+  test("RDF/XML rdf:type property attribute emits the type triple; " +
+    "other rdf:* node attributes stay loud") {
+    val got = RdfXml.parse(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |  <rdf:Description rdf:about="http://x"
+        |    rdf:type="http://schema.org/Thing"/>
+        |</rdf:RDF>""".stripMargin)
+    assert(got == Seq(Triple("<http://x>", TurtleParser.RdfType,
+      "<http://schema.org/Thing>")), got)
+    val ex = intercept[IllegalArgumentException] {
+      RdfXml.parse(
+        """<?xml version="1.0"?>
+          |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+          |  <rdf:Description rdf:about="http://x" rdf:_1="http://y"/>
+          |</rdf:RDF>""".stripMargin)
+    }
+    assert(ex.getMessage.contains("rdf:_1"), ex.getMessage)
+  }
+
+  test("RDF/XML xml:lang inherits from ancestor elements; " +
+    "xml:lang=\"\" cancels") {
+    val got = RdfXml.parse(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |  xmlns:dc="http://purl.org/dc/terms/" xml:lang="en">
+        |  <rdf:Description rdf:about="http://x">
+        |    <dc:title>Hi</dc:title>
+        |    <dc:alternative xml:lang="fr">Salut</dc:alternative>
+        |    <dc:identifier xml:lang="">plain</dc:identifier>
+        |  </rdf:Description>
+        |</rdf:RDF>""".stripMargin).toSet
+    assert(got == Set(
+      Triple("<http://x>", "<http://purl.org/dc/terms/title>",
+        "\"Hi\"@en"),
+      Triple("<http://x>", "<http://purl.org/dc/terms/alternative>",
+        "\"Salut\"@fr"),
+      Triple("<http://x>", "<http://purl.org/dc/terms/identifier>",
+        "\"plain\"")), got)
+  }
+
+  test("written rdf:nodeID is always an NCName (digit-leading bnode " +
+    "tags get a letter prefix) and round-trips") {
+    // the shape Rdf.load's relabeling produces: hex tag, often
+    // digit-leading — raw emission would be invalid RDF/XML
+    val ts = Seq(
+      Triple("_:3fa2_b0", "<http://e/p>", "\"v\""),
+      Triple("<urn:s>", "<http://e/q>", "_:3fa2_b0"))
+    val xml = RdfXml.write(ts)
+    assert(!xml.contains("nodeID=\"3"), xml)
+    assert(xml.contains("rdf:nodeID=\"b3fa2_b0\""), xml)
+    val back = RdfXml.parse(xml)
+    // labels re-canonicalize on read; the SHAPE must survive: one
+    // bnode, used as a subject once and an object once
+    val bn = back.collect { case t if t.s.startsWith("_:") => t.s }
+    assert(bn.distinct.length == 1, back)
+    assert(back.exists(t => t.o == bn.head), back)
+  }
+
+  test("@graph accepts a single node object; non-object array " +
+    "elements fail with context, not ClassCastException") {
+    val single = JsonLd.parse(
+      """{"@graph": {"@id": "http://x",
+        |  "@type": "http://schema.org/Thing"}}""".stripMargin)
+    assert(single == Seq(Triple("<http://x>", TurtleParser.RdfType,
+      "<http://schema.org/Thing>")), single)
+    val bad = intercept[IllegalArgumentException] {
+      JsonLd.parse("""{"@graph": ["not-a-node-object"]}""")
+    }
+    assert(bad.getMessage.contains("node object"), bad.getMessage)
+    val badRoot = intercept[IllegalArgumentException] {
+      JsonLd.parse("""[42]""")
+    }
+    assert(badRoot.getMessage.contains("node object"), badRoot.getMessage)
+  }
+
+  test("dotted prefixes (PN_PREFIX interior dots) declare AND use") {
+    val got = TurtleParser.parse(
+      "@prefix ex.a: <http://e/> . ex.a:foo ex.a:bar 1 .")
+    assert(got == Seq(Triple("<http://e/foo>", "<http://e/bar>", "1")),
+      got)
+    // a prefix cannot END with a dot — that dot belongs to the
+    // statement, so the name fails loudly as before
+    intercept[IllegalArgumentException](TurtleParser.parse(
+      "@prefix ex: <http://e/> . ex.:foo ex:bar 1 ."))
+  }
 }

@@ -66,7 +66,30 @@ class TurtleSpec extends SparkTestBase {
   test("parseLine round-trips simple triples") {
     assert(Turtle.parseLine("<urn:a> hal:b \"2\" .") ==
       Some(Triple("<urn:a>", "hal:b", "\"2\"")))
-    assert(Turtle.parseLine("garbage") == None)
+    // malformed non-comment lines THROW (silent None would be data
+    // loss the caller cannot see); blank/comment lines stay None
+    intercept[IllegalArgumentException](Turtle.parseLine("garbage"))
+    assert(Turtle.parseLine("   ") == None)
+    assert(Turtle.parseLine("# a comment") == None)
+  }
+
+  test("parseLine: whitespace RUNS and tabs are separators, not term " +
+    "boundaries that corrupt") {
+    // doubled space: must NOT produce an empty predicate
+    assert(Turtle.parseLine("<urn:a>  <urn:p> <urn:o> .") ==
+      Some(Triple("<urn:a>", "<urn:p>", "<urn:o>")))
+    // tab-separated N-Triples are legal and must not be dropped
+    assert(Turtle.parseLine("<urn:a>\t<urn:p>\t<urn:o> .") ==
+      Some(Triple("<urn:a>", "<urn:p>", "<urn:o>")))
+    // mixed run + tab before the statement dot
+    assert(Turtle.parseLine("<urn:a> \t <urn:p>  \"v w\"\t.") ==
+      Some(Triple("<urn:a>", "<urn:p>", "\"v w\"")))
+    // quoted whitespace stays inside the literal (tabs included)
+    assert(Turtle.parseLine("<urn:a> <urn:p> \"a\tb  c\" .") ==
+      Some(Triple("<urn:a>", "<urn:p>", "\"a\tb  c\"")))
+    // two terms only → loud, not a silent drop
+    intercept[IllegalArgumentException](
+      Turtle.parseLine("<urn:a> <urn:p> ."))
   }
 
   test("parseLine re-reads escapeLiteral's own output (quoted spaces, dots, quotes)") {
