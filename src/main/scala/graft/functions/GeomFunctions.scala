@@ -69,10 +69,32 @@ object GeomFunctions {
     ringToWkt(outerRing(geom))
 
   /** F3: WKT with coordinates denormalized from [0,1] to pixel space
-    * (x*width, y*height), "%.2f", operating on the outer ring closed. */
+    * (x*width, y*height), "%.2f", operating on the outer ring closed.
+    *
+    * Closure compares the FORMATTED "%.2f %.2f" strings, exactly like
+    * the reference (mongodb_to_rdf.py:254-257 closes on
+    * `wkt_coords[0] != wkt_coords[-1]`, i.e. post-format) — a
+    * raw-value comparison would disagree on rings whose endpoints
+    * differ in raw value but format equal at 2 decimals. This is THE
+    * one implementation; MongoMarksPipeline.markSide shares it via
+    * [[denormalizedRingWkt]]. */
   def wktDenormalized(geom: Column, width: Column, height: Column): Column =
-    ringToWkt(close_ring(transform(outerRing(geom),
-      p => array(element_at(p, 1) * width, element_at(p, 2) * height))))
+    denormalizedRingWkt(outerRing(geom), width, height)
+
+  /** [[wktDenormalized]] over an already-extracted ring (points × 2).
+    * For callers that have ANSI-guarded the ring access themselves
+    * (markSide's filter must avoid try_element_at — see its codegen
+    * note). */
+  def denormalizedRingWkt(ring: Column, width: Column,
+    height: Column): Column = {
+    val pairs = transform(ring, p =>
+      format_string("%.2f %.2f",
+        element_at(p, 1) * width, element_at(p, 2) * height))
+    val closed = when(size(pairs) === 0, pairs)
+      .when(element_at(pairs, 1) === element_at(pairs, -1), pairs)
+      .otherwise(concat(pairs, array(element_at(pairs, 1))))
+    concat(lit("POLYGON (("), concat_ws(", ", closed), lit("))"))
+  }
 
   private def ringToWkt(ring: Column): Column =
     concat(lit("POLYGON (("),

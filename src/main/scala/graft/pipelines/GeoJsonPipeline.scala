@@ -60,8 +60,9 @@ object GeoJsonPipeline {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("multiLine", true).schema(geojsonSchema)
       .json(dir + "/*.geojson")
-      .withColumn("filename",
-        element_at(split(input_file_name(), "/"), -1))
+      .withColumn("filename", // decoded: a space in the file name must
+        // not become %20 in the stem/image_id or the output file name
+        element_at(split(PathMeta.decodedInputFileName(), "/"), -1))
       .withColumn("stem", regexp_replace(col("filename"),
         "\\.geojson$", ""))
       .withColumn("image_id", element_at(split(col("stem"), "\\."), 1))
@@ -77,11 +78,16 @@ object GeoJsonPipeline {
       |   named_struct('cls', substring(e.key, 6), 'prob', e.value),
       |   acc))""".stripMargin)
 
-  /** F1: outer-ring WKT, raw float formatting, NO ring closure. */
+  /** F1: outer-ring WKT, raw float formatting, NO ring closure. A
+    * degenerate point ([], [x]) yields NULL — the reference's bare
+    * except → None → feature skipped (json-etl:27-42); indexing it
+    * unguarded would abort the whole job under Spark 4's default ANSI
+    * mode instead. */
   private val wktRaw: Column = {
     val ring = expr("geometry.coordinates[0]")
     when(expr("size(geometry.coordinates) >= 1") &&
-      size(ring) >= 1,
+      size(ring) >= 1 &&
+      expr("forall(geometry.coordinates[0], p -> size(p) >= 2)"),
       concat(lit("POLYGON (("),
         concat_ws(", ", expr(
           """transform(geometry.coordinates[0],
@@ -90,62 +96,79 @@ object GeoJsonPipeline {
         lit("))")))
   }
 
-  /** Per-feature TTL fragments for the valid features of every file. */
-  def features(files: DataFrame): DataFrame = {
-    val exploded = files
-      .select(col("stem"), col("image_id"), col("image_hash"),
-        posexplode_outer(col("features")).as(Seq("pos", "f")))
-      .select(col("stem"), col("image_id"), col("image_hash"), col("pos"),
-        col("f.geometry").as("geometry"),
-        col("f.properties.measurements").as("measurements"))
-      .withColumn("dom", dominant)
-      .withColumn("cls", col("dom.cls"))
-      .withColumn("snomed_id", element_at(snomedIdMap, col("cls")))
-      .withColumn("wkt", wktRaw)
-      .filter(col("snomed_id").isNotNull && col("wkt").isNotNull)
-
-    // hal:measurement sub-blocks: every mapped prob_* entry, ','-joined,
-    // "%.6f" floats (:160-176). Column-API lambdas reuse the single
-    // snomedIdMap literal (no duplicated SQL-string encoding).
-    def entryCls(e: Column): Column = {
-      val k = e.getField("key")
-      element_at(snomedIdMap, k.substr(lit(6), length(k)))
-    }
-    val measurementFrag = concat_ws(",", transform(
-      filter(map_entries(col("measurements")), e =>
-        e.getField("key").startsWith("prob_") && entryCls(e).isNotNull),
-      e => concat(
-        lit("\n                                             [ hal:classification  sno:"),
-        entryCls(e),
-        lit(";\n                                               hal:hasProbability  \""),
-        format_string("%.6f", e.getField("value")),
-        lit("\"^^xsd:float\n                                             ]"))))
-
-    exploded.withColumn("fragment", concat(
-      lit("        rdfs:member          [ a                   geo:Feature;\n" +
-        "                               geo:hasGeometry     [ geo:asWKT  \""),
-      col("wkt"),
-      lit("\"^^geo:wktLiteral ];\n" +
-        "                               hal:classification  sno:"),
-      col("snomed_id"),
-      lit(";\n                               hal:measurement     "),
-      measurementFrag,
-      lit("\n                             ]")))
+  // hal:measurement sub-blocks: every mapped prob_* entry with a
+  // NON-NULL value (a JSON null would print as the invalid literal
+  // "null"^^xsd:float), ','-joined, "%.6f" floats (:160-176).
+  // Column-API lambdas reuse the single snomedIdMap literal (no
+  // duplicated SQL-string encoding).
+  private def entryCls(e: Column): Column = {
+    val k = e.getField("key")
+    element_at(snomedIdMap, k.substr(lit(6), length(k)))
   }
+  private val measurementFrag: Column = concat_ws(",", transform(
+    filter(map_entries(col("measurements")), e =>
+      e.getField("key").startsWith("prob_") &&
+        e.getField("value").isNotNull && entryCls(e).isNotNull),
+    e => concat(
+      lit("\n                                             [ hal:classification  sno:"),
+      entryCls(e),
+      lit(";\n                                               hal:hasProbability  \""),
+      format_string("%.6f", e.getField("value")),
+      lit("\"^^xsd:float\n                                             ]"))))
+
+  private val fragmentCol: Column = concat(
+    lit("        rdfs:member          [ a                   geo:Feature;\n" +
+      "                               geo:hasGeometry     [ geo:asWKT  \""),
+    col("wkt"),
+    lit("\"^^geo:wktLiteral ];\n" +
+      "                               hal:classification  sno:"),
+    col("snomed_id"),
+    lit(";\n                               hal:measurement     "),
+    measurementFrag,
+    lit("\n                             ]"))
+
+  /** One row per (file, feature) with validity columns; `pos` keeps
+    * document order. posexplode_OUTER: an empty file still yields one
+    * row, so `documents` needs no second scan for headers. */
+  private def explodedFeatures(files: DataFrame): DataFrame = files
+    .select(col("stem"), col("image_id"), col("image_hash"),
+      posexplode_outer(col("features")).as(Seq("pos", "f")))
+    .select(col("stem"), col("image_id"), col("image_hash"), col("pos"),
+      col("f.geometry").as("geometry"),
+      col("f.properties.measurements").as("measurements"))
+    .withColumn("dom", dominant)
+    .withColumn("cls", col("dom.cls"))
+    .withColumn("snomed_id", element_at(snomedIdMap, col("cls")))
+    .withColumn("wkt", wktRaw)
+
+  /** Per-feature TTL fragments for the valid features of every file. */
+  def features(files: DataFrame): DataFrame =
+    explodedFeatures(files)
+      .filter(col("snomed_id").isNotNull && col("wkt").isNotNull)
+      .withColumn("fragment", fragmentCol)
 
   /** Full document per file: header + ";\n"-joined member fragments +
     * " .\n" terminator (empty files keep header + terminator, like the
-    * reference). `timestamp` is the injected clock (ISO-8601 `Z`). */
+    * reference). `timestamp` is the injected clock (ISO-8601 `Z`).
+    *
+    * ONE scan: headers ride the same exploded rows (posexplode_outer
+    * keeps a row for empty files), so the multiLine JSON corpus is
+    * read and parsed once — not once for members and again for the
+    * header side of a rejoin. */
   def documents(files: DataFrame, timestamp: String): DataFrame = {
-    val frags = features(files)
-      .groupBy(col("stem"))
-      .agg(concat_ws(";\n", expr("transform(" +
-        "array_sort(collect_list(named_struct('pos', pos, 'f', fragment)))," +
+    val frags = explodedFeatures(files)
+      .withColumn("fragment",
+        when(col("snomed_id").isNotNull && col("wkt").isNotNull,
+          fragmentCol))
+      .groupBy(col("stem"), col("image_id"), col("image_hash"))
+      // collect_list skips NULL structs, so invalid features drop out
+      // while their file's group (and header) survives
+      .agg(concat_ws(";\n", expr("transform(array_sort(collect_list(" +
+        "CASE WHEN fragment IS NOT NULL" +
+        " THEN named_struct('pos', pos, 'f', fragment) END))," +
         " x -> x.f)")).as("members"))
 
-    files.select(col("stem"), col("image_id"), col("image_hash"))
-      .join(frags, Seq("stem"), "left")
-      .withColumn("members", coalesce(col("members"), lit("")))
+    frags
       .select(col("stem"), concat(
         lit(graft.ttl.Turtle.PrefixHeader),
         format_string(

@@ -49,7 +49,10 @@ object HashRepairJob {
   def readTtlTree(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.option("wholetext", true)
       .text(baseDir + "/*.svs/*.ttl.gz")
-      .withColumn("path", input_file_name())
+      // DECODED: a slide dir with a space would otherwise never match
+      // its slide_hashes.json key (silently unrepaired) and the new
+      // snapshot would land under the %20-spelled directory
+      .withColumn("path", PathMeta.decodedInputFileName())
       .withColumn("slide",  // folder name INCLUDING .svs, like the
         // reference's svs_folder.name lookup key (:119-121)
         regexp_extract(col("path"), "/([^/]+\\.svs)/[^/]+$", 1))
@@ -87,7 +90,9 @@ object HashRepairJob {
     * — `grep -Fv` per file), as a whole-file rewrite. */
   def removeLoincPrefix(ttlFiles: DataFrame): DataFrame =
     ttlFiles.withColumn("ttl",
-      regexp_replace(col("ttl"), "(?m)^@prefix loinc:[^\n]*\n", ""))
+      // \n? — a loinc prefix as the file's LAST line (no terminating
+      // newline) must be removed too, as grep -Fv would
+      regexp_replace(col("ttl"), "(?m)^@prefix loinc:[^\n]*\n?", ""))
 
   /** Full job: read tree → repair hashes → strip loinc → new snapshot
     * under outDir (same relative layout, gzip preserved by suffix). */
@@ -96,14 +101,17 @@ object HashRepairJob {
     val lookup = loadHashJson(spark, hashJsonPath)
     val repaired = removeLoincPrefix(
       repair(readTtlTree(spark, baseDir), lookup))
-    // two actions (write + count) — persist so the tree is read and
-    // rewritten once, not once per action
-    repaired.persist()
+    // two actions (count + write) run as two SCANS of the gz tree —
+    // NOT a persist: caching would hold the whole DECOMPRESSED corpus
+    // (far beyond the ~5-20 MB/file gz sizes, ×4M files) in executor
+    // memory/disk. The count plan prunes the rewritten ttl column
+    // entirely (repaired derives from the ORIGINAL text's rlike), so
+    // the second decompression pass is the whole extra cost.
     try {
+      val n = repaired.filter(col("repaired")).count()
       TtlFileSink.write(repaired.select("rel_path", "ttl"), outDir)
-      repaired.filter(col("repaired")).count()
+      n
     } finally {
-      repaired.unpersist()
       // repair() size-gated its lookup via maybeBroadcastByCount,
       // which persists — reclaim that cache now that the job is done
       graft.operators.Broadcasting.releaseAll()

@@ -138,19 +138,19 @@ object MongoMarksPipeline {
       .filter(col("feature").isNotNull &&
         col("feature.geometry.type") === "Polygon" &&
         expr("size(feature.geometry.coordinates) >= 1") &&
-        expr("size(feature.geometry.coordinates[0]) >= 1"))
-      .withColumn("wkt_pairs", expr(
-        """transform(feature.geometry.coordinates[0],
-          | p -> format_string('%.2f %.2f',
-          |        p[0] * image_width, p[1] * image_height))"""
-          .stripMargin))
-      .withColumn("wkt_closed", expr(
-        """CASE WHEN size(wkt_pairs) > 0
-          |  AND element_at(wkt_pairs, 1) <> element_at(wkt_pairs, -1)
-          | THEN concat(wkt_pairs, array(element_at(wkt_pairs, 1)))
-          | ELSE wkt_pairs END""".stripMargin))
-      .withColumn("wkt", concat(lit("POLYGON (("),
-        concat_ws(", ", col("wkt_closed")), lit("))")))
+        expr("size(feature.geometry.coordinates[0]) >= 1") &&
+        // a degenerate POINT ([], [x]) would throw INVALID_ARRAY_INDEX
+        // under Spark 4's default ANSI mode inside the WKT transform,
+        // aborting the whole 4B-mark job; the reference silently skips
+        // such a mark (polygon_to_wkt's bare except → None,
+        // mongodb_to_rdf.py:260-261) — so must we
+        expr("forall(feature.geometry.coordinates[0], p -> size(p) >= 2)"))
+      // ONE implementation of the F3 denormalize+format+close contract
+      // (ring access stays the filter-guarded coordinates[0], not
+      // try_element_at — see the codegen note above)
+      .withColumn("wkt", graft.functions.GeomFunctions.denormalizedRingWkt(
+        expr("feature.geometry.coordinates[0]"),
+        col("image_width"), col("image_height")))
       .withColumn("nucleustype",
         coalesce(col("feature.properties.nucleustype"), lit("")))
       .withColumn("footprint",
@@ -229,12 +229,21 @@ object MongoMarksPipeline {
     * `exec_id/image_id/batch_%06d.ttl.gz` (K3). */
   def documents(marks: DataFrame, analyses: DataFrame,
     slideHashes: DataFrame, batchSize: Int = BatchSize): DataFrame = {
+    // rel_path carries only (exec, image, batch): if two analysis
+    // docs ever share (exec, image), their outputs would collide on
+    // the same paths and TtlFileSink's unique-path contract breaks —
+    // one analysis's documents silently lost (the reference last-wins
+    // overwrites in that case). Keep ONE analysis per (exec, image),
+    // deterministically the lowest analysis_id, BEFORE the mark join.
+    val dedupW = Window.partitionBy(col("exec_id"), col("image_id"))
+      .orderBy(col("analysis_id"))
     val aSide = analysisSide(analyses, slideHashes)
+      .withColumn("a_rn", row_number().over(dedupW))
+      .filter(col("a_rn") === 1).drop("a_rn")
     val m = markSide(marks, aSide)
 
-    // analysis_id is part of the batching key: if two analysis docs
-    // ever share (exec, image), each re-run batches its own mark set
-    // deterministically instead of interleaving
+    // analysis_id is unique per (exec, image) after the dedupe above;
+    // keeping it in the batching key documents the invariant
     val w = Window.partitionBy(col("analysis_id"), col("exec_id"),
       col("image_id")).orderBy(col("mark_id"))
     val batched = m

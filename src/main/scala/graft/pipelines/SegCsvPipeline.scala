@@ -34,7 +34,7 @@ object SegCsvPipeline {
   def read(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.option("header", true).schema(csvSchema)
       .csv(baseDir + "/*_polygon/*.svs.tar.gz/*_polygon/*.svs/*-features.csv")
-      .withColumn("path", input_file_name())
+      .withColumn("path", PathMeta.decodedInputFileName())
       .withColumn("cancer_type",
         regexp_extract(col("path"), "/([a-z]+)_polygon/[^/]+\\.svs/", 1))
       .withColumn("image_name",
@@ -102,12 +102,22 @@ object SegCsvPipeline {
           col("PhysicalSize"), lit("\"^^xsd:float"))).otherwise(lit("")),
       lit("\n                             ]"))
 
+    // explicit member order: collect_list alone takes shuffle-fetch
+    // arrival order, which varies across runs when several map tasks
+    // feed one group (multi-split CSVs, speculative retries) — the
+    // sibling pipelines sort by pos/rn for exactly this reason.
+    // monotonically_increasing_id is (partition id, row-in-partition):
+    // deterministic for a deterministic scan, and equal to file row
+    // order whenever a CSV fits one split (a patch's CSV always does).
     val byFile = withMeta
+      .withColumn("row_pos", monotonically_increasing_id())
       .withColumn("fragment", frag)
       .groupBy(col("path"), col("image_name"), col("cancer_type"),
         col("base_name"), col("image_hash"),
         col("patch_x"), col("patch_y"), col("patch_w"), col("patch_h"))
-      .agg(concat_ws(";\n", collect_list(col("fragment"))).as("members"))
+      .agg(concat_ws(";\n", expr("transform(array_sort(collect_list(" +
+        "named_struct('pos', row_pos, 'f', fragment))), x -> x.f)"))
+        .as("members"))
 
     byFile.select(
       concat(col("image_name"), lit(".svs/"), col("cancer_type"),

@@ -48,4 +48,28 @@ class GeoJsonPipelineSpec extends SparkTestBase {
     val ttl = out.head.getAs[String]("ttl")
     assert(!ttl.contains("rdfs:member") && ttl.endsWith(" .\n"))
   }
+
+  test("degenerate points drop the FEATURE (reference's except→None), " +
+    "not the job, and null measurement values never print as 'null'") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("geojson_dirty")
+    Files.writeString(tmp.resolve("TCGA-DD-0001-01Z-00-DX1.u.geojson"),
+      """{"features": [
+        | {"geometry": {"type": "Polygon",
+        |   "coordinates": [[[1.0,2.0],[3.0],[5.0,6.0]]]},
+        |  "properties": {"measurements": {"prob_400p-Tumor": 0.9}}},
+        | {"geometry": {"type": "Polygon",
+        |   "coordinates": [[[1.0,2.0],[3.0,4.0]]]},
+        |  "properties": {"measurements": {"prob_400p-Tumor": 0.8,
+        |   "prob_400p-Stroma": null}}}
+        |]}""".stripMargin)
+    val out = GeoJsonPipeline.run(spark, tmp.toString, "T").collect()
+    assert(out.length == 1)
+    val ttl = out.head.getAs[String]("ttl")
+    // feature 1 (degenerate point) dropped; feature 2 survives
+    assert("rdfs:member".r.findAllIn(ttl).size == 1, ttl)
+    // the null-valued Stroma entry is skipped, never "null"^^xsd:float
+    assert(!ttl.contains("\"null\""), ttl)
+    assert(ttl.contains("hal:hasProbability  \"0.800000\""), ttl)
+  }
 }

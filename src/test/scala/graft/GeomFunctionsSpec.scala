@@ -80,6 +80,18 @@ class GeomFunctionsSpec extends SparkTestBase {
       "POLYGON ((10.00 40.00, 30.00 40.00, 30.00 80.00, 10.00 40.00))")
   }
 
+  test("wktDenormalized closes on FORMATTED equality, like the " +
+    "reference — raw-differ-format-equal endpoints add no closing point") {
+    // 0.001111*100 = 0.1111 and 0.001112*100 = 0.1112 both format
+    // "0.11": the reference compares the formatted strings
+    // (mongodb_to_rdf.py:254-257), so the ring is ALREADY closed
+    val g = expr(
+      "array(array(array(0.001111d,0.0d), array(0.05d,0.05d), " +
+        "array(0.001112d,0.0d)))")
+    assert(one(wktDenormalized(g, lit(100.0), lit(100.0))) ==
+      "POLYGON ((0.11 0.00, 5.00 5.00, 0.11 0.00))")
+  }
+
   test("degenerate colon strings do not crash (sequence(1,0) guard)") {
     for (s <- Seq("[]", "[7]", "[1:2]")) {
       val g = polygonFromColonString(lit(s))

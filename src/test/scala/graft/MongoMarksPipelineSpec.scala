@@ -116,4 +116,54 @@ class MongoMarksPipelineSpec extends SparkTestBase {
     assert(Files.readString(
       Paths.get(tmp, "plain/batch_000002.ttl")) == "content-b")
   }
+
+  test("a degenerate point ([], [x]) skips THAT mark silently " +
+    "(reference behavior) instead of ANSI-crashing the job") {
+    import spark.implicits._
+    def mark(id: String, coords: String) =
+      s"""{"_id":"$id","provenance":{"analysis":{"execution_id":"e1"},""" +
+        s""""image":{"imageid":"i1","slide":""}},""" +
+        s""""geometries":{"features":[{"geometry":{"type":"Polygon",""" +
+        s""""coordinates":$coords},"properties":{"footprint":1.0,""" +
+        s""""nucleustype":"a.b.c"}}]}}"""
+    val marks = spark.read.schema(MongoMarksPipeline.markSchema)
+      .json(Seq(
+        mark("m-good", "[[[0.1,0.2],[0.3,0.2],[0.3,0.4]]]"),
+        mark("m-empty-pt", "[[[0.1,0.2],[],[0.3,0.4]]]"),
+        mark("m-one-coord", "[[[0.1,0.2],[0.5],[0.3,0.4]]]")).toDS)
+    val analyses = spark.read
+      .schema(MongoMarksPipeline.analysisSchema)
+      .json(Seq("""{"_id":"a1","analysis":{"execution_id":"e1"},""" +
+        """"image":{"imageid":"i1"}}""").toDS)
+    val got = MongoMarksPipeline.markSide(marks,
+      MongoMarksPipeline.analysisSide(analyses, emptyHashes))
+      .select("mark_id").as[String].collect().toSet
+    assert(got == Set("m-good"), got)
+  }
+
+  test("two analysis docs sharing (exec, image) never collide on " +
+    "rel_path — lowest analysis_id wins deterministically") {
+    import spark.implicits._
+    val marks = MongoMarksPipeline.readMarks(spark, s"$fx/marks.jsonl")
+    // duplicate every fixture analysis under a LOWER and a higher id
+    val base = spark.read.text(s"$fx/analyses.jsonl").as[String]
+      .collect()
+    val dup = base.flatMap { line =>
+      Seq(line.replaceFirst("\"_id\"\\s*:\\s*\"", "\"_id\":\"zz-"),
+        line)
+    }
+    val analyses = spark.read
+      .schema(MongoMarksPipeline.analysisSchema).json(dup.toSeq.toDS)
+    val out = MongoMarksPipeline.documents(marks, analyses,
+      emptyHashes, batchSize = 2).collect()
+    val paths = out.map(_.getAs[String]("rel_path"))
+    assert(paths.distinct.length == paths.length,
+      s"colliding rel_paths: ${paths.mkString(", ")}")
+    // the kept analysis is the LOWEST id — "zz-…" never appears
+    assert(out.forall(!_.getAs[String]("ttl").contains("zz-")), "zz won")
+    // and the output equals the single-analysis golden run exactly
+    assert(out.map(r => r.getAs[String]("rel_path") ->
+      r.getAs[String]("ttl")).toMap ==
+      docs.map { case (p, (t, _)) => p -> t })
+  }
 }

@@ -44,6 +44,19 @@ class SegCsvPipelineSpec extends SparkTestBase {
       .size == 3)
   }
 
+  test("member order is pinned by the explicit row key: two " +
+    "independent runs emit byte-identical documents") {
+    val a = SegCsvPipeline.run(spark, base, "T").collect()
+      .map(r => r.getAs[String]("rel_path") -> r.getAs[String]("ttl"))
+      .toMap
+    val b = SegCsvPipeline.run(spark, base, "T").collect()
+      .map(r => r.getAs[String]("rel_path") -> r.getAs[String]("ttl"))
+      .toMap
+    assert(a == b)
+    // and multi-row patches keep FILE row order (golden also pins it)
+    assert(a.values.forall(_.nonEmpty))
+  }
+
   test("filename-parse fallback (0,0,40000,40000) matches reference") {
     val g = golden("seg_expected_fallback.ttl")
     val ts = "dc:date\\s+\"([^\"]+)\"".r.findFirstMatchIn(g).get.group(1)
