@@ -50,12 +50,16 @@ object Multimodal {
   private[multimodal] def decodeStub(m: Media, frameStride: Int)
     : MediaFeatures = {
     val bytes = m.content
-    val digest = MessageDigest.getInstance("SHA-256").digest(bytes)
-      .map("%02x".format(_)).mkString
+    val digest = graft.Hex.digest("SHA-256", bytes)
+    // allocation-free sum: this is the generic path for LARGE
+    // undecodable payloads, where bytes.map(...).sum would transiently
+    // copy the payload into an 8×-size Array[Long] per row
+    var byteSum = 0L
+    var bi = 0
+    while (bi < bytes.length) { byteSum += bytes(bi) & 0xff; bi += 1 }
     val mean =
       if (bytes.isEmpty) 0L
-      else math.floor(bytes.map(b => (b & 0xff).toLong).sum
-        * 10000.0 / bytes.length + 0.5).toLong
+      else math.floor(byteSum * 10000.0 / bytes.length + 0.5).toLong
     MediaFeatures(m.media_id, m.media_type, bytes.length.toLong, digest,
       mean, if (frameStride <= 0) 0 else bytes.length / frameStride)
   }
@@ -187,7 +191,11 @@ object Multimodal {
         }
         val bos = new ByteArrayOutputStream()
         ImageIO.write(out, "png", bos)
-        Media(m.media_id, m.media_type, bos.toByteArray, nw, nh)
+        // the payload is re-encoded as PNG, so the type tag must say
+        // so — copying the input type would hand a consumer that
+        // dispatches on media_type (this module's stated contract)
+        // BMP-tagged PNG bytes
+        Media(m.media_id, "image/png", bos.toByteArray, nw, nh)
       }
     }
   }
@@ -369,14 +377,17 @@ object Multimodal {
     * C444alpha (an extra plane) as 8-bit and walk into the middle of
     * a plane. Chroma planes use ceil subsampling, so odd-dimension
     * 420/422 streams size correctly too. */
-  private def chromaBytes(cs: String, w: Int, h: Int): Int = {
-    val cw = (w + 1) / 2 // ceil(w/2)
-    val ch = (h + 1) / 2
+  /** Long arithmetic: hostile dims (W65536 H65536) wrap Int to zero
+    * or negative, turning the frame walk into an infinite loop over
+    * bogus zero-length frames or a raw AIOOBE. */
+  private def chromaBytes(cs: String, w: Int, h: Int): Long = {
+    val cw = (w + 1L) / 2 // ceil(w/2)
+    val ch = (h + 1L) / 2
     cs match {
-      case "mono" => 0
-      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => 2 * cw * ch
-      case "422" => 2 * cw * h
-      case "444" => 2 * w * h
+      case "mono" => 0L
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => 2L * cw * ch
+      case "422" => 2L * cw * h
+      case "444" => 2L * w * h
       case other => throw new IllegalArgumentException(
         s"unsupported Y4M colorspace C$other (8-bit mono/420/422/444 only)")
     }
@@ -407,7 +418,16 @@ object Multimodal {
     }
     require(w > 0 && h > 0,
       s"media_id=$mediaId: Y4M header lacks W/H: $header")
-    Y4mHeader(w, h, nl + 1, w * h, w * h + chromaBytes(cs, w, h))
+    // Long first, then bound: w*h near 2^31 wraps Int (zero/negative
+    // frame size → infinite zero-step walk or raw AIOOBE). A frame
+    // larger than Int.MaxValue cannot index a JVM array anyway — the
+    // clean parser error beats whatever the walk would do with it.
+    val luma = w.toLong * h
+    val frame = luma + chromaBytes(cs, w, h)
+    require(frame <= Int.MaxValue,
+      s"media_id=$mediaId: Y4M frame size $frame (W$w H$h C$cs) " +
+        "exceeds the maximum supported payload")
+    Y4mHeader(w, h, nl + 1, luma.toInt, frame.toInt)
   }
 
   /** Position just past the FRAME marker line at `pos` (markers may

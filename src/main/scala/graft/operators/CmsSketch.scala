@@ -89,9 +89,7 @@ object CmsSketch {
   /** JVM twin of `rowHash` — same arithmetic, bit for bit. One md5
     * per key; slice buckets from it with `bucketOf`. */
   private[graft] def hashJvm(key: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"cms:$key".getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
+    val hex = graft.Hex.digest("MD5", s"cms:$key".getBytes("UTF-8"))
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 

@@ -15,7 +15,11 @@ import graft.multimodal.Multimodal
 object MultimodalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> ((s, dir) => {
+      // len > 0 like m2–m6: the oracle's mean divides by len(text)
+      // (NULL in DuckDB at 0, desyncing from the stub's 0), and a
+      // NULL text would NPE inside the digest
       val docs = Tables.load(s, dir, "documents")
+        .filter(length(col("text")) > 0)
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
         .toDF()
         .select(col("media_id"), col("n_bytes"), col("sha256"),
@@ -116,7 +120,7 @@ object MultimodalQueries {
       |   list_transform(range(1, len(text) + 1),
       |    i -> ascii(substr(text, i, 1)))), (a, b) -> a + b)
       |  * 10000.0 / len(text) + 0.5) AS BIGINT) AS mean_byte_e4
-      |FROM documents ORDER BY media_id""".stripMargin,
+      |FROM documents WHERE len(text) > 0 ORDER BY media_id""".stripMargin,
 
     // documents are pure ASCII (byte ops == char ops): pixel sum =
     // sum of character codes (padding zeros contribute nothing),

@@ -850,9 +850,8 @@ object Rdf {
     val uri = new org.apache.hadoop.fs.Path(f).toUri
     val canon = s"${Option(uri.getScheme).getOrElse("")}://" +
       s"${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.update(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.digest().take(16).map(b => f"$b%02x").mkString
+    graft.Hex.digest("SHA-256",
+      canon.getBytes(java.nio.charset.StandardCharsets.UTF_8)).take(32)
   }
 
   private def readWholetext(spark: SparkSession, path: String)(

@@ -223,4 +223,54 @@ class MultimodalSpec extends SparkTestBase {
         Seq(Media(4L, "video/x-yuv4mpeg", p10, 2, 2)).toDS()).collect()
     }
   }
+
+  test("Y4M headers with Int-overflowing dimensions fail the PARSER " +
+    "loudly — no zero-size frame walk, no raw AIOOBE") {
+    def ex(header: String): Throwable = {
+      val bytes = (header + "FRAME\n").getBytes("US-ASCII") ++
+        new Array[Byte](64)
+      intercept[org.apache.spark.SparkException] {
+        Multimodal.decodeVideoFeatures(
+          Seq(Media(9L, "video/x-yuv4mpeg", bytes, 8, 8)).toDS())
+          .collect()
+      }
+    }
+    // 65536×65536 mono: w*h wraps Int to 0 — would loop forever over
+    // zero-length "frames" counting garbage
+    val zero = ex("YUV4MPEG2 W65536 H65536 Cmono\n")
+    assert(zero.getMessage.contains("exceeds the maximum"), zero)
+    // 46341×46341 default 420: luma wraps negative — would drive the
+    // walk's position negative into ArrayIndexOutOfBounds
+    val neg = ex("YUV4MPEG2 W46341 H46341\n")
+    assert(neg.getMessage.contains("exceeds the maximum"), neg)
+  }
+
+  test("resizeImageNearest tags output PNG bytes as image/png " +
+    "regardless of the input's type tag") {
+    val docs = Seq((1L, "hello resize world")).toDF("doc_id", "text")
+    val retagged = Multimodal.imagesFromDocuments(docs, width = 4)
+      .map(m => m.copy(media_type = "image/x-test"))
+    val out = Multimodal.resizeImageNearest(retagged, factor = 2)
+      .collect().head
+    assert(out.media_type == "image/png", out.media_type)
+    // …and the bytes really are PNG
+    assert((out.content(0) & 0xff) == 0x89 &&
+      new String(out.content.slice(1, 4), "US-ASCII") == "PNG")
+  }
+
+  test("m1_binary_meta guards empty/null text like its siblings " +
+    "(the oracle divides by len(text))") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("m1guard").toString
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(3)
+      .unionByName(Seq((99999L, "", "en", "none", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+        allowMissingColumns = true)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.MultimodalQueries
+      .queries("m1_binary_meta")(spark, dir).collect()
+    assert(got.length == 3, got.toSeq) // empty-text row excluded
+    assert(!got.exists(_.getLong(0) == 99999L))
+  }
 }
