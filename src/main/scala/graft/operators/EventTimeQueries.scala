@@ -56,9 +56,8 @@ object EventTimeQueries {
           when(col("prev_us").isNull ||
             unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
             .otherwise(0L))
-        .withColumn("sess_id", sum("new_sess").over(
-          Window.partitionBy(col("user_id")).orderBy(col("ts"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sess_id", sum("new_sess").over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"))
         .agg(max("sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
@@ -74,7 +73,11 @@ object EventTimeQueries {
       val clicks = e
         .filter(col("event_type") === "click" && col("user_id") < 50)
         .select(col("event_id"), col("user_id"), col("ts"))
-      val views = e.filter(col("event_type") === "view")
+      // user_id < 50 on the RIGHT side too: AsofJoin union-scans both
+      // sides through one shuffle+sort, and views from users with no
+      // left row would ride that shuffle only to be discarded
+      val views = e.filter(col("event_type") === "view" &&
+          col("user_id") < 50)
         .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
       AsofJoin.backward(clicks, views, Seq("user_id"), "ts", "ts")
         .select(col("event_id"), col("user_id"),
@@ -93,7 +96,10 @@ object EventTimeQueries {
       val views = e
         .filter(col("event_type") === "view" && col("user_id") < 50)
         .select(col("event_id"), col("user_id"), col("ts"))
-      val clicks = e.filter(col("event_type") === "click")
+      // right-side user filter, as in j9 — drop never-matching rows
+      // before the union-scan shuffle
+      val clicks = e.filter(col("event_type") === "click" &&
+          col("user_id") < 50)
         .groupBy(col("user_id"), col("ts")).agg(max("value").as("v"))
       AsofJoin.forward(views, clicks, Seq("user_id"), "ts", "ts")
         .select(col("event_id"), col("user_id"),
@@ -128,13 +134,6 @@ object EventTimeQueries {
         .orderBy("path")
     }),
 
-    // Rolling 7-day distinct users per day (the WAU curve), spelled
-    // as a BOUNDED inverted-index explode — an event on day e
-    // supports the windows ending on e..e+6, so each event emits ≤ 7
-    // (window, user) rows and the count is one partial-distinct agg;
-    // the window-over-sets spelling has no distributable form, and a
-    // per-day range self-join would rescan the corpus per day. Exact
-    // distinct, clamped to the observed day range.
     // First-order Markov transition counts between event types, per
     // user timeline — the behavior-model / anomaly-baseline census.
     // One user-keyed window (lag) + one map-side-combined count;
@@ -180,6 +179,13 @@ object EventTimeQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Rolling 7-day distinct users per day (the WAU curve), spelled
+    // as a BOUNDED inverted-index explode — an event on day e
+    // supports the windows ending on e..e+6, so each event emits ≤ 7
+    // (window, user) rows and the count is one partial-distinct agg;
+    // the window-over-sets spelling has no distributable form, and a
+    // per-day range self-join would rescan the corpus per day. Exact
+    // distinct, clamped to the observed day range.
     "t6_weekly_active" -> ((s, dir) => {
       val evd = ev(s, dir).select(col("user_id"),
         datediff(col("ts").cast("date"),

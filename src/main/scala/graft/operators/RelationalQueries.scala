@@ -62,7 +62,13 @@ object RelationalQueries {
             .as("sum_base_e2"),
           sum(floor(col("l_extendedprice") *
             (lit(1) - col("l_discount")) * 100 + 0.5)).as("sum_disc_e2"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
+          // floor(x*1e4+0.5), NOT round(x,4): Spark's round() HALF_UPs
+          // the shortest decimal string while DuckDB rounds the binary
+          // double — they can disagree at 4th-decimal midpoints. The
+          // floor form computes bit-identically on both engines (the
+          // file's f11 convention).
+          (floor(avg("l_quantity") * 10000 + 0.5) / 10000.0)
+            .as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -96,12 +102,12 @@ object RelationalQueries {
     }),
 
     // SURVEY A6/W4: per-group batch count, BATCH_SIZE=3 here (1000 in the
-    // reference); integer ceil-div keeps types exact on both engines.
+    // reference); `div` is TRUE integer division (the oracle's //) —
+    // floor(a/b) detours through an IEEE double.
     "a6_batch_count" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
-        .withColumn("n_batches",
-          floor((col("n_lines") + lit(2)) / lit(3)).cast("long"))
+        .withColumn("n_batches", expr("(n_lines + 2) div 3"))
         .groupBy(col("n_lines"), col("n_batches"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("n_lines")
@@ -422,9 +428,9 @@ object RelationalQueries {
         .orderBy(col("l_linenumber"))
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 50)
-        .withColumn("batch",
-          (floor((row_number().over(w) - lit(1)) / lit(3)) + lit(1))
-            .cast("long"))
+        .withColumn("rn0", row_number().over(w))
+        .withColumn("batch", // true integer div, like the oracle's //
+          expr("((rn0 - 1) div 3) + 1"))
         .select(col("l_orderkey"), col("l_linenumber"), col("batch"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -497,7 +503,10 @@ object RelationalQueries {
       val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
       val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
         .select(col("o_custkey").as("custkey"))
-      c.distinct().except(o.distinct()).orderBy("custkey")
+      // except IS set semantics already (dedups left, ignores right
+      // multiplicity) — pre-distincting both sides paid two extra
+      // aggregate+exchange stages for identical output
+      c.except(o).orderBy("custkey")
     }),
 
     // BAG difference (EXCEPT ALL): multiplicity-aware reconciliation
@@ -1351,7 +1360,7 @@ object RelationalQueries {
         .withColumn("version", lit(2L))
       val ins = orders
         .filter(pmod(col("o_orderkey"), lit(97)) === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000000L)
         .withColumn("version", lit(2L))
       Upsert.latestWins(base, upd.unionByName(ins),
         Seq("o_orderkey"), "version")
@@ -1378,7 +1387,7 @@ object RelationalQueries {
             .otherwise(col("o_totalprice")))
         .unionByName(orders
           .filter(pmod(col("o_orderkey"), lit(97)) === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000000L))
       Diff.summary(orders, newer, Seq("o_orderkey"))
         .orderBy("status")
     }),
@@ -1440,7 +1449,7 @@ object RelationalQueries {
       val deleted = orders.filter(is89)
       val inserted = orders
         .filter(pmod(col("o_orderkey"), lit(97)) === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000000L)
       val delta = IncrementalAgg.signedDelta(
         deletes = repricedOld.unionByName(movedOld)
           .unionByName(deleted),
@@ -1471,7 +1480,7 @@ object RelationalQueries {
             .otherwise(col("price_e2")))
         .unionByName(base
           .filter(pmod(col("o_orderkey"), lit(97)) === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000000L))
       val summary = IncrementalAgg.aggregate(base,
         Seq("o_orderstatus"), Seq("price_e2"))
       val delta = Diff.toChangelog(base, v2, Seq("o_orderkey"))
@@ -1575,7 +1584,7 @@ object RelationalQueries {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"))
         .unionByName(t(s, dir, "lineitem")
           .filter(pmod(col("l_orderkey"), lit(101)) === 0)
-          .select((col("l_orderkey") + 50000000L).as("l_orderkey")))
+          .select((col("l_orderkey") + 50000000000L).as("l_orderkey")))
       val ord = t(s, dir, "orders").select(col("o_orderkey"))
       li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"),
@@ -1696,7 +1705,8 @@ object RelationalQueries {
         |  AS sum_base_e2,
         | sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
         |  ::BIGINT)::BIGINT AS sum_disc_e2,
-        | round(avg(l_quantity), 4) AS avg_qty, count(*) AS cnt
+        | floor(avg(l_quantity) * 10000 + 0.5) / 10000.0 AS avg_qty,
+        | count(*) AS cnt
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a3_group_count" ->
