@@ -37,8 +37,8 @@ object LinkageQueries {
   /** Directed co-purchase edges (both directions, all pairs sharing
     * an order, duplicates across orders kept — PageRank distincts):
     * group-into-buckets pair generation, no self-join. Shared by
-    * n1/n9; the support-thresholded undirected variant lives inline
-    * in n3/n4/n6 (they also count orders per pair). */
+    * n1/n9; the support-thresholded undirected variant is
+    * [[sparsifiedCoPurchaseEdges]] (n3/n4/n6). */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -50,6 +50,30 @@ object LinkageQueries {
         struct(col("p.a").as("src"), col("p.b").as("dst")),
         struct(col("p.b").as("src"), col("p.a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
+  /** The SAME support-thresholded (≥ 2 distinct orders) undirected
+    * co-purchase graph for n3/n4/n6 — one definition, so a threshold
+    * or dedup change cannot silently leave the three queries on
+    * different graphs. Group-into-buckets pair generation (the d4/d6
+    * inverted-index pattern): one shuffle on the order key, in-order
+    * pair explode (bounded — TPC-H orders hold ≤ 7 parts), then the
+    * support count; the self-join + distinct spelling paid an extra
+    * corpus-of-pairs exchange for the same rows. collect_set dedupes
+    * (order, part) repeats so `support` counts DISTINCT co-occurring
+    * orders. */
+  private def sparsifiedCoPurchaseEdges(s: SparkSession,
+    dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
+      .filter(size(col("xs")) >= 2)
+      .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
+      .select(col("p.a").as("u"), col("p.b").as("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact edit-distance-≤1 self-join on customer names via
@@ -124,21 +148,8 @@ object LinkageQueries {
     // 3-way edge join over canonical u<v edges — orientation-free,
     // so the lossless-orientation claim is what's under test.
     "n3_triangles" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      // group-into-buckets pair generation — see n6 for the plan
-      // rationale (one less corpus-of-pairs exchange than the
-      // self-join + distinct spelling, same rows)
-      val e = Broadcasting.track(li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
-        .filter(size(col("xs")) >= 2)
-        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
-        .select(col("p.a").as("u"), col("p.b").as("v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("u"), col("v"))
-        .persist())
+      val e = Broadcasting.track(
+        sparsifiedCoPurchaseEdges(s, dir).persist())
       e.agg(count(lit(1)).as("n_edges"))
         .crossJoin(Triangles.count(e, "u", "v"))
     }),
@@ -151,19 +162,7 @@ object LinkageQueries {
     // face is spec-checked by invariant in KCoreSpec. Output: each
     // surviving vertex with its degree after round 3.
     "n4_kcore" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      // group-into-buckets pair generation — see n6 for the plan
-      // rationale
-      val e = li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
-        .filter(size(col("xs")) >= 2)
-        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
-        .select(col("p.a").as("u"), col("p.b").as("v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("u"), col("v"))
+      val e = sparsifiedCoPurchaseEdges(s, dir)
       KCore.degrees(KCore.peel(e, k = 3, rounds = 3))
         .select(col("id").as("part_id"), col("deg").as("core_deg"))
         .orderBy("part_id")
@@ -212,24 +211,7 @@ object LinkageQueries {
     // state at nodes×hops), so what's under test is the frontier /
     // visited-set expansion in Bfs.minHops.
     "n6_bfs_hops" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      // group-into-buckets pair generation (the d4/d6 inverted-index
-      // pattern): one shuffle on the order key, in-order pair
-      // explode (bounded — TPC-H orders hold ≤ 7 parts), then the
-      // support count. The self-join + distinct spelling paid an
-      // extra corpus-of-pairs exchange for the same rows; collect_set
-      // dedupes (order, part) repeats so `support` still counts
-      // DISTINCT co-occurring orders.
-      val und = li.groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("xs"))
-        .filter(size(col("xs")) >= 2)
-        .select(explode(expr(MinHashLsh.bucketPairs("xs"))).as("p"))
-        .select(col("p.a").as("u"), col("p.b").as("v"))
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("u"), col("v"))
+      val und = sparsifiedCoPurchaseEdges(s, dir)
       // read once per BFS round, pre-partitioned by the join key so
       // every frontier⋈edges round reuses the exchange. CUT, not
       // just persisted (Iterate doc): the edge-build subtree is

@@ -120,10 +120,19 @@ object MinHashLsh {
     * `n_shared_bands` counts only the buckets where BOTH survived.
     * Capped output pairs ⊆ uncapped pairs. */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+    bucketCap: Option[Int] = None): DataFrame =
+    candidatePairsFromSignatures(signatures(df, idCol, textCol), idCol,
+      bucketCap)
+
+  /** [[candidatePairs]] over an ALREADY-computed signature frame —
+    * lets a caller persist ONE signature pass and share it between
+    * the pair build and its own per-side signature joins (d13), so
+    * the tokenize→shingle→md5 map is not re-derived per branch. */
+  def candidatePairsFromSignatures(sig: DataFrame, idCol: String,
     bucketCap: Option[Int] = None): DataFrame = {
     bucketCap.foreach(c => require(c >= 2,
       s"bucketCap must be >= 2 to ever emit a pair, got $c"))
-    val banded = bands(signatures(df, idCol, textCol), idCol)
+    val banded = bands(sig, idCol)
     val capped = bucketCap.fold(banded)(c =>
       graft.plans.GroupedTopK.topK(banded, Seq("band", "k1", "k2"),
         idCol, c, descending = false))

@@ -84,16 +84,39 @@ object SimilarityQueries {
     // grouped top-k through the custom heap operator instead of a
     // row_number window: per-probe candidate lists are corpus-sized,
     // and the window spelling SORTS each in full — the heap keeps k.
-    // (cos desc, nbr asc) composes into one unique int64 rank so
-    // ties cannot straddle the k boundary: cos_e6 ∈ [−1e6, 1e6]
-    // (<< 32 is safe), nbr ids are < 2^32 non-negative.
+    // (cos desc, nbr asc) rides a STRUCT order key (field-wise
+    // compare, unique so ties cannot straddle the k boundary) rather
+    // than int64 bit-packing: the packing assumed nbr_id < 2^32 and a
+    // corpus-scale id would have borrowed into the cos_e6 high bits,
+    // silently corrupting the ranking. -nbr_id under DESC = nbr asc.
     val ranked = graft.plans.GroupedTopK.rankedTopK(
       df.withColumn("rank_v",
-        col("cos_e6") * lit(1L << 32) +
-          (lit(0xFFFFFFFFL) - col("nbr_id"))),
+        struct(col("cos_e6"), (-col("nbr_id")).as("nbr_neg"))),
       Seq("probe_id"), "rank_v", k)
     ranked.select("probe_id", "rnk", "nbr_id", "cos_e6")
       .orderBy("probe_id", "rnk")
+  }
+
+  /** Embedding quantized to integer e6 — the exact-arithmetic face
+    * the recall evals rank against. ONE definition: a quantization
+    * tweak must hit v12/v14/v15 together or the evals would silently
+    * measure against different ground truths. */
+  private def e6Vectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), expr(
+      """transform(embedding, x ->
+        |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
+        .stripMargin).as("v"))
+
+  /** Exact integer-L2 top-`n` ids for `queryVecId` over e6 vectors —
+    * the shared ground-truth block of v12/v14. */
+  private def exactTopIds(v6: DataFrame, queryVecId: Long,
+    n: Int): DataFrame = {
+    val q = v6.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"))
+    v6.crossJoin(broadcast(q))
+      .withColumn("d", expr("graft_l2sq(v, qv)"))
+      .orderBy(col("d"), col("vec_id")).limit(n)
+      .select("vec_id")
   }
 
   private def knnBrute(s: SparkSession, dir: String): DataFrame =
@@ -286,15 +309,7 @@ object SimilarityQueries {
     "v12_pq_recall" -> ((s, dir) => {
       withGraftFns(s)
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val v6 = e.select(col("vec_id"), expr(
-        """transform(embedding, x ->
-          |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
-          .stripMargin).as("v"))
-      val q = v6.filter(col("vec_id") === 0L).select(col("v").as("qv"))
-      val exact = v6.crossJoin(broadcast(q))
-        .withColumn("d", expr("graft_l2sq(v, qv)"))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id")
+      val exact = exactTopIds(e6Vectors(e), queryVecId = 0L, n = 10)
       val adc = Pq.adcTopK(e, m = 2, k = 16, iters = 1,
         queryVecId = 0L, topN = 10).select("vec_id")
       adc.join(exact, "vec_id")
@@ -323,15 +338,7 @@ object SimilarityQueries {
     "v14_ivfpq_recall" -> ((s, dir) => {
       withGraftFns(s)
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val v6 = e.select(col("vec_id"), expr(
-        """transform(embedding, x ->
-          |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
-          .stripMargin).as("v"))
-      val q = v6.filter(col("vec_id") === 0L).select(col("v").as("qv"))
-      val exact = v6.crossJoin(broadcast(q))
-        .withColumn("d", expr("graft_l2sq(v, qv)"))
-        .orderBy(col("d"), col("vec_id")).limit(10)
-        .select("vec_id")
+      val exact = exactTopIds(e6Vectors(e), queryVecId = 0L, n = 10)
       val ivfpq = Pq.ivfAdcTopK(e, coarseK = 8, nProbe = 2, m = 2,
         k = 16, iters = 1, queryVecId = 0L, topN = 10).select("vec_id")
       ivfpq.join(exact, "vec_id")
@@ -351,10 +358,7 @@ object SimilarityQueries {
     "v15_ivfpq_rerank" -> ((s, dir) => {
       withGraftFns(s)
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val v6 = e.select(col("vec_id"), expr(
-        """transform(embedding, x ->
-          |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
-          .stripMargin).as("v"))
+      val v6 = e6Vectors(e)
       val shortlist = Pq.ivfAdcTopK(e, coarseK = 8, nProbe = 2,
         m = 2, k = 16, iters = 1, queryVecId = 0L, topN = 20)
         .select("vec_id")

@@ -541,16 +541,22 @@ object TextDedupQueries {
     // (candidate pairs × their shingles, never corpus²).
     "d13_minhash_accuracy" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = lshCandidatePairs(s, dir)
-      val sig = MinHashLsh.signatures(d, "doc_id", "text")
+      // ONE persisted signature pass feeds the pair build AND both
+      // agree-column sides (unpersisted, the tokenize→shingle→md5 map
+      // is a narrow map with no exchange for ReusedExchange to dedup,
+      // so it re-derived per branch — ~6 corpus passes); same for the
+      // shingle-hash index hx (sizes + two shared-join branches).
+      val sig = Broadcasting.track(
+        MinHashLsh.signatures(d, "doc_id", "text").persist())
+      val pairs = MinHashLsh.candidatePairsFromSignatures(sig, "doc_id")
       val sa = sig.select(col("doc_id").as("doc_a") +:
         (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:
         (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
-      val hx = MinHashLsh.shingled(d, "doc_id", "text")
+      val hx = Broadcasting.track(MinHashLsh.shingled(d, "doc_id", "text")
         .select(col("doc_id"), explode(expr(
           s"transform(sh, x -> ${MinHashLsh.md5Hash("x")})")).as("h"))
-        .distinct()
+        .distinct().persist())
       val sizes = hx.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val shared = pairs
         .join(hx.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
@@ -958,18 +964,10 @@ object TextDedupQueries {
     // ties land differently but no global window is needed.
     "x14_quality_buckets" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      docs(s, dir)
-        .withColumn("w", expr(tokensSql))
-        .filter(size(col("w")) > 0)
-        .withColumn("n_tokens", size(col("w")).cast("long"))
-        .withColumn("n_uniq", size(array_distinct(col("w"))).cast("long"))
-        .withColumn("stop_cnt",
-          expr("cast(size(filter(w, t -> t IN ('the', 'a'))) as bigint)"))
-        .withColumn("score_e4",
-          expr("""cast(floor((0.5 * n_uniq / n_tokens
-                 | + 0.3 * (1.0 - stop_cnt / cast(n_tokens as double))
-                 | + 0.2 * least(1.0, n_tokens / 100.0)) * 10000 + 0.5)
-                 | as bigint)""".stripMargin))
+      // THE shared score definition (x2/x25/Admission) — a private
+      // re-spelling here could drift the bucket order from the
+      // quality order the rest of the pipeline ranks by
+      qualityScored(docs(s, dir))
         .withColumn("bucket", ntile(10)
           .over(Window.partitionBy(lit(1))
             .orderBy(col("score_e4"), col("doc_id"))).cast("long"))

@@ -136,4 +136,26 @@ class ClusteredRecallSpec extends SparkTestBase {
     assert(at50 == 10L,
       s"re-rank@50 recall drifted: $at50/10 (expected 10)")
   }
+
+  test("knn topK ranks correctly when neighbor ids exceed 2^32 — " +
+    "struct order key, not int64 bit packing") {
+    import spark.implicits._
+    // probe 0; candidates: two EXACT matches (ids 5 and 2^33 — the
+    // tie must break nbr_id ASC) and one near match (id 7). The old
+    // int64 packing computed (0xFFFFFFFF − nbr_id), which for an id
+    // past 2^32 went negative and borrowed into the cosine's high
+    // bits — ranking the exact match BELOW the near match.
+    val big = 1L << 33
+    val embDf = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (5L, Seq(1.0f, 0.0f)),
+      (big, Seq(1.0f, 0.0f)),
+      (7L, Seq(1.0f, 0.045f)))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityQueries.knnBruteDf(spark, embDf,
+      probeMax = 1, k = 3)
+      .select("rnk", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 5L), (2L, big), (3L, 7L)), got)
+  }
 }
