@@ -50,7 +50,7 @@ object Bm25 {
       s"column name(s) ${clash.mkString(", ")} collide with BM25 " +
         "columns — rename before scoring")
     val base = df
-      .withColumn("w", expr(s"filter(split($textCol, ' '), t -> t <> '')"))
+      .withColumn("w", expr(MinHashLsh.tokensSql(textCol)))
       .filter(size(col("w")) > 0)
       .select(col(idCol), col("w"), size(col("w")).cast("long").as("dl"))
     // N and Σdl: one tiny global aggregate, crossed in (Catalyst

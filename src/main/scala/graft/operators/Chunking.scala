@@ -34,7 +34,7 @@ object Chunking {
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} collide with chunking " +
         "output/internal columns — rename before chunking")
-    df.withColumn("w", expr(s"filter(split($textCol, ' '), t -> t <> '')"))
+    df.withColumn("w", expr(MinHashLsh.tokensSql(textCol)))
       .filter(size(col("w")) > 0)
       .withColumn("n_chunks", expr(
         s"""if(size(w) <= $chunkSize, 1L,

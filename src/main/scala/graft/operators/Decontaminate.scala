@@ -38,7 +38,7 @@ object Decontaminate {
       s"""if(size(w) < $n, array(),
          | array_distinct(transform(sequence(1, size(w) - ${n - 1}),
          |  i -> concat_ws(' ', slice(w, i, $n)))))""".stripMargin
-    df.withColumn("w", expr(s"filter(split($textCol, ' '), t -> t <> '')"))
+    df.withColumn("w", expr(MinHashLsh.tokensSql(textCol)))
       .filter(size(col("w")) >= n)
       .select(col(idCol), explode(expr(grams)).as("gram"))
       .select(col(idCol), xxhash64(col("gram")).as("gh"))

@@ -34,7 +34,11 @@ object Hll {
     require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
     val m = 1L << p
     val wBits = 60 - p
-    df.select(expr(h60(valueCol)).as("h"))
+    // NULL values are NOT COUNTED (CmsSketch family contract): a null
+    // would hash to a (null, null) register row that crashes
+    // estimate()'s getLong and silently corrupts merged sketches
+    df.filter(col(valueCol).isNotNull)
+      .select(expr(h60(valueCol)).as("h"))
       .select((col("h") % m).as("register"),
         expr(s"h div $m").as("w"))
       // rho = leading zeros of the (60-p)-bit suffix + 1; bit length

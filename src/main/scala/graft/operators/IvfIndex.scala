@@ -82,15 +82,24 @@ object IvfIndex {
     var i = 0
     while (i < iters) {
       val assigned = assign(emb, centroids)
+      // recenter over the E6-QUANTIZED integer, not the raw float:
+      // integer partials are exactly-representable doubles, so the
+      // shuffle-fetch merge order cannot move the mean by an ulp —
+      // a raw avg(double) is order-dependent across runs/retries,
+      // which contradicts this file's reproducible-index contract
+      // (exact while cluster mass < 2^53/1e6 ≈ 9e9 unit-norm rows;
+      // KMeans.fitE6 uses the same discipline)
       centroids = localize(assigned
         .select(col("cluster_id"), posexplode(col("embedding"))
           .as(Seq("dim", "x")))
         .groupBy(col("cluster_id"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg(avg(expr(
+          "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"))
+          .as("m6"))
         .groupBy(col("cluster_id"))
         .agg(expr(
           """transform(array_sort(collect_list(named_struct(
-            | 'dim', dim, 'm', m))), s -> cast(s.m as float))"""
+            | 'dim', dim, 'm', m6))), s -> cast(s.m / 1000000.0d as float))"""
             .stripMargin).as("centroid")))
       i += 1
     }

@@ -35,7 +35,10 @@ object KMeans {
 
   /** e6 integer quantization of (vec_id, embedding) — shared by the
     * fit loop and the k-means‖ init. */
-  private def quantizeE6(emb: DataFrame): DataFrame =
+  /** Package-shared e6 quantization — Pq's codes are oracle-exact
+    * only because fit and code assignment agree bit-for-bit, so the
+    * spelling lives in ONE place. */
+  private[operators] def quantizeE6(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), expr(
       """transform(embedding,
         |  x -> cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""

@@ -45,7 +45,12 @@ object KmvSketch {
     * each. ≤ k rows — cheap to store per segment (day, source,
     * shard) and to combine later with [[setOps]]. */
   def sketch(df: DataFrame, keyCol: String, k: Int): DataFrame =
-    df.select(StableHash.md5Mod("kmv", col(keyCol), M).as("h"))
+    // NULL keys are NOT COUNTED (the CmsSketch family contract): a
+    // null hashes to a null h, which sorts FIRST under the ascending
+    // order and would occupy a k-minimum slot — silently skewing
+    // every estimate built on the sketch
+    df.filter(col(keyCol).isNotNull)
+      .select(StableHash.md5Mod("kmv", col(keyCol), M).as("h"))
       .distinct()
       .orderBy(col("h"))
       .limit(k)

@@ -38,10 +38,7 @@ object Pq {
     val sub = guarded.select(col("vec_id"),
       expr(s"slice(embedding, _dim * $i + 1, _dim)").as("embedding"))
     val cent = KMeans.fitE6(sub, k, iters).select(col("c"), col("cv"))
-    val v6 = sub.select(col("vec_id"), expr(
-      """transform(embedding, x ->
-        |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
-        .stripMargin).as("v"))
+    val v6 = KMeans.quantizeE6(sub) // the fit's own quantization
     val codes = v6
       .crossJoin(broadcast(cent))
       .withColumn("dist2", expr("graft_l2sq(v, cv)"))
@@ -107,10 +104,7 @@ object Pq {
     require(coarseK >= 1 && nProbe >= 1,
       s"coarseK/nProbe must be >= 1: $coarseK/$nProbe")
     graft.expressions.GraftFunctions.register(emb.sparkSession)
-    val v6 = emb.select(col("vec_id"), expr(
-      """transform(embedding, x ->
-        |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
-        .stripMargin).as("v"))
+    val v6 = KMeans.quantizeE6(emb) // the fit's own quantization
     val coarse = KMeans.fitE6(emb, coarseK, iters)
       .select(col("c").as("cell"), col("cv"))
     val cells = v6.crossJoin(broadcast(coarse))

@@ -35,7 +35,7 @@ object Repetition {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"),
-      expr(s"filter(split($textCol, ' '), t -> t <> '')"))
+      expr(MinHashLsh.tokensSql(textCol)))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         it.flatMap { case (id, w) =>

@@ -140,7 +140,16 @@ object Sampling {
     * once, not once per use. */
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
     thresholds: DataFrame, salt: String): DataFrame =
-    df.join(thresholds.select(col(groupCol), col("keep_e6")), Seq(groupCol))
+    // null GROUPS throw like null keys: the inner equi-join would
+    // silently drop every null-group row while temperatureThresholds
+    // still reports a threshold for that group — sampling decisions
+    // must be explicit, never an artifact of null-rejecting equality
+    df.withColumn(groupCol,
+      when(col(groupCol).isNull, raise_error(lit(
+        "Sampling: null group — temperature mixing requires non-null " +
+          "groups (filter or coalesce them first)")))
+        .otherwise(col(groupCol)))
+      .join(thresholds.select(col(groupCol), col("keep_e6")), Seq(groupCol))
       .filter(checkedUniform(col(keyCol), salt) < col("keep_e6"))
       .drop("keep_e6")
 }

@@ -63,6 +63,8 @@ object Skew {
     * picks the content the salt hashes (default: all columns). */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
     saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    require(saltBuckets >= 1,
+      s"saltBuckets must be >= 1, got $saltBuckets")
     val src = if (saltCols.nonEmpty) saltCols
       else defaultSaltCols(df, keyCol)
     val salted = df.withColumn("_salt", salt(src.map(col), saltBuckets))
@@ -80,6 +82,11 @@ object Skew {
     * reducer. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
     saltBuckets: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    // 0 would be SILENTLY wrong, not slow: pmod(h, 0) is null (big
+    // side) and sequence(0, -1) is [0, -1] (small side), so the
+    // (key, _salt) join matches nothing and returns an empty frame
+    require(saltBuckets >= 1,
+      s"saltBuckets must be >= 1, got $saltBuckets")
     val src = if (saltCols.nonEmpty) saltCols
       else defaultSaltCols(big, key)
     val bigSalted = big.withColumn("_salt", salt(src.map(col), saltBuckets))

@@ -54,8 +54,7 @@ object SpanDedup {
     window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     val positions = docsDf
-      .withColumn("w", expr(
-        s"filter(split($textCol, ' '), t -> t <> '')"))
+      .withColumn("w", expr(MinHashLsh.tokensSql(textCol)))
       .filter(size(col("w")) >= window)
       .select(col(idCol), col("w"), explode(expr(
         s"""if(size(w) < $window, array(),

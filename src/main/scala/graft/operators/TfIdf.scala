@@ -35,7 +35,7 @@ object TfIdf {
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} collide with tf-idf " +
         "output columns — rename before scoring")
-    val tokensExpr = s"filter(split($textCol, ' '), t -> t <> '')"
+    val tokensExpr = MinHashLsh.tokensSql(textCol) // THE shared tokenizer
     val tf = df
       .select(col(idCol), explode(expr(tokensExpr)).as("term"))
       .groupBy(col(idCol), col("term"))

@@ -40,4 +40,14 @@ class HllSpec extends SparkTestBase {
     assert(Hll.estimate(Hll.registers(once, "k")) ==
       Hll.estimate(Hll.registers(thrice, "k")))
   }
+
+  test("NULL values are NOT COUNTED (a null register row would " +
+    "crash estimate and corrupt merges)") {
+    val clean = spark.range(800).select(col("id").cast("string").as("k"))
+    val dirty = clean.union(Seq.fill(3)(null.asInstanceOf[String])
+      .toDF("k"))
+    assert(Hll.estimate(Hll.registers(dirty, "k")) ==
+      Hll.estimate(Hll.registers(clean, "k")))
+  }
+
 }

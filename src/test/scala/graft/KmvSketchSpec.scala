@@ -84,4 +84,18 @@ class KmvSketchSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("HashAggregate"), plan)
   }
+
+  test("NULL keys are NOT COUNTED (a null hash would steal a " +
+    "k-minimum slot and skew every estimate)") {
+    val clean = spark.range(500).select(col("id").cast("string").as("k"))
+    val dirty = clean.union(Seq.fill(5)(null.asInstanceOf[String])
+      .toDF("k"))
+    // identical sketches and identical estimates, nulls or not
+    assert(KmvSketch.sketch(dirty, "k", 64).collect().map(_.getLong(0))
+      .toSeq == KmvSketch.sketch(clean, "k", 64).collect()
+      .map(_.getLong(0)).toSeq)
+    assert(KmvSketch.distinctEstimate(dirty, "k", 64).collect().toSeq ==
+      KmvSketch.distinctEstimate(clean, "k", 64).collect().toSeq)
+  }
+
 }

@@ -158,4 +158,18 @@ class SamplingSpec extends SparkTestBase {
     assert(ex.getMessage.contains("positive") ||
       Option(ex.getCause).exists(_.getMessage.contains("positive")))
   }
+
+  test("temperatureMix throws on NULL groups instead of silently " +
+    "dropping them in the threshold join") {
+    val df = Seq((1L, "s0"), (2L, null.asInstanceOf[String]), (3L, "s0"))
+      .toDF("id", "s")
+    val ex = intercept[Exception] {
+      Sampling.temperatureMix(df, "id", "s").collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(ex).contains("null group"), ex)
+  }
+
 }

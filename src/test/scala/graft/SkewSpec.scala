@@ -79,4 +79,18 @@ class SkewSpec extends SparkTestBase {
     assert(Skew.saltedJoin(big, dim, "k", 4, saltCols = Seq("k"))
       .count() == 2)
   }
+
+  test("saltBuckets = 0 fails loudly, never an empty join") {
+    import spark.implicits._
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val dim = Seq((1L, "d")).toDF("k", "name")
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, dim, "k", 0, saltCols = Seq("v"))
+    }
+    assert(ex.getMessage.contains("saltBuckets"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      Skew.saltedCountSum(big, "k", "k", 0, saltCols = Seq("v"))
+    }
+  }
+
 }
