@@ -104,4 +104,52 @@ class LeaseProtocolSpec extends SparkTestBase {
       s"graveyard leaked past a sweep: ${leaseFiles(dir)}")
     assert(BatchDirs.readCommitted(spark, dir).get.count() == 50L)
   }
+
+  test("cross-process: a SECOND JVM's live marker blocks the lease " +
+    "loudly; the holder's exit frees it") {
+    // the COVERAGE.md deployment sentence, pinned with a real forked
+    // process on the one FS where exclusive-create is best-effort
+    // (raw local): a foreign live marker must read as BUSY — never
+    // stolen, never silently folded past
+    val dir = java.nio.file.Files.createTempDirectory("lease2p").toString
+    val scalaLib = new java.io.File("/opt/spark/jars").listFiles()
+      .filter(_.getName.startsWith("scala-library"))
+      .map(_.getAbsolutePath).toSeq
+    assert(scalaLib.nonEmpty, "scala-library jar not found")
+    val cp = ("target/scala-2.13/test-classes" +: scalaLib)
+      .mkString(java.io.File.pathSeparator)
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val child = new ProcessBuilder(javaBin, "-cp", cp,
+      "graft.LeaseHolderMain", dir, "6000")
+      .redirectErrorStream(true).start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(child.getInputStream))
+    try {
+      assert(out.readLine() == "HELD", "child failed to take the lease")
+      // fresh foreign marker, fail-if-busy face: loud
+      val ex = intercept[IllegalStateException] {
+        BatchDirs.withCompactorLease(spark, dir,
+          staleMs = 60 * 60 * 1000L, failIfBusy = true)(
+          fail("body ran under a foreign live lease"))
+      }
+      assert(ex.getMessage.contains("another compactor"), ex.getMessage)
+      // opportunistic face: declines, never steals
+      assert(BatchDirs.withCompactorLease(spark, dir,
+        staleMs = 60 * 60 * 1000L, failIfBusy = false)(
+        fail("body ran under a foreign live lease")).isEmpty)
+      // the holder releases on its own schedule; afterwards the
+      // lease is acquirable again in THIS process
+      assert(child.waitFor(30, java.util.concurrent.TimeUnit.SECONDS),
+        "lease-holder child did not exit")
+      assert(child.exitValue() == 0, s"child exit ${child.exitValue()}")
+      val got = BatchDirs.withCompactorLease(spark, dir,
+        staleMs = 60 * 60 * 1000L, failIfBusy = true)(42)
+      assert(got.contains(42))
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+      out.close()
+    }
+  }
 }
