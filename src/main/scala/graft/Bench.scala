@@ -17,41 +17,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // sort-based shuffle writer, never bypass-merge: bypass creates
-      // numPartitions files PER MAP TASK (32x32 per shuffle) and this
-      // container's FS is slow at file creates — measured 40% of x10's
-      // steady-state pass in DiskBlockObjectWriter.open/initialize.
-      // Also the production shape: real clusters run >200 partitions,
-      // where bypass never engages anyway.
-      // r9 A/B, full 110-query suite at sf0.1, idle machine, same
-      // binaries: sort-writer 45.1s vs bypass(200) 47.6s; median
-      // per-query ratio 1.01 with the file-create-heavy shapes
-      // clearly favoring sort (x10 0.89s vs 1.68s, m2 0.97s vs
-      // 1.81s) and nothing losing more than ~20%. Verdict: keep 0.
-      // The r8 outliers (j6 3.0s, x10 4.7s, x6/x7/x9 1.5-6x vs r6)
-      // all vanished on re-run with UNCHANGED plans (j6 0.43s, x10
-      // 0.89-1.03s) — run-context (loaded machine / FS debt), not
-      // the sort-writer trade. Same for r9's x11 0.71s (code
-      // unchanged since r7): isolated r10 Probe steady-state is
-      // 0.34-0.44s across 5 runs.
-      // SPARK_GRAFT_BYPASS exists only for that A/B; the driver never
-      // sets it.
-      .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
-      // ContextCleaner only deletes shuffle/broadcast files when a GC
-      // collects their weak references; with an 8g heap and tiny SF
-      // data a full GC may never happen, so block files pile up until
-      // mid-suite queries crawl (measured: g4 47s -> 0.6s, j10 DNF ->
-      // 1.2s once the cleaner runs on a 45s cadence vs the 30min
-      // default)
-      .config("spark.cleaner.periodicGC.interval", "45s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // session knobs + measured rationale live in GraftSession.harness
+    // (one definition for Bench/Verify/probes; r9 A/B history there)
+    val spark = GraftSession.harness(cpus)
     // Per-query shuffle-write tally (round-11 ask: make the FS-regime
     // sensitivity story empirical, not narrative). Sort-based shuffle
     // writes 1 data + 1 index file per map task with output, so
@@ -126,13 +94,24 @@ object Bench {
     // for queries whose last timed pass executed the operator
     val gtkStats =
       scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
+    // a pass that times out (or fails) can leave a straggler task
+    // alive — Budget cancels the job group, but a task stuck in
+    // non-interrupt-polling code finishes LATER and posts its
+    // task-end counters into whichever snapshot window is open then.
+    // The window immediately after a timeout therefore records no
+    // attribution (absent beats wrong; any clean pass supplies the
+    // plan-determined volume). One-window discard — a straggler
+    // outliving a whole further pass is possible but unobserved.
+    var tainted = false
     val results = names.map { name =>
       onePass(name, warmupBudget) match {
         case Budget.TimedOut =>
           System.err.println(s"[bench] $name TIMEOUT in warmup (${warmupBudget}s)")
+          tainted = true
           name -> -1.0
         case Budget.Failed(e) =>
           System.err.println(s"[bench] $name FAILED in warmup: $e")
+          tainted = true
           name -> -1.0
         case Budget.Done(_, _) =>
           val times = (1 to 2).flatMap { _ =>
@@ -142,14 +121,20 @@ object Bench {
                 val (t1, b1, g1, c1, s1) = shuffleSnap()
                 // last successful pass wins: shuffle volume is
                 // plan-determined, identical across passes
-                shuffleStats(name) = (2 * (t1 - t0), b1 - b0)
-                if (g1 > g0) gtkStats(name) = (g1 - g0, c1 - c0, s1 - s0)
+                if (!tainted) {
+                  shuffleStats(name) = (2 * (t1 - t0), b1 - b0)
+                  if (g1 > g0)
+                    gtkStats(name) = (g1 - g0, c1 - c0, s1 - s0)
+                }
+                tainted = false
                 Some(sec)
               case Budget.TimedOut =>
                 System.err.println(s"[bench] $name TIMEOUT (${Budget.DefaultSec}s)")
+                tainted = true
                 None
               case Budget.Failed(e) =>
                 System.err.println(s"[bench] $name FAILED: $e")
+                tainted = true
                 None
             }
           }
@@ -160,7 +145,11 @@ object Bench {
       .mkString("{", ",", "}")
     val sh = results.flatMap { case (k, _) =>
       shuffleStats.get(k).map { case (files, bytes) =>
-        f""""$k":{"files":$files,"mb":${bytes / 1048576.0}%.2f}"""
+        // locale-independent 2dp: the f interpolator uses the JVM
+        // default locale, and a comma-decimal locale would emit
+        // "mb":1,23 — breaking the driver's JSON parse of this line
+        val mb2 = math.round(bytes / 1048576.0 * 100) / 100.0
+        s""""$k":{"files":$files,"mb":$mb2}"""
       }
     }.mkString("{", ",", "}")
     val gtk = results.flatMap { case (k, _) =>

@@ -45,9 +45,9 @@ object Examples {
     val analyses = Ledger.pending(
       store.analyses(spark), ledgerDir, "_id").persist()
     try {
+      // buildHashLookup already returns (slide, real_hash) keyed the
+      // way documents() joins it — no translation step needed
       val hashes = HashRepairJob.buildHashLookup(spark, svsGlob)
-        .withColumnRenamed("slide", "slide_key")
-        .select(col("slide_key").as("slide"), col("real_hash"))
       val docs = M.documents(store.marks(spark), analyses, hashes)
       TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
       Ledger.record(analyses.select("_id"), ledgerDir)

@@ -52,7 +52,41 @@ object GraftSession {
     // silently dropped, and oracle-verified behavior requires these
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the headline right-sized-shuffle knob must survive the
+    // pre-existing-session path too (it is runtime-settable) — but
+    // only when WE chose the master: an external --master keeps the
+    // cluster's own partitioning
+    if (!sys.props.contains("spark.master") &&
+      !sys.env.contains("SPARK_MASTER_URL"))
+      spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
     graft.expressions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** THE harness session (Bench/Verify/Probe/ScaleLadder/
+    * StreamLadder): local[cpus] with the measured container knobs.
+    * One definition — a tuning change validated in Bench must not
+    * silently miss the correctness dump or the probes (they MUST run
+    * under the same engine). Keep
+    * `spark.shuffle.sort.bypassMergeThreshold=0`: the bypass-merge
+    * writer creates numPartitions files per map task and this
+    * container's FS degrades over a long run until trivial queries
+    * take minutes (round-7 timeout cascade; r9 A/B in Bench's
+    * history). `SPARK_GRAFT_BYPASS` exists only for that A/B — the
+    * driver never sets it. The 45s periodic GC keeps the
+    * ContextCleaner deleting shuffle/broadcast files on small heaps
+    * that would otherwise never collect. */
+  def harness(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      .config("spark.cleaner.periodicGC.interval", "45s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     spark
   }
 

@@ -8,18 +8,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // see Bench: 1 shuffle file per map task, not numPartitions
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
-      // see Bench: frequent GC keeps the ContextCleaner deleting
-      // shuffle/broadcast files across a long probe session
-      .config("spark.cleaner.periodicGC.interval", "45s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.harness(cpus)
     // in-process stack sampler (attach/SIGQUIT are blocked in the
     // sandbox): every 200ms, tally the top interesting frame of each
     // runnable executor/worker thread

@@ -141,15 +141,7 @@ object ScaleLadder {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE10_DIR",
       "target/scale10")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
-      .config("spark.cleaner.periodicGC.interval", "45s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.harness(cpus)
     val names = if (args.nonEmpty) args.toSeq else DefaultQueries
     if (names.exists(!GraphQueries.contains(_)) &&
       !new java.io.File(s"$out/documents.parquet").exists()) {

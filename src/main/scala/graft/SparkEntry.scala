@@ -19,7 +19,7 @@ object SparkEntry {
     * construction must stay lazy (bounded collects excepted), and the
     * wrapper turns any reintroduced eager-probe call into an
     * immediate failure instead of a silent harness-wide slowdown. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.queries ++ TextDedupQueries.queries ++
       SimilarityQueries.queries ++ GeomQueries.queries ++
       EventTimeQueries.queries ++ MultimodalQueries.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
           Broadcasting.duringConstruction(build(s, dir)))
       }
 
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextDedupQueries.oracle ++
       SimilarityQueries.oracle ++ GeomQueries.oracle ++
       EventTimeQueries.oracle ++ MultimodalQueries.oracle ++

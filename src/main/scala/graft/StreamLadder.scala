@@ -182,15 +182,7 @@ object StreamLadder {
     // families so the cross-mode pair-equality witness stays
     // nonempty; all other texts are hash-distinct (no LSH structure).
     val synthDocs = if (args.length > 4) args(4).toLong else 0L
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
-      .config("spark.cleaner.periodicGC.interval", "45s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.harness(cpus)
     val out = "target/stream_ladder"
     val docs =
       if (synthDocs <= 0)

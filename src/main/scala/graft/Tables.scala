@@ -32,8 +32,25 @@ object Tables {
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // the legacy nanos flag is consumed at scan EXECUTION too, so it
+    // cannot be set-and-restored around the read — once a nanos file
+    // is in play the session needs it until the query runs. Instead
+    // it is set ONLY when the footer actually requires it (the read
+    // throws on TIMESTAMP(NANOS) without it), so non-nanos testdata
+    // generations leave session state untouched and unrelated parquet
+    // reads keep Spark's default loud behavior.
+    def read() = spark.read.parquet(s"$dir/events.parquet")
+    val raw =
+      try read()
+      catch {
+        case e: Exception
+          if Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null).take(5)
+            .exists(t => Option(t.getMessage)
+              .exists(_.contains("TIMESTAMP(NANOS"))) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          read()
+      }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))

@@ -116,14 +116,10 @@ final class SocketMarkStore(options: Map[String, String])
 }
 
 object SocketMarkStore {
-  /** JSON string literal (escaped). */
-  private[sources] def js(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  /** JSON string literal (escaped) — the shared graft.Json escaper
+    * (its \n/\r/\t shortcuts decode identically to the \u form this
+    * wire previously emitted). */
+  private[sources] def js(s: String): String = graft.Json.str(s)
 
   private def jopt(o: Option[String]): String = o.fold("null")(js)
 

@@ -20,4 +20,19 @@ class GraftSessionSpec extends SparkTestBase {
       .collect().head.getDouble(0)
     assert(r == 11.0)
   }
+
+  test("create() re-applies shuffle.partitions on a PRE-EXISTING " +
+    "session (builder configs are silently dropped there)") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "200") // the default pathology
+      val s = GraftSession.create(cores = 8)
+      assert(s eq spark) // getOrCreate returned the existing session
+      assert(s.conf.get(key) == "8",
+        "the headline right-sized-shuffle knob must survive the " +
+          "pre-existing-session path")
+    } finally spark.conf.set(key, before)
+  }
+
 }

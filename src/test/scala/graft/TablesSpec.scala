@@ -78,4 +78,25 @@ class TablesSpec extends SparkTestBase {
           expected(name)}")
     }
   }
+
+  test("loadEvents sets the legacy nanos flag ONLY when the footer " +
+    "needs it - a micros file leaves session state untouched") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val dir = java.nio.file.Files.createTempDirectory("ev_micros")
+      .toString
+    spark.range(5).select(col("id").as("event_id"),
+      expr("timestamp_micros(id * 1000000)").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val before = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key)
+      assert(Tables.load(spark, dir, "events").count() == 5)
+      // the key stays at its registered default ("false") — getOption
+      // surfaces the default, so assert the VALUE, not absence
+      assert(spark.conf.get(key) == "false",
+        "reading a non-nanos events file must not mutate the session")
+    } finally before.foreach(spark.conf.set(key, _))
+  }
+
 }
