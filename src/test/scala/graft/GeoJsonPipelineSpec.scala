@@ -49,6 +49,18 @@ class GeoJsonPipelineSpec extends SparkTestBase {
     assert(!ttl.contains("rdfs:member") && ttl.endsWith(" .\n"))
   }
 
+  test("plan: documents() reads the JSON corpus ONCE (headers ride " +
+    "the exploded rows, no rejoin)") {
+    val plan = GeoJsonPipeline.run(spark, fixtureDir, "T")
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan json".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 json scan, got $scans:\n" +
+      plan.linesIterator.filter(_.contains("FileScan"))
+        .mkString("\n"))
+    // and no join resurfaced (the old shape joined headers back on)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("degenerate points drop the FEATURE (reference's except→None), " +
     "not the job, and null measurement values never print as 'null'") {
     import java.nio.file.Files
