@@ -34,10 +34,9 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** e6 integer quantization of (vec_id, embedding) — shared by the
-    * fit loop and the k-means‖ init. */
-  /** Package-shared e6 quantization — Pq's codes are oracle-exact
-    * only because fit and code assignment agree bit-for-bit, so the
-    * spelling lives in ONE place. */
+    * fit loop, the k-means‖ init, and Pq's code assignment: PQ codes
+    * are oracle-exact only because fit and assignment agree
+    * bit-for-bit, so the spelling lives in ONE place. */
   private[operators] def quantizeE6(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), expr(
       """transform(embedding,

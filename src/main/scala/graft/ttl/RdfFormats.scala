@@ -128,8 +128,13 @@ object RdfXml {
           if a.getNamespaceURI != null && a.getNamespaceURI != RdfNs &&
             a.getNamespaceURI != "http://www.w3.org/2000/xmlns/" &&
             a.getNamespaceURI != "http://www.w3.org/XML/1998/namespace" =>
+          // property-attribute literals take the IN-SCOPE xml:lang
+          // exactly like property-element literals (the spec's
+          // literal-language := e.language) — the two spellings of
+          // one document must emit the same RDF term
+          val lit = "\"" + TurtleParser.escape(a.getValue) + "\""
           out += Triple(subj, s"<${a.getNamespaceURI}${a.getLocalName}>",
-            "\"" + TurtleParser.escape(a.getValue) + "\"")
+            inheritedLang(e).map(l => lit + "@" + l).getOrElse(lit))
         // a namespace-less attribute (bare `xmlns` declares the default
         // namespace and carries the xmlns NS URI, so it is NOT this
         // case) would become a "<nullfoo>" predicate — fail loudly
@@ -846,8 +851,21 @@ object Rdf {
     // file "file:///tmp/x" while Hadoop's Path.toString spells it
     // "file:/tmp/x" — hashing the raw string would give the SAME
     // document different bnode tags depending on which API loaded it.
-    // (scheme, authority, path) from the parsed URI is spelling-free.
-    val uri = new org.apache.hadoop.fs.Path(f).toUri
+    // ENCODING too: input_file_name is percent-encoded ("a%20b.nt")
+    // while FileStatus.getPath.toString is decoded ("a b.nt"). A
+    // strict java.net.URI parse succeeds exactly on the encoded
+    // spelling and DECODES it; the decoded spelling (spaces make the
+    // strict parse throw) falls back to the Hadoop Path route
+    // unchanged — both APIs then hash identical decoded components.
+    // (A literal "%XX" inside an already-decoded name is the one
+    // ambiguous corner; it decodes here, trading that rare name for
+    // correct tags on every encoded one.)
+    val uri =
+      try new java.net.URI(f)
+      catch {
+        case _: java.net.URISyntaxException =>
+          new org.apache.hadoop.fs.Path(f).toUri
+      }
     val canon = s"${Option(uri.getScheme).getOrElse("")}://" +
       s"${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
     graft.Hex.digest("SHA-256",

@@ -131,11 +131,11 @@ object Turtle {
   }
 
   /** Line-based N-Triples load: fully splittable (no wholetext), the
-    * 100 TB-safe reader. */
-  def readNTriples(spark: SparkSession, path: String): Dataset[Triple] = {
-    import spark.implicits._
-    spark.read.text(path).as[String].flatMap(parseLine _)
-  }
+    * 100 TB-safe reader. Delegates to Rdf.load so blank nodes are
+    * document-scoped here too — the two public nt entry points must
+    * not disagree on whether `_:b0` of two files is one node. */
+  def readNTriples(spark: SparkSession, path: String): Dataset[Triple] =
+    Rdf.load(spark, path, "nt")
 
   /** S10 (U-RDF:285-300 analog): graph load for the grouped BLOCK
     * layout `serialize` emits (`subject\n  p o ;\n  p o .`): blocks

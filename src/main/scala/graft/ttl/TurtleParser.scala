@@ -78,9 +78,16 @@ object TurtleParser {
   private val XsdDouble = "<http://www.w3.org/2001/XMLSchema#double>"
   private val XsdBoolean = "<http://www.w3.org/2001/XMLSchema#boolean>"
 
-  /** Turtle's bare DOUBLE grammar: mantissa + mandatory exponent
-    * (without an exponent a dotted token is a DECIMAL). */
-  private val BareDouble = "[+-]?([0-9]+\\.[0-9]*|\\.?[0-9]+)[eE][+-]?[0-9]+"
+  /** Bare DOUBLE lexicals this parser can RE-READ: mantissa +
+    * mandatory exponent (without an exponent a dotted token is a
+    * DECIMAL), and the fraction must be NON-EMPTY when a dot is
+    * present — the Turtle grammar admits `1.E0`, but
+    * readBareTokenRaw stops at a dot not followed by a digit, so
+    * canonicalizing such a lexical to bare form would emit a term
+    * the engine cannot parse back. `"1.E0"^^xsd:double` therefore
+    * stays in quoted-typed form (still ONE canonical spelling,
+    * shared by every reader via canonTyped). */
+  private val BareDouble = "[+-]?([0-9]+\\.[0-9]+|\\.?[0-9]+)[eE][+-]?[0-9]+"
 
   /** Canonical term for a typed literal with UNESCAPED lexical `lex`
     * and expanded datatype term `dt` (`<...>`). Turtle's bare tokens

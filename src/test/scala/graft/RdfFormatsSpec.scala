@@ -703,6 +703,64 @@ class RdfFormatsSpec extends SparkTestBase {
       "<http://www.w3.org/2001/XMLSchema#double>") == "1.2e3")
   }
 
+  test("empty-fraction doubles (1.E0) stay QUOTED-typed: the bare " +
+    "spelling would be unreadable by the engine's own parser") {
+    val dt = "<http://www.w3.org/2001/XMLSchema#double>"
+    val term = TurtleParser.canonTyped("1.E0", dt)
+    assert(term == "\"1.E0\"^^" + dt, term)
+    // the canonical term round-trips through the engine's own
+    // serializer + parser (a bare 1.E0 would crash the re-read)
+    val ts = Seq(Triple("<urn:s>", "<http://e/p>", term))
+    assert(TurtleParser.parse(Rdf.serialize(ts, "turtle")) == ts)
+    assert(TurtleParser.bareTokenDatatype("12.e3")
+      .contains("XMLSchema#decimal") ||
+      !TurtleParser.canonTyped("12.e3", dt).startsWith("1"),
+      "empty-fraction lexicals must never classify as bare doubles")
+  }
+
+  test("RDF/XML property-ATTRIBUTE literals take the in-scope " +
+    "xml:lang, like property elements") {
+    val got = RdfXml.parse(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |  xmlns:dc="http://purl.org/dc/terms/" xml:lang="en">
+        |  <rdf:Description rdf:about="http://x" dc:title="Hello"/>
+        |</rdf:RDF>""".stripMargin)
+    assert(got == Seq(Triple("<http://x>",
+      "<http://purl.org/dc/terms/title>", "\"Hello\"@en")), got)
+  }
+
+  test("bnode tags agree between the Dataset loader (encoded " +
+    "input_file_name) and parseDocument (decoded connector path) " +
+    "even with a SPACE in the file name") {
+    val dir = java.nio.file.Files.createTempDirectory("tag enc").toString
+    val body = "_:b0 <http://x/p> \"v\" .\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a b.nt"), body.getBytes("UTF-8"))
+    val viaLoad = Rdf.load(spark, dir + "/*.nt", "nt").collect()
+      .map(_.s).toSeq
+    val viaDoc = Rdf.parseDocument(
+      java.nio.file.Paths.get(dir, "a b.nt").toUri.toString
+        .replace("%20", " "), // the connector's DECODED spelling
+      body, "nt").map(_.s)
+    assert(viaLoad.length == 1 && viaDoc.length == 1)
+    assert(viaLoad.head == viaDoc.head,
+      s"tags diverge across APIs: ${viaLoad.head} vs ${viaDoc.head}")
+  }
+
+  test("Turtle.readNTriples document-scopes blank nodes like " +
+    "Rdf.load — the two nt entry points agree") {
+    val dir = java.nio.file.Files.createTempDirectory("ntpub").toString
+    for (n <- Seq("a", "b"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$n.nt"),
+        "_:b0 <http://x/p> \"v\" .\n".getBytes("UTF-8"))
+    val got = graft.ttl.Turtle.readNTriples(spark, dir + "/*.nt")
+      .collect()
+    assert(got.length == 2 && got.map(_.s).distinct.length == 2,
+      got.toSeq)
+  }
+
   test("RDF/XML rdf:type property attribute emits the type triple; " +
     "other rdf:* node attributes stay loud") {
     val got = RdfXml.parse(
