@@ -63,10 +63,27 @@ object GeomFunctions {
       .when(element_at(pts, 1) === element_at(pts, -1), pts)
       .otherwise(concat(pts, array(element_at(pts, 1))))
 
+  /** Every point of every ring has both coordinates. A degenerate
+    * point ([], [x]) anywhere in dirty input would otherwise throw
+    * INVALID_ARRAY_INDEX out of the coordinate accessors under
+    * Spark 4's default ANSI mode, aborting the whole query — the
+    * st_* family null-propagates instead (same convention as NULL
+    * geometry, r17). NULL points make this NULL, which the `when`
+    * wrappers pass through. */
+  private def pointsWellFormed(geom: Column): Column =
+    forall(flatten(geom), p => size(p) >= 2)
+
+  private def ringPointsWellFormed(ring: Column): Column =
+    forall(ring, p => size(p) >= 2)
+
   /** F1: WKT of the outer ring only, NO ring closure, "%.2f" formatting.
     */
-  def wktOuterRing(geom: Column): Column =
-    ringToWkt(outerRing(geom))
+  def wktOuterRing(geom: Column): Column = {
+    val r = outerRing(geom)
+    // NULL on a degenerate point (reference: except -> None), not an
+    // ANSI crash from the coordinate accessors
+    when(ringPointsWellFormed(r), ringToWkt(r))
+  }
 
   /** F3: WKT with coordinates denormalized from [0,1] to pixel space
     * (x*width, y*height), "%.2f", operating on the outer ring closed.
@@ -93,7 +110,10 @@ object GeomFunctions {
     val closed = when(size(pairs) === 0, pairs)
       .when(element_at(pairs, 1) === element_at(pairs, -1), pairs)
       .otherwise(concat(pairs, array(element_at(pairs, 1))))
-    concat(lit("POLYGON (("), concat_ws(", ", closed), lit("))"))
+    // NULL on a degenerate point (reference: except → None), never an
+    // ANSI crash; well-formed rings skip straight to the body
+    when(ringPointsWellFormed(ring),
+      concat(lit("POLYGON (("), concat_ws(", ", closed), lit("))")))
   }
 
   private def ringToWkt(ring: Column): Column =
@@ -106,19 +126,19 @@ object GeomFunctions {
   /** Shoelace area of the outer ring (assumed closed); |Σ cross|/2. */
   def stArea(geom: Column): Column = {
     val r = outerRing(geom)
-    abs(aggregate(
+    when(pointsWellFormed(geom), abs(aggregate(
       idx(size(r) - 1),
       lit(0.0),
       (acc, i) => acc
         + element_at(element_at(r, i), 1) * element_at(element_at(r, i + 1), 2)
         - element_at(element_at(r, i + 1), 1) * element_at(element_at(r, i), 2)
-    )) / 2
+    )) / 2)
   }
 
   /** Perimeter of the outer ring (assumed closed). */
   def stPerimeter(geom: Column): Column = {
     val r = outerRing(geom)
-    aggregate(
+    when(pointsWellFormed(geom), aggregate(
       idx(size(r) - 1),
       lit(0.0),
       (acc, i) => {
@@ -127,16 +147,16 @@ object GeomFunctions {
         val dy = element_at(element_at(r, i + 1), 2) -
           element_at(element_at(r, i), 2)
         acc + sqrt(dx * dx + dy * dy)
-      })
+      }))
   }
 
   /** Envelope (xmin, ymin, xmax, ymax) over ALL rings. */
   def stEnvelope(geom: Column): Column = {
     val xs = flatten(transform(geom, r => transform(r, p => element_at(p, 1))))
     val ys = flatten(transform(geom, r => transform(r, p => element_at(p, 2))))
-    struct(
+    when(pointsWellFormed(geom), struct(
       array_min(xs).as("xmin"), array_min(ys).as("ymin"),
-      array_max(xs).as("xmax"), array_max(ys).as("ymax"))
+      array_max(xs).as("xmax"), array_max(ys).as("ymax")))
   }
 
   /** Simple validity: outer ring exists, has ≥ 4 points, and is closed.
@@ -162,6 +182,7 @@ object GeomFunctions {
     * pipelines inside the scan like stArea/stPerimeter. */
   def stContains(geom: Column, px: Column, py: Column): Column = {
     val r = close_ring(outerRing(geom))
+    val wf = pointsWellFormed(geom)
     val crossings = aggregate(
       idx(size(r) - 1),
       lit(0),
@@ -175,7 +196,7 @@ object GeomFunctions {
           px < x1 + (x2 - x1) * (py - y1) / (y2 - y1)
         acc + when(straddles && crossesRight, 1).otherwise(0)
       })
-    crossings % 2 === 1
+    when(wf, crossings % 2 === 1)
   }
 
   /** F18 `.geom_type` accessor (`get_geometry_type`,

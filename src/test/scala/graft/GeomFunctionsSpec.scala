@@ -92,6 +92,31 @@ class GeomFunctionsSpec extends SparkTestBase {
       "POLYGON ((0.11 0.00, 5.00 5.00, 0.11 0.00))")
   }
 
+  test("degenerate POINTS ([], [x]) null-propagate through the " +
+    "whole st_* family instead of ANSI-crashing the query") {
+    // a one-coordinate point inside an otherwise-valid ring: every
+    // coordinate accessor would throw INVALID_ARRAY_INDEX under
+    // Spark 4's default ANSI mode — the family must answer NULL
+    // (dirty input), like it does for NULL geometry
+    val dirty = expr(
+      "array(array(array(0.0d,0.0d), array(5.0d), array(2.0d,2.0d)))")
+    assert(one(stArea(dirty)) == null)
+    assert(one(stPerimeter(dirty)) == null)
+    assert(one(stEnvelope(dirty)) == null)
+    assert(one(stContains(dirty, lit(1.0), lit(1.0))) == null)
+    assert(one(wktOuterRing(dirty)) == null)
+    assert(one(wktDenormalized(dirty, lit(10.0), lit(10.0))) == null)
+    // and a fully empty point array
+    val empty = expr("array(array(array(0.1d,0.2d), array()))")
+    assert(one(stArea(empty.cast(
+      "array<array<array<double>>>"))) == null)
+    // well-formed geometry is untouched by the guard
+    val ok = expr(
+      "array(array(array(0.0d,0.0d), array(2.0d,0.0d), " +
+        "array(2.0d,2.0d), array(0.0d,0.0d)))")
+    assert(one(stArea(ok)) == 2.0)
+  }
+
   test("degenerate colon strings do not crash (sequence(1,0) guard)") {
     for (s <- Seq("[]", "[7]", "[1:2]")) {
       val g = polygonFromColonString(lit(s))
