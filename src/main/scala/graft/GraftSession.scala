@@ -54,10 +54,11 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // the headline right-sized-shuffle knob must survive the
     // pre-existing-session path too (it is runtime-settable) — but
-    // only when WE chose the master: an external --master keeps the
-    // cluster's own partitioning
-    if (!sys.props.contains("spark.master") &&
-      !sys.env.contains("SPARK_MASTER_URL"))
+    // only for a LOCAL session: guard on the live session's master,
+    // not sys.props/env, because a pre-existing session built with
+    // builder.master("yarn"/"spark://…") never surfaces in either
+    // and must keep the cluster's own partitioning
+    if (spark.sparkContext.master.startsWith("local"))
       spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
     graft.expressions.GraftFunctions.register(spark)
     spark

@@ -79,10 +79,17 @@ object GeoJsonPipeline {
       |   acc))""".stripMargin)
 
   /** F1: outer-ring WKT, raw float formatting, NO ring closure. A
-    * degenerate point ([], [x]) yields NULL — the reference's bare
-    * except → None → feature skipped (json-etl:27-42); indexing it
-    * unguarded would abort the whole job under Spark 4's default ANSI
-    * mode instead. */
+    * degenerate point ([], [x]) yields NULL and the feature is
+    * skipped. DELIBERATE deviation: json-etl's polygon_to_wkt
+    * (json-etl:27-42) has no try/except, so its IndexError propagates
+    * to process_single_file's file-level except (json-etl:208) and
+    * the reference emits NO output file for that input; the
+    * bare-except → None → skip-the-feature pattern belongs to
+    * mongo-etl's polygon_to_wkt (mongodb_to_rdf.py:240-261). We skip
+    * at feature level (keeping the rest of the document) rather than
+    * dropping the whole file or aborting the job under Spark 4's
+    * default ANSI mode — one dirty feature should not erase its
+    * siblings' output at 100 TB. */
   private val wktRaw: Column = {
     val ring = expr("geometry.coordinates[0]")
     when(expr("size(geometry.coordinates) >= 1") &&

@@ -234,9 +234,12 @@ object MongoMarksPipeline {
     // the same paths and TtlFileSink's unique-path contract breaks —
     // one analysis's documents silently lost (the reference last-wins
     // overwrites in that case). Keep ONE analysis per (exec, image),
-    // deterministically the lowest analysis_id, BEFORE the mark join.
+    // deterministically the HIGHEST analysis_id, BEFORE the mark
+    // join: the reference's overwrite keeps the last-processed
+    // analysis, and its cursor walks ascending ObjectIds — max _id is
+    // the closest deterministic proxy for that winner.
     val dedupW = Window.partitionBy(col("exec_id"), col("image_id"))
-      .orderBy(col("analysis_id"))
+      .orderBy(col("analysis_id").desc)
     val aSide = analysisSide(analyses, slideHashes)
       .withColumn("a_rn", row_number().over(dedupW))
       .filter(col("a_rn") === 1).drop("a_rn")

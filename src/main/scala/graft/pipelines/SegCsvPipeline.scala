@@ -106,17 +106,24 @@ object SegCsvPipeline {
     // arrival order, which varies across runs when several map tasks
     // feed one group (multi-split CSVs, speculative retries) — the
     // sibling pipelines sort by pos/rn for exactly this reason.
-    // monotonically_increasing_id is (partition id, row-in-partition):
-    // deterministic for a deterministic scan, and equal to file row
-    // order whenever a CSV fits one split (a patch's CSV always does).
+    // monotonically_increasing_id alone is NOT file order for a CSV
+    // larger than one split: ids are (partition id, row-in-partition)
+    // and Spark packs file splits into FilePartitions in DESCENDING
+    // split-size order, so a later split can land in an earlier
+    // partition. Prefixing the sort key with input_file_block_start()
+    // (the split's byte offset within its file) restores exact file
+    // row order with no single-split assumption: splits sort by file
+    // offset, rows within a split by the monotonic id.
     val byFile = withMeta
+      .withColumn("split_off", expr("input_file_block_start()"))
       .withColumn("row_pos", monotonically_increasing_id())
       .withColumn("fragment", frag)
       .groupBy(col("path"), col("image_name"), col("cancer_type"),
         col("base_name"), col("image_hash"),
         col("patch_x"), col("patch_y"), col("patch_w"), col("patch_h"))
       .agg(concat_ws(";\n", expr("transform(array_sort(collect_list(" +
-        "named_struct('pos', row_pos, 'f', fragment))), x -> x.f)"))
+        "named_struct('off', split_off, 'pos', row_pos, 'f', fragment)" +
+        ")), x -> x.f)"))
         .as("members"))
 
     byFile.select(

@@ -142,14 +142,15 @@ class MongoMarksPipelineSpec extends SparkTestBase {
   }
 
   test("two analysis docs sharing (exec, image) never collide on " +
-    "rel_path — lowest analysis_id wins deterministically") {
+    "rel_path — highest analysis_id wins (reference last-wins proxy)") {
     import spark.implicits._
     val marks = MongoMarksPipeline.readMarks(spark, s"$fx/marks.jsonl")
-    // duplicate every fixture analysis under a LOWER and a higher id
+    // duplicate every fixture analysis under a LOWER id ("00-" sorts
+    // before any hex ObjectId) — max-wins must keep the original
     val base = spark.read.text(s"$fx/analyses.jsonl").as[String]
       .collect()
     val dup = base.flatMap { line =>
-      Seq(line.replaceFirst("\"_id\"\\s*:\\s*\"", "\"_id\":\"zz-"),
+      Seq(line.replaceFirst("\"_id\"\\s*:\\s*\"", "\"_id\":\"00-"),
         line)
     }
     val analyses = spark.read
@@ -159,8 +160,9 @@ class MongoMarksPipelineSpec extends SparkTestBase {
     val paths = out.map(_.getAs[String]("rel_path"))
     assert(paths.distinct.length == paths.length,
       s"colliding rel_paths: ${paths.mkString(", ")}")
-    // the kept analysis is the LOWEST id — "zz-…" never appears
-    assert(out.forall(!_.getAs[String]("ttl").contains("zz-")), "zz won")
+    // the kept analysis is the HIGHEST id — "00-…" never appears
+    assert(out.forall(!_.getAs[String]("ttl").contains("00-")),
+      "00 won")
     // and the output equals the single-analysis golden run exactly
     assert(out.map(r => r.getAs[String]("rel_path") ->
       r.getAs[String]("ttl")).toMap ==

@@ -57,6 +57,39 @@ class SegCsvPipelineSpec extends SparkTestBase {
     assert(a.values.forall(_.nonEmpty))
   }
 
+  test("a CSV split across multiple FilePartitions still serializes " +
+    "members in file row order") {
+    // Spark packs splits into partitions by DESCENDING split size, so
+    // partition ids alone are not file order — the pipeline's
+    // input_file_block_start() sort prefix is what this pins.
+    val tmp = Files.createTempDirectory("segsplit")
+    val dir = tmp.resolve("x_polygon/I.svs.tar.gz/x_polygon/I.svs")
+    Files.createDirectories(dir)
+    val n = 500
+    val rows = (1 to n).map(i => s"$i,1.5,[1:2:3:4:5:6]").mkString("\n")
+    Files.writeString(dir.resolve("1_2_3_4_z-features.csv"),
+      s"AreaInPixels,PhysicalSize,Polygon\n$rows\n")
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.files.maxPartitionBytes"),
+      conf.get("spark.sql.files.openCostInBytes"))
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val scanned = SegCsvPipeline.read(spark, tmp.toString)
+      assert(scanned.rdd.getNumPartitions > 1,
+        s"test is vacuous: ${scanned.rdd.getNumPartitions} partition(s)")
+      val out = SegCsvPipeline.run(spark, tmp.toString, "T").collect()
+      assert(out.length == 1)
+      val areas = "hal:areaInPixels    \"(\\d+)\"".r
+        .findAllMatchIn(out.head.getAs[String]("ttl"))
+        .map(_.group(1).toInt).toSeq
+      assert(areas == (1 to n), s"member order broke: ${areas.take(20)}")
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", saved._1)
+      conf.set("spark.sql.files.openCostInBytes", saved._2)
+    }
+  }
+
   test("filename-parse fallback (0,0,40000,40000) matches reference") {
     val g = golden("seg_expected_fallback.ttl")
     val ts = "dc:date\\s+\"([^\"]+)\"".r.findFirstMatchIn(g).get.group(1)
