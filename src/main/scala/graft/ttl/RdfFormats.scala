@@ -740,7 +740,7 @@ object JsonLd {
             val lit =
               if (v.isTextual)
                 "\"" + TurtleParser.escape(v.asText) + "\""
-              else v.asText // bare numeric/boolean, canonical form
+              else nativeToken(v) // bare numeric/boolean, canonical
             Option(o.get("@language")).map(l => lit + "@" + l.asText)
               .getOrElse(lit)
         }
@@ -760,9 +760,43 @@ object JsonLd {
             term.flatMap(_.lang).orElse(ctx.lang.map(Some(_)))
               .flatten.map(l => lit + "@" + l).getOrElse(lit)
         }
-      case v => v.asText // number / boolean as bare canonical token
+      case v => nativeToken(v)
     }
+
+    /** JSON-LD data round-tripping: integral JSON numbers are
+      * xsd:integer, booleans xsd:boolean (both already canonical as
+      * `asText`), but non-integral numbers are xsd:DOUBLE in the
+      * CANONICAL XSD lexical form (`1.5E0`, one mantissa digit) — the
+      * engine's bare-double spelling of that same literal. Emitting
+      * `1.5` here would silently change the datatype to xsd:decimal. */
+    private def nativeToken(v: JsonNode): String =
+      if (v.isNumber && !v.isIntegralNumber)
+        canonicalXsdDouble(v.asDouble)
+      else v.asText
   }
+
+  /** Canonical XSD double lexical: `[-]d.dddE[-]e`, exactly one
+    * nonzero leading mantissa digit, no trailing zeros (xsd:double
+    * canonical representation, XML Schema Part 2 §3.2.5.2). */
+  private[ttl] def canonicalXsdDouble(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "INF"
+    else if (d.isNegInfinity) "-INF"
+    else if (d == 0.0) { if (1 / d < 0) "-0.0E0" else "0.0E0" }
+    else {
+      val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
+      val unscaled = bd.unscaledValue.abs.toString
+      val sign = if (bd.signum < 0) "-" else ""
+      val digits = unscaled.reverse.dropWhile(_ == '0').reverse match {
+        case "" => "0"
+        case x => x
+      }
+      val exp = unscaled.length - bd.scale - 1
+      val mant =
+        if (digits.length == 1) digits + ".0"
+        else digits.head + "." + digits.tail
+      s"$sign${mant}E$exp"
+    }
 
   /** Deterministic expanded-form writer (sorted subjects/predicates). */
   def write(triples: Seq[Triple]): String = {

@@ -33,7 +33,70 @@ object TurtleParser {
 
   /** Parse a full Turtle document into triples. Throws
     * IllegalArgumentException with position info on malformed input. */
-  def parse(content: String): Seq[Triple] = new P(content).document()
+  def parse(content: String): Seq[Triple] = parse(content, None)
+
+  /** Parse with a base IRI: relative IRIs (including those introduced
+    * by `@base` / `BASE` directives, themselves resolved against the
+    * outer base) resolve per RFC 3986 §5.2. With `base = None` a
+    * relative IRI is kept verbatim — the engine's historical behavior,
+    * which its own document-local outputs (`<>` subjects) rely on. */
+  def parse(content: String, base: Option[String]): Seq[Triple] =
+    new P(content, base).document()
+
+  /** RFC 3986 §5.2 reference resolution (public spec), enough for IRI
+    * use: scheme/authority/path/query/fragment split by regex (§B),
+    * merge + dot-segment removal (§5.2.3/5.2.4). */
+  private[ttl] def resolveIri(base: String, ref: String): String = {
+    val Rfc3986 =
+      "^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
+    def parts(s: String) = s match {
+      case Rfc3986(sc, au, pa, qu, fr) =>
+        (Option(sc), Option(au), Option(pa).getOrElse(""), Option(qu),
+          Option(fr))
+    }
+    def removeDots(p: String): String = {
+      val out = mutable.ArrayBuffer[String]()
+      val abs = p.startsWith("/")
+      val segs = p.split("/", -1)
+      segs.foreach {
+        case "." => ()
+        case ".." => if (out.nonEmpty && out.last != "..") out.remove(out.length - 1)
+          else if (!abs) out += ".."
+        case s => out += s
+      }
+      // a trailing "." or ".." keeps the directory slash
+      val trail = if (p.endsWith("/.") || p.endsWith("/..") ||
+        p == "." || p == "..") "/" else ""
+      val joined = out.mkString("/") + trail
+      if (abs && !joined.startsWith("/")) "/" + joined else joined
+    }
+    val (bs, ba, bp, bq, _) = parts(base)
+    val (rs, ra, rp, rq, rf) = parts(ref)
+    val (ts, ta, tp, tq) =
+      if (rs.isDefined) (rs, ra, removeDots(rp), rq)
+      else if (ra.isDefined) (bs, ra, removeDots(rp), rq)
+      else if (rp.isEmpty) (bs, ba, bp, rq.orElse(bq))
+      else if (rp.startsWith("/")) (bs, ba, removeDots(rp), rq)
+      else {
+        // merge: base path up to last '/', then ref
+        val dir = if (ba.isDefined && bp.isEmpty) "/"
+          else bp.take(bp.lastIndexOf('/') + 1)
+        (bs, ba, removeDots(dir + rp), rq)
+      }
+    ts.map(_ + ":").getOrElse("") +
+      ta.map("//" + _).getOrElse("") + tp +
+      tq.map("?" + _).getOrElse("") + rf.map("#" + _).getOrElse("")
+  }
+
+  /** Chars RAW-forbidden inside an IRIREF (`<...>`) by the Turtle /
+    * N-Triples grammars: controls, space, and <>"{}|^`\ — they may
+    * only appear via UCHAR escapes. */
+  private[ttl] def badIriChar(c: Char): Boolean =
+    c <= ' ' || "<>\"{}|^`\\".indexOf(c) >= 0
+
+  /** LANGTAG ::= '@' [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* */
+  private[ttl] def validLangTag(tag: String): Boolean =
+    tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*")
 
   /** Distributed Turtle load: one task per file (wholetext), blank
     * nodes disambiguated per file (see Rdf.load). */
@@ -66,7 +129,13 @@ object TurtleParser {
             b.appendCodePoint(hexEscape(v, i + 2, 4)); i += 6
           case 'U' =>
             b.appendCodePoint(hexEscape(v, i + 2, 8)); i += 10
-          case other => b.append(other); i += 2
+          case other =>
+            // strict ECHAR/UCHAR set: `\x` for any other x is a
+            // syntax error per the Turtle/N-Triples grammars (W3C
+            // negative-syntax tests turtle-syntax-bad-string-*) —
+            // passing it through silently would corrupt the lexical
+            throw new IllegalArgumentException(
+              s"invalid escape '\\$other' in literal «$v»")
         }
       } else { b.append(c); i += 1 }
     }
@@ -78,16 +147,16 @@ object TurtleParser {
   private val XsdDouble = "<http://www.w3.org/2001/XMLSchema#double>"
   private val XsdBoolean = "<http://www.w3.org/2001/XMLSchema#boolean>"
 
-  /** Bare DOUBLE lexicals this parser can RE-READ: mantissa +
-    * mandatory exponent (without an exponent a dotted token is a
-    * DECIMAL), and the fraction must be NON-EMPTY when a dot is
-    * present — the Turtle grammar admits `1.E0`, but
-    * readBareTokenRaw stops at a dot not followed by a digit, so
-    * canonicalizing such a lexical to bare form would emit a term
-    * the engine cannot parse back. `"1.E0"^^xsd:double` therefore
-    * stays in quoted-typed form (still ONE canonical spelling,
-    * shared by every reader via canonTyped). */
-  private val BareDouble = "[+-]?([0-9]+\\.[0-9]+|\\.?[0-9]+)[eE][+-]?[0-9]+"
+  /** Bare DOUBLE lexicals — the full Turtle DOUBLE production:
+    * mantissa + mandatory exponent (without an exponent a dotted
+    * token is a DECIMAL), empty fraction allowed (`1.E0`):
+    * readBareTokenRaw's exponent lookahead re-reads it, so every
+    * DOUBLE lexical has ONE canonical spelling, the bare one, shared
+    * by every reader via canonTyped. */
+  private val BareDouble =
+    "[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)[eE][+-]?[0-9]+"
+  private val BareInteger = "[+-]?[0-9]+"
+  private val BareDecimal = "[+-]?[0-9]*\\.[0-9]+"
 
   /** Canonical term for a typed literal with UNESCAPED lexical `lex`
     * and expanded datatype term `dt` (`<...>`). Turtle's bare tokens
@@ -97,8 +166,8 @@ object TurtleParser {
     * spelling per RDF term across every reader (Turtle, RDF/XML,
     * JSON-LD). */
   def canonTyped(lex: String, dt: String): String = dt match {
-    case XsdInteger if lex.matches("[+-]?[0-9]+") => lex
-    case XsdDecimal if lex.matches("[+-]?[0-9]*\\.[0-9]+") => lex
+    case XsdInteger if lex.matches(BareInteger) => lex
+    case XsdDecimal if lex.matches(BareDecimal) => lex
     case XsdDouble if lex.matches(BareDouble) => lex
     case XsdBoolean if lex == "true" || lex == "false" => lex
     case _ => "\"" + escape(lex) + "\"^^" + dt
@@ -114,6 +183,17 @@ object TurtleParser {
     else if (tok.matches(BareDouble)) XsdDouble
     else XsdDecimal
 
+  /** A lexical the Turtle grammar admits as a bare token — the
+    * engine's canonical spelling for those four datatypes. */
+  private[ttl] def isBareToken(t: String): Boolean =
+    t == "true" || t == "false" || t.matches(BareInteger) ||
+      t.matches(BareDecimal) || t.matches(BareDouble)
+
+  /** `\uXXXX` / `\UXXXXXXXX` hex payload at `from` (N-Triples UCHAR
+    * decoding shares this with the Turtle reader). */
+  private[ttl] def hexEscapeAt(v: String, from: Int, len: Int): Int =
+    hexEscape(v, from, len)
+
   private def hexEscape(v: String, from: Int, len: Int): Int = {
     if (from + len > v.length)
       throw new IllegalArgumentException(
@@ -126,12 +206,23 @@ object TurtleParser {
     }
   }
 
-  private final class P(s: String) {
+  private final class P(s: String, initBase: Option[String]) {
     private var i = 0
+    private var base: Option[String] = initBase
     private val prefixes = mutable.Map[String, String]()
     private val out = mutable.ArrayBuffer[Triple]()
     private var bnCount = 0
     private val bnMap = mutable.Map[String, String]()
+
+    /** Resolve `iri` against the current base when it is relative (no
+      * scheme). Without a base, keep it verbatim (engine-internal
+      * documents use `<>` subjects with no base in scope). */
+    private def resolve(iri: String): String =
+      if (iri.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) iri
+      else base match {
+        case Some(b) => resolveIri(b, iri)
+        case None => iri
+      }
 
     private def freshBn(): String = {
       val l = s"_:b$bnCount"; bnCount += 1; l
@@ -162,7 +253,12 @@ object TurtleParser {
       ws()
       while (i < s.length) {
         if (s.regionMatches(true, i, "@prefix", 0, 7)) prefixDirective()
-        else if (s.regionMatches(true, i, "PREFIX", 0, 6) &&
+        else if (s.regionMatches(false, i, "@base", 0, 5)) {
+          i += 5; baseDirective(); ws(); expect('.')
+        } else if (s.regionMatches(true, i, "BASE", 0, 4) &&
+          i + 4 < s.length && Character.isWhitespace(s.charAt(i + 4))) {
+          i += 4; baseDirective()
+        } else if (s.regionMatches(true, i, "PREFIX", 0, 6) &&
           i + 6 < s.length && Character.isWhitespace(s.charAt(i + 6))) {
           i += 6; sparqlPrefix()
         } else statement()
@@ -177,6 +273,14 @@ object TurtleParser {
       ws(); expect('.')
     }
 
+    /** `@base <iri> .` / `BASE <iri>` — the new base itself resolves
+      * against the base in scope (RFC 3986 chained resolution). */
+    private def baseDirective(): Unit = {
+      ws()
+      if (peek != '<') fail("expected IRIREF in @base")
+      base = Some(resolve(readIriRaw()))
+    }
+
     private def sparqlPrefix(): Unit = {
       ws()
       val ns = new StringBuilder
@@ -187,7 +291,9 @@ object TurtleParser {
       if (i >= s.length) fail("unterminated @prefix directive")
       ws(); expect(':'); ws()
       if (peek != '<') fail("expected IRIREF in @prefix")
-      val iri = readIriRaw()
+      // resolved at DECLARATION time: a later @base must not move
+      // an already-declared prefix
+      val iri = resolve(readIriRaw())
       prefixes(ns.toString) = iri
     }
 
@@ -196,7 +302,7 @@ object TurtleParser {
       val subj = peek match {
         case '[' => bnodePropertyList()
         case '(' => collection()
-        case '<' => s"<${readIriRaw()}>"
+        case '<' => readIri()
         case '_' => readBlankLabel()
         case _ => readPname()
       }
@@ -234,13 +340,13 @@ object TurtleParser {
     }
 
     private def readVerb(): String =
-      if (peek == '<') s"<${readIriRaw()}>"
+      if (peek == '<') readIri()
       else if (peek == 'a' && i + 1 < s.length &&
         Character.isWhitespace(s.charAt(i + 1))) { i += 1; RdfType }
       else readPname()
 
     private def readObject(): String = peek match {
-      case '<' => s"<${readIriRaw()}>"
+      case '<' => readIri()
       case '"' | '\'' => readLiteral()
       case '[' => bnodePropertyList()
       case '(' => collection()
@@ -297,16 +403,34 @@ object TurtleParser {
       label
     }
 
+    /** IRIREF body: raw chars validated against the grammar's
+      * excluded set (controls, space, <>"{}|^`\ — W3C negative tests
+      * turtle-syntax-bad-uri-*), UCHAR escapes decoded so the
+      * canonical term carries the actual codepoints. */
     private def readIriRaw(): String = {
       expect('<')
       val b = new StringBuilder
       while (peek != '>') {
         if (i >= s.length) fail("unterminated IRI")
-        b.append(peek); i += 1
+        val c = peek
+        if (c == '\\') {
+          val e = if (i + 1 < s.length) s.charAt(i + 1) else '\u0000'
+          if (e == 'u') {
+            b.appendAll(Character.toChars(hexEscape(s, i + 2, 4))); i += 6
+          } else if (e == 'U') {
+            b.appendAll(Character.toChars(hexEscape(s, i + 2, 8))); i += 10
+          } else fail(s"invalid escape '\\$e' in IRI (only \\u/\\U)")
+        } else if (badIriChar(c)) {
+          fail(s"character '$c' (0x${c.toInt.toHexString}) not allowed " +
+            "raw in an IRI")
+        } else { b.append(c); i += 1 }
       }
       i += 1
       b.toString
     }
+
+    /** A full IRI term: IRIREF read, resolved, wrapped. */
+    private def readIri(): String = s"<${resolve(readIriRaw())}>"
 
     private def readBlankLabel(): String = {
       val b = new StringBuilder
@@ -347,9 +471,22 @@ object TurtleParser {
       // can restore `i` correctly and never strips an ESCAPED dot
       // (that one is part of the name, not a statement terminator)
       val escaped = new scala.collection.mutable.ArrayBuffer[Boolean]
-      while (isPnameChar(peek) ||
+      def isHex(c: Char) = (c >= '0' && c <= '9') ||
+        (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+      // PERCENT ::= '%' HEX HEX — kept RAW in the IRI (the grammar
+      // treats %XX as opaque name chars, NOT percent-decoding them)
+      def atPercent = peek == '%' && i + 2 < s.length &&
+        isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))
+      while (isPnameChar(peek) || atPercent ||
         (peek == '\\' && i + 1 < s.length &&
           pnLocalEsc.indexOf(s.charAt(i + 1)) >= 0)) {
+        if (atPercent) {
+          // three source chars, three name chars, none a rollback dot
+          local.append(s.charAt(i)).append(s.charAt(i + 1))
+            .append(s.charAt(i + 2))
+          escaped += true; escaped += true; escaped += true
+          i += 3
+        } else
         if (peek == '\\') {
           local.append(s.charAt(i + 1)); escaped += true; i += 2
         } else { local.append(peek); escaped += false; i += 1 }
@@ -418,7 +555,7 @@ object TurtleParser {
       val canon = "\"" + escape(lex) + "\""
       if (peek == '^' && i + 1 < s.length && s.charAt(i + 1) == '^') {
         i += 2
-        val dt = if (peek == '<') s"<${readIriRaw()}>" else readPname()
+        val dt = if (peek == '<') readIri() else readPname()
         canonTyped(lex, dt)
       } else if (peek == '@') {
         i += 1
@@ -426,14 +563,25 @@ object TurtleParser {
         while (Character.isLetterOrDigit(peek) || peek == '-') {
           tag.append(peek); i += 1
         }
+        if (!validLangTag(tag.toString))
+          fail(s"malformed language tag '@$tag'")
         canon + "@" + tag.toString
       } else canon
     }
 
     /** Bare numeric/boolean token, ended by whitespace or punctuation;
-      * a trailing '.' is the statement terminator unless followed by a
-      * digit (decimal point). */
-    private def readBareToken(): String = readBareTokenRaw()
+      * a trailing '.' is the statement terminator unless followed by
+      * a digit (decimal point) or an exponent (`1.E0` is a legal
+      * DOUBLE with empty fraction). Validated against the INTEGER /
+      * DECIMAL / DOUBLE productions — `123abc` is a syntax error
+      * (W3C turtle-syntax-bad-num-*), not a term. */
+    private def readBareToken(): String = {
+      val t = readBareTokenRaw()
+      if (!(t.matches(BareInteger) || t.matches(BareDecimal) ||
+        t.matches(BareDouble)))
+        fail(s"malformed numeric literal '$t'")
+      t
+    }
 
     private def readBareTokenRaw(): String = {
       val b = new StringBuilder
@@ -443,7 +591,10 @@ object TurtleParser {
         if (Character.isWhitespace(c) || c == ';' || c == ',' ||
           c == ']' || c == ')') go = false
         else if (c == '.' &&
-          (i + 1 >= s.length || !s.charAt(i + 1).isDigit)) go = false
+          (i + 1 >= s.length ||
+            !(s.charAt(i + 1).isDigit ||
+              ((s.charAt(i + 1) == 'e' || s.charAt(i + 1) == 'E') &&
+                b.nonEmpty && b.last.isDigit)))) go = false
         else { b.append(c); i += 1 }
       }
       if (b.isEmpty) fail("expected token")

@@ -703,19 +703,21 @@ class RdfFormatsSpec extends SparkTestBase {
       "<http://www.w3.org/2001/XMLSchema#double>") == "1.2e3")
   }
 
-  test("empty-fraction doubles (1.E0) stay QUOTED-typed: the bare " +
-    "spelling would be unreadable by the engine's own parser") {
+  test("empty-fraction doubles (1.E0) canonicalize BARE — the full " +
+    "Turtle DOUBLE production — and round-trip through the parser") {
     val dt = "<http://www.w3.org/2001/XMLSchema#double>"
+    // the tokenizer's exponent lookahead re-reads `1.E0`, so the
+    // bare spelling is the one canonical form (matching every other
+    // DOUBLE lexical); before the lookahead this had to stay quoted
     val term = TurtleParser.canonTyped("1.E0", dt)
-    assert(term == "\"1.E0\"^^" + dt, term)
-    // the canonical term round-trips through the engine's own
-    // serializer + parser (a bare 1.E0 would crash the re-read)
+    assert(term == "1.E0", term)
     val ts = Seq(Triple("<urn:s>", "<http://e/p>", term))
     assert(TurtleParser.parse(Rdf.serialize(ts, "turtle")) == ts)
-    assert(TurtleParser.bareTokenDatatype("12.e3")
-      .contains("XMLSchema#decimal") ||
-      !TurtleParser.canonTyped("12.e3", dt).startsWith("1"),
-      "empty-fraction lexicals must never classify as bare doubles")
+    // and the quoted spelling parses to the SAME canonical term
+    assert(TurtleParser.parse(
+      s"""<urn:s> <http://e/p> "1.E0"^^$dt .""") == ts)
+    assert(TurtleParser.bareTokenDatatype("12.e3") ==
+      "<http://www.w3.org/2001/XMLSchema#double>")
   }
 
   test("RDF/XML property-ATTRIBUTE literals take the in-scope " +

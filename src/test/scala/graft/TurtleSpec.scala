@@ -55,7 +55,7 @@ class TurtleSpec extends SparkTestBase {
 
   test("N-Triples round-trip is splittable (line-based reader)") {
     val triples = (1 to 100)
-      .map(i => Triple(s"<urn:$i>", "hal:v", s"\"$i\""))
+      .map(i => Triple(s"<urn:$i>", "<urn:v>", s"\"$i\""))
     val dir = java.nio.file.Files.createTempDirectory("nt_rt").toString
     Turtle.serializeNTriples(triples.toDS()).toDF("value")
       .repartition(4).write.mode("overwrite").text(dir)
@@ -64,11 +64,14 @@ class TurtleSpec extends SparkTestBase {
   }
 
   test("parseLine round-trips simple triples") {
-    assert(Turtle.parseLine("<urn:a> hal:b \"2\" .") ==
-      Some(Triple("<urn:a>", "hal:b", "\"2\"")))
+    assert(Turtle.parseLine("<urn:a> <urn:b> \"2\" .") ==
+      Some(Triple("<urn:a>", "<urn:b>", "\"2\"")))
     // malformed non-comment lines THROW (silent None would be data
     // loss the caller cannot see); blank/comment lines stay None
     intercept[IllegalArgumentException](Turtle.parseLine("garbage"))
+    // prefixed names are Turtle syntax, not N-Triples — loud error
+    intercept[IllegalArgumentException](
+      Turtle.parseLine("<urn:a> hal:b \"2\" ."))
     assert(Turtle.parseLine("   ") == None)
     assert(Turtle.parseLine("# a comment") == None)
   }
