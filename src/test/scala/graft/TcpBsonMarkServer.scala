@@ -99,10 +99,17 @@ final class TcpBsonMarkServer(
               out.write(Bson.encode(om.readTree(d.json))))
             out.write(EmptyDoc) // empty doc: end of page
             out.flush()
+          case other => sys.error(s"unknown op '$other' in: $req")
         }
         req = Bson.read(in)
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case _: java.io.IOException => () // teardown / simulated crash
+      case t: Throwable =>
+        // a protocol break must be VISIBLE, not a silent close a
+        // spec could mistake for EOF
+        System.err.println(s"TcpBsonMarkServer protocol error: $t")
+    }
     finally sock.close()
   }
 }

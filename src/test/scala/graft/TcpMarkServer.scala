@@ -138,10 +138,17 @@ final class TcpMarkServer(collections: Map[String, Seq[TcpMarkServer.Doc]]) {
             }
             page.foreach(d => out.println(d.json))
             out.println() // blank line: end of page
+          case other => sys.error(s"unknown op '$other' in: $line")
         }
         line = in.readLine()
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case _: java.io.IOException => () // teardown / simulated crash
+      case t: Throwable =>
+        // a protocol break (unknown op, missing field) must be
+        // VISIBLE, not a silent close a spec could mistake for EOF
+        System.err.println(s"TcpMarkServer protocol error: $t")
+    }
     finally { sock.close(); active.decrementAndGet() }
   }
 }

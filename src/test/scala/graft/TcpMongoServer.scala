@@ -110,9 +110,21 @@ final class TcpMongoServer(
           val batchSize = Option(body.get("batchSize"))
             .map(_.asInt).getOrElse(101)
           // inclusion projection: keep listed top-level fields; _id
-          // rides along unless explicitly excluded (mongod default)
-          val proj = Option(body.get("projection"))
-            .map(_.properties().asScala.map(_.getKey).toSet + "_id")
+          // rides along unless explicitly excluded (mongod default).
+          // EXCLUSION projections ({x: 0}) are not implemented — treat
+          // them loudly instead of silently including x (a permissive
+          // double here would mask a connector projection bug, the
+          // r17 filterDoc lesson)
+          val proj = Option(body.get("projection")).map { p =>
+            val entries = p.properties().asScala.toSeq
+            entries.filter(e => e.getValue.isNumber &&
+              e.getValue.asInt == 0).foreach { e =>
+              throw new IllegalArgumentException(
+                s"exclusion projection '${e.getKey}: 0' unsupported " +
+                  "by TcpMongoServer")
+            }
+            entries.map(_.getKey).toSet + "_id"
+          }
           val nodes = limited.map { d =>
             val node = om.readTree(d.json)
             proj.fold(node) { keep =>
@@ -134,12 +146,22 @@ final class TcpMongoServer(
           val cid = body.get("getMore").asLong
           val batchSize = Option(body.get("batchSize"))
             .map(_.asInt).getOrElse(101)
-          val rest = cursors.getOrElse(cid, Vector.empty)
-          val (batch, remaining) = rest.splitAt(batchSize)
-          if (remaining.isEmpty) cursors.remove(cid)
-          else cursors(cid) = remaining
-          cursorReply(if (remaining.isEmpty) 0L else cid, batch,
-            "nextBatch")
+          cursors.get(cid) match {
+            case None =>
+              // real mongod: CursorNotFound — an unknown-cursor
+              // getMore is a connector bug, not a clean EOF; serving
+              // an empty final batch here would mask it
+              reply.put("ok", 0.0)
+              reply.put("code", 43)
+              reply.put("errmsg", s"cursor id $cid not found")
+              ()
+            case Some(rest) =>
+              val (batch, remaining) = rest.splitAt(batchSize)
+              if (remaining.isEmpty) cursors.remove(cid)
+              else cursors(cid) = remaining
+              cursorReply(if (remaining.isEmpty) 0L else cid, batch,
+                "nextBatch")
+          }
         } else if (body.has("splitVector")) {
           val coll = body.get("splitVector").asText
           val docs = sorted.getOrElse(coll, Nil)
@@ -158,7 +180,13 @@ final class TcpMongoServer(
         out.flush()
         msg = MongoWire.readMsg(in)
       }
-    } catch { case _: Throwable => () }
+    } catch {
+      case _: java.io.IOException => () // socket teardown
+      case t: Throwable =>
+        // a protocol break must be VISIBLE, not a silent close a
+        // spec could mistake for clean EOF
+        System.err.println(s"TcpMongoServer protocol error: $t")
+    }
     finally sock.close()
   }
 }

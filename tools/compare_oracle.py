@@ -16,6 +16,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm(v):
+    if v is None:
+        # distinct from str(None): a NULL must never compare equal to
+        # the literal string "None"
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -36,6 +40,11 @@ def main(outdir, sfdir):
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
     n_pass = n_fail = n_rowsonly = 0
+    # an oracle entry with NO output directory means Verify silently
+    # dropped a query — that must fail the gate, not shrink the total
+    for missing in sorted(set(oracle) - set(names)):
+        print(f"FAIL  {missing}: oracle entry has no Verify output dir")
+        n_fail += 1
     for name in names:
         try:
             spark_tbl = pq.read_table(os.path.join(outdir, name))
