@@ -89,13 +89,32 @@ object EtlBench {
 
     args.lift(3) match {
       case None =>
+        // SPARK_GRAFT_BATCH_SIZE shrinks marks-per-file to probe the
+        // FILE-COUNT axis (TtlFileSink's commit protocol at ~1M
+        // files, the reference's ~4M-file contract) without paying
+        // for the mark-volume axis, which r13/r14/r18 measured
+        // separately at 10M/100M marks
+        val batchSize = sys.env.get("SPARK_GRAFT_BATCH_SIZE")
+          .map(_.toInt).getOrElse(MongoMarksPipeline.BatchSize)
         val t0 = System.nanoTime()
-        val docs = MongoMarksPipeline.documents(marks, analyses, hashes)
+        val docs = MongoMarksPipeline.documents(marks, analyses, hashes,
+          batchSize)
         TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
         val secs = (System.nanoTime() - t0) / 1e9
         val rate = nMarks / secs
+        // file census by WALKING the tree (outside the timed window):
+        // the count the commit protocol actually delivered, not what
+        // logs claim — zero loss / zero collision is `n_files ==
+        // distinct rel_path count`, checked by the caller
+        val nFiles = {
+          import java.nio.file.{Files, Paths}
+          val s = Files.walk(Paths.get(outDir))
+          try s.filter(p => p.toString.endsWith(".ttl.gz")).count()
+          finally s.close()
+        }
         println(s"""{"metric":"etl_marks_per_sec","value":$rate,""" +
           s""""unit":"marks/sec","n_marks":$nMarks,"secs":$secs,""" +
+          s""""n_files":$nFiles,"batch_size":$batchSize,""" +
           s""""n_analyses":$nAnalyses}""")
       case Some(ledgerDir) if args.length > 4 =>
         val nWaves = args(4).toInt

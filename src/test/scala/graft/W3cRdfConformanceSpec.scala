@@ -81,6 +81,26 @@ class W3cRdfConformanceSpec extends AnyFunSuite {
         s"\nwant: ${want.mkString("\n      ")}")
   }
 
+  /** Writer round-trip against FOREIGN input (the engine's own
+    * round-trip fuzz only ever feeds the writers engine-generated
+    * graphs): every eval fixture's graph goes out through each of the
+    * four serializers and back through its parser, and must come back
+    * isomorphic. */
+  private def checkWriters(got: Seq[Triple]): Unit =
+    Seq[(String, String => Seq[Triple])](
+      "turtle" -> (TurtleParser.parse(_)),
+      "nt" -> parseNt,
+      "xml" -> (RdfXml.parse(_)),
+      "json-ld" -> (JsonLd.parse(_))
+    ).foreach { case (fmt, reparse) =>
+      val out = graft.ttl.Rdf.serialize(got, fmt)
+      val back = reparse(out)
+      assert(iso(back, got),
+        s"$fmt writer round-trip not isomorphic\n out: $out\n" +
+          s" got: ${got.mkString("\n      ")}\n" +
+          s"back: ${back.mkString("\n      ")}")
+    }
+
   private def register(dir: String,
     parse: Entry => Seq[Triple]): Unit =
     manifest(dir).foreach { e =>
@@ -91,7 +111,10 @@ class W3cRdfConformanceSpec extends AnyFunSuite {
           case "pos" | "devpos" => parse(e) // must not throw
           case "neg" | "devneg" =>
             assertThrows[Exception](parse(e))
-          case "eval" => checkEval(parse(e), dir, e)
+          case "eval" =>
+            val got = parse(e)
+            checkEval(got, dir, e)
+            checkWriters(got)
           case other => fail(s"unknown manifest type '$other'")
         }
       }

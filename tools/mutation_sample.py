@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Seeded mutation sample: measure spec strength in the three least
+oracle-protected layers (GeomFunctions edge arithmetic, Turtle
+serializer separator/escape logic, BatchDirs protocol guards).
+
+Each mutant is ONE deliberate single-site semantic break, applied by
+exact-string replacement, tested against the suites that OWN the
+layer, then reverted (git checkout). A mutant is KILLED when the
+targeted suites fail, SURVIVED when they stay green. Targeted suites
+(not the full run — 20 x 15 min is not a sample) bias toward
+survival, which is the conservative direction for this measurement;
+every survivor gets a regression spec regardless of whether some
+other suite might have caught it.
+
+Usage: python3 tools/mutation_sample.py [mutant-id ...]
+Writes the kill matrix to stdout (markdown); exits 0 always (the
+matrix is the product, not a gate).
+"""
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+GEOM = "src/main/scala/graft/functions/GeomFunctions.scala"
+TTL = "src/main/scala/graft/ttl/Turtle.scala"
+TTLP = "src/main/scala/graft/ttl/TurtleParser.scala"
+RDFF = "src/main/scala/graft/ttl/RdfFormats.scala"
+BD = "src/main/scala/graft/streaming/BatchDirs.scala"
+
+GEOM_SUITES = ("graft.GeomFunctionsSpec graft.GeomPropertiesSpec "
+               "graft.GeoJsonPipelineSpec graft.MongoMarksPipelineSpec "
+               "graft.SegCsvPipelineSpec")
+TTL_SUITES = ("graft.TurtleSpec graft.TurtleParserSpec "
+              "graft.RdfFormatsSpec graft.RdfPropertiesSpec "
+              "graft.W3cRdfConformanceSpec graft.HashRepairJobSpec")
+BD_SUITES = ("graft.BatchDirsSpec graft.BatchDirsPropertiesSpec "
+             "graft.CompactionConcurrencySpec graft.LeaseProtocolSpec")
+
+# (id, file, description, old, new, suites)
+MUTANTS = [
+    # ---- GeomFunctions: edge arithmetic ----
+    ("G1-area-abs", GEOM, "stArea: drop abs() (orientation sign leaks)",
+     "when(pointsWellFormed(geom), abs(aggregate(",
+     "when(pointsWellFormed(geom), (aggregate(", GEOM_SUITES),
+    ("G2-area-div", GEOM, "stArea: /2 -> /4",
+     ")) / 2)", ")) / 4)", GEOM_SUITES),
+    ("G3-perim-dxdx", GEOM, "stPerimeter: sqrt(dx*dx+dy*dy) -> sqrt(dx*dx+dx*dx)",
+     "acc + sqrt(dx * dx + dy * dy)",
+     "acc + sqrt(dx * dx + dx * dx)", GEOM_SUITES),
+    ("G4-close-always", GEOM, "close_ring: always append first point",
+     """      .when(element_at(pts, 1) === element_at(pts, -1), pts)
+      .otherwise""",
+     "      .otherwise", GEOM_SUITES),
+    ("G5-valid-3", GEOM, "stIsValid: >= 4 points -> >= 3",
+     "size(geom) >= 1 && size(r) >= 4", "size(geom) >= 1 && size(r) >= 3",
+     GEOM_SUITES),
+    ("G6-idx-0", GEOM, "idx: n >= 1 -> n >= 0 (sequence(1,0) descends)",
+     "when(n >= 1, sequence(lit(1), n.cast(\"int\")))",
+     "when(n >= 0, sequence(lit(1), n.cast(\"int\")))", GEOM_SUITES),
+    ("G7-contains-edge", GEOM, "stContains: y2 > py -> y2 >= py (boundary)",
+     "val straddles = (y1 <= py && y2 > py) || (y2 <= py && y1 > py)",
+     "val straddles = (y1 <= py && y2 >= py) || (y2 <= py && y1 > py)",
+     GEOM_SUITES),
+    # ---- Turtle serializer / canonical terms ----
+    ("T1-esc-cr", TTLP, "escape: drop \\r escaping",
+     '''    .replace("\\n", "\\\\n").replace("\\r", "\\\\r")''',
+     '''    .replace("\\n", "\\\\n")''', TTL_SUITES),
+    ("T2-esc-order", TTLP, "escape: quote before backslash (double-escape bug)",
+     '''    .replace("\\\\", "\\\\\\\\").replace("\\"", "\\\\\\"")''',
+     '''    .replace("\\"", "\\\\\\"").replace("\\\\", "\\\\\\\\")''',
+     TTL_SUITES),
+    ("T3-sep", TTL, "serialize: ' ;\\n    ' separator -> ' ; '",
+     '''concat_ws(" ;\\n    ", col("po"))''',
+     '''concat_ws(" ; ", col("po"))''', TTL_SUITES),
+    ("T4-ntout-dt", TTL, "ntTermOut: drop datatype when expanding bare tokens",
+     '''      "\\"" + term + "\\"^^" + TurtleParser.bareTokenDatatype(term)''',
+     '''      "\\"" + term + "\\""''', TTL_SUITES),
+    ("T5-canon-int", TTLP, "canonTyped: skip integer lexical validation",
+     "case XsdInteger if lex.matches(BareInteger) => lex",
+     "case XsdInteger => lex", TTL_SUITES),
+    ("T6-merge-bag", TTL, "merge: union without distinct",
+     "a.union(b).distinct()", "a.union(b)", TTL_SUITES),
+    ("T7-close-postfmt", GEOM,
+     "denormalizedRingWkt: close on RAW values, not post-format strings",
+     """    val closed = when(size(pairs) === 0, pairs)
+      .when(element_at(pairs, 1) === element_at(pairs, -1), pairs)""",
+     """    val closed = when(size(pairs) === 0, pairs)
+      .when(element_at(ring, 1) === element_at(ring, -1), pairs)""",
+     GEOM_SUITES),
+    # ---- BatchDirs protocol guards ----
+    ("B1-committed-true", BD, "committed(): ignore the _SUCCESS marker",
+     """    val p = new Path(dir, "_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)""",
+     """    val p = new Path(dir, "_SUCCESS")
+    p != null""", BD_SUITES),
+    ("B2-chain-ge", BD, "chain walk: hi == need -> hi >= need",
+     "          .filter(_._1.hi == need.get)",
+     "          .filter(_._1.hi >= need.get)", BD_SUITES),
+    ("B3-covered-0", BD, "coveredThrough: empty -> 0 instead of -1",
+     "        .getOrElse(-1L)", "        .getOrElse(0L)", BD_SUITES),
+    ("B4-ids-nofilter", BD, "committedIds: keep ids under the fold coverage",
+     "        .filter(_ > covered))", "        .filter(_ => true))",
+     BD_SUITES),
+    ("B5-narrowest", BD, "chain walk: narrowest run wins instead of widest",
+     "          .sortBy { case (r, t) => (-r.lo, t, r.nBuckets) }",
+     "          .sortBy { case (r, t) => (r.lo, t, r.nBuckets) }",
+     BD_SUITES),
+    ("B6-lease-overwrite", BD, "lease tryCreate: overwrite=true (not exclusive)",
+     "          try Some(fs.create(marker, false))",
+     "          try Some(fs.create(marker, true))", BD_SUITES),
+]
+
+
+def run(mutant):
+    mid, fn, desc, old, new, suites = mutant
+    p = REPO / fn
+    src = p.read_text()
+    n = src.count(old)
+    if n != 1:
+        return (mid, desc, f"ERROR: pattern x{n}")
+    p.write_text(src.replace(old, new))
+    try:
+        r = subprocess.run(
+            ["sbt", "-client", f"testOnly {suites}"], cwd=REPO,
+            capture_output=True, text=True, timeout=1800)
+        out = r.stdout + r.stderr
+        if "error" in out.lower() and "compil" in out.lower() \
+                and "Tests:" not in out:
+            verdict = "KILLED (compile error)"
+        elif r.returncode != 0:
+            verdict = "KILLED"
+        else:
+            verdict = "SURVIVED"
+    except subprocess.TimeoutExpired:
+        verdict = "KILLED (timeout/hang)"
+    finally:
+        subprocess.run(["git", "checkout", "--", fn], cwd=REPO)
+    return (mid, desc, verdict)
+
+
+def main():
+    only = set(sys.argv[1:])
+    picked = [m for m in MUTANTS if not only or m[0] in only]
+    results = []
+    for m in picked:
+        res = run(m)
+        print(f"{res[0]}: {res[2]}", flush=True)
+        results.append(res)
+    print("\n| mutant | mutation | verdict |")
+    print("|---|---|---|")
+    for mid, desc, verdict in results:
+        print(f"| {mid} | {desc} | {verdict} |")
+    killed = sum(1 for r in results if r[2].startswith("KILLED"))
+    print(f"\nkill rate: {killed}/{len(results)}")
+
+
+if __name__ == "__main__":
+    main()
