@@ -101,6 +101,45 @@ class BatchDirsSpec extends SparkTestBase {
     assert(df.groupBy("batch").count().count() == 3)
   }
 
+  private def commitEmptyDir(base: String, name: String): Unit = {
+    val fs = fsOf(base)
+    fs.mkdirs(new Path(base, name))
+    fs.create(new Path(s"$base/$name/_SUCCESS"), true).close()
+  }
+
+  test("chain resolution: a merge output beats its lingering " +
+    "superseded input at the SAME hi (mutation survivor B5: picking " +
+    "the narrowest run instead crashed on in-contract grace states)") {
+    // state after a size-tiered merge whose inputs are mid-sweep:
+    // l0=(-1,30] (the merge) plus l0=(20,30] (an input, one grace
+    // window from deletion). The (10,20] and (0,10] siblings are
+    // already swept, so a walk that prefers the NARROW run has no
+    // run ending at 20 to descend through and fails loudly on a
+    // state the two-phase sweep produces legitimately.
+    val dir = java.nio.file.Files
+      .createTempDirectory("bd_widest").toString + "/ix"
+    commitEmptyDir(dir, "l0=30.f-1.n4")
+    commitEmptyDir(dir, "l0=30.f20.n4")
+    val gen = BatchDirs.generation(spark, dir)
+    assert(gen.l0 == Seq(BatchDirs.L0Run(-1L, 30L, 4)), gen)
+    assert(gen.coveredThrough == 30L)
+  }
+
+  test("chain resolution fails LOUD on a broken chain (mutation " +
+    "survivor B2: a >= step would silently bridge the gap with an " +
+    "overlapping run and hide swept coverage)") {
+    // (20,30] with only an OVERLAPPING (-1,25] below it: no committed
+    // run ends at 20, so coverage between 20 and 25 is ambiguous and
+    // the resolver must throw, not guess
+    val dir = java.nio.file.Files
+      .createTempDirectory("bd_broken").toString + "/ix"
+    commitEmptyDir(dir, "l0=30.f20.n4")
+    commitEmptyDir(dir, "l0=25.f-1.n4")
+    val e = intercept[IllegalStateException](
+      BatchDirs.generation(spark, dir))
+    assert(e.getMessage.contains("chain broken"), e.getMessage)
+  }
+
   test("a bucket-count change refolds under the same cutoff: the " +
     "superseded modulus survives one sweep, compactInfo picks the " +
     "newest commit deterministically, the next fold converges") {

@@ -51,6 +51,28 @@ class GeomFunctionsSpec extends SparkTestBase {
     assert(one(stContains(L, lit(1.0), lit(3.5))) == true)   // upper leg
   }
 
+  test("stArea is orientation-invariant (mutation survivor G1: " +
+    "dropping abs() leaked the shoelace sign for CW rings)") {
+    // same rectangle, wound CCW and CW — the fixtures elsewhere are
+    // all one orientation, which let a sign bug survive the suite
+    val ccw = polygonFromColonString(lit("[0:0:4:0:4:3:0:3]"))
+    val cw = polygonFromColonString(lit("[0:3:4:3:4:0:0:0]"))
+    assert(one(stArea(ccw)) == 12.0)
+    assert(one(stArea(cw)) == 12.0)
+  }
+
+  test("stContains: ray through a VERTEX counts once (mutation " +
+    "survivor G7: >= on the upper bound double-counts the vertex)") {
+    // triangle (0,-1) (4,0) (0,1); a +x ray from (1,0) passes exactly
+    // through the vertex (4,0) where one edge ends and the next
+    // begins — the half-open straddle test must count ONE crossing
+    val tri = expr(
+      "array(array(array(0d,-1d), array(4d,0d), array(0d,1d)))")
+    assert(one(stContains(tri, lit(1.0), lit(0.0))) == true)
+    // same vertex seen from OUTSIDE on the same ray height
+    assert(one(stContains(tri, lit(5.0), lit(0.0))) == false)
+  }
+
   test("stContains closes an open ring defensively") {
     val open = expr(
       "array(array(array(0d,0d), array(4d,0d), array(2d,3d)))")

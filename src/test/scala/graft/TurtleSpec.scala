@@ -63,6 +63,24 @@ class TurtleSpec extends SparkTestBase {
     assert(back == triples.toSet)
   }
 
+  test("serializeNTriples expands bare canonical tokens to TYPED " +
+    "literals (mutation survivor T4: dropping the datatype turned " +
+    "xsd:integer 1 into the plain string literal \"1\")") {
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val line = Turtle.serializeNTriples(
+      Seq(Triple("<urn:s>", "<urn:p>", "1")).toDS()).collect().head
+    assert(line == s"""<urn:s> <urn:p> "1"^^<${xsd}integer> .""", line)
+    // and the typed spelling canonicalizes back to the bare token
+    assert(Turtle.parseLine(line) ==
+      Some(Triple("<urn:s>", "<urn:p>", "1")))
+    val dline = Turtle.serializeNTriples(
+      Seq(Triple("<urn:s>", "<urn:p>", "1.5E0")).toDS()).collect().head
+    assert(dline == s"""<urn:s> <urn:p> "1.5E0"^^<${xsd}double> .""",
+      dline)
+    assert(Turtle.parseLine(dline) ==
+      Some(Triple("<urn:s>", "<urn:p>", "1.5E0")))
+  }
+
   test("parseLine round-trips simple triples") {
     assert(Turtle.parseLine("<urn:a> <urn:b> \"2\" .") ==
       Some(Triple("<urn:a>", "<urn:b>", "\"2\"")))
