@@ -117,12 +117,14 @@ final class TcpMongoServer(
           // r17 filterDoc lesson)
           val proj = Option(body.get("projection")).map { p =>
             val entries = p.properties().asScala.toSeq
-            entries.filter(e => e.getValue.isNumber &&
-              e.getValue.asInt == 0).foreach { e =>
-              throw new IllegalArgumentException(
-                s"exclusion projection '${e.getKey}: 0' unsupported " +
-                  "by TcpMongoServer")
-            }
+            entries.filter(e =>
+              (e.getValue.isNumber && e.getValue.asInt == 0) ||
+                (e.getValue.isBoolean && !e.getValue.asBoolean))
+              .foreach { e =>
+                throw new IllegalArgumentException(
+                  s"exclusion projection '${e.getKey}: " +
+                    s"${e.getValue}' unsupported by TcpMongoServer")
+              }
             entries.map(_.getKey).toSet + "_id"
           }
           val nodes = limited.map { d =>
