@@ -54,11 +54,16 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // the headline right-sized-shuffle knob must survive the
     // pre-existing-session path too (it is runtime-settable) — but
-    // only for a LOCAL session: guard on the live session's master,
-    // not sys.props/env, because a pre-existing session built with
-    // builder.master("yarn"/"spark://…") never surfaces in either
-    // and must keep the cluster's own partitioning
-    if (spark.sparkContext.master.startsWith("local"))
+    // only when BOTH hold: the live session is local (a pre-existing
+    // session built with builder.master("yarn"/"spark://…") never
+    // surfaces in sys.props/env and must keep the cluster's own
+    // partitioning) AND no external --master was supplied
+    // (spark-submit --master local[8] --conf
+    // spark.sql.shuffle.partitions=200 is an explicit user choice
+    // this must not stomp)
+    if (spark.sparkContext.master.startsWith("local") &&
+      !sys.props.contains("spark.master") &&
+      !sys.env.contains("SPARK_MASTER_URL"))
       spark.conf.set("spark.sql.shuffle.partitions", cores.toString)
     graft.expressions.GraftFunctions.register(spark)
     spark

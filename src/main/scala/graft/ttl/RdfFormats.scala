@@ -768,10 +768,14 @@ object JsonLd {
       * `asText`), but non-integral numbers are xsd:DOUBLE in the
       * CANONICAL XSD lexical form (`1.5E0`, one mantissa digit) — the
       * engine's bare-double spelling of that same literal. Emitting
-      * `1.5` here would silently change the datatype to xsd:decimal. */
+      * `1.5` here would silently change the datatype to xsd:decimal.
+      * Routed through canonTyped so NON-BARE double lexicals (INF /
+      * -INF / NaN, e.g. Jackson overflowing 1e999) come out as the
+      * quoted-typed spelling instead of a corrupt bare term. */
     private def nativeToken(v: JsonNode): String =
       if (v.isNumber && !v.isIntegralNumber)
-        canonicalXsdDouble(v.asDouble)
+        TurtleParser.canonTyped(canonicalXsdDouble(v.asDouble),
+          "<http://www.w3.org/2001/XMLSchema#double>")
       else v.asText
   }
 
@@ -1041,16 +1045,27 @@ object Rdf {
 
   /** Whole-graph serialization to a single string (driver-side, for
     * per-document graphs — the reference's usage shape; distributed
-    * sinks go through Turtle.serialize / serializeNTriples). */
+    * sinks go through Turtle.serialize / serializeNTriples).
+    *
+    * Terms go out through the spelling-repair layer (Turtle.ntTermOut
+    * / turtleTermOut): a canonical IRI may carry DECODED codepoints
+    * of UCHAR escapes it was read with (raw space, `|`, …) which must
+    * re-escape on write or the emitted document is unreadable; bare
+    * tokens are legal Turtle but must expand to quoted-typed literals
+    * in N-Triples. */
   def serialize(triples: Seq[Triple], format: String = "turtle"): String =
     format.toLowerCase match {
       case "turtle" | "ttl" | "n3" =>
         triples.groupBy(_.s).toSeq.sortBy(_._1).map { case (s, ts) =>
-          s + "\n    " + ts.map(t => s"${t.p} ${t.o}").sorted
-            .mkString(" ;\n    ") + " .\n"
+          Turtle.turtleTermOut(s) + "\n    " +
+            ts.map(t =>
+              s"${Turtle.turtleTermOut(t.p)} ${Turtle.turtleTermOut(t.o)}")
+              .sorted.mkString(" ;\n    ") + " .\n"
         }.mkString
       case "nt" | "ntriples" | "n-triples" =>
-        triples.map(t => s"${t.s} ${t.p} ${t.o} .").mkString("\n") + "\n"
+        triples.map(t => s"${Turtle.ntTermOut(t.s)} " +
+          s"${Turtle.ntTermOut(t.p)} ${Turtle.ntTermOut(t.o)} .")
+          .mkString("\n") + "\n"
       case "xml" | "rdf-xml" | "rdfxml" | "rdf/xml" => RdfXml.write(triples)
       case "json-ld" | "jsonld" => JsonLd.write(triples)
       case other => throw new IllegalArgumentException(

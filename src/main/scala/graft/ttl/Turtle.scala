@@ -233,28 +233,48 @@ object Turtle {
   private[ttl] def ntTermOut(term: String): String =
     if (term.startsWith("<")) ntIriOut(term)
     else if (term.startsWith("_:")) term
-    else if (term.startsWith("\"")) {
-      // escape-aware scan to the closing quote, then re-encode a
-      // ^^<dt> suffix's IRI (a BODY may itself contain `^^<`)
-      var i = 1
-      var close = -1
-      while (i < term.length && close < 0) {
-        val c = term.charAt(i)
-        if (c == '\\') i += 2
-        else if (c == '"') close = i
-        else i += 1
-      }
-      val rest = if (close >= 0) term.substring(close + 1) else ""
-      if (rest.startsWith("^^<"))
-        term.take(close + 3) + ntIriOut(rest.drop(2))
-      else term
-    } else if (TurtleParser.isBareToken(term))
+    else if (term.startsWith("\"")) literalOut(term)
+    else if (TurtleParser.isBareToken(term))
       // canonical bare token — expand to the quoted-typed form
       "\"" + term + "\"^^" + TurtleParser.bareTokenDatatype(term)
-    else // quietly literalizing junk would be silent data corruption
-      throw new IllegalArgumentException(
-        s"non-canonical RDF term '$term' (canonical terms are <iri>, " +
-          "_:label, \"literal\"[@lang|^^<dt>], or a bare token)")
+    else nonCanonical(term)
+
+  /** Turtle spelling of a stored canonical term: like [[ntTermOut]]
+    * but bare tokens stay bare (legal Turtle). IRIs still re-escape
+    * UCHAR-decoded forbidden codepoints — Turtle IRIREFs admit the
+    * same \\uXXXX escapes as N-Triples. */
+  private[ttl] def turtleTermOut(term: String): String =
+    if (term.startsWith("<")) ntIriOut(term)
+    else if (term.startsWith("_:")) term
+    else if (term.startsWith("\"")) literalOut(term)
+    else if (TurtleParser.isBareToken(term)) term
+    else nonCanonical(term)
+
+  private def nonCanonical(term: String): Nothing =
+    // quietly literalizing junk would be silent data corruption
+    throw new IllegalArgumentException(
+      s"non-canonical RDF term '$term' (canonical terms are <iri>, " +
+        "_:label, \"literal\"[@lang|^^<dt>], or a bare token)")
+
+  private def literalOut(term: String): String = {
+    // escape-aware scan to the closing quote, then re-encode a
+    // ^^<dt> suffix's IRI (a BODY may itself contain `^^<`)
+    var i = 1
+    var close = -1
+    while (i < term.length && close < 0) {
+      val c = term.charAt(i)
+      if (c == '\\') i += 2
+      else if (c == '"') close = i
+      else i += 1
+    }
+    if (close < 0) nonCanonical(term) // unterminated literal: LOUD,
+    // like every other malformed term — passing it through would be
+    // the silent-corruption mode the else branch exists to prevent
+    val rest = term.substring(close + 1)
+    if (rest.startsWith("^^<"))
+      term.take(close + 3) + ntIriOut(rest.drop(2))
+    else term
+  }
 
   private def ntIriOut(term: String): String = {
     val body = term.substring(1, term.length - 1)

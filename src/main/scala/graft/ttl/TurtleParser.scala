@@ -46,9 +46,25 @@ object TurtleParser {
   /** RFC 3986 §5.2 reference resolution (public spec), enough for IRI
     * use: scheme/authority/path/query/fragment split by regex (§B),
     * merge + dot-segment removal (§5.2.3/5.2.4). */
+  private val Rfc3986 =
+    "^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
+
+  /** Scheme presence without a regex — this runs once per IRI on the
+    * Turtle parse hot path. */
+  private[ttl] def hasScheme(iri: String): Boolean = {
+    if (iri.isEmpty || !iri.charAt(0).isLetter) return false
+    var k = 1
+    while (k < iri.length) {
+      val c = iri.charAt(k)
+      if (c == ':') return true
+      if (!(c.isLetterOrDigit || c == '+' || c == '.' || c == '-'))
+        return false
+      k += 1
+    }
+    false
+  }
+
   private[ttl] def resolveIri(base: String, ref: String): String = {
-    val Rfc3986 =
-      "^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$".r
     def parts(s: String) = s match {
       case Rfc3986(sc, au, pa, qu, fr) =>
         (Option(sc), Option(au), Option(pa).getOrElse(""), Option(qu),
@@ -157,6 +173,10 @@ object TurtleParser {
     "[+-]?([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)[eE][+-]?[0-9]+"
   private val BareInteger = "[+-]?[0-9]+"
   private val BareDecimal = "[+-]?[0-9]*\\.[0-9]+"
+  // precompiled: these run per-term on parse/serialize hot paths
+  private val BareDoubleP = java.util.regex.Pattern.compile(BareDouble)
+  private val BareIntegerP = java.util.regex.Pattern.compile(BareInteger)
+  private val BareDecimalP = java.util.regex.Pattern.compile(BareDecimal)
 
   /** Canonical term for a typed literal with UNESCAPED lexical `lex`
     * and expanded datatype term `dt` (`<...>`). Turtle's bare tokens
@@ -166,9 +186,9 @@ object TurtleParser {
     * spelling per RDF term across every reader (Turtle, RDF/XML,
     * JSON-LD). */
   def canonTyped(lex: String, dt: String): String = dt match {
-    case XsdInteger if lex.matches(BareInteger) => lex
-    case XsdDecimal if lex.matches(BareDecimal) => lex
-    case XsdDouble if lex.matches(BareDouble) => lex
+    case XsdInteger if BareIntegerP.matcher(lex).matches() => lex
+    case XsdDecimal if BareDecimalP.matcher(lex).matches() => lex
+    case XsdDouble if BareDoubleP.matcher(lex).matches() => lex
     case XsdBoolean if lex == "true" || lex == "false" => lex
     case _ => "\"" + escape(lex) + "\"^^" + dt
   }
@@ -179,15 +199,17 @@ object TurtleParser {
     * change the literal's RDF identity on round-trip. */
   def bareTokenDatatype(tok: String): String =
     if (tok == "true" || tok == "false") XsdBoolean
-    else if (tok.matches("[+-]?[0-9]+")) XsdInteger
-    else if (tok.matches(BareDouble)) XsdDouble
+    else if (BareIntegerP.matcher(tok).matches()) XsdInteger
+    else if (BareDoubleP.matcher(tok).matches()) XsdDouble
     else XsdDecimal
 
   /** A lexical the Turtle grammar admits as a bare token — the
     * engine's canonical spelling for those four datatypes. */
   private[ttl] def isBareToken(t: String): Boolean =
-    t == "true" || t == "false" || t.matches(BareInteger) ||
-      t.matches(BareDecimal) || t.matches(BareDouble)
+    t == "true" || t == "false" ||
+      BareIntegerP.matcher(t).matches() ||
+      BareDecimalP.matcher(t).matches() ||
+      BareDoubleP.matcher(t).matches()
 
   /** `\uXXXX` / `\UXXXXXXXX` hex payload at `from` (N-Triples UCHAR
     * decoding shares this with the Turtle reader). */
@@ -218,7 +240,7 @@ object TurtleParser {
       * scheme). Without a base, keep it verbatim (engine-internal
       * documents use `<>` subjects with no base in scope). */
     private def resolve(iri: String): String =
-      if (iri.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")) iri
+      if (hasScheme(iri)) iri
       else base match {
         case Some(b) => resolveIri(b, iri)
         case None => iri
@@ -577,10 +599,28 @@ object TurtleParser {
       * (W3C turtle-syntax-bad-num-*), not a term. */
     private def readBareToken(): String = {
       val t = readBareTokenRaw()
-      if (!(t.matches(BareInteger) || t.matches(BareDecimal) ||
-        t.matches(BareDouble)))
+      if (!(BareIntegerP.matcher(t).matches() ||
+        BareDecimalP.matcher(t).matches() ||
+        BareDoubleP.matcher(t).matches()))
         fail(s"malformed numeric literal '$t'")
       t
+    }
+
+    /** A '.' continues the token only before a digit (decimal point)
+      * or before a COMPLETE exponent (`[eE][+-]?[0-9]`, the `1.E0`
+      * empty-fraction DOUBLE). `2.e:c` has no exponent digits, so per
+      * longest-match the dot is the statement terminator and `e:c` a
+      * prefixed name — a lookahead on the marker alone would swallow
+      * legal documents. */
+    private def dotContinuesToken(hasDigits: Boolean): Boolean = {
+      if (i + 1 >= s.length) return false
+      val n = s.charAt(i + 1)
+      if (n.isDigit) return true
+      if ((n != 'e' && n != 'E') || !hasDigits) return false
+      if (i + 2 >= s.length) false
+      else if (s.charAt(i + 2).isDigit) true
+      else (s.charAt(i + 2) == '+' || s.charAt(i + 2) == '-') &&
+        i + 3 < s.length && s.charAt(i + 3).isDigit
     }
 
     private def readBareTokenRaw(): String = {
@@ -591,10 +631,7 @@ object TurtleParser {
         if (Character.isWhitespace(c) || c == ';' || c == ',' ||
           c == ']' || c == ')') go = false
         else if (c == '.' &&
-          (i + 1 >= s.length ||
-            !(s.charAt(i + 1).isDigit ||
-              ((s.charAt(i + 1) == 'e' || s.charAt(i + 1) == 'E') &&
-                b.nonEmpty && b.last.isDigit)))) go = false
+          !dotContinuesToken(b.nonEmpty && b.last.isDigit)) go = false
         else { b.append(c); i += 1 }
       }
       if (b.isEmpty) fail("expected token")

@@ -720,6 +720,20 @@ class RdfFormatsSpec extends SparkTestBase {
       "<http://www.w3.org/2001/XMLSchema#double>")
   }
 
+  test("JSON-LD native numbers overflowing to infinity become the " +
+    "QUOTED-typed xsd:double term, not a corrupt bare 'INF' token") {
+    // Jackson parses 1e999 as Double.POSITIVE_INFINITY; INF is not a
+    // Turtle bare token, so the canonical spelling must stay quoted
+    val got = JsonLd.parse(
+      """{"@id":"urn:s","http://e/p":1e999}""")
+    val dt = "<http://www.w3.org/2001/XMLSchema#double>"
+    assert(got == Seq(Triple("<urn:s>", "<http://e/p>",
+      "\"INF\"^^" + dt)), got)
+    // and the term survives both driver-side writers
+    assert(Rdf.serialize(got, "nt").contains("\"INF\"^^" + dt))
+    assert(TurtleParser.parse(Rdf.serialize(got, "turtle")) == got)
+  }
+
   test("RDF/XML property-ATTRIBUTE literals take the in-scope " +
     "xml:lang, like property elements") {
     val got = RdfXml.parse(

@@ -117,15 +117,22 @@ final class TcpMongoServer(
           // r17 filterDoc lesson)
           val proj = Option(body.get("projection")).map { p =>
             val entries = p.properties().asScala.toSeq
-            entries.filter(e =>
+            def excluded(e: java.util.Map.Entry[String, JsonNode]) =
               (e.getValue.isNumber && e.getValue.asInt == 0) ||
-                (e.getValue.isBoolean && !e.getValue.asBoolean))
+                (e.getValue.isBoolean && !e.getValue.asBoolean)
+            // {_id: 0} inside an inclusion projection is the ONE legal
+            // exclusion real mongod permits — honor it; any other
+            // exclusion is unimplemented and must stay loud
+            entries.filter(e => excluded(e) && e.getKey != "_id")
               .foreach { e =>
                 throw new IllegalArgumentException(
                   s"exclusion projection '${e.getKey}: " +
                     s"${e.getValue}' unsupported by TcpMongoServer")
               }
-            entries.map(_.getKey).toSet + "_id"
+            val keep = entries.filterNot(excluded).map(_.getKey).toSet
+            if (entries.exists(e => excluded(e) && e.getKey == "_id"))
+              keep
+            else keep + "_id"
           }
           val nodes = limited.map { d =>
             val node = om.readTree(d.json)

@@ -81,6 +81,14 @@ class TurtleSpec extends SparkTestBase {
       Some(Triple("<urn:s>", "<urn:p>", "1.5E0")))
   }
 
+  test("serializeNTriples throws LOUD on an unterminated literal " +
+    "term instead of emitting a line the reader cannot parse") {
+    val e = intercept[org.apache.spark.SparkException](
+      Turtle.serializeNTriples(
+        Seq(Triple("<urn:s>", "<urn:p>", "\"abc")).toDS()).collect())
+    assert(e.getMessage != null)
+  }
+
   test("parseLine round-trips simple triples") {
     assert(Turtle.parseLine("<urn:a> <urn:b> \"2\" .") ==
       Some(Triple("<urn:a>", "<urn:b>", "\"2\"")))
