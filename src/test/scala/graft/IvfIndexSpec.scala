@@ -17,6 +17,19 @@ class IvfIndexSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("recentering quantizes E6 with ROUND-half-up, not floor " +
+    "(mutation survivor M4: the reproducible-index contract pins the " +
+    "exact quantization rule, not just 'close enough' recall)") {
+    import spark.implicits._
+    // 1.7e-6f * 1e6 ≈ 1.6999999: round-half-up → 2, floor → 1 — the
+    // one-dimension centroid distinguishes the two rules exactly
+    val tiny = Seq((0L, Seq(1.7e-6f)), (1L, Seq(1.7e-6f)))
+      .toDF("vec_id", "embedding")
+    val c = IvfIndex.buildCentroids(tiny, k = 1, iters = 1)
+      .collect().head.getAs[scala.collection.Seq[Float]]("centroid")
+    assert(c.toSeq == Seq(2.0e-6f), c)
+  }
+
   test("index covers the corpus; probing all clusters == brute force") {
     val centroids = IvfIndex.buildCentroids(emb, k = 8, iters = 2)
     val index = IvfIndex.build(emb, centroids)

@@ -77,7 +77,7 @@ MUTANTS = [
      '''      "\\"" + term + "\\"^^" + TurtleParser.bareTokenDatatype(term)''',
      '''      "\\"" + term + "\\""''', TTL_SUITES),
     ("T5-canon-int", TTLP, "canonTyped: skip integer lexical validation",
-     "case XsdInteger if lex.matches(BareInteger) => lex",
+     "case XsdInteger if BareIntegerP.matcher(lex).matches() => lex",
      "case XsdInteger => lex", TTL_SUITES),
     ("T6-merge-bag", TTL, "merge: union without distinct",
      "a.union(b).distinct()", "a.union(b)", TTL_SUITES),
@@ -109,6 +109,43 @@ MUTANTS = [
     ("B6-lease-overwrite", BD, "lease tryCreate: overwrite=true (not exclusive)",
      "          try Some(fs.create(marker, false))",
      "          try Some(fs.create(marker, true))", BD_SUITES),
+]
+
+# ---- set 2: the dedup/ANN/ledger scale layers. These ARE
+# oracle-protected (d4/d13/v4/v9/u-family in the DuckDB gate), so this
+# measures whether the SPEC gate alone bites; a spec survivor that the
+# oracle kills is recorded as such, not left unpinned.
+MHL = "src/main/scala/graft/operators/MinHashLsh.scala"
+IVF = "src/main/scala/graft/operators/IvfIndex.scala"
+BL = "src/main/scala/graft/incremental/BatchLedger.scala"
+LSH_SUITES = ("graft.MinHashLshSpec graft.LshIndexMaintenanceSpec "
+              "graft.LshMaintenancePropertiesSpec graft.SpanDedupSpec")
+IVF_SUITES = ("graft.IvfIndexSpec graft.ClusteredRecallSpec "
+              "graft.IvfIndexMaintenanceSpec "
+              "graft.IvfMaintenancePropertiesSpec graft.KMeansSpec")
+BL_SUITES = "graft.BatchLedgerSpec graft.LedgerSpec"
+
+MUTANTS += [
+    ("M1-band-conflate", MHL, "bands: band 1 mislabeled 0 (cross-band buckets)",
+     "struct(1 as band, mh2 as k1, mh3 as k2),",
+     "struct(0 as band, mh2 as k1, mh3 as k2),", LSH_SUITES),
+    ("M2-self-pairs", MHL, "bucketPairs: slice from i, not i+1 (self-pairs)",
+     "i -> transform(slice($xs, i + 1, size($xs) - i),",
+     "i -> transform(slice($xs, i, size($xs) - i),", LSH_SUITES),
+    ("M3-probe-farthest", IVF, "probeClusters: rank ascending (probe FARTHEST)",
+     '      .orderBy(col("sim").desc, col("cluster_id").asc)',
+     '      .orderBy(col("sim").asc, col("cluster_id").asc)', IVF_SUITES),
+    ("M4-recenter-floor", IVF, "recenter: floor instead of round (E6 quantize)",
+     '          "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"))',
+     '          "cast(floor(cast(x as double) * 1000000) as bigint)"))',
+     IVF_SUITES),
+    ("M5-pending-semi", BL, "pending: left_anti -> left_semi (re-does done work)",
+     '    work.join(done, Seq(keyCol), "left_anti")',
+     '    work.join(done, Seq(keyCol), "left_semi")', BL_SUITES),
+    ("M6-assign-farthest", IVF, "assign: min(struct) — vectors join FARTHEST cluster",
+     '      .agg(max(struct(col("sim"), (-col("cluster_id")).as("nc"),',
+     '      .agg(min(struct(col("sim"), (-col("cluster_id")).as("nc"),',
+     IVF_SUITES),
 ]
 
 
