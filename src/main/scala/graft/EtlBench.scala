@@ -106,12 +106,10 @@ object EtlBench {
         // the count the commit protocol actually delivered, not what
         // logs claim — zero loss / zero collision is `n_files ==
         // distinct rel_path count`, checked by the caller
-        val nFiles = {
-          import java.nio.file.{Files, Paths}
-          val s = Files.walk(Paths.get(outDir))
-          try s.filter(p => p.toString.endsWith(".ttl.gz")).count()
-          finally s.close()
-        }
+        // walked via the Hadoop FS of outDir (not java.nio), so the
+        // census works for HDFS/object-store outDirs too — the same
+        // API TtlFileSink writes through
+        val nFiles = countTtlGz(spark, outDir)
         println(s"""{"metric":"etl_marks_per_sec","value":$rate,""" +
           s""""unit":"marks/sec","n_marks":$nMarks,"secs":$secs,""" +
           s""""n_files":$nFiles,"batch_size":$batchSize,""" +
@@ -195,5 +193,19 @@ object EtlBench {
         }
     }
     spark.stop()
+  }
+
+  /** Recursive `.ttl.gz` census of `dir` through the Hadoop
+    * FileSystem that owns the path (local, HDFS, or object store) —
+    * the same API the sink writes through, so the census sees
+    * exactly what the commit protocol delivered. */
+  private[graft] def countTtlGz(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".ttl.gz")) n += 1
+    n
   }
 }

@@ -737,12 +737,18 @@ object JsonLd {
             // reader emits for that RDF literal
             TurtleParser.canonTyped(v.asText, expand(t.asText, ctx))
           case None =>
+            val lang = Option(o.get("@language"))
+            if (lang.isDefined && !v.isTextual)
+              // JSON-LD only allows @language on string @values;
+              // concatenating it onto a bare numeric token would
+              // silently produce a malformed term (e.g. 1.5E0@en)
+              throw new IllegalArgumentException(
+                s"@language on non-string @value: ${v.toString}")
             val lit =
               if (v.isTextual)
                 "\"" + TurtleParser.escape(v.asText) + "\""
               else nativeToken(v) // bare numeric/boolean, canonical
-            Option(o.get("@language")).map(l => lit + "@" + l.asText)
-              .getOrElse(lit)
+            lang.map(l => lit + "@" + l.asText).getOrElse(lit)
         }
       case o: ObjectNode if o.has("@id") && o.size() == 1 =>
         // a PURE reference; {@id, …props} carries triples and must go

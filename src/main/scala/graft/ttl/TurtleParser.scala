@@ -111,8 +111,10 @@ object TurtleParser {
     c <= ' ' || "<>\"{}|^`\\".indexOf(c) >= 0
 
   /** LANGTAG ::= '@' [a-zA-Z]+ ('-' [a-zA-Z0-9]+)* */
+  private val LangTagP =
+    java.util.regex.Pattern.compile("[a-zA-Z]+(-[a-zA-Z0-9]+)*")
   private[ttl] def validLangTag(tag: String): Boolean =
-    tag.matches("[a-zA-Z]+(-[a-zA-Z0-9]+)*")
+    LangTagP.matcher(tag).matches()
 
   /** Distributed Turtle load: one task per file (wholetext), blank
     * nodes disambiguated per file (see Rdf.load). */
@@ -274,7 +276,10 @@ object TurtleParser {
     def document(): Seq[Triple] = {
       ws()
       while (i < s.length) {
-        if (s.regionMatches(true, i, "@prefix", 0, 7)) prefixDirective()
+        // @-directives are case-SENSITIVE keywords in the Turtle
+        // grammar ('@prefix'/'@base'); only the SPARQL-style
+        // PREFIX/BASE forms below are case-insensitive
+        if (s.regionMatches(false, i, "@prefix", 0, 7)) prefixDirective()
         else if (s.regionMatches(false, i, "@base", 0, 5)) {
           i += 5; baseDirective(); ws(); expect('.')
         } else if (s.regionMatches(true, i, "BASE", 0, 4) &&
