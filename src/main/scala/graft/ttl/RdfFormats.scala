@@ -22,9 +22,12 @@ object RdfXml {
 
   def parse(content: String): Seq[Triple] = parse(content, None)
 
-  /** `base` resolves `rdf:ID="x"` to `<base#x>` (the RDF/XML spec's
-    * in-document fragment identifiers). Without a base, rdf:ID is
-    * REJECTED rather than emitted as a relative `<#x>` — every other
+  /** `base` is the document base IRI: it resolves `rdf:ID="x"` to
+    * `<base#x>` and relative `rdf:about`/`rdf:resource`/`rdf:datatype`
+    * references per RFC 3986; scoped `xml:base` attributes override it
+    * per XML Base (a relative xml:base resolves against the outer
+    * one). Without any base in scope, relative references and rdf:ID
+    * are REJECTED rather than emitted as relative IRIs — every other
     * reader in this module guarantees absolute IRIs, and a silently
     * relative one would corrupt cross-format graph equality. */
   def parse(content: String, base: Option[String]): Seq[Triple] = {
@@ -70,11 +73,57 @@ object RdfXml {
     private def nodeId(id: String): String =
       bnMap.getOrElseUpdate(id, freshBn())
 
+    /** DOM's getAttributeNS returns "" for a MISSING attribute, so
+      * presence must come from hasAttributeNS — an empty rdf:about=""
+      * / rdf:resource="" is a legal reference to the base IRI itself,
+      * not an absent attribute. */
     private def rdfAttr(e: org.w3c.dom.Element, local: String)
       : Option[String] =
-      Option(e.getAttributeNS(RdfNs, local)).filter(_.nonEmpty)
+      if (e.hasAttributeNS(RdfNs, local))
+        Some(e.getAttributeNS(RdfNs, local))
+      else None
 
     private val XmlNs = "http://www.w3.org/XML/1998/namespace"
+
+    /** In-scope base IRI for `e` (XML Base): every `xml:base` on the
+      * root→e chain applies, each resolved against the one above it
+      * (a relative xml:base is itself a reference); the outermost
+      * base is the caller's `parse(content, base)` argument. */
+    private def inheritedBase(e: org.w3c.dom.Element): Option[String] = {
+      var chain = List.empty[String]
+      var n: org.w3c.dom.Node = e
+      while (n != null) {
+        n match {
+          case el: org.w3c.dom.Element
+            if el.hasAttributeNS(XmlNs, "base") =>
+            chain = el.getAttributeNS(XmlNs, "base") :: chain
+          case _ =>
+        }
+        n = n.getParentNode
+      }
+      chain.foldLeft(base) {
+        case (_, b) if TurtleParser.hasScheme(b) => Some(b)
+        case (Some(outer), b) => Some(TurtleParser.resolveIri(outer, b))
+        case (None, b) => throw new IllegalArgumentException(
+          s"""relative xml:base="$b" with no outer base IRI to """ +
+            "resolve against — pass one via parse(content, Some(base))")
+      }
+    }
+
+    /** Resolve an IRI reference (rdf:about / rdf:resource /
+      * rdf:datatype / rdf:type) against the in-scope base. A relative
+      * reference with NO base in scope is a loud error — every reader
+      * in this module guarantees absolute IRIs, and silently emitting
+      * a relative one would corrupt cross-format graph equality. */
+    private def resolveRef(e: org.w3c.dom.Element, ref: String): String =
+      if (TurtleParser.hasScheme(ref)) ref
+      else inheritedBase(e) match {
+        case Some(b) => TurtleParser.resolveIri(b, ref)
+        case None => throw new IllegalArgumentException(
+          s"""relative IRI reference "$ref" requires a base IRI """ +
+            "(xml:base or the parse(content, Some(base)) argument) " +
+            "to resolve against")
+      }
 
     /** Nearest xml:lang walking UP the element chain (the attribute
       * is scoped per the XML spec); an explicit xml:lang="" cancels
@@ -107,10 +156,13 @@ object RdfXml {
 
     /** Node element → subject term; emits its triples. */
     def nodeElement(e: org.w3c.dom.Element): String = {
-      val subj = rdfAttr(e, "about").map(a => s"<$a>")
+      val subj = rdfAttr(e, "about").map(a => s"<${resolveRef(e, a)}>")
         .orElse(rdfAttr(e, "ID").map { id =>
-          base match {
-            case Some(b) => s"<$b#$id>"
+          inheritedBase(e) match {
+            // rdf:ID="x" names the in-document fragment <base#x>;
+            // "#x" against the base strips any base fragment per
+            // RFC 3986, matching the RDF/XML spec's baseURI + "#" + id
+            case Some(b) => s"<${TurtleParser.resolveIri(b, "#" + id)}>"
             case None => throw new IllegalArgumentException(
               s"""rdf:ID="$id" requires a base IRI to resolve against """ +
                 "— pass one via parse(content, Some(base)), or use " +
@@ -149,7 +201,7 @@ object RdfXml {
               // (subj, rdf:type, <value>) — dropping it would lose a
               // triple silently
               out += Triple(subj, TurtleParser.RdfType,
-                s"<${a.getValue}>")
+                s"<${resolveRef(e, a.getValue)}>")
             case other => throw new IllegalArgumentException(
               s"unsupported rdf:$other attribute on a node element — " +
                 "refusing to drop it silently")
@@ -171,10 +223,64 @@ object RdfXml {
           "rdf:li / container membership is not supported by this reader")
       val pred = qnameIri(p)
       val kids = childElements(p)
+
+      // Audit the attribute set FIRST — every attribute must be one
+      // this reader understands, or we throw instead of dropping it
+      // (an ignored rdf:ID would silently lose the spec's reification
+      // triples; an ignored property attribute would lose a literal).
+      var propAttrs = Vector.empty[(String, String)]
+      var typeAttr: Option[String] = None
+      val pAttrs = p.getAttributes
+      (0 until pAttrs.getLength).map(pAttrs.item).foreach {
+        case a: org.w3c.dom.Attr if a.getNamespaceURI == RdfNs =>
+          a.getLocalName match {
+            case "resource" | "nodeID" | "datatype" | "parseType"
+              | "ID" => () // read below
+            case "type" => typeAttr = Some(resolveRef(p, a.getValue))
+            case other => throw new IllegalArgumentException(
+              s"unsupported rdf:$other attribute on a property " +
+                "element — refusing to drop it silently")
+          }
+        case a: org.w3c.dom.Attr if a.getNamespaceURI == null =>
+          throw new IllegalArgumentException(
+            s"attribute '${a.getName}' has no XML namespace — RDF/XML " +
+              "property attributes must be namespace-qualified")
+        case a: org.w3c.dom.Attr
+          if a.getNamespaceURI != "http://www.w3.org/2000/xmlns/" &&
+            a.getNamespaceURI != XmlNs =>
+          propAttrs :+= ((s"<${a.getNamespaceURI}${a.getLocalName}>",
+            a.getValue))
+        case _ => // xmlns / xml:* declarations carry no triples here
+      }
+
+      // rdf:ID on a PROPERTY element reifies the statement (RDF/XML
+      // spec §7.3): <base#id> gets rdf:type rdf:Statement plus
+      // subject/predicate/object triples pointing at the main triple.
+      val reify = rdfAttr(p, "ID").map { id =>
+        inheritedBase(p) match {
+          case Some(b) => s"<${TurtleParser.resolveIri(b, "#" + id)}>"
+          case None => throw new IllegalArgumentException(
+            s"""rdf:ID="$id" requires a base IRI to resolve against """ +
+              "— pass one via parse(content, Some(base))")
+        }
+      }
+      def emit(obj: String): Unit = {
+        out += Triple(subj, pred, obj)
+        reify.foreach { st =>
+          out += Triple(st, TurtleParser.RdfType, s"<${RdfNs}Statement>")
+          out += Triple(st, s"<${RdfNs}subject>", subj)
+          out += Triple(st, s"<${RdfNs}predicate>", pred)
+          out += Triple(st, s"<${RdfNs}object>", obj)
+        }
+      }
       // rdf:parseType shorthands (rdflib's pretty-xml emits Resource
       // and Collection); "Literal" (XML content) stays a loud error —
       // silently stringifying markup would corrupt data.
       val pt = rdfAttr(p, "parseType")
+      if (pt.isDefined && (propAttrs.nonEmpty || typeAttr.isDefined))
+        throw new IllegalArgumentException(
+          s"rdf:parseType=\"${pt.get}\" cannot combine with property " +
+            "attributes — refusing to drop them silently")
       if (pt.exists(t => t == "Resource" || t == "Collection") &&
         kids.isEmpty && p.getTextContent.trim.nonEmpty)
         throw new IllegalArgumentException(
@@ -185,7 +291,7 @@ object RdfXml {
         case Some("Resource") =>
           // the property element body IS a property list of a fresh bnode
           val b = freshBn()
-          out += Triple(subj, pred, b)
+          emit(b)
           kids.foreach(k => propertyElement(b, k))
           return
         case Some("Collection") =>
@@ -193,10 +299,10 @@ object RdfXml {
           // are evaluated BEFORE chain cells are allocated — the same
           // label order as the Turtle and JSON-LD collection readers,
           // so the three formats stay canonical-label-identical.
-          if (kids.isEmpty) { out += Triple(subj, pred, RdfNil); return }
+          if (kids.isEmpty) { emit(RdfNil); return }
           val items = kids.map(nodeElement)
           val cells = items.map(_ => freshBn())
-          out += Triple(subj, pred, cells.head)
+          emit(cells.head)
           for (idx <- items.indices) {
             out += Triple(cells(idx), RdfFirst, items(idx))
             out += Triple(cells(idx), RdfRest,
@@ -208,14 +314,38 @@ object RdfXml {
             s"rdf:parseType=\"$other\" is not supported by this reader")
         case None => ()
       }
+      if (propAttrs.nonEmpty || typeAttr.isDefined) {
+        // emptyPropertyElt with property attributes (spec §7.2.21's
+        // last production): the object is an implicit node whose
+        // properties are the attributes themselves.
+        if (kids.nonEmpty || p.getTextContent.trim.nonEmpty ||
+          rdfAttr(p, "datatype").isDefined)
+          throw new IllegalArgumentException(
+            "property attributes require an EMPTY property element " +
+              "(no element/text content, no rdf:datatype)")
+        val obj = rdfAttr(p, "resource").map(r => s"<${resolveRef(p, r)}>")
+          .orElse(rdfAttr(p, "nodeID").map(nodeId))
+          .getOrElse(freshBn())
+        emit(obj)
+        typeAttr.foreach(t =>
+          out += Triple(obj, TurtleParser.RdfType, s"<$t>"))
+        // property-attribute literals take the in-scope xml:lang,
+        // same as on node elements
+        val lang = inheritedLang(p)
+        propAttrs.foreach { case (ap, v) =>
+          val lit = "\"" + TurtleParser.escape(v) + "\""
+          out += Triple(obj, ap, lang.map(l => lit + "@" + l).getOrElse(lit))
+        }
+        return
+      }
       val obj =
-        rdfAttr(p, "resource").map(r => s"<$r>")
+        rdfAttr(p, "resource").map(r => s"<${resolveRef(p, r)}>")
           .orElse(rdfAttr(p, "nodeID").map(nodeId))
           .getOrElse {
             if (kids.nonEmpty) nodeElement(kids.head)
             else {
               val lex = p.getTextContent
-              val dt = rdfAttr(p, "datatype")
+              val dt = rdfAttr(p, "datatype").map(resolveRef(p, _))
               // xml:lang is SCOPED: it inherits from ancestor elements
               // (rdf:RDF, the node element, …) until overridden —
               // reading only the property element would silently strip
@@ -227,7 +357,7 @@ object RdfXml {
                 .getOrElse("\"" + TurtleParser.escape(lex) + "\"")
             }
           }
-      out += Triple(subj, pred, obj)
+      emit(obj)
     }
   }
 
@@ -381,6 +511,17 @@ object JsonLd {
         st.nodeObject(nodeObj(n), Ctx.empty))
       case o: ObjectNode =>
         val ctx = st.context(o, Ctx.empty)
+        if (o.has("@graph")) {
+          // this module is triples-only: a root object carrying keys
+          // besides @context/@graph is a NAMED graph (quad semantics)
+          // or root-level content — dropping either would corrupt
+          val extra = o.properties().asScala.map(_.getKey)
+            .filterNot(k => k == "@context" || k == "@graph")
+          if (extra.nonEmpty) throw new IllegalArgumentException(
+            s"@graph with sibling keys ${extra.mkString(", ")} — named " +
+              "graphs (quads) are not supported by this triples-only " +
+              "reader; refusing to drop them silently")
+        }
         Option(o.get("@graph")) match {
           case Some(g: ArrayNode) => g.elements().asScala.foreach(n =>
             st.nodeObject(nodeObj(n), ctx))
@@ -604,7 +745,11 @@ object JsonLd {
         if (colon > 0 && ctx.terms.contains(id.take(colon)))
           s"<${ctx.terms(id.take(colon)).iri}${id.drop(colon + 1)}>"
         else ctx.base match {
-          case Some(b) => s"<${java.net.URI.create(b).resolve(id)}>"
+          // same RFC 3986 resolver as the Turtle and RDF/XML readers,
+          // so the three formats resolve relative references
+          // identically (java.net.URI.resolve diverges on empty and
+          // authority-less references)
+          case Some(b) => s"<${TurtleParser.resolveIri(b, id)}>"
           case None => s"<$id>" // pre-@base behavior: trust as-is
         }
       }
