@@ -52,39 +52,9 @@ object EtlBench {
       math.min(2048L, math.max(cpus.toLong, nMarks / 20000L)).toString)
     import spark.implicits._
 
-    val marks = spark.range(nMarks).select(
-      format_string("m-%012d", col("id")).as("_id"),
-      struct(
-        struct(format_string("exec-%d", col("id") % nAnalyses)
-          .as("execution_id")).as("analysis"),
-        struct(format_string("img-%d", col("id") % nAnalyses)
-          .as("imageid"),
-          format_string("slide-%d", col("id") % nAnalyses).as("slide"))
-          .as("image")).as("provenance"),
-      struct(array(struct(
-        struct(lit("Polygon").as("type"), expr(
-          """array(transform(sequence(0, 4), i -> array(
-            | cast((pmod(id * 7 + i * 13, 1000)) / 1000.0 as double),
-            | cast((pmod(id * 11 + i * 17, 1000)) / 1000.0 as double))))"""
-            .stripMargin).as("coordinates")).as("geometry"),
-        struct((col("id") % 100 / 10.0).as("footprint"),
-          lit("tumor.ep.1").as("nucleustype")).as("properties")))
-        .as("features")).as("geometries"),
-      struct(struct(array(struct(
-        lit("http://snomed.info/id/108369006").as("annotationID")))
-        .as("annotation")).as("mark")).as("userUpdate"))
-
-    val analyses = spark.range(nAnalyses).select(
-      format_string("an-%d", col("id")).as("_id"),
-      struct(format_string("exec-%d", col("id")).as("execution_id"),
-        struct(lit(40000L).as("image_width"),
-          lit(40000L).as("image_height"),
-          format_string("case-%d", col("id")).as("case_id"))
-          .as("algorithm_params")).as("analysis"),
-      struct(format_string("img-%d", col("id")).as("imageid"),
-        lit("subj").as("subject"), lit("study").as("study"),
-        format_string("slide-%d", col("id")).as("slide")).as("image"))
-
+    val skew = sys.env.get("SPARK_GRAFT_SKEW")
+    val marks = synthMarks(spark, nMarks, nAnalyses, skew)
+    val analyses = synthAnalyses(spark, nAnalyses)
     val hashes = Seq.empty[(String, String)].toDF("slide", "real_hash")
 
     args.lift(3) match {
@@ -96,12 +66,55 @@ object EtlBench {
         // separately at 10M/100M marks
         val batchSize = sys.env.get("SPARK_GRAFT_BATCH_SIZE")
           .map(_.toInt).getOrElse(MongoMarksPipeline.BatchSize)
+        // per-stage task-duration capture: under skew the question is
+        // whether ANY stage develops a straggler tail (the W1
+        // batch_num-in-key construction should keep the hot group's
+        // work split into BatchSize-bounded files)
+        val taskMs = new java.util.concurrent.ConcurrentHashMap[
+          Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd)
+              : Unit =
+              taskMs.computeIfAbsent(te.stageId,
+                _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+                .add(te.taskInfo.duration)
+          })
+        // SPARK_GRAFT_SKEW_SAFE=1 engages the distributed-rank batch
+        // numbering (same output, hot-group sort split into buckets)
+        val skewSafe = sys.env.contains("SPARK_GRAFT_SKEW_SAFE")
         val t0 = System.nanoTime()
         val docs = MongoMarksPipeline.documents(marks, analyses, hashes,
-          batchSize)
+          batchSize, skewSafe)
         TtlFileSink.write(docs.select("rel_path", "ttl"), outDir)
         val secs = (System.nanoTime() - t0) / 1e9
         val rate = nMarks / secs
+        // task-spread table of the heaviest stage (by total task
+        // time — the window/write stage at scale), computed OUTSIDE
+        // the timed window after the listener bus drains
+        org.apache.spark.GraftListenerShim.flush(spark.sparkContext)
+        val spread = {
+          import scala.jdk.CollectionConverters._
+          taskMs.asScala.toSeq
+            .map { case (sid, q) => (sid, q.asScala.toVector.sorted) }
+            .filter(_._2.nonEmpty)
+            .sortBy { case (_, ds) => -ds.sum }
+            .take(2)
+            .map { case (sid, ds) =>
+              s""""stage_$sid":{"n_tasks":${ds.length},""" +
+                s""""p50_ms":${ds(ds.length / 2)},""" +
+                s""""max_ms":${ds.last}}"""
+            }.mkString(",")
+        }
+        // measured hottest-analysis share (not the closed form) —
+        // also outside the timed window
+        val hotShare = skew.map { _ =>
+          val hot = marks
+            .groupBy(col("provenance.analysis.execution_id"))
+            .count().agg(max("count")).head.getLong(0)
+          hot.toDouble / nMarks
+        }
         // file census by WALKING the tree (outside the timed window):
         // the count the commit protocol actually delivered, not what
         // logs claim — zero loss / zero collision is `n_files ==
@@ -113,7 +126,11 @@ object EtlBench {
         println(s"""{"metric":"etl_marks_per_sec","value":$rate,""" +
           s""""unit":"marks/sec","n_marks":$nMarks,"secs":$secs,""" +
           s""""n_files":$nFiles,"batch_size":$batchSize,""" +
-          s""""n_analyses":$nAnalyses}""")
+          s""""n_analyses":$nAnalyses""" +
+          (if (skewSafe) s""","skew_safe":true""" else "") +
+          skew.map(s => s""","skew":"$s"""").getOrElse("") +
+          hotShare.map(h => s""","hot_share":$h""").getOrElse("") +
+          s""","task_spread":{$spread}}""")
       case Some(ledgerDir) if args.length > 4 =>
         val nWaves = args(4).toInt
         // foldEvery (6th arg, default 1, 0 = never) is the A/B lever
@@ -194,6 +211,64 @@ object EtlBench {
     }
     spark.stop()
   }
+
+  /** Synthetic mark documents, schema-identical to
+    * MongoMarksPipeline.markSchema: ~5 polygon points per mark, ids
+    * deterministic from spark.range. `skew`:
+    *  - None → uniform marks-per-analysis (id % nAnalyses);
+    *  - Some("zipf") → harmonic Zipf (s=1) via the closed-form
+    *    inverse CDF u ~ U[0,1) → floor((N+1)^u) − 1, so rank k holds
+    *    ln((k+2)/(k+1))/ln(N+1) of all marks — rank 0 gets
+    *    ln(2)/ln(N+1) (~23% of the corpus at N=20). The reference's
+    *    real corpus is certainly not uniform; the r20 skew rung
+    *    measures the W1 batching construction under a hot analysis.
+    */
+  def synthMarks(spark: SparkSession, nMarks: Long, nAnalyses: Int,
+    skew: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val aIdx = skew match {
+      case Some("zipf") =>
+        val u = pmod(xxhash64(col("id")), lit(1000000000L)) / 1e9
+        (floor(pow(lit((nAnalyses + 1).toDouble), u)) - 1).cast("long")
+      case None => col("id") % nAnalyses
+      case Some(other) => throw new IllegalArgumentException(
+        s"skew=$other (only 'zipf' is supported)")
+    }
+    spark.range(nMarks).select(
+      format_string("m-%012d", col("id")).as("_id"),
+      struct(
+        struct(format_string("exec-%d", aIdx)
+          .as("execution_id")).as("analysis"),
+        struct(format_string("img-%d", aIdx)
+          .as("imageid"),
+          format_string("slide-%d", aIdx).as("slide"))
+          .as("image")).as("provenance"),
+      struct(array(struct(
+        struct(lit("Polygon").as("type"), expr(
+          """array(transform(sequence(0, 4), i -> array(
+            | cast((pmod(id * 7 + i * 13, 1000)) / 1000.0 as double),
+            | cast((pmod(id * 11 + i * 17, 1000)) / 1000.0 as double))))"""
+            .stripMargin).as("coordinates")).as("geometry"),
+        struct((col("id") % 100 / 10.0).as("footprint"),
+          lit("tumor.ep.1").as("nucleustype")).as("properties")))
+        .as("features")).as("geometries"),
+      struct(struct(array(struct(
+        lit("http://snomed.info/id/108369006").as("annotationID")))
+        .as("annotation")).as("mark")).as("userUpdate"))
+  }
+
+  /** One synthetic analysis document per exec/img/slide triple. */
+  def synthAnalyses(spark: SparkSession, nAnalyses: Int)
+    : org.apache.spark.sql.DataFrame =
+    spark.range(nAnalyses).select(
+      format_string("an-%d", col("id")).as("_id"),
+      struct(format_string("exec-%d", col("id")).as("execution_id"),
+        struct(lit(40000L).as("image_width"),
+          lit(40000L).as("image_height"),
+          format_string("case-%d", col("id")).as("case_id"))
+          .as("algorithm_params")).as("analysis"),
+      struct(format_string("img-%d", col("id")).as("imageid"),
+        lit("subj").as("subject"), lit("study").as("study"),
+        format_string("slide-%d", col("id")).as("slide")).as("image"))
 
   /** Recursive `.ttl.gz` census of `dir` through the Hadoop
     * FileSystem that owns the path (local, HDFS, or object store) —
