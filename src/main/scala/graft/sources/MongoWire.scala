@@ -60,14 +60,31 @@ object MongoWire {
     out.toByteArray
   }
 
+  /** Byte counter over the frame body: the frame's length field must
+    * agree with the bytes the sections actually consume, or the NEXT
+    * frame on this connection is read from a desynced offset — a
+    * silent-corruption mode on the cursor's long-lived socket. */
+  private final class CountingIn(in: InputStream)
+    extends java.io.FilterInputStream(in) {
+    var n: Long = 0L
+    override def read(): Int = {
+      val b = super.read(); if (b >= 0) n += 1; b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      val r = super.read(b, off, len); if (r > 0) n += r; r
+    }
+  }
+
   /** Read one OP_MSG frame → (requestId, responseTo, body document).
     * Clean EOF at the first byte returns null; EOF inside a frame
-    * throws. */
+    * throws; a frame whose length field disagrees with its actual
+    * section bytes throws (stream-desync guard). */
   def readMsg(in: InputStream): (Int, Int, ObjectNode) = {
     val b0 = in.read()
     if (b0 < 0) return null
+    val counted = new CountingIn(in)
     def byte(): Int = {
-      val b = in.read()
+      val b = counted.read()
       if (b < 0) throw new EOFException("OP_MSG frame truncated")
       b
     }
@@ -83,8 +100,13 @@ object MongoWire {
     require((flags & 0x1) == 0, "checksummed OP_MSG not supported")
     val kind = byte()
     require(kind == 0, s"unsupported OP_MSG section kind $kind")
-    val body = Bson.read(in)
+    val body = Bson.read(counted)
     if (body == null) throw new EOFException("OP_MSG body truncated")
+    // counted.n excludes the first length byte (read before wrapping)
+    // but includes the other 3, so expected = len - 1
+    require(counted.n == len - 1,
+      s"OP_MSG frame length drift: length field $len, " +
+        s"consumed ${counted.n + 1}")
     (requestId, responseTo, body)
   }
 

@@ -129,6 +129,22 @@ class BsonMarkDataSourceSpec extends SparkTestBase {
     }
   }
 
+  test("embedded-doc length drift is a loud error, not tolerated — " +
+    "mutation pin W5: an inner length field LONGER than the actual " +
+    "content must throw, or the next element is parsed from garbage") {
+    val om = new ObjectMapper()
+    // layout: [0-3 outer len][4 0x03]["a" NUL][7-10 inner len]
+    // {"b":1} encodes to 16 bytes; claim 18 so the inner doc's NUL
+    // lands 2 bytes before the claimed end
+    val b = Bson.encode(om.readTree("""{"a":{"b":1},"cc":1}"""))
+    b(7) = (b(7) + 2).toByte
+    val ex = intercept[IllegalArgumentException] {
+      Bson.read(new java.io.ByteArrayInputStream(b))
+    }
+    assert(ex.getMessage.contains("embedded document length drift"),
+      s"got $ex")
+  }
+
   test("streaming face works over the BSON wire") {
     val srv = new TcpBsonMarkServer(Map("marks" -> (1 to 6).map(markDoc)))
     val port = srv.start()

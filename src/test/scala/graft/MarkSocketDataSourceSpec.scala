@@ -127,6 +127,37 @@ class MarkSocketDataSourceSpec extends SparkTestBase {
     }
   }
 
+  test("two _id lower bounds fold to the STRONGEST (max) — mutation " +
+    "pin W11: folding to the min silently returns extra rows because " +
+    "both filters left the residual") {
+    withServer { (srv, port) =>
+      val df = read(port)
+        .filter(col("_id") >= "m-003").filter(col("_id") >= "m-005")
+      val got = df.select("_id").collect().map(_.getString(0)).sorted
+      assert(got.toSeq == marks.filter(_.id >= "m-005").map(_.id))
+      assert(srv.requests.asScala
+        .exists(_.contains("\"start_from\":\"m-005\"")),
+        s"strongest bound did not cross the wire: ${
+          srv.requests.asScala.filter(_.contains("find")).take(3)}")
+    }
+  }
+
+  test("multi-value execution_id IN is APPLIED, not just absorbed — " +
+    "mutation pin W12: an In absorbed out of the residual but never " +
+    "recorded for the reader returns every row") {
+    withServer { (srv, port) =>
+      val df = read(port).filter(
+        col("provenance.analysis.execution_id").isin("exec-1", "exec-3"))
+      val got = df.select("_id").collect().map(_.getString(0)).sorted
+      assert(got.toSeq == marks.filter(_.execId == "exec-1").map(_.id))
+      assert(srv.requests.asScala.exists(r =>
+        r.contains("execution_ids") && r.contains("exec-1") &&
+          r.contains("exec-3")),
+        s"IN predicate did not cross the wire: ${
+          srv.requests.asScala.filter(_.contains("find")).take(3)}")
+    }
+  }
+
   test("combined pushdown + residual predicate stays with Catalyst") {
     withServer { (srv, port) =>
       val df = read(port)

@@ -46,6 +46,36 @@ class MongoWireDataSourceSpec extends SparkTestBase {
       .option("partitions", "3").option("batch.size", "4")
       .load()
 
+  test("OP_MSG frame length field agrees with the bytes on the wire — " +
+    "mutation pin W6: a drifted length desyncs every later frame on " +
+    "the cursor's long-lived socket") {
+    import graft.sources.MongoWire
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val body = om.readTree("""{"find":"marks","batchSize":4}""")
+    val frame = MongoWire.encodeMsg(7, 0, body)
+    // the length field IS the frame's byte count
+    val lenField = (frame(0) & 0xFF) | ((frame(1) & 0xFF) << 8) |
+      ((frame(2) & 0xFF) << 16) | ((frame(3) & 0xFF) << 24)
+    assert(lenField == frame.length,
+      s"length field $lenField != frame ${frame.length}")
+    // and readMsg round-trips it
+    val (reqId, _, back) = MongoWire.readMsg(
+      new java.io.ByteArrayInputStream(frame))
+    // textual compare: the codec canonicalizes integrals to int64,
+    // so 4 comes back a LongNode (IntNode != LongNode under equals)
+    assert(reqId == 7 && back.toString == body.toString)
+    // a corrupted length field (frame + pad so bytes exist either
+    // way) is a LOUD drift error, not a silent desync
+    for (delta <- Seq(-1, 1)) {
+      val bad = frame.clone() :+ 0x00.toByte
+      bad(0) = (bad(0) + delta).toByte
+      val ex = intercept[IllegalArgumentException] {
+        MongoWire.readMsg(new java.io.ByteArrayInputStream(bad))
+      }
+      assert(ex.getMessage.contains("frame length drift"), s"got $ex")
+    }
+  }
+
   test("full scan over server-side cursors: parity + getMore paging") {
     withServer { (srv, port) =>
       import spark.implicits._

@@ -148,6 +148,71 @@ MUTANTS += [
      IVF_SUITES),
 ]
 
+# ---- set 3 (r19 verdict ask #3): the wire/codec layer — the specs
+# are the ONLY net under these files (the DuckDB oracle never sees a
+# socket), and the r17 review found real bugs here.
+BSON = "src/main/scala/graft/sources/Bson.scala"
+MW = "src/main/scala/graft/sources/MongoWire.scala"
+MSDS = "src/main/scala/graft/sources/MarkSocketDataSource.scala"
+WIRE_SUITES = ("graft.BsonMarkDataSourceSpec graft.MongoWireDataSourceSpec "
+               "graft.MarkSocketDataSourceSpec graft.MarkSocketStreamSpec "
+               "graft.SocketMarkStoreSpec graft.MarkStoreSpec")
+
+MUTANTS += [
+    ("W1-doc-len", BSON, "encode: document length field off by one (drops terminator from count)",
+     "val total = 4 + body.size() + 1 // length prefix + body + terminator",
+     "val total = 4 + body.size() // length prefix + body + terminator",
+     WIRE_SUITES),
+    ("W2-str-len", BSON, "encode string: length excludes the trailing NUL",
+     "writeInt32(out, b.length + 1); out.write(b); out.write(0x00)",
+     "writeInt32(out, b.length); out.write(b); out.write(0x00)",
+     WIRE_SUITES),
+    ("W3-str-nul", BSON, "decode string: include the trailing NUL in the value",
+     "(nf.textNode(new String(buf, i + 4, len - 1, UTF_8)), i + 4 + len)",
+     "(nf.textNode(new String(buf, i + 4, len, UTF_8)), i + 4 + len)",
+     WIRE_SUITES),
+    ("W4-i64-7byte", BSON, "int64 decode: top byte dropped (j starts at 6)",
+     "var v = 0L; var j = 7",
+     "var v = 0L; var j = 6",
+     WIRE_SUITES),
+    ("W5-embed-drift", BSON, "embedded doc: tolerate length drift (== -> <=)",
+     'require(consumed == i + len - 1, "embedded document length drift")',
+     'require(consumed <= i + len - 1, "embedded document length drift")',
+     WIRE_SUITES),
+    ("W6-frame-len", MW, "OP_MSG frame length omits the section-kind byte",
+     "val len = 16 + 4 + 1 + doc.length",
+     "val len = 16 + 4 + doc.length",
+     WIRE_SUITES),
+    ("W7-gte-min", MW, "filterDoc: fold multiple _id lower bounds to the MIN (weakest)",
+     "val gte = (minId.toSeq ++ startFrom.toSeq).sorted.lastOption",
+     "val gte = (minId.toSeq ++ startFrom.toSeq).sorted.headOption",
+     WIRE_SUITES),
+    ("W8-max-lte", MW, "filterDoc: split upper bound $lt -> $lte (partition overlap duplicates)",
+     'maxId.foreach(v => idCond.put("$lt", v))',
+     'maxId.foreach(v => idCond.put("$lte", v))',
+     WIRE_SUITES),
+    ("W9-exec-path", MW, "filterDoc: hardcode top-level execution_id path (marks nest it)",
+     "    execIds.foreach { ids =>\n      val in = nf.objectNode()\n      val arr = in.putArray(\"$in\"); ids.foreach(arr.add)\n      f.set[JsonNode](execPath, in)",
+     "    execIds.foreach { ids =>\n      val in = nf.objectNode()\n      val arr = in.putArray(\"$in\"); ids.foreach(arr.add)\n      f.set[JsonNode](\"execution_id\", in)",
+     WIRE_SUITES),
+    ("W10-getmore-drop", MW, "getMore: silently drop the first row of every nextBatch",
+     '          buf = cur.get("nextBatch").elements().asScala.toVector',
+     '          buf = cur.get("nextBatch").elements().asScala.toVector.drop(1)',
+     WIRE_SUITES),
+    ("W11-startfrom-min", MSDS, "splitFilters: fold multiple _id >= bounds to the MIN",
+     "          startFrom = Some(startFrom.fold(v)(prev =>\n            if (v > prev) v else prev))",
+     "          startFrom = Some(startFrom.fold(v)(prev =>\n            if (v > prev) prev else v))",
+     WIRE_SUITES),
+    ("W12-in-dropped", MSDS, "splitFilters: absorb the IN filter but never record it (dropped predicate)",
+     "          execIds = Some(execIds.fold(ids)(_.intersect(ids)))",
+     "          execIds = execIds.map(identity)",
+     WIRE_SUITES),
+    ("W13-ascii-any", MSDS, "isAscii: accept every string (non-ASCII bounds get pushed)",
+     "private[sources] def isAscii(s: String): Boolean = s.forall(_ < 0x80)",
+     "private[sources] def isAscii(s: String): Boolean = s.forall(_ < 0x10000)",
+     WIRE_SUITES),
+]
+
 
 def run(mutant):
     mid, fn, desc, old, new, suites = mutant
