@@ -136,6 +136,10 @@ object EtlBench {
         // foldEvery (6th arg, default 1, 0 = never) is the A/B lever
         // isolating the fold's share of the wave cost
         val foldEvery = args.lift(5).map(_.toInt).getOrElse(1)
+        // startup recovery: a kill -9 mid-wave leaves *.tmp-* files
+        // under the wave dirs (the rename protocol's garbage); sweep
+        // ONCE per process start, never per wave
+        val swept = TtlFileSink.sweepOrphanedTemps(spark, outDir)
         val t0 = System.nanoTime()
         var processed = 0L
         var folds = 0
@@ -147,11 +151,11 @@ object EtlBench {
           // consume it — unpersisted they would each re-execute the
           // cumulative scan + anti-join, inflating the wave cost the
           // benchmark attributes to the ledger.
+          val execWave = pmod(xxhash64(
+            col("provenance.analysis.execution_id")), lit(nWaves.toLong))
           val work = marks
             .withColumn("_exec", col("provenance.analysis.execution_id"))
-            .filter(pmod(xxhash64(
-              col("provenance.analysis.execution_id")),
-              lit(nWaves.toLong)) <= w)
+            .filter(execWave <= w)
           val todo = BatchLedger.pending(work, ledgerDir, "_exec")
             .persist()
           try {
@@ -166,8 +170,22 @@ object EtlBench {
             // a hole below the fold coverage — out of the BatchDirs
             // contract — and (b) let the next fold(w−1) cover the
             // actual newest recorded dir, destroying the replay
-            // marker the never-the-newest rule protects
-            BatchLedger.record(todo.select("_exec").distinct(),
+            // marker the never-the-newest rule protects.
+            //
+            // Record the wave's DETERMINISTIC delta slice (hash == w),
+            // NOT the pending subset: record() overwrites batch=<w>,
+            // and its exactly-once contract requires a replayed wave
+            // to rewrite the SAME key set. Pending depends on ledger
+            // state — in a crash-rerun it shrinks to ∅ at already-done
+            // waves, and recording ∅ would ERASE the wave's completion
+            // record, cascading every execution one wave forward per
+            // rerun (caught by tools/crash_rig.sh's census: duplicated
+            // outputs across wave dirs). In a clean run the delta
+            // slice EQUALS the pending set, so nothing else changes.
+            BatchLedger.record(
+              marks.filter(execWave === w)
+                .select(col("provenance.analysis.execution_id"))
+                .distinct(),
               ledgerDir, w, runId = s"etlbench-wave$w")
             processed += nPending
           } finally { todo.unpersist(); () }
@@ -187,6 +205,7 @@ object EtlBench {
           s""""unit":"marks/sec","n_waves":$nWaves,"folds":$folds,""" +
           s""""ledger_dirs":$ledgerDirs,"n_marks":$nMarks,""" +
           s""""n_processed":$processed,"secs":$secs,""" +
+          s""""swept_temps":$swept,""" +
           s""""n_analyses":$nAnalyses}""")
       case Some(ledgerDir) =>
         Seq(1, 2).foreach { run =>

@@ -34,7 +34,15 @@ object BatchLedger {
   /** Append one wave's keys (FIRST column, cast to string) under
     * `batch=<waveId>`. Distributive — never collects. Re-running a
     * wave id overwrites its own directory (deterministic input ⇒
-    * byte-identical, the exactly-once contract above). */
+    * byte-identical, the exactly-once contract above).
+    *
+    * PRECONDITION the overwrite makes load-bearing: `keys` must be a
+    * deterministic function of the wave id — the wave's assigned
+    * slice, NOT the still-pending subset. Pending depends on ledger
+    * state, so after a crash-rerun it shrinks at already-done waves,
+    * and overwriting with the shrunken set ERASES completion records
+    * (each execution then cascades one wave forward per rerun — the
+    * failure tools/crash_rig.sh's census caught in r20). */
   def record(keys: DataFrame, ledgerDir: String, waveId: Long,
     status: String = Ledger.Completed, runId: String = ""): Unit =
     keys.select(col(keys.columns.head).cast("string").as("key"))

@@ -132,6 +132,30 @@ object TtlFileSink {
     }
   }
 
+  /** Driver-side recovery sweep: delete orphaned `*.tmp-*` files a
+    * KILLED run left behind (under the atomic-rename protocol a temp
+    * is garbage the moment its process dies — no reader ever opens
+    * one, but a crash-then-resume loop would otherwise accrete them
+    * forever). Full recursive listing of `dir` — call once at
+    * process start when resuming a batch tree, never per micro-batch
+    * (the streaming sink's zero-listing discipline stands). Returns
+    * the number of temps deleted. */
+  def sweepOrphanedTemps(spark: org.apache.spark.sql.SparkSession,
+    dir: String): Long = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.contains(".tmp-")) {
+        fs.delete(f.getPath, false); n += 1
+      }
+    }
+    n
+  }
+
   private def writeStream(raw: OutputStream, content: String,
     gzip: Boolean): Unit = {
     val os = if (gzip)
