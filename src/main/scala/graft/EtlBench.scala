@@ -182,10 +182,14 @@ object EtlBench {
             // rerun (caught by tools/crash_rig.sh's census: duplicated
             // outputs across wave dirs). In a clean run the delta
             // slice EQUALS the pending set, so nothing else changes.
+            // the slice's key set derives from the ANALYSES side
+            // (nAnalyses rows — marks' exec ids are exactly the
+            // analyses' execution_id domain), not from a full
+            // nMarks-scan + distinct per wave inside the timed window
             BatchLedger.record(
-              marks.filter(execWave === w)
-                .select(col("provenance.analysis.execution_id"))
-                .distinct(),
+              analyses.select(col("analysis.execution_id"))
+                .filter(pmod(xxhash64(col("execution_id")),
+                  lit(nWaves.toLong)) === w),
               ledgerDir, w, runId = s"etlbench-wave$w")
             processed += nPending
           } finally { todo.unpersist(); () }

@@ -147,9 +147,14 @@ object TtlFileSink {
     if (!fs.exists(p)) return 0L
     val it = fs.listFiles(p, true)
     var n = 0L
+    // anchored to the protocol's exact suffix shape (".tmp-" + 8 hex
+    // uuid chars at END of name): rel_path is caller-supplied, so a
+    // committed output whose leaf merely CONTAINS ".tmp-" must never
+    // be swept as garbage
+    val tempName = ".*\\.tmp-[0-9a-f]{8}$".r
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.contains(".tmp-")) {
+      if (tempName.matches(f.getPath.getName)) {
         fs.delete(f.getPath, false); n += 1
       }
     }

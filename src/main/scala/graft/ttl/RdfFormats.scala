@@ -281,6 +281,15 @@ object RdfXml {
         throw new IllegalArgumentException(
           s"rdf:parseType=\"${pt.get}\" cannot combine with property " +
             "attributes — refusing to drop them silently")
+      // parseTypeResourcePropertyElt/...CollectionPropertyElt allow
+      // ONLY rdf:ID besides parseType: a co-present resource/nodeID/
+      // datatype would be silently shadowed by the parse-typed body
+      if (pt.isDefined)
+        Seq("resource", "nodeID", "datatype").foreach { a =>
+          if (rdfAttr(p, a).isDefined) throw new IllegalArgumentException(
+            s"rdf:parseType=\"${pt.get}\" cannot combine with rdf:$a " +
+              "— refusing to drop it silently")
+        }
       if (pt.exists(t => t == "Resource" || t == "Collection") &&
         kids.isEmpty && p.getTextContent.trim.nonEmpty)
         throw new IllegalArgumentException(
@@ -338,6 +347,22 @@ object RdfXml {
         }
         return
       }
+      // a resource/nodeID object requires an EMPTY property element
+      // (emptyPropertyElt production); element or text content beside
+      // it would be silently shadowed. Likewise, resourcePropertyElt
+      // has exactly ONE node-element child — a second child's whole
+      // subtree would vanish.
+      if ((rdfAttr(p, "resource").isDefined ||
+        rdfAttr(p, "nodeID").isDefined) &&
+        (kids.nonEmpty || p.getTextContent.trim.nonEmpty))
+        throw new IllegalArgumentException(
+          "rdf:resource/rdf:nodeID require an empty property element " +
+            "— refusing to drop the element/text content silently")
+      if (kids.length > 1)
+        throw new IllegalArgumentException(
+          s"property element <${p.getNodeName}> has ${kids.length} " +
+            "node-element children; resourcePropertyElt allows one — " +
+            "refusing to drop the others silently")
       val obj =
         rdfAttr(p, "resource").map(r => s"<${resolveRef(p, r)}>")
           .orElse(rdfAttr(p, "nodeID").map(nodeId))
@@ -489,6 +514,19 @@ object JsonLd {
     lang: Option[Option[String]] = None,
     container: Option[String] = None,
     reverse: Boolean = false)
+
+  /** Validate a language tag at EMISSION (covers every source: the
+    * @value branch, language-map keys, per-term and context-default
+    * @language): a malformed tag concatenated into the term would
+    * violate the LANGTAG grammar and corrupt cross-format graph
+    * equality silently. */
+  private def langTag(tag: String): String = {
+    if (!TurtleParser.validLangTag(tag))
+      throw new IllegalArgumentException(
+        s"invalid @language tag '$tag' (LANGTAG ::= " +
+          "[a-zA-Z]+('-'[a-zA-Z0-9]+)*)")
+    tag
+  }
 
   /** Accumulated context state along one node-object path. */
   private final case class Ctx(terms: Map[String, TermDef],
@@ -748,8 +786,18 @@ object JsonLd {
           // same RFC 3986 resolver as the Turtle and RDF/XML readers,
           // so the three formats resolve relative references
           // identically (java.net.URI.resolve diverges on empty and
-          // authority-less references)
-          case Some(b) => s"<${TurtleParser.resolveIri(b, id)}>"
+          // authority-less references). resolveIri performs no syntax
+          // validation (unlike the java.net.URI it replaced), so check
+          // the result against the IRIREF character set — a raw space
+          // from a malformed @base must not silently become a term the
+          // writers emit and no parser can re-read.
+          case Some(b) =>
+            val r = TurtleParser.resolveIri(b, id)
+            r.find(TurtleParser.badIriChar).foreach(c =>
+              throw new IllegalArgumentException(
+                s"@base resolution produced an invalid IRI <$r> " +
+                  s"(bad character '$c')"))
+            s"<$r>"
           case None => s"<$id>" // pre-@base behavior: trust as-is
         }
       }
@@ -806,7 +854,7 @@ object JsonLd {
                     val lit = "\"" + TurtleParser.escape(n.asText) + "\""
                     out += Triple(subj, pred,
                       if (le.getKey == "@none") lit
-                      else lit + "@" + le.getKey)
+                      else lit + "@" + langTag(le.getKey))
                   }
                 }
             else if (d.exists(_.container.contains("@index")) &&
@@ -893,7 +941,7 @@ object JsonLd {
               if (v.isTextual)
                 "\"" + TurtleParser.escape(v.asText) + "\""
               else nativeToken(v) // bare numeric/boolean, canonical
-            lang.map(l => lit + "@" + l.asText).getOrElse(lit)
+            lang.map(l => lit + "@" + langTag(l.asText)).getOrElse(lit)
         }
       case o: ObjectNode if o.has("@id") && o.size() == 1 =>
         // a PURE reference; {@id, …props} carries triples and must go
@@ -909,7 +957,7 @@ object JsonLd {
             // per-term @language beats the context default; an explicit
             // per-term null clears it
             term.flatMap(_.lang).orElse(ctx.lang.map(Some(_)))
-              .flatten.map(l => lit + "@" + l).getOrElse(lit)
+              .flatten.map(l => lit + "@" + langTag(l)).getOrElse(lit)
         }
       case v => nativeToken(v)
     }

@@ -33,7 +33,7 @@ run() { # outDir ledgerDir logFile
 state() { # label outDir ledgerDir — progress snapshot after a kill
   local files temps batches
   files=$(find "$2" -name '*.ttl.gz' 2>/dev/null | wc -l)
-  temps=$(find "$2" -name '*.tmp-*' 2>/dev/null | wc -l)
+  temps=$(find "$2" -regextype posix-extended -regex '.*\.tmp-[0-9a-f]{8}$' 2>/dev/null | wc -l)
   batches=$(find "$3" -maxdepth 1 -mindepth 1 -type d 2>/dev/null | wc -l)
   echo "$1: files=$files orphaned_temps=$temps ledger_dirs=$batches"
 }
@@ -64,7 +64,7 @@ grep -o '{.*}' "$BASE/crash_final.log" | tail -1
 
 echo "== census: crash tree vs control tree"
 python3 - "$BASE/control" "$BASE/crash" <<'EOF'
-import gzip, hashlib, os, sys
+import gzip, hashlib, os, re, sys
 
 def census(root):
     out = {}
@@ -73,7 +73,7 @@ def census(root):
         for f in files:
             p = os.path.join(dirpath, f)
             rel = os.path.relpath(p, root)
-            if ".tmp-" in f:
+            if re.search(r"\.tmp-[0-9a-f]{8}$", f):
                 temps += 1
             elif f.endswith(".ttl.gz"):
                 with gzip.open(p, "rb") as fh:
