@@ -26,10 +26,11 @@ object RdfXml {
     * `<base#x>` and relative `rdf:about`/`rdf:resource`/`rdf:datatype`
     * references per RFC 3986; scoped `xml:base` attributes override it
     * per XML Base (a relative xml:base resolves against the outer
-    * one). Without any base in scope, relative references and rdf:ID
-    * are REJECTED rather than emitted as relative IRIs — every other
-    * reader in this module guarantees absolute IRIs, and a silently
-    * relative one would corrupt cross-format graph equality. */
+    * one). Without any base in scope, relative references are kept
+    * VERBATIM — the same documented deviation as the Turtle and
+    * N-Triples readers (the engine's pipelines emit document-local
+    * `<>` terms) — while rdf:ID (whose whole meaning is base#frag)
+    * and a relative xml:base stay loud errors. */
   def parse(content: String, base: Option[String]): Seq[Triple] = {
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(true)
@@ -111,18 +112,18 @@ object RdfXml {
     }
 
     /** Resolve an IRI reference (rdf:about / rdf:resource /
-      * rdf:datatype / rdf:type) against the in-scope base. A relative
-      * reference with NO base in scope is a loud error — every reader
-      * in this module guarantees absolute IRIs, and silently emitting
-      * a relative one would corrupt cross-format graph equality. */
+      * rdf:datatype / rdf:type) against the in-scope base. With NO
+      * base in scope the reference is kept VERBATIM — the same
+      * documented deviation as the Turtle and N-Triples readers
+      * (w3c/README.md #2): the engine's own pipelines emit
+      * document-local `<>` subjects (rdflib's graph-as-document
+      * idiom), and the four formats must round-trip each other's
+      * output without a base. */
     private def resolveRef(e: org.w3c.dom.Element, ref: String): String =
       if (TurtleParser.hasScheme(ref)) ref
       else inheritedBase(e) match {
         case Some(b) => TurtleParser.resolveIri(b, ref)
-        case None => throw new IllegalArgumentException(
-          s"""relative IRI reference "$ref" requires a base IRI """ +
-            "(xml:base or the parse(content, Some(base)) argument) " +
-            "to resolve against")
+        case None => ref
       }
 
     /** Nearest xml:lang walking UP the element chain (the attribute
