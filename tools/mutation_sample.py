@@ -213,6 +213,65 @@ MUTANTS += [
      WIRE_SUITES),
 ]
 
+# ---- set 4 (r19 verdict "what's missing" #4): the multimodal
+# decoders — the last layer named spec-only. The m-family oracle
+# queries DO cover the happy decode paths (m1–m6), so as with set 2
+# this measures whether the SPEC gate alone bites; a spec survivor
+# the oracle would catch is recorded as such, not left unpinned.
+MM = "src/main/scala/graft/multimodal/Multimodal.scala"
+MM_SUITES = "graft.MultimodalSpec"
+
+MUTANTS += [
+    ("D1-mean-floor", MM, "decodeStub: mean rounding drops the +0.5 (floor, not round)",
+     "else math.floor(byteSum * 10000.0 / bytes.length + 0.5).toLong",
+     "else math.floor(byteSum * 10000.0 / bytes.length).toLong",
+     MM_SUITES),
+    ("D2-frames-ceil", MM, "decodeStub: n_frames floor-div -> ceil-div",
+     "mean, if (frameStride <= 0) 0 else bytes.length / frameStride)",
+     "mean, if (frameStride <= 0) 0 else (bytes.length + frameStride - 1) / frameStride)",
+     MM_SUITES),
+    ("D3-sign-mask", MM, "sampleFrames: drop the & 0xff (sign-extended high bytes)",
+     "(m.media_id, i / stride, m.content(i) & 0xff)",
+     "(m.media_id, i / stride, m.content(i).toInt)",
+     MM_SUITES),
+    ("D4-resize-floor", MM, "resizeStub: ceilDiv -> floor division (0-dim outputs)",
+     "def ceilDiv(d: Int) = (d + factor - 1) / factor",
+     "def ceilDiv(d: Int) = d / factor",
+     MM_SUITES),
+    ("D5-png-pad", MM, "encodeGrayPng: pad the last row with 255 instead of 0",
+     "if (i < payload.length) payload(i) & 0xff else 0)",
+     "if (i < payload.length) payload(i) & 0xff else 255)",
+     MM_SUITES),
+    ("D6-img-lastcol", MM, "decodeImage: stats loop drops the last pixel column",
+     "while (x < w) {\n        val v = raster.getSample(x, y, 0)",
+     "while (x < w - 1) {\n        val v = raster.getSample(x, y, 0)",
+     MM_SUITES),
+    ("D7-audio-endian", MM, "decodeAudio: sample byte order swapped (big-endian decode)",
+     "val s = (bytes(i + 1).toInt << 8) | (bytes(i) & 0xff)",
+     "val s = (bytes(i).toInt << 8) | (bytes(i + 1) & 0xff)",
+     MM_SUITES),
+    ("D8-audio-mono-guard", MM, "decodeAudio: drop the mono-channel format guard",
+     "require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&\n      !fmt.isBigEndian,",
+     "require(fmt.getSampleSizeInBits == 16 &&\n      !fmt.isBigEndian,",
+     MM_SUITES),
+    ("D9-y4m-default-cs", MM, "parseY4mHeader: default colorspace mono instead of 420jpeg",
+     'var cs = "420jpeg" // Y4M default when no C tag is present',
+     'var cs = "mono" // Y4M default when no C tag is present',
+     MM_SUITES),
+    ("D10-y4m-422-as-420", MM, "chromaBytes: size C422 like C420 (mid-plane frame walk)",
+     'case "422" => 2L * cw * h',
+     'case "422" => 2L * cw * ch',
+     MM_SUITES),
+    ("D11-frame-phase", MM, "sampleVideoFrames: stride phase off by one",
+     "if (frame % stride == 0) {",
+     "if ((frame + 1) % stride == 0) {",
+     MM_SUITES),
+    ("D12-resize-crop", MM, "resizeImageNearest: top-left crop instead of subsample",
+     "dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))",
+     "dst.setSample(x, y, 0, src.getSample(x, y, 0))",
+     MM_SUITES),
+]
+
 
 def run(mutant):
     mid, fn, desc, old, new, suites = mutant
