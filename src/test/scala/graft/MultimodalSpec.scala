@@ -258,6 +258,112 @@ class MultimodalSpec extends SparkTestBase {
       new String(out.content.slice(1, 4), "US-ASCII") == "PNG")
   }
 
+  // ---- mutation-set-4 survivor pins (tools/mutation_sample.py D*):
+  // each of these is a spec gap the seeded-mutant pass exposed —
+  // six of the eight sit where the m1–m6 oracle face cannot see
+  // (stub frame counting, stride byte signedness, resizeStub dims,
+  // the stereo guard, Y4M default colorspace, C422 sizing).
+
+  test("decodeStub n_frames is FLOOR of bytes/stride (sub-stride " +
+    "payloads report 0 frames, not 1) [pins D2-frames-ceil]") {
+    val out = Multimodal.extractFeatures(media.toDS(), frameStride = 1024)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(out(1L).n_frames == 0) // 4 bytes / 1024 — floor, not ceil
+    val odd = Seq(Media(9L, "video/fake",
+      new Array[Byte](2500), 0, 0)).toDS()
+    assert(Multimodal.extractFeatures(odd, 1024)
+      .collect().head.n_frames == 2) // floor(2500/1024)
+  }
+
+  test("decodeStub mean rounds HALF-UP, not floor [pins D1-mean-floor]") {
+    val ds = Seq(Media(9L, "text/plain",
+      Array[Byte](1, 1, 0), 0, 0)).toDS() // mean 2/3 → 6666.67
+    assert(Multimodal.extractFeatures(ds, 1024)
+      .collect().head.mean_byte_e4 == 6667L)
+  }
+
+  test("sampleFrames emits UNSIGNED byte values for high bytes " +
+    "[pins D3-sign-mask]") {
+    val hi = Seq(Media(9L, "video/fake",
+      Array[Byte](-56, 0, -1), 0, 0)).toDS() // 0xC8, 0x00, 0xFF
+    val frames = Multimodal.sampleFrames(hi, stride = 1)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(frames.toSeq == Seq((0, 200), (1, 0), (2, 255)))
+  }
+
+  test("resizeStub dims use CEILING division — never 0×0 for a " +
+    "nonempty payload [pins D4-resize-floor]") {
+    val odd = Seq(Media(9L, "image/fake",
+      Array[Byte](1, 2, 3), 3, 1)).toDS()
+    val out = Multimodal.resizeStub(odd, factor = 2).collect().head
+    assert(out.width == 2 && out.height == 1) // ceil(3/2), ceil(1/2)
+    assert(out.content.toSeq == Seq[Byte](1, 3))
+  }
+
+  test("decodeAudio rejects stereo WAVs loudly [pins D8-audio-mono-guard]") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm = new Array[Byte](64) // 16 stereo frames of silence
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 16L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAudioFeatures(
+        Seq(Media(9L, "audio/wav", bos.toByteArray, 0, 0)).toDS())
+        .collect()
+    }
+  }
+
+  test("Y4M stream with NO C tag defaults to 420jpeg chroma sizing " +
+    "[pins D9-y4m-default-cs]") {
+    // 2×2, no C tag: luma 4 + default-420 chroma 2 = 6 bytes/frame
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W2 H2 F25:1\n".getBytes("US-ASCII"))
+    bos.write("FRAME\n".getBytes("US-ASCII"))
+    bos.write(Array[Byte](10, 20, 30, 40, 99, 99))
+    bos.write("FRAME\n".getBytes("US-ASCII"))
+    bos.write(Array[Byte](1, 2, 3, 4, 99, 99))
+    val f = Multimodal.decodeVideoFeatures(
+      Seq(Media(9L, "video/x-yuv4mpeg", bos.toByteArray, 2, 2)).toDS())
+      .collect().head
+    assert(f.n_frames == 2)
+    assert(f.luma_sum == (10 + 20 + 30 + 40 + 1 + 2 + 3 + 4).toLong)
+    assert(f.luma_max == 40) // the 99s live in default chroma
+  }
+
+  test("C422 chroma is sized 2·ceil(w/2)·h, not like C420 " +
+    "[pins D10-y4m-422-as-420]") {
+    // 2×2 C422: luma 4 + chroma 2·1·2 = 4 → 8 bytes/frame
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("YUV4MPEG2 W2 H2 C422\n".getBytes("US-ASCII"))
+    bos.write("FRAME\n".getBytes("US-ASCII"))
+    bos.write(Array[Byte](10, 20, 30, 40, 99, 99, 99, 99))
+    bos.write("FRAME\n".getBytes("US-ASCII"))
+    bos.write(Array[Byte](5, 6, 7, 8, 99, 99, 99, 99))
+    val f = Multimodal.decodeVideoFeatures(
+      Seq(Media(9L, "video/x-yuv4mpeg", bos.toByteArray, 2, 2)).toDS())
+      .collect().head
+    assert(f.n_frames == 2)
+    assert(f.luma_sum == (10 + 20 + 30 + 40 + 5 + 6 + 7 + 8).toLong)
+    assert(f.luma_max == 40)
+  }
+
+  test("resizeImageNearest SUBSAMPLES at (x·f, y·f) — not a crop " +
+    "[pins D12-resize-crop]") {
+    // 4×4 gray PNG with pixels 0..15 row-major
+    val png = Multimodal.encodeGrayPng((0 until 16).map(_.toByte).toArray, 4)
+    val out = Multimodal.resizeImageNearest(
+      Seq(Media(9L, "image/png", png, 4, 4)).toDS(), factor = 2)
+      .collect().head
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.content))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    val px = for (y <- 0 until 2; x <- 0 until 2)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(px == Seq(0, 2, 8, 10)) // source (0,0),(2,0),(0,2),(2,2)
+  }
+
   test("m1_binary_meta guards empty/null text like its siblings " +
     "(the oracle divides by len(text))") {
     import org.apache.spark.sql.functions.col
