@@ -78,10 +78,35 @@ object CmsSketch {
       .agg(min("c").as("est"))
 
   /** Top-k heavy hitters of `df(keyCol)` by sketch estimate,
-    * deterministic tie-break on the key. */
+    * deterministic tie-break on the key.
+    *
+    * Spelled over per-key counts rather than raw rows: topK needs the
+    * distinct-key frame ANYWAY (the estimate probe), so one
+    * groupBy(key) pass feeds both the counters (bucket weight = the
+    * key's count — identical counters, addition is associative) and
+    * the probe, which cuts the md5 evaluations from one per ROW to
+    * one per DISTINCT KEY and drops the second scan. The hash is
+    * computed once per key and shared by counter build and probe.
+    * `counters`/`estimates` keep their O(d×w)-shuffle row spelling
+    * for sketch-only users with unbounded key domains. */
   def topK(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    val cnt = counters(df, keyCol)
-    estimates(cnt, df.select(keyCol).distinct(), keyCol)
+    val keyed = Broadcasting.track(df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_h", rowHash(col(keyCol)))
+      .persist())
+    def buckets(c: DataFrame): DataFrame = c
+      .select(col(keyCol), col("_n"), explode(array((0 until Depth).map(
+        i => struct(lit(i).as("i"), bucket(i, col("_h")).as("bucket"))): _*))
+        .as("ib"))
+      .select(col(keyCol), col("_n"),
+        col("ib.i").as("i"), col("ib.bucket").as("bucket"))
+    val cnt = buckets(keyed)
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum("_n").as("c"))
+    buckets(keyed)
+      .join(broadcast(cnt), Seq("i", "bucket"))
+      .groupBy(col(keyCol))
+      .agg(min("c").as("est"))
       .orderBy(col("est").desc, col(keyCol))
       .limit(k)
   }

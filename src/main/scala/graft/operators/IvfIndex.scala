@@ -46,24 +46,43 @@ object IvfIndex {
       java.util.Arrays.asList(centroids.collect(): _*), centroids.schema)
   }
 
-  /** Argmin cluster for each row of `vecs` against broadcast
-    * `centroids` (cluster_id, centroid). Ties break to the lowest
-    * cluster_id. Cosine distance on graft_dot. */
+  /** Argmax-similarity cluster for each row of `vecs` against the
+    * (bounded, localize()d) `centroids` frame. Ties break to the
+    * lowest cluster_id. Cosine distance on graft_dot.
+    *
+    * The centroids are collected (k×dim floats — the same bounded
+    * budget as [[localize]], whose output this always receives) and
+    * the per-row argmax runs as ONE narrow codegen expression:
+    * `greatest` over per-centroid struct(sim, -cluster_id) compares
+    * field-wise — best sim wins, ties to the LOWEST cluster_id —
+    * exactly the old max(struct(sim, nc, e)) aggregate rule ((sim,
+    * nc) is unique per candidate set, so `e` never decided). The old
+    * spelling shuffled one (vec_id, struct(sim, nc, EMBEDDING)) row
+    * per corpus vector per assignment pass; this is zero-shuffle
+    * (guide §2.4). sqrt(graft_dot(cv, cv)) over a literal constant-
+    * folds to the identical IEEE double the per-row evaluation
+    * produced. */
   private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vecs.crossJoin(broadcast(centroids))
-      .withColumn("sim", expr(
-        """graft_dot(embedding, centroid)
-          | / (sqrt(graft_dot(embedding, embedding))
-          |    * sqrt(graft_dot(centroid, centroid)))""".stripMargin))
-    // argmax by (sim, -cluster_id): struct comparison is field-by-field,
-    // so the best sim wins and ties break to the LOWEST cluster_id; the
-    // embedding rides along (never compared — (sim, cid) decides first).
-    scored
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("cluster_id")).as("nc"),
-        col("embedding").as("e"))).as("best"))
-      .select(col("vec_id"), (-col("best.nc")).as("cluster_id"),
-        col("best.e").as("embedding"))
+    val cent = centroids.select(col("cluster_id"), col("centroid"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    if (cent.isEmpty)
+      return vecs.select(col("vec_id"),
+        lit(null).cast("int").as("cluster_id"), col("embedding"))
+        .filter(lit(false))
+    val cands = cent.map { case (cid, cv) =>
+      struct(
+        (call_function("graft_dot", col("embedding"), typedlit(cv)) /
+          (sqrt(call_function("graft_dot", col("embedding"),
+            col("embedding"))) *
+            sqrt(call_function("graft_dot", typedlit(cv), typedlit(cv)))))
+          .as("sim"),
+        lit(-cid).as("nc"))
+    }
+    val best = if (cands.sizeIs == 1) cands.head else greatest(cands: _*)
+    vecs.select(col("vec_id"),
+      (-best.getField("nc")).as("cluster_id"), col("embedding"))
   }
 
   /** Deterministic k-means: init = k lowest vec_ids; `iters` Lloyd

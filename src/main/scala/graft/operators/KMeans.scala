@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,42 +49,105 @@ object KMeans {
     * with a (c, cv, cnt) frame — see [[parallelInitE6]]; the default
     * stays first-k-by-id, the oracle's determinism contract. */
   def fitE6(emb: DataFrame, k: Int, iters: Int,
-    init: Option[DataFrame] = None): DataFrame = {
+    init: Option[DataFrame] = None): DataFrame =
+    fitE6Quantized(quantizeE6(emb), k, iters, init)
+
+  /** A localized centroid: (c, cv e6, cnt) — k·dim longs, bounded and
+    * driver-safe by design (the IvfIndex.localize budget). */
+  private[operators] type CentroidE6 = (Long, Array[Long], Long)
+
+  /** The deterministic assignment as ONE narrow codegen expression:
+    * struct(dist2, c) of the nearest centroid — `least` over the
+    * per-centroid struct(graft_l2sq(v, cv), c) candidates compares
+    * field-wise, so the lowest dist2 wins and ties break to the
+    * lowest c, exactly the min(struct(dist2, c)) rule the old
+    * crossJoin(broadcast)+groupBy(vec_id) spelling aggregated for.
+    * (dist2, c) is unique per candidate set, so the order key is
+    * total. The win is plan shape, not arithmetic: assignment was one
+    * corpus-sized shuffle (the argmin aggregate moved every (vec_id,
+    * struct(dist2, c, v)) row, VECTORS INCLUDED, once per Lloyd
+    * round); it is now a zero-shuffle map inside whole-stage codegen
+    * — guide §2.4 "remove shuffles outright". */
+  private[operators] def argminStruct(v: Column,
+    cent: Seq[CentroidE6]): Column = {
+    require(cent.nonEmpty, "argminStruct needs >= 1 centroid")
+    val cands = cent.map { case (c, cv, _) =>
+      struct(
+        call_function("graft_l2sq", v, typedlit(cv)).as("dist2"),
+        lit(c).as("c"))
+    }
+    if (cands.sizeIs == 1) cands.head else least(cands: _*)
+  }
+
+  /** One Lloyd update over the winner rows: per-cluster integer sums
+    * → half-up e6 means. Identical arithmetic to every prior round's
+    * spelling; the k·dim-row aggregate is the fit's ONLY shuffle. */
+  private def updateCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("c"), posexplode(col("v")).as(Seq("pos", "vk")))
+      .groupBy(col("c"), col("pos"))
+      .agg(sum("vk").as("s"), count(lit(1)).as("cnt"))
+      .withColumn("ce6",
+        floor(col("s").cast("double") / col("cnt") + lit(0.5d))
+          .cast("long"))
+      .groupBy("c")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, ce6))), x -> x.ce6)")
+        .as("cv"), first("cnt").as("cnt"))
+
+  private def collectCentroids(df: DataFrame): Seq[CentroidE6] =
+    df.select(col("c").cast("long"), col("cv"), col("cnt").cast("long"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+
+  /** [[fitE6]] with the fitted centroids LOCALIZED to the driver —
+    * k·dim longs per round, the bounded-by-construction collect
+    * IvfIndex.localize already established. EAGER: runs one bounded
+    * Spark job per Lloyd round at the call site (the Iterate/CC
+    * precedent for iterative operators; correctly timed on every
+    * bench pass). Localizing is what lets assignment run as the
+    * narrow [[argminStruct]] map instead of a corpus-shuffling
+    * aggregate, and kills the per-consumer broadcast-build jobs the
+    * lazy centroid frame cost downstream. */
+  private[operators] def fitE6Local(v6: DataFrame, k: Int, iters: Int,
+    init: Option[DataFrame] = None): Seq[CentroidE6] = {
     require(k >= 1, s"k must be >= 1: $k")
     require(iters >= 1, s"iters must be >= 1: $iters")
-    graft.expressions.GraftFunctions.register(emb.sparkSession)
-    val e = quantizeE6(emb)
-    // deterministic seeds: k lowest vec_ids. The global window runs
-    // over k rows post-limit — not a scale hazard.
-    var cent: DataFrame = init.getOrElse(e.orderBy("vec_id").limit(k)
-      .withColumn("c", row_number()
-        .over(Window.partitionBy(lit(1)).orderBy("vec_id"))
-        .cast("long") - 1)
-      .select(col("c"), col("v").as("cv"), lit(0L).as("cnt")))
-    for (_ <- 1 to iters) {
-      // graft_l2sq: codegen'd int64 Σ(a−b)² — the HOF spelling
-      // (aggregate ∘ zip_with) evaluates its lambdas interpreted per
-      // element, and this is the corpus × k hot loop
-      val assigned = e.crossJoin(broadcast(cent.select("c", "cv")))
-        .withColumn("dist2", expr("graft_l2sq(v, cv)"))
-        // min over (dist2, c) is the deterministic assignment; v rides
-        // along (never compared — (dist2, c) is unique per candidate)
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("c"), col("v"))).as("m"))
-        .select(col("m.c").as("c"), col("m.v").as("v"))
-      cent = assigned
-        .select(col("c"), posexplode(col("v")).as(Seq("pos", "vk")))
-        .groupBy(col("c"), col("pos"))
-        .agg(sum("vk").as("s"), count(lit(1)).as("cnt"))
-        .withColumn("ce6",
-          floor(col("s").cast("double") / col("cnt") + lit(0.5d))
-            .cast("long"))
-        .groupBy("c")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(pos, ce6))), x -> x.ce6)")
-          .as("cv"), first("cnt").as("cnt"))
+    graft.expressions.GraftFunctions.register(v6.sparkSession)
+    val e = v6.select(col("vec_id"), col("v"))
+    // deterministic seeds: k lowest vec_ids, c = rank (the exact rows
+    // the old orderBy(vec_id).limit(k) + row_number window produced)
+    var cent: Seq[CentroidE6] = init match {
+      case Some(df) => collectCentroids(df)
+      case None => e.orderBy("vec_id").limit(k).collect().toSeq
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray, 0L) }
+    }
+    for (_ <- 1 to iters if cent.nonEmpty) {
+      val assigned = e.select(
+        argminStruct(col("v"), cent).getField("c").as("c"), col("v"))
+      cent = collectCentroids(updateCentroids(assigned))
     }
     cent
+  }
+
+  /** [[fitE6]] over an ALREADY-quantized (vec_id, v: Array[Long] e6)
+    * frame — the seam that lets Pq persist ONE quantized corpus pass
+    * and run the coarse fit, every subspace fit, and code assignment
+    * from it instead of re-deriving scan+quantize per consumer
+    * (quantize∘slice ≡ slice∘quantize, elementwise). Bit-identical
+    * results: same seeds, same argmin tie rule, same integer update
+    * — re-spelled through [[fitE6Local]]. */
+  private[operators] def fitE6Quantized(v6: DataFrame, k: Int, iters: Int,
+    init: Option[DataFrame] = None): DataFrame =
+    centroidsDf(v6.sparkSession, fitE6Local(v6, k, iters, init))
+
+  /** The (c, cv, cnt) frame of a localized centroid set. */
+  private[operators] def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+    cent: Seq[CentroidE6]): DataFrame = {
+    import spark.implicits._
+    cent.toDF("c", "cv", "cnt")
   }
 
   /** k-means‖ seeding (Bahmani et al., VLDB'12) — the PRODUCTION init

@@ -128,7 +128,12 @@ object LinkageQueries {
     // degenerate case equals plain PageRank, PageRankSpec); the
     // oracle unrolls the seeded recurrence with the CASE teleport.
     "n9_ppr" -> ((s, dir) => {
-      val edges = coPurchaseEdges(s, dir)
+      // persisted at the query level: the seed subquery AND
+      // personalizedE12's internal distinct+repartition both consume
+      // this frame — unpersisted, the whole groupBy+pair-explode edge
+      // build ran TWICE per pass (n9 measured ~2× n1's cost for the
+      // same recurrence; the second build was the difference)
+      val edges = Broadcasting.track(coPurchaseEdges(s, dir).persist())
       val seeds = edges.select(col("src").as("id"))
         .distinct().orderBy("id").limit(3)
       PageRank.personalizedE12(edges, "src", "dst", seeds, iters = 3)
@@ -291,8 +296,14 @@ object LinkageQueries {
       val ranked = Tables.load(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
         .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
-      val edges = ranked.filter(col("nxt").isNotNull)
-        .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+      // persisted at the query level: the doubling closure's initial
+      // distance relation, its seed set, AND the final semi-join all
+      // re-derive this frame — unpersisted, the per-customer window
+      // (a full orders shuffle+sort) ran once per consumer
+      val edges = Broadcasting.track(
+        ranked.filter(col("nxt").isNotNull)
+          .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+          .persist())
       val sources = edges.select(col("src").as("id")).distinct()
       // routed all-pairs closure: depth 8 > DoublingCrossover, so
       // this oracle face exercises the DOUBLING regime of the route

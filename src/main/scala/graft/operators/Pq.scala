@@ -27,27 +27,42 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  /** One subspace's machinery: (e6 subvectors as `v`, fitted
-    * codebook (c, cv), assigned codes (vec_id, m, code, dist2)). */
-  private def subspace(emb: DataFrame, m: Int, k: Int, iters: Int,
-    i: Int): (DataFrame, DataFrame, DataFrame) = {
-    val guarded = emb.withColumn("_dim",
-      when(size(col("embedding")) % m =!= 0, raise_error(lit(
+  /** The ONE quantized corpus pass every Pq entry point persists and
+    * shares (tracked — `Broadcasting.releaseAll()` reclaims): before
+    * this seam existed, each subspace fit / code assignment / LUT /
+    * coarse stage re-derived scan→quantize from the raw frame — 24–52
+    * source scans per query in the v11–v15 plans; now each is a cache
+    * read. Same integers: quantization is elementwise, so slicing the
+    * quantized full vector equals quantizing the float slice. */
+  private def quantizedFull(emb: DataFrame): DataFrame =
+    Broadcasting.track(KMeans.quantizeE6(emb).persist())
+
+  /** One subspace's machinery over the SHARED quantized frame:
+    * (e6 subvectors as `v`, LOCALIZED codebook (c, cv, cnt), assigned
+    * codes (vec_id, m, code, dist2)). Code assignment is the same
+    * narrow argmin map the fit itself uses (KMeans.argminStruct — the
+    * identical min-(dist2, c) tie rule), so it no longer costs a
+    * corpus-sized crossJoin+groupBy(vec_id) shuffle per subspace. */
+  private def subspace(v6full: DataFrame, m: Int, k: Int, iters: Int,
+    i: Int): (DataFrame, Seq[KMeans.CentroidE6], DataFrame) = {
+    val guarded = v6full.withColumn("_dim",
+      when(size(col("v")) % m =!= 0, raise_error(lit(
         s"Pq: embedding length must be divisible by m=$m")))
-        .otherwise(size(col("embedding")) / m))
-    val sub = guarded.select(col("vec_id"),
-      expr(s"slice(embedding, _dim * $i + 1, _dim)").as("embedding"))
-    val cent = KMeans.fitE6(sub, k, iters).select(col("c"), col("cv"))
-    val v6 = KMeans.quantizeE6(sub) // the fit's own quantization
-    val codes = v6
-      .crossJoin(broadcast(cent))
-      .withColumn("dist2", expr("graft_l2sq(v, cv)"))
-      .groupBy("vec_id")
-      // min over (dist2, c): deterministic code, same tie rule as
-      // the fit's own assignment
-      .agg(min(struct(col("dist2"), col("c"))).as("best"))
-      .select(col("vec_id"), lit(i.toLong).as("m"),
-        col("best.c").as("code"), col("best.dist2").as("dist2"))
+        .otherwise(size(col("v")) / m))
+    val v6 = guarded.select(col("vec_id"),
+      expr(s"slice(v, _dim * $i + 1, _dim)").as("v"))
+    val cent = KMeans.fitE6Local(v6, k, iters)
+    val codes =
+      if (cent.isEmpty) // empty corpus: no codebook, no codes
+        v6.select(col("vec_id"), lit(i.toLong).as("m"),
+          lit(null).cast("long").as("code"),
+          lit(null).cast("long").as("dist2")).filter(lit(false))
+      else {
+        val best = KMeans.argminStruct(col("v"), cent)
+        v6.select(col("vec_id"), lit(i.toLong).as("m"),
+          best.getField("c").as("code"),
+          best.getField("dist2").as("dist2"))
+      }
     (v6, cent, codes)
   }
 
@@ -58,7 +73,8 @@ object Pq {
   def codes(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1: $m")
     graft.expressions.GraftFunctions.register(emb.sparkSession)
-    (0 until m).map(subspace(emb, m, k, iters, _)._3)
+    val v6full = quantizedFull(emb)
+    (0 until m).map(subspace(v6full, m, k, iters, _)._3)
       .reduce(_ unionByName _)
   }
 
@@ -78,8 +94,11 @@ object Pq {
     * lazily, since an eager existence probe would cost a corpus
     * action during plan construction. */
   def adcTopK(emb: DataFrame, m: Int, k: Int, iters: Int,
-    queryVecId: Long, topN: Int): DataFrame =
-    adcCore(emb, m, k, iters, queryVecId, topN, candidates = None)
+    queryVecId: Long, topN: Int): DataFrame = {
+    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    adcCore(quantizedFull(emb), m, k, iters, queryVecId, topN,
+      candidates = None)
+  }
 
   /** IVF-PQ — the production ANN search shape the two operators were
     * built for: a COARSE quantizer (full-vector k-means, `coarseK`
@@ -104,43 +123,49 @@ object Pq {
     require(coarseK >= 1 && nProbe >= 1,
       s"coarseK/nProbe must be >= 1: $coarseK/$nProbe")
     graft.expressions.GraftFunctions.register(emb.sparkSession)
-    val v6 = KMeans.quantizeE6(emb) // the fit's own quantization
-    val coarse = KMeans.fitE6(emb, coarseK, iters)
-      .select(col("c").as("cell"), col("cv"))
-    val cells = v6.crossJoin(broadcast(coarse))
-      .withColumn("dist2", expr("graft_l2sq(v, cv)"))
-      .groupBy("vec_id")
-      // min over (dist2, cell): fitE6's own deterministic tie rule
-      .agg(min(struct(col("dist2"), col("cell"))).as("b"))
-      .select(col("vec_id"), col("b.cell").as("cell"))
+    // ONE persisted quantized pass shared by coarse fit, cell
+    // assignment, query vector, and the ADC stage's subspace fits
+    val v6 = quantizedFull(emb)
+    val coarse = KMeans.fitE6Local(v6, coarseK, iters)
+    if (coarse.isEmpty) // empty corpus: nothing to probe or rank
+      return v6.select(col("vec_id"),
+        lit(null).cast("long").as("adc_dist2")).filter(lit(false))
+    // cell assignment: the same narrow argmin map as the fit — the
+    // old crossJoin(broadcast)+groupBy(vec_id) corpus shuffle is gone
+    val cells = v6.select(col("vec_id"),
+      KMeans.argminStruct(col("v"), coarse).getField("c").as("cell"))
     val qv = v6.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"))
-    val probed = coarse.crossJoin(broadcast(qv))
+    val probed = KMeans.centroidsDf(emb.sparkSession, coarse)
+      .select(col("c").as("cell"), col("cv"))
+      .crossJoin(broadcast(qv))
       .withColumn("qd", expr("graft_l2sq(qv, cv)"))
       .orderBy(col("qd"), col("cell"))
       .limit(nProbe)
       .select("cell")
     val cands = cells.join(broadcast(probed), Seq("cell"), "left_semi")
       .select("vec_id")
-    adcCore(emb, m, k, iters, queryVecId, topN, candidates = Some(cands))
+    adcCore(v6, m, k, iters, queryVecId, topN, candidates = Some(cands))
   }
 
   /** Shared ADC engine: optionally restricted to `candidates`
     * (vec_id) — the IVF-probed subset — via a left-semi join applied
     * to the codes BEFORE the LUT join, so pruned vectors never cost
     * a lookup. */
-  private def adcCore(emb: DataFrame, m: Int, k: Int, iters: Int,
+  private def adcCore(v6full: DataFrame, m: Int, k: Int, iters: Int,
     queryVecId: Long, topN: Int,
     candidates: Option[DataFrame]): DataFrame = {
     require(m >= 1 && topN >= 1, s"m/topN must be >= 1: $m/$topN")
-    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    graft.expressions.GraftFunctions.register(v6full.sparkSession)
     val parts = (0 until m).map { i =>
-      val (v6, cent, codes) = subspace(emb, m, k, iters, i)
+      val (v6, cent, codes) = subspace(v6full, m, k, iters, i)
       val kept = candidates.fold(codes)(c =>
         codes.join(c, Seq("vec_id"), "left_semi"))
       val qv = v6.filter(col("vec_id") === queryVecId)
         .select(col("v").as("qv"))
-      val lut = cent.crossJoin(broadcast(qv))
+      val lut = KMeans.centroidsDf(v6full.sparkSession, cent)
+        .select(col("c"), col("cv"))
+        .crossJoin(broadcast(qv))
         .select(col("c"), expr("graft_l2sq(qv, cv)").as("qd"))
       kept.join(broadcast(lut), kept("code") === lut("c"))
         .select(kept("vec_id"), col("qd"))

@@ -1322,11 +1322,15 @@ object RelationalQueries {
     // per-row subquery.
     "q21_waiting_suppliers" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val late = t(s, dir, "lineitem")
+      // persisted: consumed as BOTH the probe side and (renamed) the
+      // anti side below — unpersisted, the lineitem⋈orders join +
+      // distinct ran twice per pass
+      val late = Broadcasting.track(t(s, dir, "lineitem")
         .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
           col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > date_add(col("o_orderdate"), 85))
         .select("l_orderkey", "l_suppkey").distinct()
+        .persist())
       val others = li.withColumnRenamed("l_orderkey", "o2")
         .withColumnRenamed("l_suppkey", "s2")
       val lateOthers = late.withColumnRenamed("l_orderkey", "o3")

@@ -657,13 +657,17 @@ object TextDedupQueries {
       val comp = ConnectedComponents.dedupGroups(
         pairs, "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("comp"))
-      val split = docs(s, dir).select("doc_id")
+      // persisted: three consumers (both sides of the cross-split
+      // pair check + the per-split census) each re-derived the
+      // docs⋈comp join and the md5 split hash
+      val split = Broadcasting.track(docs(s, dir).select("doc_id")
         .join(comp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("rep"))
         .withColumn("split",
           when(StableHash.md5Mod("split", col("rep"), 100) < 90,
             lit("train")).otherwise(lit("val")))
+        .persist())
       val crossCnt = pairs
         .join(split.select(col("doc_id").as("doc_a"),
           col("split").as("sa")), Seq("doc_a"))

@@ -45,17 +45,22 @@ class IvfIndexSpec extends SparkTestBase {
       brute.map(_.toString).sorted))
   }
 
-  test("assignment is an aggregate, not a Window over the n×k frame") {
-    // A Window argmin shuffles and sorts every (vector, centroid)
-    // pair; the max(struct(...)) aggregate combines map-side, so the
-    // exchange carries one row per vector — n rows, not n×k. Guard
-    // against regression in the plan.
+  test("assignment is a zero-shuffle narrow map (r21 re-audit)") {
+    // r21 re-audit: assignment used to be a crossJoin(broadcast) +
+    // max(struct(...)) aggregate — better than a Window, but its
+    // exchange still carried one (vec_id, sim, EMBEDDING) row per
+    // corpus vector per pass. It is now a greatest(...) argmax over
+    // the localized centroid literals inside one codegen'd Project:
+    // NO Window, NO aggregate, NO Exchange at all in the assignment
+    // subtree (guide §2.4 "remove shuffles outright").
     val centroids = IvfIndex.buildCentroids(emb, k = 4, iters = 1)
     val plan = IvfIndex.build(emb, centroids)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"assignment plan has a Window:\n$plan")
-    assert(plan.contains("partial_max"),
-      s"no map-side partial aggregation in assignment plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"assignment plan shuffles — the narrow argmax regressed:\n$plan")
+    assert(plan.contains("greatest"),
+      s"no argmax expression in assignment plan:\n$plan")
   }
 
   test("Lloyd iterations do not re-execute prior rounds (lineage cut)") {

@@ -62,11 +62,19 @@ class TopQueryPlanShapeSpec extends SparkTestBase {
     // leaves — losing the cut regrows the full iterative lineage
     Pin("n6_bfs_hops", 6, Map("Scan ExistingRDD" -> 1)),
     Pin("n4_kcore", 3, Map("Scan ExistingRDD" -> 1)),
-    // IVF/PQ two-stage: codebook broadcasts + per-query top-k windows
-    Pin("v15_ivfpq_rerank", 62, Map(
-      "BroadcastHashJoin" -> 1, "Window" -> 1)),
-    Pin("v13_ivfpq_search", 60, Map(
-      "BroadcastHashJoin" -> 1, "Window" -> 1)),
+    // IVF/PQ two-stage — RE-AUDITED r21 (PinAudit, sf0.001): the
+    // k-means fits now localize centroids per round and assign via a
+    // narrow codegen argmin over ONE persisted quantized corpus pass
+    // (KMeans.fitE6Local), so the seeding windows and the per-
+    // assignment corpus shuffles are gone: v15 ex 50→13 win 8→0,
+    // v13 ex 48→11 win 8→0 (bench v13 2.6→1.6 s, v15 3.8→1.3 s,
+    // shuffle 4.13→0.07 MB at sf0.1). New load-bearing shape: the
+    // shared quantized InMemoryTableScan + the codebook/LUT
+    // broadcast joins.
+    Pin("v15_ivfpq_rerank", 17, Map(
+      "BroadcastHashJoin" -> 1, "InMemoryTableScan" -> 1)),
+    Pin("v13_ivfpq_search", 15, Map(
+      "BroadcastHashJoin" -> 1, "InMemoryTableScan" -> 1)),
     // hamming-bucket blocking: a handful of bucket shuffles, and the
     // in-bucket pair explode IS the semantic contract (PlanLintSpec
     // records its bound)
