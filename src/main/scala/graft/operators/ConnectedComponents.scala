@@ -44,11 +44,18 @@ object ConnectedComponents {
     // cache-discipline lesson), so the caller's first real read would
     // re-run the whole closure AND the upstream pair pipeline from
     // lineage. Released with everything else at `releaseAll()`.
-    val sym = Broadcasting.track(edges
+    //
+    // The ONE-directional frame persists FIRST (r21): sym embeds
+    // `edges` twice (forward + reversed), so materializing it used to
+    // run the whole upstream pair pipeline — the LSH band build for
+    // d8/d12, the fuzzy-join blocking for n2 — twice per pass; the
+    // reversal now reads the cache.
+    val one = Broadcasting.track(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
+      .persist())
+    val sym = Broadcasting.track(one
+      .union(one.select(col("dst").as("src"), col("src").as("dst")))
       .persist())
     val probe = math.min(localEdgeCap + 1, Int.MaxValue.toLong).toInt
     if (sym.limit(probe).count() <= localEdgeCap) localUnionFind(sym)

@@ -57,6 +57,18 @@ object MinHashLsh {
       .select(col(idCol) +: carry.map(col) :+
         size(col("sh")).cast("long").as("n") :+ col("sh"): _*)
 
+  /** Per-doc hashed shingle array (idCol, carry..., hs: Array[Long]
+    * folded into P) — the tokenize→shingle→md5 pass as a standalone
+    * frame, so a caller that needs BOTH the signatures and the raw
+    * shingle-hash index (d13's estimator eval) can persist this ONE
+    * pass and derive each side narrowly instead of re-tokenizing and
+    * re-hashing the corpus per consumer. */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+    carry: Seq[String] = Nil): DataFrame =
+    shingled(df, idCol, textCol, carry)
+      .withColumn("hs", expr(s"transform(sh, x -> ${md5Hash("x")})"))
+      .select(col(idCol) +: carry.map(col) :+ col("hs"): _*)
+
   /** Per-doc minhash signature (idCol, carry..., mh0..mh7), fused into
     * a single narrow map: hash the shingle array once per doc, then 8
     * array_min folds — zero shuffle (vs. explode → groupBy(min), which
@@ -64,9 +76,14 @@ object MinHashLsh {
     * hash array from being inlined 8× (CollapseProject skips non-cheap
     * exprs). */
   def signatures(df: DataFrame, idCol: String, textCol: String,
+    carry: Seq[String] = Nil): DataFrame =
+    signaturesFromHashed(hashedShingles(df, idCol, textCol, carry),
+      idCol, carry)
+
+  /** [[signatures]] from an ALREADY-hashed shingle frame
+    * ([[hashedShingles]]) — 8 array_min folds, zero shuffle. */
+  def signaturesFromHashed(hashed: DataFrame, idCol: String,
     carry: Seq[String] = Nil): DataFrame = {
-    val hashed = shingled(df, idCol, textCol, carry)
-      .withColumn("hs", expr(s"transform(sh, x -> ${md5Hash("x")})"))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       expr(s"array_min(transform(hs, h -> (h * ${a}L + ${b}L) % $P))")
         .as(s"mh$i")

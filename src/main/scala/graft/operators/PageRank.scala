@@ -63,8 +63,14 @@ object PageRank {
       .distinct()
       .repartition(col("src"))
       .persist())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("id")).distinct()
+    // outdeg is joined per iteration and nodes is consumed by the
+    // teleport/init/per-round left join (2 + iters uses) — persisted,
+    // or each use re-aggregates the full edge cache (r21; both frames
+    // are node-sized, never the corpus)
+    val outdeg = Broadcasting.track(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+    val nodes = Broadcasting.track(
+      e.select(col("src").as("id")).distinct().persist())
     // 1-row frame: the teleport denominator. Broadcast-joined below,
     // so N never touches the driver and the plan stays lazy.
     val nn = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -120,8 +126,12 @@ object PageRank {
       .distinct()
       .repartition(col("src"))
       .persist())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("id")).distinct()
+    // persisted for the same multi-consumer reason as ranksE12 —
+    // the teleport term re-reads nodes once per iteration
+    val outdeg = Broadcasting.track(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+    val nodes = Broadcasting.track(
+      e.select(col("src").as("id")).distinct().persist())
     val seedSet = seeds.select(col("id").cast("long").as("id"))
       .distinct()
     val ns = seedSet.agg(count(lit(1)).as("n_seeds"))

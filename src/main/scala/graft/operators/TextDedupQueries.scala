@@ -541,21 +541,24 @@ object TextDedupQueries {
     // (candidate pairs × their shingles, never corpus²).
     "d13_minhash_accuracy" -> ((s, dir) => {
       val d = docs(s, dir)
-      // ONE persisted signature pass feeds the pair build AND both
-      // agree-column sides (unpersisted, the tokenize→shingle→md5 map
-      // is a narrow map with no exchange for ReusedExchange to dedup,
-      // so it re-derived per branch — ~6 corpus passes); same for the
-      // shingle-hash index hx (sizes + two shared-join branches).
+      // ONE persisted tokenize→shingle→md5 pass (hashedShingles)
+      // feeds BOTH the signature side and the shingle-hash index —
+      // before r21, sig and hx each re-ran that full corpus pass
+      // (the two ~1 s jobs the probe showed). sig stays persisted
+      // too: it feeds the pair build AND both agree-column sides
+      // (unpersisted, a narrow map with no exchange for
+      // ReusedExchange to dedup re-derives per branch).
+      val hashed = Broadcasting.track(
+        MinHashLsh.hashedShingles(d, "doc_id", "text").persist())
       val sig = Broadcasting.track(
-        MinHashLsh.signatures(d, "doc_id", "text").persist())
+        MinHashLsh.signaturesFromHashed(hashed, "doc_id").persist())
       val pairs = MinHashLsh.candidatePairsFromSignatures(sig, "doc_id")
       val sa = sig.select(col("doc_id").as("doc_a") +:
         (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
       val sb = sig.select(col("doc_id").as("doc_b") +:
         (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
-      val hx = Broadcasting.track(MinHashLsh.shingled(d, "doc_id", "text")
-        .select(col("doc_id"), explode(expr(
-          s"transform(sh, x -> ${MinHashLsh.md5Hash("x")})")).as("h"))
+      val hx = Broadcasting.track(hashed
+        .select(col("doc_id"), explode(col("hs")).as("h"))
         .distinct().persist())
       val sizes = hx.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val shared = pairs
@@ -809,9 +812,13 @@ object TextDedupQueries {
     // one for unigrams, both joined back size-gated; docs shorter
     // than 2 tokens have no bigram and drop in both engines.
     "x20_bigram_lm" -> ((s, dir) => {
-      val toks = docs(s, dir)
+      // toks feeds the bigram explode AND the unigram counts; pairs
+      // feeds the bigram counts AND the final scoring join — both
+      // persisted, or each consumer re-runs the tokenize/explode pass
+      val toks = Broadcasting.track(docs(s, dir)
         .select(col("doc_id"), expr(tokensSql).as("w"))
-      val pairs = toks
+        .persist())
+      val pairs = Broadcasting.track(toks
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(w) - 1),
@@ -819,6 +826,7 @@ object TextDedupQueries {
             |              element_at(w, i + 1) as b))""".stripMargin))
           .as("p"))
         .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+        .persist())
       val bc = Broadcasting.track(pairs
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
         .persist())
@@ -852,14 +860,21 @@ object TextDedupQueries {
     // df frame is vocabulary-sized. Shingles compare as xxhash64
     // (the d2/d10 2^-64 trade, oracle uses raw strings).
     "x23_ngram_novelty" -> ((s, dir) => {
-      val ex = docs(s, dir)
+      // persisted BEFORE the explode (the sharedShingleCounts
+      // rationale): the hash array is expensive and feeds TWO
+      // consumers (the df count + the join back), and with it in the
+      // generator child InferFiltersFromGenerate additionally clones
+      // it into size/isnotnull predicates that re-hash per row
+      val hashed = Broadcasting.track(docs(s, dir)
         .withColumn("w", expr(tokensSql))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
+        .select(col("doc_id"), expr(
           """array_distinct(transform(sequence(1, size(w) - 2),
             |  i -> xxhash64(concat(element_at(w, i), ' ',
             |    element_at(w, i + 1), ' ', element_at(w, i + 2)))))"""
-            .stripMargin)).as("sh_h"))
+            .stripMargin).as("hs"))
+        .persist())
+      val ex = hashed.select(col("doc_id"), explode(col("hs")).as("sh_h"))
       val dfc = ex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
       ex.join(dfc, Seq("sh_h"))
         .groupBy(col("doc_id"))

@@ -80,8 +80,15 @@ class TopQueryPlanShapeSpec extends SparkTestBase {
     // records its bound)
     Pin("d6_simhash_pairs", 8, Map(
       "named_struct(a, element_at(" -> 1)),
-    // span-hash inverted index over persisted shingle frames
-    Pin("x19_leakage_split", 270, Map("InMemoryTableScan" -> 1)))
+    // span-hash inverted index over persisted shingle frames.
+    // RE-AUDITED r21 (PinAudit): ex 222→414 is STRING-metric
+    // inflation, not new shuffles — the r21 persists (query-level
+    // `split`, CC's one-directional edge frame) nest more
+    // InMemoryRelation subtrees into the printed plan, each carrying
+    // its cached child's exchanges (inmem 70→166); the bench's
+    // runtime shuffle tally for x19 is unchanged (266→260 files,
+    // 0.51 MB before and after).
+    Pin("x19_leakage_split", 540, Map("InMemoryTableScan" -> 1)))
 
   pins.foreach { pin =>
     test(s"${pin.name}: plan shape pinned (exchanges <= " +
