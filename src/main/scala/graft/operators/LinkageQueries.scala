@@ -20,17 +20,26 @@ object LinkageQueries {
     Tables.load(s, dir, "customer")
 
   /** The customer→nation→region hierarchy as `located_in` triples —
-    * the shared RDF view behind n7 (paths) and n8 (rollup). */
+    * the shared RDF view behind n7 (paths) and n8 (rollup).
+    *
+    * Set semantics via PER-BRANCH distinct on the RAW INTEGER keys,
+    * concat applied after (r21, guide §2.3 "narrower types"): the old
+    * distinct over the unioned string triples shuffled the prefixed
+    * strings; branches cannot collide (different s/o prefixes), and
+    * key-distinct-then-injective-concat yields the identical set. */
   private def locatedInTriples(s: SparkSession, dir: String) =
-    cust(s, dir).select(
+    cust(s, dir)
+      .select(col("c_custkey"), col("c_nationkey")).distinct()
+      .select(
         concat(lit("c"), col("c_custkey")).as("s"),
         lit("located_in").as("p"),
         concat(lit("n"), col("c_nationkey")).as("o"))
-      .unionByName(Tables.load(s, dir, "nation").select(
-        concat(lit("n"), col("n_nationkey")).as("s"),
-        lit("located_in").as("p"),
-        concat(lit("r"), col("n_regionkey")).as("o")))
-      .distinct()
+      .unionByName(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey")).distinct()
+        .select(
+          concat(lit("n"), col("n_nationkey")).as("s"),
+          lit("located_in").as("p"),
+          concat(lit("r"), col("n_regionkey")).as("o")))
       .as[graft.ttl.Turtle.Triple](
         org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
 
@@ -184,19 +193,31 @@ object LinkageQueries {
       import graft.ttl.Bgp
       val ord = Tables.load(s, dir, "orders")
       val li = Tables.load(s, dir, "lineitem")
-      val triples = ord.select(
-        concat(lit("o"), col("o_orderkey")).as("s"),
-        lit("ordered_by").as("p"),
-        concat(lit("c"), col("o_custkey")).as("o"))
-        .unionByName(ord.select(
+      // set semantics via per-branch distinct on the RAW keys, concat
+      // after (r21, guide §2.3): branches are disjoint by predicate
+      // constant, so branch-key distinct + injective concat equals the
+      // old distinct over the unioned string triples — but the dedup
+      // shuffles carry (long, long) / (long, string) keys instead of
+      // three built strings, and each pattern's pushed filter prunes
+      // to exactly one branch's dedup as before
+      val triples = ord
+        .select(col("o_orderkey"), col("o_custkey")).distinct()
+        .select(
           concat(lit("o"), col("o_orderkey")).as("s"),
-          lit("has_priority").as("p"),
-          col("o_orderpriority").as("o")))
-        .unionByName(li.select(
-          concat(lit("o"), col("l_orderkey")).as("s"),
-          lit("contains_part").as("p"),
-          concat(lit("p"), col("l_partkey")).as("o")))
-        .distinct()
+          lit("ordered_by").as("p"),
+          concat(lit("c"), col("o_custkey")).as("o"))
+        .unionByName(ord
+          .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+          .select(
+            concat(lit("o"), col("o_orderkey")).as("s"),
+            lit("has_priority").as("p"),
+            col("o_orderpriority").as("o")))
+        .unionByName(li
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .select(
+            concat(lit("o"), col("l_orderkey")).as("s"),
+            lit("contains_part").as("p"),
+            concat(lit("p"), col("l_partkey")).as("o")))
         .as[graft.ttl.Turtle.Triple](
           org.apache.spark.sql.Encoders.product[graft.ttl.Turtle.Triple])
       Bgp.query(triples, Seq(

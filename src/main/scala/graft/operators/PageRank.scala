@@ -63,12 +63,15 @@ object PageRank {
       .distinct()
       .repartition(col("src"))
       .persist())
-    // outdeg is joined per iteration and nodes is consumed by the
-    // teleport/init/per-round left join (2 + iters uses) — persisted,
-    // or each use re-aggregates the full edge cache (r21; both frames
-    // are node-sized, never the corpus)
-    val outdeg = Broadcasting.track(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+    // the per-iteration join partner is e WITH its out-degree folded
+    // in (r21): the degree join runs ONCE here — on two src-
+    // partitioned frames, so no extra exchange — instead of once per
+    // iteration (which also rebuilt an outdeg broadcast per round).
+    // nodes persists too: it feeds the init and every round's left
+    // join. Both caches are edge/node-sized, never wider.
+    val eOd = Broadcasting.track(e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist())
     val nodes = Broadcasting.track(
       e.select(col("src").as("id")).distinct().persist())
     // 1-row frame: the teleport denominator. Broadcast-joined below,
@@ -79,9 +82,8 @@ object PageRank {
       .select(col("id"),
         expr("1000000000000L div n_nodes").as("rank_e12"))
     for (i <- 1 to iters) {
-      val inflow = e
+      val inflow = eOd
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("id"),
           expr(s"($dampingPct * rank_e12) div (100 * outdeg)")
             .as("contrib"))
@@ -126,10 +128,11 @@ object PageRank {
       .distinct()
       .repartition(col("src"))
       .persist())
-    // persisted for the same multi-consumer reason as ranksE12 —
-    // the teleport term re-reads nodes once per iteration
-    val outdeg = Broadcasting.track(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist())
+    // same degree-fold + persist rationale as ranksE12 — the teleport
+    // term additionally re-reads nodes once per iteration
+    val eOd = Broadcasting.track(e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist())
     val nodes = Broadcasting.track(
       e.select(col("src").as("id")).distinct().persist())
     val seedSet = seeds.select(col("id").cast("long").as("id"))
@@ -148,9 +151,8 @@ object PageRank {
     var ranks = teleport(100)
       .select(col("id"), col("tp").as("rank_e12"))
     for (i <- 1 to iters) {
-      val inflow = e
+      val inflow = eOd
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(outdeg, "src")
         .select(col("dst").as("id"),
           expr(s"($dampingPct * rank_e12) div (100 * outdeg)")
             .as("contrib"))
