@@ -33,6 +33,21 @@ class CmsSketchSpec extends SparkTestBase {
     assert(top(2) == ("gamma", 5L))
   }
 
+  test("per-key topK spelling equals the row-spelling pipeline (r21)") {
+    // r21 refactor pin: topK now aggregates per key before hashing
+    // (md5 once per DISTINCT key, one scan). It must equal the
+    // original composition over raw rows exactly — counters are
+    // associative sums, so the per-key weights change nothing.
+    val viaRows = CmsSketch.estimates(
+        CmsSketch.counters(words, "w"), words.select("w").distinct(), "w")
+      .orderBy(col("est").desc, col("w"))
+      .limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaKeys = CmsSketch.topK(words, "w", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaKeys == viaRows, s"$viaKeys vs $viaRows")
+  }
+
   test("typed aggregator builds the identical counter grid") {
     val agg = new CmsSketch.CmsAggregator
     val sketch = words.as[String].select(agg.toColumn).head()

@@ -67,6 +67,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(pixels.drop(23).forall(_ == 0)) // zero padding
   }
 
+  test("ImageCodec non-PNG fallback: a BMP payload still decodes (r21)") {
+    // r21's per-task ImageCodec reuses one PNG reader; anything else
+    // must fall back to the ImageIO registry lookup. Exercise that
+    // branch with a real BMP through the full Dataset path.
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val vals = Seq(5, 10, 15, 20, 25, 30)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      img.getRaster.setSample(i % 3, i / 3, 0, v) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val m = Media(9L, "image/bmp", bos.toByteArray, 3, 2)
+    val out = Multimodal.decodeImageFeatures(Seq(m).toDS()).collect()
+    assert(out.length == 1)
+    assert(out.head.width == 3 && out.head.height == 2)
+    assert(out.head.px_sum == vals.sum && out.head.px_max == vals.max)
+  }
+
   test("PNG codec property: random payloads round-trip pixel-exact") {
     import org.scalacheck.Gen
     var seed = org.scalacheck.rng.Seed(7L)
