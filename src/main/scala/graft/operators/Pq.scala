@@ -37,6 +37,14 @@ object Pq {
   private def quantizedFull(emb: DataFrame): DataFrame =
     Broadcasting.track(KMeans.quantizeE6(emb).persist())
 
+  /** The persisted quantized pass as a PUBLIC frame (vec_id, v:
+    * Array[Long] e6) — for callers that need the e6 vectors
+    * THEMSELVES beside a PQ search (the v12/v14/v15 recall evals'
+    * exact ground-truth side), so query and index share ONE corpus
+    * quantization instead of each deriving their own. Tracked:
+    * `Broadcasting.releaseAll()` reclaims it. */
+  def quantized(emb: DataFrame): DataFrame = quantizedFull(emb)
+
   /** One subspace's machinery over the SHARED quantized frame:
     * (e6 subvectors as `v`, LOCALIZED codebook (c, cv, cnt), assigned
     * codes (vec_id, m, code, dist2)). Code assignment is the same
@@ -94,10 +102,14 @@ object Pq {
     * lazily, since an eager existence probe would cost a corpus
     * action during plan construction. */
   def adcTopK(emb: DataFrame, m: Int, k: Int, iters: Int,
+    queryVecId: Long, topN: Int): DataFrame =
+    adcTopKQuantized(quantizedFull(emb), m, k, iters, queryVecId, topN)
+
+  /** [[adcTopK]] over an already-[[quantized]] frame. */
+  def adcTopKQuantized(v6full: DataFrame, m: Int, k: Int, iters: Int,
     queryVecId: Long, topN: Int): DataFrame = {
-    graft.expressions.GraftFunctions.register(emb.sparkSession)
-    adcCore(quantizedFull(emb), m, k, iters, queryVecId, topN,
-      candidates = None)
+    graft.expressions.GraftFunctions.register(v6full.sparkSession)
+    adcCore(v6full, m, k, iters, queryVecId, topN, candidates = None)
   }
 
   /** IVF-PQ — the production ANN search shape the two operators were
@@ -119,13 +131,19 @@ object Pq {
     * cell, making the candidate restriction a partition prune instead
     * of this semi-join. */
   def ivfAdcTopK(emb: DataFrame, coarseK: Int, nProbe: Int, m: Int,
-    k: Int, iters: Int, queryVecId: Long, topN: Int): DataFrame = {
-    require(coarseK >= 1 && nProbe >= 1,
-      s"coarseK/nProbe must be >= 1: $coarseK/$nProbe")
-    graft.expressions.GraftFunctions.register(emb.sparkSession)
+    k: Int, iters: Int, queryVecId: Long, topN: Int): DataFrame =
     // ONE persisted quantized pass shared by coarse fit, cell
     // assignment, query vector, and the ADC stage's subspace fits
-    val v6 = quantizedFull(emb)
+    ivfAdcTopKQuantized(quantizedFull(emb), coarseK, nProbe, m, k,
+      iters, queryVecId, topN)
+
+  /** [[ivfAdcTopK]] over an already-[[quantized]] frame. */
+  def ivfAdcTopKQuantized(v6: DataFrame, coarseK: Int, nProbe: Int,
+    m: Int, k: Int, iters: Int, queryVecId: Long, topN: Int)
+    : DataFrame = {
+    require(coarseK >= 1 && nProbe >= 1,
+      s"coarseK/nProbe must be >= 1: $coarseK/$nProbe")
+    graft.expressions.GraftFunctions.register(v6.sparkSession)
     val coarse = KMeans.fitE6Local(v6, coarseK, iters)
     if (coarse.isEmpty) // empty corpus: nothing to probe or rank
       return v6.select(col("vec_id"),
@@ -136,7 +154,7 @@ object Pq {
       KMeans.argminStruct(col("v"), coarse).getField("c").as("cell"))
     val qv = v6.filter(col("vec_id") === queryVecId)
       .select(col("v").as("qv"))
-    val probed = KMeans.centroidsDf(emb.sparkSession, coarse)
+    val probed = KMeans.centroidsDf(v6.sparkSession, coarse)
       .select(col("c").as("cell"), col("cv"))
       .crossJoin(broadcast(qv))
       .withColumn("qd", expr("graft_l2sq(qv, cv)"))

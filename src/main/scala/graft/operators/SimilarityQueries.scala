@@ -97,18 +97,12 @@ object SimilarityQueries {
       .orderBy("probe_id", "rnk")
   }
 
-  /** Embedding quantized to integer e6 — the exact-arithmetic face
-    * the recall evals rank against. ONE definition: a quantization
-    * tweak must hit v12/v14/v15 together or the evals would silently
-    * measure against different ground truths. */
-  private def e6Vectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), expr(
-      """transform(embedding, x ->
-        |  cast(floor(cast(x as double) * 1000000 + 0.5) as bigint))"""
-        .stripMargin).as("v"))
-
   /** Exact integer-L2 top-`n` ids for `queryVecId` over e6 vectors —
-    * the shared ground-truth block of v12/v14. */
+    * the shared ground-truth block of v12/v14. `v6` comes from
+    * `Pq.quantized` (r21): ONE quantization definition for both the
+    * index and the ground truth, so a quantization tweak cannot
+    * silently split the evals onto different scales — and the evals
+    * share the index's persisted pass instead of re-deriving it. */
   private def exactTopIds(v6: DataFrame, queryVecId: Long,
     n: Int): DataFrame = {
     val q = v6.filter(col("vec_id") === queryVecId)
@@ -309,8 +303,12 @@ object SimilarityQueries {
     "v12_pq_recall" -> ((s, dir) => {
       withGraftFns(s)
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val exact = exactTopIds(e6Vectors(e), queryVecId = 0L, n = 10)
-      val adc = Pq.adcTopK(e, m = 2, k = 16, iters = 1,
+      // ONE quantized pass (Pq.quantized, persisted) shared by the
+      // exact ground-truth side and the ADC index — the exact side's
+      // own e6Vectors derivation was the identical transform (r21)
+      val v6 = Pq.quantized(e)
+      val exact = exactTopIds(v6, queryVecId = 0L, n = 10)
+      val adc = Pq.adcTopKQuantized(v6, m = 2, k = 16, iters = 1,
         queryVecId = 0L, topN = 10).select("vec_id")
       adc.join(exact, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
@@ -338,9 +336,12 @@ object SimilarityQueries {
     "v14_ivfpq_recall" -> ((s, dir) => {
       withGraftFns(s)
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val exact = exactTopIds(e6Vectors(e), queryVecId = 0L, n = 10)
-      val ivfpq = Pq.ivfAdcTopK(e, coarseK = 8, nProbe = 2, m = 2,
-        k = 16, iters = 1, queryVecId = 0L, topN = 10).select("vec_id")
+      // shared quantized pass — same rationale as v12 (r21)
+      val v6 = Pq.quantized(e)
+      val exact = exactTopIds(v6, queryVecId = 0L, n = 10)
+      val ivfpq = Pq.ivfAdcTopKQuantized(v6, coarseK = 8, nProbe = 2,
+        m = 2, k = 16, iters = 1, queryVecId = 0L, topN = 10)
+        .select("vec_id")
       ivfpq.join(exact, "vec_id")
         .agg(count(lit(1)).as("n_hits"))
         .select(col("n_hits"),
@@ -358,9 +359,11 @@ object SimilarityQueries {
     "v15_ivfpq_rerank" -> ((s, dir) => {
       withGraftFns(s)
       val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val v6 = e6Vectors(e)
-      val shortlist = Pq.ivfAdcTopK(e, coarseK = 8, nProbe = 2,
-        m = 2, k = 16, iters = 1, queryVecId = 0L, topN = 20)
+      // shared quantized pass — same rationale as v12 (r21)
+      val v6 = Pq.quantized(e)
+      val shortlist = Pq.ivfAdcTopKQuantized(v6, coarseK = 8,
+        nProbe = 2, m = 2, k = 16, iters = 1, queryVecId = 0L,
+        topN = 20)
         .select("vec_id")
       val q = v6.filter(col("vec_id") === 0L).select(col("v").as("qv"))
       v6.join(broadcast(shortlist), Seq("vec_id"), "left_semi")
