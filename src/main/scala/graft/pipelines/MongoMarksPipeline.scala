@@ -304,14 +304,16 @@ object MongoMarksPipeline {
     * rank, identical to the naive window's output.
     *
     * Caveats (documented, acceptable at this pipeline's shape): the
-    * cut points are GLOBAL, so a hot group whose mark_ids occupy a
-    * narrow slice of the global id space still lands in few buckets
-    * (Mongo ObjectIds interleave across analyses in practice — and
-    * per-group cut points would need a per-group stats pass); the
-    * count table is ≤ nGroups × nBuckets rows, fine to broadcast for
-    * the reference's ~4k analyses. rn stays IntegerType like
-    * row_number's, bounding a GROUP at 2^31 marks — same bound as
-    * the naive path. */
+    * cut points are GLOBAL rank-quantiles of a mass-proportional
+    * sample, so a hot group attracts cut points in proportion to its
+    * ROW SHARE regardless of where its ids sit in the id space —
+    * per-task work stays ~corpus/nBuckets and no per-group stats
+    * pass is needed (r21 doc fix: an earlier caveat here worried
+    * about narrow id slices, which the quantile construction already
+    * handles); the count table is ≤ nGroups × nBuckets rows, fine to
+    * broadcast for the reference's ~4k analyses. rn stays
+    * IntegerType like row_number's, bounding a GROUP at 2^31 marks —
+    * same bound as the naive path. */
   private def distributedRank(m: DataFrame, marks: DataFrame)
     : DataFrame = {
     val spark = m.sparkSession
@@ -321,8 +323,35 @@ object MongoMarksPipeline {
     val fraction = spark.conf
       .getOption("spark.graft.etl.skewSampleFraction")
       .map(_.toDouble).getOrElse(0.001)
-    val ids = marks.select(col("_id")).sample(fraction, seed = 42L)
-      .limit(100000).collect().map(_.getString(0)).sorted
+    // UNIFORM driver-side cap (r21, the r20 ADVICE finding): the old
+    // `.limit(100000)` took whichever partitions were scanned first,
+    // so at the very scale skewSafe targets (a sample over the cap,
+    // monotonically-grown _id space) every cut point came from the
+    // LOW end of the id space and most data landed in the last
+    // bucket — silently degrading back to one-task-per-group sorting
+    // (correctness was never affected: any monotone cut set ranks
+    // exactly). The cap is now a second DETERMINISTIC hash thinning
+    // sized from the sample's own count — uniform over the whole id
+    // space at any corpus size — with limit() kept only as a
+    // 2×-headroom driver-safety backstop that the thinning makes
+    // statistically unreachable (binomial, ±1% at 100k).
+    val targetCap = 100000L
+    val sampled = marks.select(col("_id")).sample(fraction, seed = 42L)
+    val nSampled = sampled.count()
+    val thinned =
+      if (nSampled <= targetCap) sampled
+      else {
+        val keepPerM = targetCap * 1000000L / nSampled // per-million
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"distributedRank: seeded sample has $nSampled ids > cap " +
+            s"$targetCap — thinning uniformly by hash (keep " +
+            s"$keepPerM/1e6)")
+        sampled.filter(
+          pmod(xxhash64(col("_id"), lit(42L)), lit(1000000L))
+            < lit(keepPerM))
+      }
+    val ids = thinned.limit(2 * targetCap.toInt)
+      .collect().map(_.getString(0)).sorted
     val bnds =
       if (ids.isEmpty) Array.empty[String]
       else (1 until nBuckets)
