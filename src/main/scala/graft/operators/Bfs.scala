@@ -103,7 +103,13 @@ object Bfs {
       // of the full history. h < maxHops: the collapse only pays for
       // itself if a LATER round plans against the leaf — on the final
       // round it would be a pure wasted materialization job (same
-      // guard as PageRank's i < iters).
+      // guard as PageRank's i < iters). r22 note: skipping the cut
+      // when only ONE round remains (h + 1 < maxHops, the r21
+      // cadence-4 hypothesis from n6's 3.4→2.7 s) was A/B'd twice
+      // interleaved at sf0.1 and measured a wash (0.99×, 0.98×) while
+      // doubling the final plan's printed size past the n6 pin — the
+      // r21 delta was FS-regime noise, so the simpler cadence guard
+      // stays.
       if (!exhausted && h < maxHops && Iterate.due(spark, h))
         levels = Iterate.collapseByHops(levels, h)
     }

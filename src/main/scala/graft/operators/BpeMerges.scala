@@ -116,6 +116,11 @@ object BpeMerges {
     val wordCounts = Broadcasting.track(words
       .groupBy(col(wordCol)).agg(count(lit(1)).as("wcnt"))
       .persist())
+    // NOT persisted per round (r22 A/B): caching each round's encoded
+    // dictionary was measured a wash-to-loss at sf0.1 — the re-derived
+    // encode+replace passes run over the Zipf-bounded word-TYPE
+    // dictionary (cheap), while the columnar cache build of the
+    // boundary-encoded strings costs a comparable pass of its own.
     var enc = wordCounts
       .select(encode(col(wordCol)).as("enc"), col("wcnt"))
     var reports = Vector.empty[DataFrame]
@@ -148,6 +153,11 @@ object BpeMerges {
         .groupBy(col(wordCol)).agg(count(lit(1)).as("wcnt"))
         .persist())
       .select(encode(col(wordCol)).as("enc"), col("wcnt"))
+    // intermediates NOT persisted (same r22 A/B note as learn()); the
+    // FINAL enc persists below — it is the caller's tokenized
+    // dictionary, typically read by more than one consumer (x17's
+    // stats + vocab aggregates re-derived the whole encode+merge
+    // chain per consumer before this).
     for (_ <- 1 to nMerges) {
       val pc = Broadcasting.track(pairCounts(enc).persist())
       enc = enc.crossJoin(broadcast(top1(pc)
@@ -155,6 +165,6 @@ object BpeMerges {
         .select(applyMerge(col("enc"), col("ma"), col("mb")).as("enc"),
           col("wcnt"))
     }
-    enc
+    Broadcasting.track(enc.persist())
   }
 }

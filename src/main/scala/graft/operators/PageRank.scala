@@ -50,18 +50,21 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be a percentage, got $dampingPct")
-    // distinct() leaves the frame hash-partitioned on (src, dst);
-    // persisted that way, EVERY iteration's rank⋈edges join would
-    // re-shuffle the full edge list onto src — the one corpus-sized
-    // shuffle per round. One repartition(src) before the persist
-    // makes the edge partitioning reusable: per iteration only the
-    // (id, rank) pairs move, and outdeg/nodes (both grouped by src)
-    // fold into the same partitioning with no exchange of their own.
+    // repartition(src) FIRST, dedup after (r22): hash(src) partitioning
+    // satisfies the dedup aggregate's ClusteredDistribution((src, dst))
+    // — equal (src, dst) rows share a src — so the distinct runs
+    // exchange-free on the already-src-partitioned data and its output
+    // KEEPS that partitioning for the persist. The r21 spelling
+    // (distinct → repartition) paid two full edge-list exchanges for
+    // the same frame. The persist stays src-partitioned so every
+    // iteration's rank⋈edges join moves only (id, rank) pairs, and
+    // outdeg/nodes (both grouped by src) fold into the same
+    // partitioning with no exchange of their own.
     val e = Broadcasting.track(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist())
     // the per-iteration join partner is e WITH its out-degree folded
     // in (r21): the degree join runs ONCE here — on two src-
@@ -122,11 +125,13 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be a percentage, got $dampingPct")
+    // repartition-first dedup, same rationale as ranksE12 (one edge
+    // exchange instead of two; partitioning survives for the joins)
     val e = Broadcasting.track(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
       .repartition(col("src"))
+      .dropDuplicates("src", "dst")
       .persist())
     // same degree-fold + persist rationale as ranksE12 — the teleport
     // term additionally re-reads nodes once per iteration
