@@ -76,25 +76,49 @@ object TextDedupQueries {
 
   private def bucketPairs(xs: String): String = MinHashLsh.bucketPairs(xs)
 
-  /** SimHash signature (shared by d5/d6): per-(doc, bit) ±1 balance
-    * then the 16-bit fold. The bit-position explode looks wasteful
-    * but partial aggregation collapses it map-side to #groups×16
-    * rows, and the tight one-sum codegen beats a 17-column aggregate
-    * buffer (measured ~1.8× on this corpus — a 16-sums-in-one-pass
-    * variant was tried and reverted). */
+  /** SimHash signature (shared by d5/d6): per-bit ±1 balance folded
+    * into the 16-bit fingerprint — spelled as ONE aggregate over the
+    * token stream with PACKED bit counters (r22, guide §2.3/§4
+    * "aggregate before you shuffle; codegen-friendly expressions").
+    *
+    * Each token hash contributes its 16 bits into 8 longs of two
+    * 32-bit lanes (lane b%2 of long b/2 holds bit b's ones-count);
+    * a groupBy(doc) sums the 8 packed longs plus the token count n.
+    * bal_b = 2·cnt_b − n, so bit b sets iff 2·cnt_b > n — identical
+    * tie rule (bal = 0 → 0) to the former ±1 spelling. EXACTNESS:
+    * tokens per doc < 2^31 (a doc is one Spark string), so each
+    * 32-bit lane's count < 2^31 never carries into its neighbor, and
+    * the high lane's sum < 2^31·2^32 = 2^63 never overflows the
+    * signed long.
+    *
+    * Why packed: the r13-era spelling exploded 16 (h, b) rows per
+    * token through the first hash aggregate — 16 hash-map probes per
+    * token for one ±1 add each (the bench sampler put d6's time in
+    * UnsafeFixedWidthAggregationMap probes); a 16-separate-sums
+    * variant (17-column buffer) was ALSO tried and measured ~1.8×
+    * slower than the explode. The packed form keeps the buffer at 9
+    * longs and does one probe per token with 8 shift-mask adds —
+    * measured (interleaved A/B, sf0.1/32c, min-of-2) d6 1.21×,
+    * d6c 1.53×, d5 1.05×; same rows, same oracle hashes. */
   private def simhashSig(d: DataFrame, withSource: Boolean): DataFrame = {
     val keys = if (withSource) Seq("doc_id", "source") else Seq("doc_id")
     val th = d.select(keys.map(col) :+ explode(expr(tokensSql)).as("tok"): _*)
       .withColumn("h", expr(shingleHash("tok")))
-    th.select(keys.map(col) ++ Seq(col("h"),
-        explode(expr("sequence(0, 15)")).as("b")): _*)
-      .groupBy(keys.map(col) :+ col("b"): _*)
-      .agg(sum(expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END"))
-        .as("bal"))
-      .groupBy(keys.map(col): _*)
-      .agg(sum(expr(
-        "CASE WHEN bal > 0 THEN shiftleft(cast(1 as bigint), b) ELSE 0L END"))
-        .as("simhash"))
+    // packed per-token contribution: long j carries bits 2j (low
+    // lane) and 2j+1 (high lane)
+    val packs = (0 until 8).map { j =>
+      sum(expr(s"(shiftright(h, ${2 * j}) & 1) + " +
+        s"shiftleft(shiftright(h, ${2 * j + 1}) & 1, 32)")).as(s"p$j")
+    }
+    val counted = th.groupBy(keys.map(col): _*)
+      .agg(packs.head, packs.tail :+ count(lit(1)).as("n"): _*)
+    val fold = (0 until 16).map { b =>
+      val lane = b / 2
+      val off = (b % 2) * 32
+      s"(CASE WHEN 2 * (shiftright(p$lane, $off) & 4294967295L) > n " +
+        s"THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    counted.select(keys.map(col) :+ expr(fold).as("simhash"): _*)
   }
 
   /** SimHash near-dup candidate pairs (the d6 plan, reusable):
