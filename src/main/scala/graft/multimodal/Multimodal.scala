@@ -140,7 +140,12 @@ object Multimodal {
     }
     /** PNG payloads take the reused reader; anything else (JPEG/GIF/
       * BMP stay supported, as before) falls back to the registry
-      * lookup ImageIO.read does — correctness identical. */
+      * lookup ImageIO.read does — correctness identical. NOTE this
+      * fallback relies on the JVM-GLOBAL `ImageIO.setUseCache(false)`
+      * set in the constructor above: without it, ImageIO.read spools
+      * every in-memory stream through a disk-backed temp cache file
+      * per row (the 2.4× r21 finding) — do not reintroduce a
+      * per-call cache assumption here. */
     def decode(bytes: Array[Byte], mediaId: Long): BufferedImage = {
       val isPng = bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
         bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'

@@ -50,13 +50,11 @@ object ConnectedComponents {
     // run the whole upstream pair pipeline — the LSH band build for
     // d8/d12, the fuzzy-join blocking for n2 — twice per pass; the
     // reversal now reads the cache.
-    val one = Broadcasting.track(edges
+    val one = Broadcasting.track(Caching.persistCorpus(edges
       .select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .persist())
-    val sym = Broadcasting.track(one
-      .union(one.select(col("dst").as("src"), col("src").as("dst")))
-      .persist())
+        col(dstCol).cast("long").as("dst"))))
+    val sym = Broadcasting.track(Caching.persistCorpus(one
+      .union(one.select(col("dst").as("src"), col("src").as("dst")))))
     val probe = math.min(localEdgeCap + 1, Int.MaxValue.toLong).toInt
     if (sym.limit(probe).count() <= localEdgeCap) localUnionFind(sym)
     else iterate(sym, maxIter)

@@ -60,21 +60,19 @@ object PageRank {
     // iteration's rank⋈edges join moves only (id, rank) pairs, and
     // outdeg/nodes (both grouped by src) fold into the same
     // partitioning with no exchange of their own.
-    val e = Broadcasting.track(edges
+    val e = Broadcasting.track(Caching.persistCorpus(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-      .persist())
+      .dropDuplicates("src", "dst")))
     // the per-iteration join partner is e WITH its out-degree folded
     // in (r21): the degree join runs ONCE here — on two src-
     // partitioned frames, so no extra exchange — instead of once per
     // iteration (which also rebuilt an outdeg broadcast per round).
     // nodes persists too: it feeds the init and every round's left
     // join. Both caches are edge/node-sized, never wider.
-    val eOd = Broadcasting.track(e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .persist())
+    val eOd = Broadcasting.track(Caching.persistCorpus(e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")))
     val nodes = Broadcasting.track(
       e.select(col("src").as("id")).distinct().persist())
     // 1-row frame: the teleport denominator. Broadcast-joined below,
@@ -127,17 +125,15 @@ object PageRank {
       s"dampingPct must be a percentage, got $dampingPct")
     // repartition-first dedup, same rationale as ranksE12 (one edge
     // exchange instead of two; partitioning survives for the joins)
-    val e = Broadcasting.track(edges
+    val e = Broadcasting.track(Caching.persistCorpus(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-      .persist())
+      .dropDuplicates("src", "dst")))
     // same degree-fold + persist rationale as ranksE12 — the teleport
     // term additionally re-reads nodes once per iteration
-    val eOd = Broadcasting.track(e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .persist())
+    val eOd = Broadcasting.track(Caching.persistCorpus(e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")))
     val nodes = Broadcasting.track(
       e.select(col("src").as("id")).distinct().persist())
     val seedSet = seeds.select(col("id").cast("long").as("id"))

@@ -35,7 +35,7 @@ object Pq {
     * read. Same integers: quantization is elementwise, so slicing the
     * quantized full vector equals quantizing the float slice. */
   private def quantizedFull(emb: DataFrame): DataFrame =
-    Broadcasting.track(KMeans.quantizeE6(emb).persist())
+    Broadcasting.track(Caching.persistCorpus(KMeans.quantizeE6(emb)))
 
   /** The persisted quantized pass as a PUBLIC frame (vec_id, v:
     * Array[Long] e6) — for callers that need the e6 vectors

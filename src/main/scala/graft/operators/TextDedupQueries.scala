@@ -572,8 +572,8 @@ object TextDedupQueries {
       // too: it feeds the pair build AND both agree-column sides
       // (unpersisted, a narrow map with no exchange for
       // ReusedExchange to dedup re-derives per branch).
-      val hashed = Broadcasting.track(
-        MinHashLsh.hashedShingles(d, "doc_id", "text").persist())
+      val hashed = Broadcasting.track(Caching.persistCorpus(
+        MinHashLsh.hashedShingles(d, "doc_id", "text")))
       val sig = Broadcasting.track(
         MinHashLsh.signaturesFromHashed(hashed, "doc_id").persist())
       val pairs = MinHashLsh.candidatePairsFromSignatures(sig, "doc_id")
@@ -687,14 +687,14 @@ object TextDedupQueries {
       // persisted: three consumers (both sides of the cross-split
       // pair check + the per-split census) each re-derived the
       // docs⋈comp join and the md5 split hash
-      val split = Broadcasting.track(docs(s, dir).select("doc_id")
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("rep"))
-        .withColumn("split",
-          when(StableHash.md5Mod("split", col("rep"), 100) < 90,
-            lit("train")).otherwise(lit("val")))
-        .persist())
+      val split = Broadcasting.track(Caching.persistCorpus(
+        docs(s, dir).select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("comp"), col("doc_id")).as("rep"))
+          .withColumn("split",
+            when(StableHash.md5Mod("split", col("rep"), 100) < 90,
+              lit("train")).otherwise(lit("val")))))
       val crossCnt = pairs
         .join(split.select(col("doc_id").as("doc_a"),
           col("split").as("sa")), Seq("doc_a"))
