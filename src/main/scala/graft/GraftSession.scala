@@ -90,6 +90,19 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS", "0"))
+      // allow shuffled-hash joins (r22, guide §3.1/§9): sort-merge's
+      // per-round sorts dominate the many node-sized iterative joins
+      // here, and the AQE rewrite below is gated on ACTUAL post-
+      // shuffle partition size (≤128 MB per local map), so the choice
+      // stays scale-adaptive — big partitions keep sort-merge's spill
+      // safety at any corpus size. Interleaved full-suite A/B
+      // (2×2 runs, min-of-2 per side, sf0.1/32c): total 91.0→87.1 s,
+      // geomean 0.949, 10 queries >12% faster (u2 0.74×, v11/x12/u6
+      // 0.76×, u1/v12/v10 0.81×, m5/q8 0.82×, q9 0.83×), ZERO queries
+      // symmetrically slower.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "128m")
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

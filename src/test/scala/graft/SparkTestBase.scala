@@ -28,5 +28,10 @@ object SparkTestBase {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
+    // mirror GraftSession.harness's join strategy (r22): the plan
+    // pins must exercise the same planner the bench runs under
+    .config("spark.sql.join.preferSortMergeJoin", "false")
+    .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+      "128m")
     .getOrCreate()
 }
