@@ -100,9 +100,13 @@ object GraftSession {
       // geomean 0.949, 10 queries >12% faster (u2 0.74×, v11/x12/u6
       // 0.76×, u1/v12/v10 0.81×, m5/q8 0.82×, q9 0.83×), ZERO queries
       // symmetrically slower.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // `SPARK_GRAFT_PREFER_SMJ=1` restores the sort-merge-only planner
+      // for isolated A/Bs (same pattern as SPARK_GRAFT_BYPASS above —
+      // the driver never sets it).
+      .config("spark.sql.join.preferSortMergeJoin",
+        if (sys.env.contains("SPARK_GRAFT_PREFER_SMJ")) "true" else "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "128m")
+        if (sys.env.contains("SPARK_GRAFT_PREFER_SMJ")) "0" else "128m")
       .config("spark.cleaner.periodicGC.interval", "45s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
